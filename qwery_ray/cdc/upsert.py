@@ -1,0 +1,98 @@
+"""Keyed-table UPSERT / UPDATE for the SQL surface.
+
+Reference semantics: UPSERT INTO ... KEYED ON = insert-else-update per key
+(ops/sql/Upsert.scala:14-32 + JDBCOutputSource.scala:62-104); UPDATE ... KEYED
+ON = keyed in-place update (ops/sql/Update.scala:19-45). The reference's target
+is a JDBC table; here it is a single parquet file (for the partitioned,
+streaming, exactly-once lake path see ``qwery_ray.cdc.engine``).
+
+The source Dataset streams; the TARGET table is materialized driver-side —
+this operator is for dimension-table-sized keyed targets. Within the incoming
+batch, the LAST occurrence per key wins, matching the reference's sequential
+row-at-a-time application.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+
+def _collect(ds: rd.Dataset) -> pd.DataFrame:
+    frames = [b.to_pandas() for b in ds.iter_batches(batch_size=65536,
+                                                     batch_format="pyarrow")]
+    if not frames:
+        return pd.DataFrame()
+    return pd.concat(frames, ignore_index=True)
+
+
+def upsert_into_parquet(ds: rd.Dataset, path: str, keys: list[str]) -> tuple[int, int]:
+    """Returns (rows_inserted, rows_updated)."""
+    new = _collect(ds)
+    if new.empty:
+        return 0, 0
+    # last occurrence per key wins within the incoming stream
+    deduped = new.drop_duplicates(subset=keys, keep="last")
+
+    if os.path.exists(path):
+        existing = pq.read_table(path).to_pandas()
+    else:
+        existing = pd.DataFrame(columns=deduped.columns)
+
+    existing_keys = set(map(tuple, existing[keys].itertuples(index=False))) \
+        if not existing.empty else set()
+    incoming_keys = list(map(tuple, deduped[keys].itertuples(index=False)))
+    updated = sum(1 for k in incoming_keys if k in existing_keys)
+    inserted = len(incoming_keys) - updated
+
+    if not existing.empty:
+        mask = existing[keys].apply(tuple, axis=1).isin(set(incoming_keys))
+        survivors = existing[~mask]
+    else:
+        survivors = existing
+    merged = pd.concat([survivors, deduped], ignore_index=True)
+
+    tmp = path + ".tmp"
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(merged, preserve_index=False), tmp)
+    os.replace(tmp, path)  # atomic visibility point
+    return inserted, updated
+
+
+def update_parquet(ds: rd.Dataset, path: str, keys: list[str],
+                   assignments: list[tuple[str, object]], env: dict) -> int:
+    """Applies ``SET col = expr`` (evaluated against each SOURCE row) to target
+    rows with a matching key. Returns rows_updated."""
+    from ..sqlc.compiler import make_evaluator
+
+    src = _collect(ds)
+    if src.empty or not os.path.exists(path):
+        return 0
+    ev = make_evaluator(env)
+    batch = pa.Table.from_pandas(src, preserve_index=False)
+    for name, expr in assignments:
+        val = ev.eval(expr, batch)
+        if not isinstance(val, (pa.Array, pa.ChunkedArray)):
+            val = pa.array([val] * len(batch))
+        src[name] = val.to_pandas()
+    src = src.drop_duplicates(subset=keys, keep="last")
+
+    target = pq.read_table(path).to_pandas()
+    assigned_cols = [n for n, _ in assignments]
+    idx = src.set_index(keys)
+    tkeys = target[keys].apply(tuple, axis=1) if len(keys) > 1 else target[keys[0]]
+    skeys = set(idx.index)
+    mask = tkeys.isin(skeys)
+    updated = int(mask.sum())
+    if updated:
+        lookup = idx[assigned_cols]
+        for col in assigned_cols:
+            target.loc[mask, col] = tkeys[mask].map(lookup[col]).values
+    tmp = path + ".tmp"
+    pq.write_table(pa.Table.from_pandas(target, preserve_index=False), tmp)
+    os.replace(tmp, path)
+    return updated

@@ -1,0 +1,370 @@
+"""QweryEngine — the session: catalog, variables, views, functions, procedures.
+
+The Ray-Data analogue of the reference's hierarchical ``Scope``
+(core/ops/Scope.scala:18-30): variables/views/functions live driver-side in
+plain registries; ``{{ var }}`` handlebars expansion of paths
+(Scope.scala:127-146) happens before plan build; expressions compile to
+vectorized Arrow kernels so no per-row scope exists at run time.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Callable, Optional
+
+import pyarrow as pa
+import ray.data as rd
+
+from ..sqlc import ast as A
+from ..sqlc.compiler import Compiler, _env, make_evaluator
+from ..sqlc.parser import _ScalarSubquery, parse
+from ..sqlc.rewrite import substitute_columns, transform_expr
+
+_HANDLEBARS = re.compile(r"\{\{\s*(\w+)\s*\}\}")
+
+
+class QweryEngine:
+    def __init__(self, table_root: Optional[str] = None, *,
+                 now: Any = None, seed: int = 42):
+        self.table_root = table_root
+        self.tables: dict[str, str] = {}  # name(lower) → path
+        self.views: dict[str, A.Statement] = {}
+        self.variables: dict[str, Any] = {"__seed": seed}
+        self.udfs: dict[str, tuple[Callable, bool]] = {}  # python UDFs
+        self.sql_functions: dict[str, A.CreateFunction] = {}
+        self.procedures: dict[str, A.CreateProcedure] = {}
+        self.now = now
+        self.compiler = Compiler(self)
+        if table_root:
+            self._auto_register(table_root)
+
+    # ------------------------------------------------------------- catalog
+    def _auto_register(self, root: str):
+        if not os.path.isdir(root):
+            return
+        for fname in sorted(os.listdir(root)):
+            if fname.endswith(".parquet"):
+                self.tables[os.path.splitext(fname)[0].lower()] = \
+                    os.path.join(root, fname)
+
+    def register_table(self, name: str, path: str):
+        self.tables[name.lower()] = path
+
+    def register_function(self, name: str, fn: Callable, *, vectorized: bool = True):
+        """Python scalar UDF — the rebuild's user-extension surface
+        (reference: CREATE FUNCTION, core/ops/Function.scala).
+        Vectorized fns receive/return pyarrow arrays; non-vectorized are
+        mapped per element (slow path)."""
+        self.udfs[name.upper()] = (fn, vectorized)
+
+    def resolve_table_path(self, name: str) -> str:
+        low = name.lower()
+        if low in self.tables:
+            return self.tables[low]
+        if os.path.exists(name):
+            return name
+        if self.table_root:
+            for ext in (".parquet", ".csv", ".json", ".tsv", ".psv"):
+                cand = os.path.join(self.table_root, name + ext)
+                if os.path.exists(cand):
+                    return cand
+            cand = os.path.join(self.table_root, name)
+            if os.path.exists(cand):
+                return cand
+        return name  # let the reader raise on a truly missing path
+
+    def expand_vars(self, text: str) -> str:
+        """`{{ var }}` handlebars expansion (Scope.scala:127-146)."""
+        return _HANDLEBARS.sub(
+            lambda m: str(self.variables.get(m.group(1), m.group(0))), text)
+
+    # ------------------------------------------------------------- execute
+    def sql(self, text: str):
+        """Parse and execute; returns the last statement's result
+        (ray.data.Dataset for queries, pyarrow.Table for DML/utility rows)."""
+        result = None
+        for stmt in parse(text):
+            result = self.execute(stmt)
+        return result
+
+    def execute(self, stmt: A.Statement):
+        stmt = self._prepare(stmt)
+        name = type(stmt).__name__
+        handler = getattr(self, f"_exec_{name}", None)
+        if handler is None:
+            raise ValueError(f"cannot execute {name}")
+        return handler(stmt)
+
+    # statement preparation: inline SQL UDFs + resolve scalar subqueries
+    def _prepare(self, stmt):
+        def fix_expr(expr):
+            if expr is None:
+                return None
+            expr = transform_expr(expr, self._expand_sql_udf)
+            expr = transform_expr(expr, self._resolve_scalar_subquery)
+            return expr
+
+        return _map_statement_exprs(stmt, fix_expr)
+
+    def _expand_sql_udf(self, node):
+        if isinstance(node, A.FuncCall) and node.name in self.sql_functions:
+            fn = self.sql_functions[node.name]
+            if len(node.args) != len(fn.params):
+                raise ValueError(
+                    f"{node.name} expects {len(fn.params)} args, got {len(node.args)}")
+            body = fn.body[-1]
+            if not isinstance(body, A.Return) or body.value is None:
+                raise ValueError(f"SQL function {node.name} must end with RETURN <expr>")
+            mapping = {p.lower(): a for p, a in zip(fn.params, node.args)}
+            out = substitute_columns(body.value, mapping)
+            # params may be referenced again inside nested udf calls
+            return transform_expr(out, self._expand_sql_udf)
+        return node
+
+    def _resolve_scalar_subquery(self, node):
+        if isinstance(node, _ScalarSubquery):
+            ds = self.compiler.compile_query(self._prepare(node.query))
+            rows = ds.take(1)
+            if not rows:
+                return A.Literal(None)
+            first = rows[0]
+            return A.Literal(next(iter(first.values())))
+        return node
+
+    # ------------------------------------------------------ query handlers
+    def _exec_Select(self, stmt: A.Select):
+        return self.compiler.compile_select(stmt)
+
+    def _exec_Union(self, stmt: A.Union):
+        return self.compiler.compile_query(stmt)
+
+    def _exec_Values(self, stmt: A.Values):
+        return self.compiler.compile_values(stmt, ())
+
+    # -------------------------------------------------------- DML handlers
+    def _exec_Insert(self, stmt: A.Insert):
+        from ..sources.writers import write_sink
+
+        if isinstance(stmt.source, A.Values):
+            ds = self.compiler.compile_values(stmt.source, stmt.columns)
+        else:
+            ds = self.compiler.compile_query(stmt.source)
+            if stmt.columns:
+                # positional re-label (reference Insert.scala:19-21)
+                ds = ds.map_batches(_PositionalRename(stmt.columns),
+                                    batch_format="pyarrow")
+        target = self.expand_vars(stmt.target)
+        if not os.path.isabs(target) and self.table_root and \
+                target.lower() not in self.tables and not os.path.exists(target):
+            pass  # relative paths stay relative (cwd), matching the reference
+        inserted = write_sink(ds, target, stmt.hints, overwrite=stmt.overwrite)
+        return pa.table({"ROWS_INSERTED": [inserted], "ROWS_REJECTED": [0]})
+
+    def _exec_Upsert(self, stmt: A.Upsert):
+        """UPSERT INTO lake table KEYED ON k — last-writer-wins merge into a
+        parquet target (reference semantics: ops/sql/Upsert.scala +
+        JDBCOutputSource.scala:62-104, insert-else-update)."""
+        from ..cdc.upsert import upsert_into_parquet
+
+        if isinstance(stmt.source, A.Values):
+            ds = self.compiler.compile_values(stmt.source, stmt.columns)
+        else:
+            ds = self.compiler.compile_query(stmt.source)
+            if stmt.columns:
+                ds = ds.map_batches(_PositionalRename(stmt.columns),
+                                    batch_format="pyarrow")
+        target = self.expand_vars(stmt.target)
+        path = self.resolve_table_path(target)
+        ins, upd = upsert_into_parquet(ds, path, list(stmt.keyed_on))
+        return pa.table({"ROWS_INSERTED": [ins], "ROWS_UPDATED": [upd],
+                         "ROWS_REJECTED": [0]})
+
+    def _exec_Update(self, stmt: A.Update):
+        from ..cdc.upsert import update_parquet
+
+        ds = self.compiler.compile_query(stmt.source)
+        path = self.resolve_table_path(self.expand_vars(stmt.target))
+        env = _env(self)
+        updated = update_parquet(ds, path, list(stmt.keyed_on),
+                                 list(stmt.assignments), env)
+        return pa.table({"ROWS_UPDATED": [updated], "ROWS_REJECTED": [0]})
+
+    # ---------------------------------------------------- session handlers
+    def _exec_Declare(self, stmt: A.Declare):
+        self.variables.setdefault(stmt.name, None)
+        return None
+
+    def _exec_SetVar(self, stmt: A.SetVar):
+        if isinstance(stmt.value, A.Statement) and not isinstance(stmt.value, A.Expr):
+            ds = self.compiler.compile_query(stmt.value)
+            rows = ds.take(1)
+            self.variables[stmt.name] = next(iter(rows[0].values())) if rows else None
+        else:
+            ev = make_evaluator(_env(self))
+            val = ev.eval(stmt.value, pa.table({"__one": [1]}))
+            if isinstance(val, (pa.Array, pa.ChunkedArray)):
+                val = val.to_pylist()[0]
+            self.variables[stmt.name] = val
+        return None
+
+    def _exec_CreateView(self, stmt: A.CreateView):
+        self.views[stmt.name.lower()] = stmt.query
+        return None
+
+    def _exec_CreateFunction(self, stmt: A.CreateFunction):
+        self.sql_functions[stmt.name.upper()] = stmt
+        return None
+
+    def _exec_CreateProcedure(self, stmt: A.CreateProcedure):
+        self.procedures[stmt.name.lower()] = stmt
+        return None
+
+    def _exec_Call(self, stmt: A.Call):
+        proc = self.procedures.get(stmt.name.lower())
+        if proc is None:
+            raise ValueError(f"unknown procedure {stmt.name}")
+        ev = make_evaluator(_env(self))
+        dummy = pa.table({"__one": [1]})
+        saved = dict(self.variables)
+        try:
+            for p, a in zip(proc.params, stmt.args):
+                val = ev.eval(a, dummy)
+                if isinstance(val, (pa.Array, pa.ChunkedArray)):
+                    val = val.to_pylist()[0]
+                self.variables[p] = val
+            result = None
+            for s in proc.body:
+                result = self.execute(s)
+            return result
+        finally:
+            self.variables = saved
+
+    def _exec_CodeBlock(self, stmt: A.CodeBlock):
+        result = None
+        for s in stmt.statements:
+            result = self.execute(s)
+        return result
+
+    def _exec_Return(self, stmt: A.Return):
+        if stmt.value is None:
+            return None
+        ev = make_evaluator(_env(self))
+        val = ev.eval(stmt.value, pa.table({"__one": [1]}))
+        if isinstance(val, (pa.Array, pa.ChunkedArray)):
+            val = val.to_pylist()[0]
+        return pa.table({"RETURN_VALUE": [val]})
+
+    # ---------------------------------------------------- introspection
+    def _exec_Describe(self, stmt: A.Describe):
+        """One-row sample + runtime types (reference Describe.scala:13-25)."""
+        frame = self.compiler.compile_source(stmt.source)
+        rows = frame.ds.take(stmt.limit or 1)
+        if not rows:
+            return pa.table({"Column": [], "Type": [], "Sample": []})
+        first = rows[0]
+        return pa.table({
+            "Column": list(first.keys()),
+            "Type": [type(v).__name__ for v in first.values()],
+            "Sample": [str(v) for v in first.values()],
+        })
+
+    def _exec_Show(self, stmt: A.Show):
+        ent = stmt.entity.upper()
+        if ent == "TABLES":
+            return pa.table({"name": sorted(self.tables),
+                             "path": [self.tables[k] for k in sorted(self.tables)]})
+        if ent == "VIEWS":
+            return pa.table({"name": sorted(self.views)})
+        if ent == "FUNCTIONS":
+            names = sorted(set(self.sql_functions) | set(self.udfs))
+            return pa.table({"name": names})
+        if ent == "PROCEDURES":
+            return pa.table({"name": sorted(self.procedures)})
+        if ent == "VARIABLES":
+            keys = sorted(k for k in self.variables if not k.startswith("__"))
+            return pa.table({"name": keys,
+                             "value": [str(self.variables[k]) for k in keys]})
+        if ent == "FILES":
+            root = self.table_root or "."
+            paths = []
+            for dirpath, _, files in os.walk(root):
+                for f in files:
+                    paths.append(os.path.join(dirpath, f))
+            return pa.table({"path": sorted(paths)})
+        raise ValueError(f"SHOW {ent} not supported")
+
+
+class _PositionalRename:
+    """INSERT field list re-labels source columns by POSITION
+    (reference Insert.scala:19-21: ``fields zip row.columns``)."""
+
+    def __init__(self, columns):
+        self.columns = list(columns)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(self.columns)
+        if batch.num_columns < n:
+            raise ValueError(
+                f"INSERT column list has {n} names but source emits "
+                f"{batch.num_columns} columns")
+        batch = batch.select(batch.column_names[:n])
+        return batch.rename_columns(self.columns)
+
+
+def _map_statement_exprs(stmt, fix: Callable):
+    """Apply ``fix`` to every expression position of a statement tree."""
+    if isinstance(stmt, A.Select):
+        items = tuple(
+            it if isinstance(it, A.Star) else A.SelectItem(fix(it.expr), it.alias)
+            for it in stmt.items)
+        joins = tuple(
+            A.JoinClause(j.join_type,
+                         _map_source(j.right, fix), fix(j.on))
+            for j in stmt.joins)
+        return A.Select(
+            items=items,
+            source=_map_source(stmt.source, fix),
+            joins=joins,
+            where=fix(stmt.where),
+            group_by=tuple(fix(g) for g in stmt.group_by),
+            having=fix(stmt.having),
+            order_by=tuple(A.OrderItem(fix(o.expr), o.ascending)
+                           for o in stmt.order_by),
+            limit=stmt.limit, distinct=stmt.distinct)
+    if isinstance(stmt, A.Union):
+        return A.Union(_map_statement_exprs(stmt.left, fix),
+                       _map_statement_exprs(stmt.right, fix), stmt.distinct)
+    if isinstance(stmt, A.Insert):
+        return A.Insert(stmt.target, stmt.columns,
+                        _map_statement_exprs(stmt.source, fix),
+                        stmt.overwrite, stmt.hints)
+    if isinstance(stmt, A.Upsert):
+        return A.Upsert(stmt.target, stmt.columns,
+                        _map_statement_exprs(stmt.source, fix),
+                        stmt.keyed_on, stmt.hints)
+    if isinstance(stmt, A.Update):
+        return A.Update(stmt.target,
+                        tuple((n, fix(e)) for n, e in stmt.assignments),
+                        _map_statement_exprs(stmt.source, fix), stmt.keyed_on)
+    if isinstance(stmt, A.Values):
+        return A.Values(tuple(tuple(fix(e) for e in row) for row in stmt.rows))
+    if isinstance(stmt, A.SetVar):
+        if isinstance(stmt.value, A.Expr):
+            return A.SetVar(stmt.name, fix(stmt.value))
+        return stmt
+    if isinstance(stmt, A.Call):
+        return A.Call(stmt.name, tuple(fix(a) for a in stmt.args))
+    if isinstance(stmt, A.Return):
+        return A.Return(fix(stmt.value) if stmt.value is not None else None)
+    return stmt
+
+
+def _map_source(src, fix):
+    if src is None:
+        return None
+    if isinstance(src, A.SubquerySource):
+        return A.SubquerySource(_map_statement_exprs(src.query, fix), src.alias)
+    if isinstance(src, A.Select):
+        return _map_statement_exprs(src, fix)
+    return src

@@ -1,0 +1,119 @@
+"""Output sinks: Dataset → parquet directory / single CSV / JSON-lines file.
+
+The reference's INSERT writes a single delimited/JSON file with append or
+overwrite (core/sources/DelimitedOutputSource.scala, TextFileOutputDevice.scala,
+Hints.append at Hints.scala:44-48). At lake scale the engine writes partitioned
+parquet directories (resumable, one file per block); the single-file writers
+exist for reference parity on small outputs and stream through ``iter_batches``
+— they never materialize the Dataset on the driver.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.csv as pacsv
+import ray.data as rd
+
+
+def detect_output_format(path: str, hints: Optional[dict] = None) -> str:
+    hints = hints or {}
+    if hints.get("format"):
+        return hints["format"]
+    ext = os.path.splitext(path[:-3] if path.endswith(".gz") else path)[1].lower()
+    return {".parquet": "parquet", ".csv": "csv", ".tsv": "tsv", ".psv": "psv",
+            ".json": "json", ".jsonl": "json", ".txt": "csv"}.get(ext, "parquet")
+
+
+def write_sink(ds: rd.Dataset, path: str, hints: Optional[dict] = None, *,
+               overwrite: bool = False) -> int:
+    """Write a Dataset to ``path``; returns rows written (ROWS_INSERTED)."""
+    hints = dict(hints or {})
+    fmt = detect_output_format(path, hints)
+    if fmt == "parquet" and (os.path.isdir(path) or not os.path.splitext(path)[1]):
+        # directory parquet sink — the scale path
+        if overwrite and os.path.isdir(path):
+            import shutil
+            shutil.rmtree(path)
+        before = set(os.listdir(path)) if os.path.isdir(path) else set()
+        ds.write_parquet(path)
+        # count the new files' rows from parquet footers only (no re-read)
+        import pyarrow.parquet as pq
+        count = 0
+        for name in os.listdir(path):
+            if name not in before and name.endswith(".parquet"):
+                count += pq.read_metadata(os.path.join(path, name)).num_rows
+        return count
+    if fmt == "parquet":
+        return _write_single_parquet(ds, path, overwrite)
+    if fmt in ("csv", "tsv", "psv"):
+        delim = hints.get("delimiter") or {"csv": ",", "tsv": "\t", "psv": "|"}[fmt]
+        return _write_single_csv(ds, path, delim, overwrite,
+                                 header=hints.get("headers", True))
+    if fmt == "json":
+        return _write_single_json(ds, path, overwrite)
+    raise ValueError(f"unsupported output format {fmt!r} for {path}")
+
+
+def _write_single_csv(ds: rd.Dataset, path: str, delim: str,
+                      overwrite: bool, header: bool = True) -> int:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    exists = os.path.exists(path) and os.path.getsize(path) > 0
+    mode = "wb" if overwrite or not exists else "ab"
+    count = 0
+    with open(path, mode) as f:
+        first = mode == "wb"
+        for batch in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            count += len(batch)
+            pacsv.write_csv(
+                batch, f,
+                write_options=pacsv.WriteOptions(
+                    include_header=header and first, delimiter=delim),
+            )
+            first = False
+    return count
+
+
+def _write_single_json(ds: rd.Dataset, path: str, overwrite: bool) -> int:
+    """JSON-lines, one compact object per row (JSONOutputSource.scala:7-15)."""
+    import json
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    exists = os.path.exists(path) and os.path.getsize(path) > 0
+    mode = "w" if overwrite or not exists else "a"
+    count = 0
+    with open(path, mode) as f:
+        for batch in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            for row in batch.to_pylist():
+                f.write(json.dumps(row, default=str) + "\n")
+            count += len(batch)
+    return count
+
+
+def _write_single_parquet(ds: rd.Dataset, path: str, overwrite: bool) -> int:
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    count = 0
+    tables = []
+    if os.path.exists(path) and not overwrite:
+        tables.append(pq.read_table(path))
+    writer = None
+    try:
+        for batch in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            count += len(batch)
+            if writer is None:
+                schema = batch.schema
+                if tables:
+                    schema = pa.unify_schemas([tables[0].schema, schema])
+                writer = pq.ParquetWriter(path + ".tmp", schema)
+                for t in tables:
+                    writer.write_table(t.cast(schema))
+            writer.write_table(batch.cast(writer.schema))
+    finally:
+        if writer is not None:
+            writer.close()
+            os.replace(path + ".tmp", path)
+    return count

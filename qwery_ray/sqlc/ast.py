@@ -1,0 +1,301 @@
+"""Logical AST for the qwery SQL dialect, re-expressed for a Ray-Data engine.
+
+The node inventory mirrors the reference's Executable/Expression/Condition
+trees (reference: core/ops/Expression.scala:14-22, core/ops/Condition.scala:7-9,
+core/ops/Executable.scala:10-14) but is a plain dataclass tree compiled to
+Ray Data ``Dataset`` transformations — not an interpreter.
+
+Intentional divergences from the reference (documented in SURVEY.md §7.3):
+ORDER BY actually executes (dead in reference Select.scala:19), ``<=`` is
+correct (reference Condition.scala:45 bug), GROUP BY supports multiple keys
+(reference uses only the first, Select.scala:75-76).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+
+# ---------------------------------------------------------------- expressions
+class Expr:
+    """Base class for scalar expressions evaluated per batch."""
+
+
+@dataclass(frozen=True)
+class Literal(Expr):
+    value: Any  # None = SQL NULL (reference: Expression.Null)
+
+
+@dataclass(frozen=True)
+class ColumnRef(Expr):
+    name: str
+    table_alias: Optional[str] = None  # reference: JoinField (core/ops/Field.scala:87-96)
+
+
+@dataclass(frozen=True)
+class VarRef(Expr):
+    name: str  # @var — session variable (reference: core/ops/sql/Declare.scala)
+
+
+@dataclass(frozen=True)
+class BinaryOp(Expr):
+    op: str  # + - * / % ** ||
+    left: Expr
+    right: Expr
+
+
+@dataclass(frozen=True)
+class UnaryOp(Expr):
+    op: str  # -, +
+    operand: Expr
+
+
+@dataclass(frozen=True)
+class FuncCall(Expr):
+    name: str  # upper-cased
+    args: tuple[Expr, ...]
+    is_star: bool = False  # COUNT(*)
+    distinct: bool = False  # COUNT(DISTINCT x) — superset of reference
+
+
+@dataclass(frozen=True)
+class CaseWhen(Expr):
+    """Searched CASE; the simple form is desugared to EQ conditions at parse
+    time, mirroring reference ExpressionParser.scala:246-282."""
+
+    branches: tuple[tuple["Cond", Expr], ...]
+    else_expr: Optional[Expr] = None
+
+
+@dataclass(frozen=True)
+class Cast(Expr):
+    operand: Expr
+    type_name: str  # one of the reference's 10-type universe + DECIMAL
+
+
+# ---------------------------------------------------------------- conditions
+class Cond(Expr):
+    """Boolean-valued expression (reference keeps Condition separate from
+    Expression; here a Cond is just an Expr producing a boolean array)."""
+
+
+@dataclass(frozen=True)
+class Comparison(Cond):
+    op: str  # = != <> > >= < <=
+    left: Expr
+    right: Expr
+
+
+@dataclass(frozen=True)
+class Like(Cond):
+    operand: Expr
+    pattern: Expr
+    negated: bool = False
+
+
+@dataclass(frozen=True)
+class Matches(Cond):
+    operand: Expr
+    pattern: Expr  # raw regex (reference: Condition.scala MATCHES)
+
+
+@dataclass(frozen=True)
+class IsNull(Cond):
+    operand: Expr
+    negated: bool = False
+
+
+@dataclass(frozen=True)
+class InList(Cond):
+    operand: Expr
+    values: tuple[Expr, ...]
+    negated: bool = False
+
+
+@dataclass(frozen=True)
+class Between(Cond):
+    operand: Expr
+    low: Expr
+    high: Expr
+    negated: bool = False
+
+
+@dataclass(frozen=True)
+class And(Cond):
+    left: Cond
+    right: Cond
+
+
+@dataclass(frozen=True)
+class Or(Cond):
+    left: Cond
+    right: Cond
+
+
+@dataclass(frozen=True)
+class Not(Cond):
+    operand: Cond
+
+
+# ---------------------------------------------------------------- relational
+@dataclass(frozen=True)
+class SelectItem:
+    expr: Expr
+    alias: Optional[str] = None
+
+
+@dataclass(frozen=True)
+class Star:
+    """SELECT * (optionally alias-qualified)."""
+
+    table_alias: Optional[str] = None
+
+
+class Source:
+    """FROM-clause source."""
+
+
+@dataclass(frozen=True)
+class TableRef(Source):
+    name: str  # table name or quoted path ('file.csv')
+    alias: Optional[str] = None
+    hints: dict = field(default_factory=dict)  # WITH ... hints (format etc.)
+
+
+@dataclass(frozen=True)
+class SubquerySource(Source):
+    query: "Select"
+    alias: Optional[str] = None
+
+
+@dataclass(frozen=True)
+class JoinClause:
+    join_type: str  # INNER LEFT RIGHT FULL (reference has INNER only, Join.scala:10)
+    right: Source
+    on: Cond
+
+
+@dataclass(frozen=True)
+class OrderItem:
+    expr: Expr
+    ascending: bool = True
+
+
+class Statement:
+    """Base class for executable statements."""
+
+
+@dataclass(frozen=True)
+class Select(Statement, Source):
+    items: tuple = ()  # SelectItem | Star
+    source: Optional[Source] = None  # None → literal row (Select.scala:40-41)
+    joins: tuple[JoinClause, ...] = ()
+    where: Optional[Cond] = None
+    group_by: tuple[Expr, ...] = ()
+    having: Optional[Cond] = None
+    order_by: tuple[OrderItem, ...] = ()
+    limit: Optional[int] = None
+    distinct: bool = False
+
+
+@dataclass(frozen=True)
+class Union(Statement, Source):
+    left: Statement
+    right: Statement
+    distinct: bool = False  # reference UNION == UNION ALL (Union.scala:11-16)
+
+
+@dataclass(frozen=True)
+class Insert(Statement):
+    target: str
+    columns: tuple[str, ...]
+    source: Statement  # Select | Union | Values
+    overwrite: bool = False  # INSERT OVERWRITE truncates (Hints.scala:44-48)
+    hints: dict = field(default_factory=dict)
+
+
+@dataclass(frozen=True)
+class Values(Statement):
+    rows: tuple[tuple[Expr, ...], ...]
+
+
+@dataclass(frozen=True)
+class Upsert(Statement):
+    """UPSERT INTO tgt (cols) KEYED ON k — the CDC merge primitive
+    (reference: core/ops/sql/Upsert.scala:14-32)."""
+
+    target: str
+    columns: tuple[str, ...]
+    source: Statement
+    keyed_on: tuple[str, ...]
+    hints: dict = field(default_factory=dict)
+
+
+@dataclass(frozen=True)
+class Update(Statement):
+    """UPDATE tgt SET a=expr ... KEYED ON k (reference: ops/sql/Update.scala)."""
+
+    target: str
+    assignments: tuple[tuple[str, Expr], ...]
+    source: Statement
+    keyed_on: tuple[str, ...]
+
+
+@dataclass(frozen=True)
+class Declare(Statement):
+    name: str
+    type_name: str
+
+
+@dataclass(frozen=True)
+class SetVar(Statement):
+    name: str
+    value: Expr | Statement  # scalar expr or scalar subquery (Assignment.scala)
+
+
+@dataclass(frozen=True)
+class CreateView(Statement):
+    name: str
+    query: Statement
+
+
+@dataclass(frozen=True)
+class CreateFunction(Statement):
+    name: str
+    params: tuple[str, ...]
+    body: tuple[Statement, ...]  # ends with RETURN expr
+
+
+@dataclass(frozen=True)
+class CreateProcedure(Statement):
+    name: str
+    params: tuple[str, ...]
+    body: tuple[Statement, ...]
+
+
+@dataclass(frozen=True)
+class Call(Statement):
+    name: str
+    args: tuple[Expr, ...]
+
+
+@dataclass(frozen=True)
+class Return(Statement):
+    value: Optional[Expr] = None
+
+
+@dataclass(frozen=True)
+class CodeBlock(Statement):
+    statements: tuple[Statement, ...]
+
+
+@dataclass(frozen=True)
+class Describe(Statement):
+    source: Source
+    limit: Optional[int] = None
+
+
+@dataclass(frozen=True)
+class Show(Statement):
+    entity: str  # FILES FUNCTIONS PROCEDURES VARIABLES VIEWS TABLES

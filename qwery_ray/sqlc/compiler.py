@@ -1,0 +1,958 @@
+"""Logical plan → Ray Data pipeline compiler.
+
+Each SQL statement compiles to a lazy chain of Dataset transformations:
+filter/project → ``map_batches(batch_format="pyarrow")`` with vectorized
+kernels; GROUP BY → per-batch partial aggregation (combiner) followed by a
+small ``groupby().aggregate()`` shuffle; ORDER BY → ``ds.sort``; joins →
+broadcast hash join for small right sides (``ray.put`` once) or Ray's
+hash-partitioned ``Dataset.join`` for large-large.
+
+Reference semantics source: core/ops/sql/Select.scala:15-92 (evaluation
+order), Join.scala:10-37 (INNER nested-loop — re-expressed as hash join),
+Union.scala (UNION == UNION ALL), Insert.scala (positional re-label).
+Divergences (sane-semantics, SURVEY.md §7.3): ORDER BY executes, LIMIT applies
+after aggregation, multi-key GROUP BY.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Max, Min, Sum
+
+from . import ast as A
+from .exprs import AGG_FUNC_NAMES, Evaluator, collect_agg_calls, collect_column_refs
+from .rewrite import substitute_nodes, transform_expr
+
+BROADCAST_ROW_LIMIT = 500_000  # right sides below this are ray.put-broadcast
+
+
+@dataclass
+class Frame:
+    """A Dataset plus symbolic column bookkeeping (avoids ds.schema() calls,
+    which would trigger execution on derived datasets)."""
+
+    ds: rd.Dataset
+    columns: list[str]
+    aliases: dict = field(default_factory=dict)  # alias(lower) → True (side marker)
+    est_rows: Optional[int] = None  # known row count (parquet metadata) or None
+
+
+def _env(session):
+    return {
+        "variables": dict(session.variables),
+        "udfs": dict(session.udfs),
+        "now": session.now,
+    }
+
+
+def make_evaluator(env) -> Evaluator:
+    return Evaluator(variables=env["variables"], udfs=env["udfs"], now=env["now"])
+
+
+# ----------------------------------------------------------- batch callables
+class FilterBatch:
+    def __init__(self, cond, env):
+        self.cond = cond
+        self.env = env
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        ev = make_evaluator(self.env)
+        return batch.filter(ev.eval_mask(self.cond, batch))
+
+
+class ProjectBatch:
+    """SELECT-list projection: evaluates each item vectorized; Star expands
+    to the input columns (alias-qualified physical names are de-qualified)."""
+
+    def __init__(self, items, env, out_names):
+        self.items = items
+        self.env = env
+        self.out_names = out_names
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ev = make_evaluator(self.env)
+        cols: dict[str, Any] = {}
+        n = len(batch)
+        for item, name in zip(self.items, self.out_names):
+            if isinstance(item, A.Star):
+                for cn in batch.column_names:
+                    if item.table_alias is not None:
+                        pref = item.table_alias.lower() + "."
+                        if "." in cn and not cn.lower().startswith(pref):
+                            continue
+                    out = cn.split(".")[-1] if "." in cn else cn
+                    key = out
+                    i = 2
+                    while key in cols:
+                        key = f"{out}_{i}"
+                        i += 1
+                    cols[key] = batch.column(cn)
+                continue
+            val = ev.eval(item.expr, batch)
+            if not isinstance(val, (pa.Array, pa.ChunkedArray)):
+                val = pa.array([val] * n) if val is not None else pa.nulls(n)
+            cols[name] = val
+        return pa.table(cols)
+
+
+class RenameBatch:
+    def __init__(self, mapping: dict):
+        self.mapping = mapping
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            [self.mapping.get(c, c) for c in batch.column_names])
+
+
+class AddSortKeys:
+    def __init__(self, exprs, names, env):
+        self.exprs = exprs
+        self.names = names
+        self.env = env
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ev = make_evaluator(self.env)
+        for expr, name in zip(self.exprs, self.names):
+            val = ev.eval(expr, batch)
+            if not isinstance(val, (pa.Array, pa.ChunkedArray)):
+                val = pa.array([val] * len(batch))
+            batch = batch.append_column(name, val)
+        return batch
+
+
+class BroadcastJoinBatch:
+    """Per-batch hash join against a ray.put-broadcast right table.
+
+    The small side ships to the object store ONCE; every task reads it
+    zero-copy. Replaces the reference's O(n·m) nested loop with re-read
+    per left row (core/ops/sql/Join.scala:22-36)."""
+
+    def __init__(self, right_ref, left_keys, right_keys, join_type, residual, env):
+        self.right_ref = right_ref
+        self.left_keys = left_keys
+        self.right_keys = right_keys
+        self.join_type = join_type  # pa join type: "inner" | "left outer"
+        self.residual = residual
+        self.env = env
+        self._right = None
+
+    def _table(self) -> pa.Table:
+        if self._right is None:
+            self._right = ray.get(self.right_ref)
+        return self._right
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        right = self._table()
+        joined = batch.join(
+            right, keys=self.left_keys, right_keys=self.right_keys,
+            join_type=self.join_type)
+        if self.residual is not None and len(joined):
+            ev = make_evaluator(self.env)
+            joined = joined.filter(ev.eval_mask(self.residual, joined))
+        return joined
+
+
+class CrossJoinBatch:
+    def __init__(self, right_ref, residual, env):
+        self.right_ref = right_ref
+        self.residual = residual
+        self.env = env
+        self._right = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._right is None:
+            self._right = ray.get(self.right_ref)
+        right = self._right
+        n, m = len(batch), len(right)
+        if n == 0 or m == 0:
+            return _empty_cross(batch, right)
+        left_idx = np.repeat(np.arange(n), m)
+        right_idx = np.tile(np.arange(m), n)
+        out = batch.take(pa.array(left_idx))
+        for name in right.column_names:
+            out = out.append_column(name, right.column(name).take(pa.array(right_idx)))
+        if self.residual is not None and len(out):
+            ev = make_evaluator(self.env)
+            out = out.filter(ev.eval_mask(self.residual, out))
+        return out
+
+
+def _empty_cross(left: pa.Table, right: pa.Table) -> pa.Table:
+    cols = {c: left.column(c).slice(0, 0) for c in left.column_names}
+    for c in right.column_names:
+        cols[c] = right.column(c).slice(0, 0)
+    return pa.table(cols)
+
+
+class PreAgg:
+    """Per-batch partial aggregation (combiner): shrinks the groupby shuffle
+    from |rows| to |distinct keys per batch| — the scale-critical step
+    (SURVEY.md §4 skew row). Emits key columns + partial columns."""
+
+    def __init__(self, key_exprs, key_names, aggs, env):
+        self.key_exprs = key_exprs
+        self.key_names = key_names
+        self.aggs = aggs  # list[(FuncCall, idx)]
+        self.env = env
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ev = make_evaluator(self.env)
+        n = len(batch)
+        data: dict[str, Any] = {}
+        key_types: dict[str, pa.DataType] = {}
+        for expr, name in zip(self.key_exprs, self.key_names):
+            val = ev.eval(expr, batch)
+            if not isinstance(val, (pa.Array, pa.ChunkedArray)):
+                val = pa.array([val] * n)
+            data[name] = val
+            key_types[name] = val.type
+        arg_cols: dict[int, str] = {}
+        arg_types: dict[int, pa.DataType] = {}
+        for call, i in self.aggs:
+            if call.is_star:
+                continue
+            cname = f"__a{i}"
+            val = ev.eval(call.args[0], batch)
+            if not isinstance(val, (pa.Array, pa.ChunkedArray)):
+                val = pa.array([val] * n)
+            data[cname] = val
+            arg_cols[i] = cname
+            arg_types[i] = val.type
+        if n == 0:
+            # empty batch: emit an empty, correctly-typed partials table
+            # (the pandas groupby round-trip loses index names on empty input)
+            cols = {name: pa.array([], type=t) for name, t in key_types.items()}
+            cols["__pcnt_star"] = pa.array([], type=pa.int64())
+            for call, i in self.aggs:
+                if call.is_star:
+                    continue
+                for suf in _partial_suffixes(call.name):
+                    if suf in ("cnt",):
+                        t = pa.int64()
+                    elif suf in ("sq",):
+                        t = pa.float64()
+                    elif suf == "sum":
+                        t = pa.float64() if call.name == "STDDEV" else _sum_type(arg_types[i])
+                    else:  # min / max keep the arg type
+                        t = arg_types[i]
+                    cols[f"__p{i}_{suf}"] = pa.array([], type=t)
+            return pa.table(cols)
+        df = pa.table(data).to_pandas(types_mapper=None) if data else pd.DataFrame(index=range(n))
+        if not self.key_names:
+            df["__k"] = 0
+            group_keys = ["__k"]
+        else:
+            group_keys = self.key_names
+        gb = df.groupby(group_keys, dropna=False, sort=False)
+        out = pd.DataFrame()
+        partial_types: dict[str, pa.DataType] = {}
+        out["__pcnt_star"] = gb.size()
+        partial_types["__pcnt_star"] = pa.int64()
+        for call, i in self.aggs:
+            kind = call.name
+            if call.is_star:
+                continue
+            col = gb[arg_cols[i]]
+            at = arg_types[i]
+            if kind in ("SUM", "AVG", "MEAN", "STDDEV"):
+                out[f"__p{i}_sum"] = col.sum(min_count=1)
+                partial_types[f"__p{i}_sum"] = pa.float64() if kind == "STDDEV" else _sum_type(at)
+            if kind in ("AVG", "MEAN", "COUNT", "STDDEV"):
+                out[f"__p{i}_cnt"] = col.count()
+                partial_types[f"__p{i}_cnt"] = pa.int64()
+            if kind == "STDDEV":
+                out[f"__p{i}_sq"] = gb[arg_cols[i]].agg(
+                    lambda s: (s.astype(float) ** 2).sum(min_count=1))
+                partial_types[f"__p{i}_sq"] = pa.float64()
+            if kind == "MIN":
+                out[f"__p{i}_min"] = col.min()
+                partial_types[f"__p{i}_min"] = at
+            if kind == "MAX":
+                out[f"__p{i}_max"] = col.max()
+                partial_types[f"__p{i}_max"] = at
+        out = out.reset_index()
+        if not self.key_names:
+            out = out.drop(columns=["__k"])
+        # build an explicitly-typed arrow table so every batch has one schema
+        arrays = {}
+        for name in out.columns:
+            target = key_types.get(name) or partial_types.get(name)
+            arr = pa.Array.from_pandas(out[name])
+            if target is not None and arr.type != target:
+                try:
+                    arr = arr.cast(target)
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                    pass
+            arrays[name] = arr
+        return pa.table(arrays)
+
+
+def _sum_type(t: pa.DataType) -> pa.DataType:
+    if pa.types.is_integer(t):
+        return pa.int64()
+    if pa.types.is_floating(t) or pa.types.is_null(t):
+        return pa.float64()
+    return pa.float64()
+
+
+class GroupAggPandas:
+    """Exact per-group aggregation via map_groups — the fallback path for
+    DISTINCT aggregates; receives all rows of a group."""
+
+    def __init__(self, key_names, aggs, env):
+        self.key_names = key_names
+        self.aggs = aggs
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        row = {k: [df[k].iloc[0]] for k in self.key_names}
+        for call, i in self.aggs:
+            cname = f"__a{i}"
+            res = f"__r{i}"
+            if call.is_star:
+                row[res] = [len(df)]
+                continue
+            s = df[cname]
+            if call.distinct:
+                s = s.dropna().drop_duplicates()
+            kind = call.name
+            if kind == "COUNT":
+                row[res] = [s.count()]
+            elif kind == "SUM":
+                row[res] = [s.sum(min_count=1)]
+            elif kind in ("AVG", "MEAN"):
+                row[res] = [s.dropna().astype(float).mean()]
+            elif kind == "MIN":
+                row[res] = [s.min()]
+            elif kind == "MAX":
+                row[res] = [s.max()]
+            elif kind == "STDDEV":
+                row[res] = [s.dropna().astype(float).std(ddof=1)]
+        return pd.DataFrame(row)
+
+
+class PostAgg:
+    """Final projection after the aggregate shuffle: combines partials
+    (AVG = Σsum/Σcnt, STDDEV from moments) and evaluates the SELECT items
+    with aggregate calls replaced by their result columns."""
+
+    def __init__(self, items, out_names, env, having=None):
+        self.items = items
+        self.out_names = out_names
+        self.env = env
+        self.having = having
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ev = make_evaluator(self.env)
+        if self.having is not None and len(batch):
+            batch = batch.filter(ev.eval_mask(self.having, batch))
+        cols = {}
+        n = len(batch)
+        for item, name in zip(self.items, self.out_names):
+            val = ev.eval(item, batch)
+            if not isinstance(val, (pa.Array, pa.ChunkedArray)):
+                val = pa.array([val] * n) if val is not None else pa.nulls(n)
+            cols[name] = val
+        return pa.table(cols)
+
+
+class DropColumns:
+    def __init__(self, names):
+        self.names = names
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return batch.drop_columns([c for c in self.names if c in batch.column_names])
+
+
+# ------------------------------------------------------------------ compiler
+class Compiler:
+    def __init__(self, session):
+        self.session = session
+
+    # ----------------------------------------------------------- statements
+    def compile_query(self, stmt) -> rd.Dataset:
+        if isinstance(stmt, A.Select):
+            return self.compile_select(stmt)
+        if isinstance(stmt, A.Union):
+            left = self.compile_query(stmt.left)
+            right = self.compile_query(stmt.right)
+            out = left.union(right)
+            if stmt.distinct:
+                out = _distinct(out)
+            return out
+        if isinstance(stmt, A.Values):
+            return self.compile_values(stmt, ())
+        raise ValueError(f"not a query: {type(stmt).__name__}")
+
+    def compile_values(self, stmt: A.Values, columns: tuple[str, ...]) -> rd.Dataset:
+        ev = make_evaluator(_env(self.session))
+        dummy = pa.table({"__one": [1]})
+        rows = []
+        for row in stmt.rows:
+            vals = [ev.eval(e, dummy) for e in row]
+            vals = [v.to_pylist()[0] if isinstance(v, (pa.Array, pa.ChunkedArray)) else v
+                    for v in vals]
+            rows.append(vals)
+        names = list(columns) if columns else [f"field{i}" for i in range(len(rows[0]))]
+        cols = {n: [r[i] for r in rows] for i, n in enumerate(names)}
+        return rd.from_arrow(pa.table(cols))
+
+    # --------------------------------------------------------------- select
+    def compile_select(self, sel: A.Select) -> rd.Dataset:
+        return self._select_frame(sel).ds
+
+    def _select_frame(self, sel: A.Select) -> Frame:
+        env = _env(self.session)
+
+        if sel.source is None:
+            # literal row: SELECT 1+2 AS total (Select.scala:40-41)
+            items = [it for it in sel.items if isinstance(it, A.SelectItem)]
+            names = [self._output_name(it, i) for i, it in enumerate(items)]
+            proj = ProjectBatch(items, env, names)
+            table = proj(pa.table({"__one": [1]}))
+            return Frame(rd.from_arrow(table), list(table.column_names))
+
+        frame = self.compile_source(sel.source)
+        for j in sel.joins:
+            frame = self.compile_join(frame, j, sel)
+
+        if sel.where is not None:
+            frame = Frame(
+                frame.ds.map_batches(FilterBatch(sel.where, env),
+                                     batch_format="pyarrow"),
+                frame.columns, frame.aliases)
+
+        has_agg = bool(sel.group_by) or any(
+            collect_agg_calls(it.expr)
+            for it in sel.items if isinstance(it, A.SelectItem))
+
+        if has_agg:
+            frame = self._compile_aggregate(frame, sel, env)
+        else:
+            items = list(sel.items)
+            if not (len(items) == 1 and isinstance(items[0], A.Star)
+                    and items[0].table_alias is None):
+                names = self._output_names(items)
+                frame = Frame(
+                    frame.ds.map_batches(ProjectBatch(items, env, names),
+                                         batch_format="pyarrow"),
+                    self._expand_names(items, names, frame))
+            else:
+                # SELECT * : de-qualify any alias.col physical names
+                dequal = {c: c.split(".")[-1] for c in frame.columns if "." in c}
+                if dequal:
+                    frame = Frame(
+                        frame.ds.map_batches(RenameBatch(dequal),
+                                             batch_format="pyarrow"),
+                        [dequal.get(c, c) for c in frame.columns])
+            if sel.distinct:
+                frame = Frame(_distinct(frame.ds), frame.columns)
+
+        drop_cols = getattr(frame, "_drop_cols", None)
+        if sel.order_by:
+            frame = self._compile_order(frame, sel.order_by, env)
+        if sel.limit is not None:
+            frame = Frame(frame.ds.limit(sel.limit), frame.columns)
+        if drop_cols:
+            frame = Frame(
+                frame.ds.map_batches(DropColumns(drop_cols), batch_format="pyarrow"),
+                [c for c in frame.columns if c not in drop_cols])
+        return frame
+
+    def _output_name(self, item: A.SelectItem, idx: int) -> str:
+        if item.alias:
+            return item.alias
+        if isinstance(item.expr, A.ColumnRef):
+            return item.expr.name
+        if isinstance(item.expr, A.FuncCall):
+            return item.expr.name.lower()
+        return f"expr_{idx}"
+
+    def _output_names(self, items) -> list[str]:
+        names, seen = [], set()
+        for i, it in enumerate(items):
+            if isinstance(it, A.Star):
+                names.append(None)
+                continue
+            n = self._output_name(it, i)
+            while n in seen:
+                n = n + "_"
+            seen.add(n)
+            names.append(n)
+        return names
+
+    def _expand_names(self, items, names, frame: Frame) -> list[str]:
+        out = []
+        for it, n in zip(items, names):
+            if isinstance(it, A.Star):
+                for c in frame.columns:
+                    out.append(c.split(".")[-1] if "." in c else c)
+            else:
+                out.append(n)
+        return out
+
+    # --------------------------------------------------------------- source
+    def compile_source(self, src: A.Source) -> Frame:
+        if isinstance(src, A.SubquerySource):
+            inner = self._select_frame(src.query)
+            if src.alias:
+                inner.aliases[src.alias.lower()] = True
+            return inner
+        if isinstance(src, A.Select):
+            return self._select_frame(src)
+        if isinstance(src, A.TableRef):
+            return self._table_frame(src)
+        raise ValueError(f"unsupported source {type(src).__name__}")
+
+    def _table_frame(self, ref: A.TableRef, columns: Optional[list[str]] = None) -> Frame:
+        sess = self.session
+        name = sess.expand_vars(ref.name)
+        view = sess.views.get(name.lower())
+        if view is not None:
+            frame = self._select_frame(view) if isinstance(view, A.Select) else \
+                Frame(self.compile_query(view), [])
+            if not frame.columns:
+                frame.columns = frame.ds.schema().names
+            if ref.alias:
+                frame.aliases[ref.alias.lower()] = True
+            return frame
+        path = sess.resolve_table_path(name)
+        from ..sources.readers import read_source, detect_format
+
+        est_rows = None
+        cols = None
+        if detect_format(path, ref.hints) == "parquet":
+            import pyarrow.parquet as pq
+
+            if os.path.isdir(path):
+                frag = next((os.path.join(path, f) for f in sorted(os.listdir(path))
+                             if f.endswith(".parquet")), None)
+            else:
+                frag = path
+            if frag:
+                meta_schema = pq.read_schema(frag)
+                cols = list(meta_schema.names)
+                try:
+                    est_rows = pq.read_metadata(path).num_rows if os.path.isfile(path) else None
+                except Exception:
+                    est_rows = None
+        ds = read_source(path, ref.hints, columns=columns)
+        frame = Frame(ds, cols or ds.schema().names, est_rows=est_rows)
+        alias = (ref.alias or name).lower()
+        frame.aliases[alias] = True
+        return frame
+
+    # ---------------------------------------------------------------- joins
+    def compile_join(self, left: Frame, j: A.JoinClause, sel: A.Select) -> Frame:
+        env = _env(self.session)
+        right = self.compile_source(j.right)
+        ralias = None
+        if isinstance(j.right, A.TableRef):
+            ralias = (j.right.alias or j.right.name).lower()
+        elif isinstance(j.right, A.SubquerySource) and j.right.alias:
+            ralias = j.right.alias.lower()
+
+        if j.join_type == "CROSS":
+            right_ref = ray.put(_materialize_small(right.ds))
+            ds = left.ds.map_batches(
+                CrossJoinBatch(right_ref, None, env), batch_format="pyarrow")
+            return Frame(ds, left.columns + right.columns, left.aliases)
+
+        left_keys, right_keys, residual = self._split_on(
+            j.on, left, right, ralias)
+
+        # collision renames on the right: physical name becomes "alias.col"
+        collide = {c for c in right.columns
+                   if c in left.columns and c not in right_keys}
+        if collide and ralias:
+            mapping = {c: f"{ralias}.{c}" for c in collide}
+            right = Frame(
+                right.ds.map_batches(RenameBatch(mapping), batch_format="pyarrow"),
+                [mapping.get(c, c) for c in right.columns],
+                right.aliases, right.est_rows)
+        elif collide:
+            mapping = {c: f"r.{c}" for c in collide}
+            right = Frame(
+                right.ds.map_batches(RenameBatch(mapping), batch_format="pyarrow"),
+                [mapping.get(c, c) for c in right.columns],
+                right.aliases, right.est_rows)
+
+        out_cols = left.columns + [c for c in right.columns if c not in right_keys]
+        aliases = dict(left.aliases)
+        if ralias:
+            aliases[ralias] = True
+
+        small = right.est_rows is not None and right.est_rows <= BROADCAST_ROW_LIMIT
+        if small and j.join_type in ("INNER", "LEFT"):
+            pa_type = {"INNER": "inner", "LEFT": "left outer"}[j.join_type]
+            right_ref = ray.put(_materialize_small(right.ds))
+            ds = left.ds.map_batches(
+                BroadcastJoinBatch(right_ref, left_keys, right_keys,
+                                   pa_type, residual, env),
+                batch_format="pyarrow")
+            return Frame(ds, out_cols, aliases)
+
+        ray_type = {"INNER": "inner", "LEFT": "left_outer",
+                    "RIGHT": "right_outer", "FULL": "full_outer"}[j.join_type]
+        num_cpus = int(ray.cluster_resources().get("CPU", 8))
+        ds = left.ds.join(
+            right.ds, join_type=ray_type,
+            num_partitions=max(num_cpus * 2, 16),
+            on=tuple(left_keys), right_on=tuple(right_keys))
+        if residual is not None:
+            ds = ds.map_batches(FilterBatch(residual, env), batch_format="pyarrow")
+        return Frame(ds, out_cols, aliases)
+
+    def _split_on(self, on: A.Cond, left: Frame, right: Frame, ralias):
+        """Extract equi-join key pairs from the ON conjunction; the rest is a
+        residual filter applied post-join."""
+        conjuncts = _flatten_and(on)
+        left_keys, right_keys, residual = [], [], []
+        left_cols = {c.lower() for c in left.columns}
+        right_cols = {c.lower() for c in right.columns}
+        for c in conjuncts:
+            pair = None
+            if isinstance(c, A.Comparison) and c.op == "=" and \
+                    isinstance(c.left, A.ColumnRef) and isinstance(c.right, A.ColumnRef):
+                a, b = c.left, c.right
+                sa, sb = self._side_of(a, left_cols, right_cols, left.aliases, ralias), \
+                    self._side_of(b, left_cols, right_cols, left.aliases, ralias)
+                if sa == "L" and sb == "R":
+                    pair = (a.name, b.name)
+                elif sa == "R" and sb == "L":
+                    pair = (b.name, a.name)
+            if pair:
+                lk = _resolve_name(pair[0], left.columns)
+                rk = _resolve_name(pair[1], right.columns)
+                left_keys.append(lk)
+                right_keys.append(rk)
+            else:
+                residual.append(c)
+        if not left_keys:
+            raise ValueError("join requires at least one equi-key in ON")
+        res = None
+        for c in residual:
+            res = c if res is None else A.And(res, c)
+        return left_keys, right_keys, res
+
+    @staticmethod
+    def _side_of(ref: A.ColumnRef, left_cols, right_cols, left_aliases, ralias):
+        if ref.table_alias:
+            if ralias and ref.table_alias.lower() == ralias:
+                return "R"
+            if ref.table_alias.lower() in left_aliases:
+                return "L"
+        nl = ref.name.lower()
+        if nl in left_cols and nl not in right_cols:
+            return "L"
+        if nl in right_cols and nl not in left_cols:
+            return "R"
+        return "?"
+
+    # ------------------------------------------------------------ aggregate
+    def _compile_aggregate(self, frame: Frame, sel: A.Select, env) -> Frame:
+        items = [it for it in sel.items if isinstance(it, A.SelectItem)]
+        if any(isinstance(it, A.Star) for it in sel.items):
+            raise ValueError("SELECT * cannot be combined with GROUP BY")
+        out_names = [self._output_name(it, i) for i, it in enumerate(items)]
+
+        # group keys: name each key column; plain ColumnRefs keep their name
+        key_exprs = list(sel.group_by)
+        key_names = []
+        for i, g in enumerate(key_exprs):
+            if isinstance(g, A.ColumnRef):
+                key_names.append(_resolve_name(g.name, frame.columns))
+            else:
+                # a computed key that also appears verbatim in the select list
+                # takes that item's output name
+                name = f"__g{i}"
+                for it, on in zip(items, out_names):
+                    if it.expr == g:
+                        name = on
+                        break
+                key_names.append(name)
+
+        agg_calls: list[A.FuncCall] = []
+        for it in items:
+            for call in collect_agg_calls(it.expr):
+                if call not in agg_calls:
+                    agg_calls.append(call)
+        if sel.having is not None:
+            for call in collect_agg_calls(sel.having):
+                if call not in agg_calls:
+                    agg_calls.append(call)
+        for ob in sel.order_by:
+            for call in collect_agg_calls(ob.expr):
+                if call not in agg_calls:
+                    agg_calls.append(call)
+        aggs = [(c, i) for i, c in enumerate(agg_calls)]
+        any_distinct = any(c.distinct for c in agg_calls)
+
+        # rewrite items/having with agg calls → result column refs
+        mapping = {c: A.ColumnRef(f"__r{i}") for c, i in aggs}
+        for i, g in enumerate(key_exprs):
+            if not isinstance(g, A.ColumnRef):
+                mapping[g] = A.ColumnRef(key_names[i])
+        new_items = [substitute_nodes(it.expr, mapping) for it in items]
+        new_having = substitute_nodes(sel.having, mapping) if sel.having is not None else None
+
+        # aggregates referenced only by ORDER BY need their __r columns emitted
+        # (dropped again after the sort)
+        order_calls = [c for ob in sel.order_by for c in collect_agg_calls(ob.expr)]
+        item_exprs = {it.expr: name for it, name in zip(items, out_names)}
+        extra_names = [f"__r{i}" for c, i in aggs
+                       if c in order_calls and c not in item_exprs]
+        post_items = new_items + [A.ColumnRef(n) for n in extra_names]
+        post_names = out_names + extra_names
+        # ORDER BY substitution: prefer the item's output column when the
+        # aggregate is already projected, else the emitted __r helper
+        order_mapping = {c: A.ColumnRef(item_exprs.get(c, f"__r{i}"))
+                         for c, i in aggs}
+        for i, g in enumerate(key_exprs):
+            if not isinstance(g, A.ColumnRef):
+                order_mapping[g] = A.ColumnRef(key_names[i])
+
+        if any_distinct:
+            # exact path: ship key+arg columns, aggregate per group in pandas
+            prep = PreAggPrep(key_exprs, key_names, aggs, env)
+            ds2 = frame.ds.map_batches(prep, batch_format="pyarrow")
+            if key_names:
+                agg_fn = GroupAggPandas(key_names, aggs, env)
+
+                def group_agg(df, _fn=agg_fn):  # map_groups needs __name__
+                    return _fn(df)
+
+                out = ds2.groupby(key_names).map_groups(
+                    group_agg, batch_format="pandas")
+            else:
+                # global distinct aggregate: single synthetic group
+                ds3 = ds2.map_batches(lambda t: t.append_column(
+                    "__k", pa.array([0] * len(t))), batch_format="pyarrow")
+                agg_fn = GroupAggPandas(["__k"], aggs, env)
+
+                def group_agg_g(df, _fn=agg_fn):
+                    return _fn(df)
+
+                out = ds3.groupby("__k").map_groups(
+                    group_agg_g, batch_format="pandas")
+                out = out.map_batches(DropColumns(["__k"]), batch_format="pyarrow")
+        else:
+            ds2 = frame.ds.map_batches(
+                PreAgg(key_exprs, key_names, aggs, env), batch_format="pyarrow")
+            ray_aggs = []
+            for call, i in aggs:
+                kind = call.name
+                if call.is_star:
+                    continue
+                if kind in ("SUM", "AVG", "MEAN", "STDDEV"):
+                    ray_aggs.append(Sum(f"__p{i}_sum", alias_name=f"__p{i}_sum",
+                                        ignore_nulls=True))
+                if kind in ("AVG", "MEAN", "COUNT", "STDDEV"):
+                    ray_aggs.append(Sum(f"__p{i}_cnt", alias_name=f"__p{i}_cnt",
+                                        ignore_nulls=True))
+                if kind == "STDDEV":
+                    ray_aggs.append(Sum(f"__p{i}_sq", alias_name=f"__p{i}_sq",
+                                        ignore_nulls=True))
+                if kind == "MIN":
+                    ray_aggs.append(Min(f"__p{i}_min", alias_name=f"__p{i}_min",
+                                        ignore_nulls=True))
+                if kind == "MAX":
+                    ray_aggs.append(Max(f"__p{i}_max", alias_name=f"__p{i}_max",
+                                        ignore_nulls=True))
+            ray_aggs.append(Sum("__pcnt_star", alias_name="__pcnt_star",
+                                ignore_nulls=True))
+            if key_names:
+                out = ds2.groupby(key_names).aggregate(*ray_aggs)
+            else:
+                row = ds2.aggregate(*ray_aggs) or {}
+                alias_names = ([f"__p{i}_{suf}" for call, i in aggs
+                                for suf in _partial_suffixes(call.name) if not call.is_star]
+                               + ["__pcnt_star"])
+                cols = {}
+                for k in alias_names:
+                    v = row.get(k)
+                    if v is None:  # empty input: type the nulls explicitly
+                        t = pa.int64() if k.endswith(("_cnt", "_star")) else pa.float64()
+                        cols[k] = pa.array([None], type=t)
+                    else:
+                        cols[k] = pa.array([v])
+                out = rd.from_arrow(pa.table(cols))
+            out = out.map_batches(CombinePartials(aggs), batch_format="pyarrow")
+
+        post = PostAgg(post_items, post_names, env, having=new_having)
+        ds_final = out.map_batches(post, batch_format="pyarrow")
+        frame2 = Frame(ds_final, post_names)
+        # keep agg/order helper columns available for ORDER BY on aggregates
+        frame2._agg_mapping = order_mapping  # type: ignore[attr-defined]
+        frame2._drop_cols = extra_names  # type: ignore[attr-defined]
+        return frame2
+
+    # ---------------------------------------------------------------- order
+    def _compile_order(self, frame: Frame, order_by, env) -> Frame:
+        sort_cols, descending = [], []
+        temp_exprs, temp_names = [], []
+        mapping = getattr(frame, "_agg_mapping", None)
+        for i, ob in enumerate(order_by):
+            expr = ob.expr
+            if mapping:
+                expr = substitute_nodes(expr, mapping)
+            if isinstance(expr, A.ColumnRef) and \
+                    _try_resolve(expr.name, frame.columns):
+                sort_cols.append(_resolve_name(expr.name, frame.columns))
+            else:
+                name = f"__s{i}"
+                temp_exprs.append(expr)
+                temp_names.append(name)
+                sort_cols.append(name)
+            descending.append(not ob.ascending)
+        ds = frame.ds
+        if temp_exprs:
+            ds = ds.map_batches(AddSortKeys(temp_exprs, temp_names, env),
+                                batch_format="pyarrow")
+        ds = ds.sort(sort_cols, descending=descending)
+        if temp_exprs:
+            ds = ds.map_batches(DropColumns(temp_names), batch_format="pyarrow")
+        return Frame(ds, frame.columns, frame.aliases)
+
+
+class PreAggPrep:
+    """Distinct-agg path prep: emit key columns + raw arg columns only."""
+
+    def __init__(self, key_exprs, key_names, aggs, env):
+        self.key_exprs = key_exprs
+        self.key_names = key_names
+        self.aggs = aggs
+        self.env = env
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ev = make_evaluator(self.env)
+        n = len(batch)
+        data = {}
+        for expr, name in zip(self.key_exprs, self.key_names):
+            val = ev.eval(expr, batch)
+            if not isinstance(val, (pa.Array, pa.ChunkedArray)):
+                val = pa.array([val] * n)
+            data[name] = val
+        for call, i in self.aggs:
+            if call.is_star:
+                continue
+            val = ev.eval(call.args[0], batch)
+            if not isinstance(val, (pa.Array, pa.ChunkedArray)):
+                val = pa.array([val] * n)
+            data[f"__a{i}"] = val
+        if not data:
+            data["__dummy"] = pa.nulls(n)
+        return pa.table(data)
+
+
+class CombinePartials:
+    """Merge shuffled partials into final aggregate columns __r{i}."""
+
+    def __init__(self, aggs):
+        self.aggs = aggs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = {c: batch.column(c) for c in batch.column_names
+                if not c.startswith("__p")}
+        for call, i in self.aggs:
+            kind = call.name
+            if call.is_star:
+                cols[f"__r{i}"] = pc.cast(
+                    pc.fill_null(batch.column("__pcnt_star"), 0), pa.int64())
+                continue
+            if kind == "COUNT":
+                cnt = pc.fill_null(batch.column(f"__p{i}_cnt"), 0)
+                cols[f"__r{i}"] = pc.cast(cnt, pa.int64())
+            elif kind == "SUM":
+                cols[f"__r{i}"] = batch.column(f"__p{i}_sum")
+            elif kind in ("AVG", "MEAN"):
+                s = pc.cast(batch.column(f"__p{i}_sum"), pa.float64())
+                c = pc.cast(batch.column(f"__p{i}_cnt"), pa.float64())
+                c = pc.if_else(pc.equal(c, 0.0), pa.scalar(None, pa.float64()), c)
+                cols[f"__r{i}"] = pc.divide(s, c)
+            elif kind == "MIN":
+                cols[f"__r{i}"] = batch.column(f"__p{i}_min")
+            elif kind == "MAX":
+                cols[f"__r{i}"] = batch.column(f"__p{i}_max")
+            elif kind == "STDDEV":
+                s = pc.cast(batch.column(f"__p{i}_sum"), pa.float64())
+                sq = pc.cast(batch.column(f"__p{i}_sq"), pa.float64())
+                c = pc.cast(batch.column(f"__p{i}_cnt"), pa.float64())
+                nm1 = pc.subtract(c, 1.0)
+                nm1 = pc.if_else(pc.less_equal(nm1, 0.0),
+                                 pa.scalar(None, pa.float64()), nm1)
+                var = pc.divide(pc.subtract(sq, pc.divide(pc.multiply(s, s), c)), nm1)
+                var = pc.max_element_wise(var, 0.0)
+                cols[f"__r{i}"] = pc.sqrt(var)
+        return pa.table(cols)
+
+
+# ------------------------------------------------------------------ helpers
+def _partial_suffixes(kind: str) -> list[str]:
+    return {
+        "SUM": ["sum"], "COUNT": ["cnt"], "AVG": ["sum", "cnt"],
+        "MEAN": ["sum", "cnt"], "MIN": ["min"], "MAX": ["max"],
+        "STDDEV": ["sum", "cnt", "sq"],
+    }[kind]
+
+
+def _flatten_and(cond: A.Cond) -> list[A.Cond]:
+    if isinstance(cond, A.And):
+        return _flatten_and(cond.left) + _flatten_and(cond.right)
+    return [cond]
+
+
+def _resolve_name(name: str, columns: list[str]) -> str:
+    low = {c.lower(): c for c in columns}
+    if name.lower() in low:
+        return low[name.lower()]
+    suffix = "." + name.lower()
+    hits = [c for c in columns if c.lower().endswith(suffix)]
+    if len(hits) == 1:
+        return hits[0]
+    raise ValueError(f"cannot resolve column {name} in {columns}")
+
+
+def _try_resolve(name: str, columns: list[str]) -> bool:
+    try:
+        _resolve_name(name, columns)
+        return True
+    except ValueError:
+        return False
+
+
+def _materialize_small(ds: rd.Dataset) -> pa.Table:
+    """Driver-side materialization of a KNOWN-small dataset (broadcast side)."""
+    tables = [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+              for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")]
+    if not tables:
+        return pa.table({})
+    schema = pa.unify_schemas([t.schema for t in tables])
+    return pa.concat_tables([t.cast(schema) for t in tables])
+
+
+def _distinct(ds: rd.Dataset) -> rd.Dataset:
+    """Global DISTINCT: per-batch dedup (combiner) then grouped dedup."""
+    names = ds.schema().names
+
+    def local_dedup(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        df = batch.to_pandas()
+        return pa.Table.from_pandas(df.drop_duplicates(), preserve_index=False).cast(batch.schema)
+
+    def head1(df: pd.DataFrame) -> pd.DataFrame:
+        return df.head(1)
+
+    return ds.map_batches(local_dedup, batch_format="pyarrow") \
+        .groupby(names).map_groups(head1, batch_format="pandas")

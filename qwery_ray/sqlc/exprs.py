@@ -1,0 +1,738 @@
+"""Expression evaluation: AST → vectorized pyarrow.compute kernels.
+
+The reference evaluates expressions per-row against a Scope
+(core/ops/Expression.scala:14-85); here the same expression tree is evaluated
+once per Arrow batch with pyarrow.compute, so per-row Python never runs in the
+hot path. Scalar-function semantics follow SURVEY.md §2.2 (reference
+core/ops/builtins/*); divergences: ``<=`` is correct (reference bug
+Condition.scala:45), divide-by-zero → NULL (reference Divide.scala parity).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from typing import Any, Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import ast as A
+
+_ARROW_TYPES = {
+    "BOOLEAN": pa.bool_(),
+    "BYTE": pa.int8(),
+    "SHORT": pa.int16(),
+    "INT": pa.int32(),
+    "INTEGER": pa.int32(),
+    "LONG": pa.int64(),
+    "BIGINT": pa.int64(),
+    "FLOAT": pa.float32(),
+    "DOUBLE": pa.float64(),
+    "DECIMAL": pa.float64(),
+    "STRING": pa.string(),
+    "VARCHAR": pa.string(),
+    "UUID": pa.string(),
+    "DATE": pa.date32(),
+    "TIMESTAMP": pa.timestamp("us"),
+}
+
+
+class EvalError(ValueError):
+    pass
+
+
+def _as_array(val, length: int):
+    """Broadcast a python scalar to a pa array when a kernel needs one."""
+    if isinstance(val, (pa.Array, pa.ChunkedArray)):
+        return val
+    return pa.array([val] * length)
+
+
+def _is_scalar(val) -> bool:
+    return not isinstance(val, (pa.Array, pa.ChunkedArray))
+
+
+def _to_float(val):
+    if _is_scalar(val):
+        return None if val is None else float(val)
+    if pa.types.is_floating(val.type):
+        return val
+    return pc.cast(val, pa.float64())
+
+
+def try_cast(arr, target: pa.DataType):
+    """Lenient cast: invalid values → NULL (reference Cast.scala:25 semantics).
+
+    Fast path is a plain Arrow cast; only on failure do we fall back to a
+    per-type coercion (still vectorized via pandas/numpy).
+    """
+    if _is_scalar(arr):
+        if arr is None:
+            return None
+        try:
+            return pa.scalar(arr).cast(target).as_py()
+        except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError,
+                ValueError, OverflowError):
+            pass
+        try:  # lenient string→number/date parse via a 1-element array
+            return try_cast(pa.array([arr]), target)[0].as_py()
+        except (pa.ArrowInvalid, pa.ArrowTypeError, ValueError, OverflowError):
+            return None
+    try:
+        return pc.cast(arr, target)
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+        pass
+    import pandas as pd
+
+    ser = arr.to_pandas()
+    if pa.types.is_floating(target) or pa.types.is_integer(target):
+        num = pd.to_numeric(ser, errors="coerce")
+        out = pa.array(num, type=pa.float64())
+        if pa.types.is_integer(target):
+            # truncate then cast; non-integral floats keep trunc semantics
+            out = pc.cast(pc.trunc(out), target, safe=False)
+        else:
+            out = pc.cast(out, target)
+        return out
+    if pa.types.is_boolean(target):
+        low = ser.astype(str).str.strip().str.lower()
+        vals = low.map({"true": True, "t": True, "1": True, "yes": True,
+                        "false": False, "f": False, "0": False, "no": False})
+        vals[ser.isna()] = None
+        return pa.array(vals, type=pa.bool_())
+    if pa.types.is_timestamp(target) or pa.types.is_date(target):
+        ts = pd.to_datetime(ser, errors="coerce", utc=False)
+        out = pa.Array.from_pandas(ts)
+        return pc.cast(out, target, safe=False)
+    if pa.types.is_string(target):
+        return pc.cast(arr, pa.string(), safe=False)
+    raise EvalError(f"cannot cast {arr.type} to {target}")
+
+
+def _java_to_strptime(fmt: str) -> str:
+    """SimpleDateFormat pattern → C strftime (DATE_FORMAT/DATE_PARSE,
+    reference DateFormat.scala/DateParse.scala use Java patterns)."""
+    out, i = [], 0
+    mapping = [
+        ("yyyy", "%Y"), ("yy", "%y"), ("MM", "%m"), ("dd", "%d"),
+        ("HH", "%H"), ("hh", "%I"), ("mm", "%M"), ("ss", "%S"),
+        ("SSS", "%f"), ("a", "%p"), ("EEE", "%a"), ("MMM", "%b"),
+    ]
+    while i < len(fmt):
+        for pat, rep in mapping:
+            if fmt.startswith(pat, i):
+                out.append(rep)
+                i += len(pat)
+                break
+        else:
+            out.append(fmt[i])
+            i += 1
+    return "".join(out)
+
+
+class Evaluator:
+    """Evaluates an Expr against one pyarrow.Table batch.
+
+    ``variables``: session @vars (driver-side scalars).
+    ``udfs``: registered scalar functions name → (callable, vectorized).
+    Column lookup is case-insensitive (reference Row.scala:21) and understands
+    alias-qualified references against `alias.col`-named physical columns
+    (reference JoinField resolution, core/ops/Field.scala:87-96).
+    """
+
+    def __init__(self, variables: dict | None = None,
+                 udfs: dict[str, tuple[Callable, bool]] | None = None,
+                 now: Any = None):
+        self.variables = variables or {}
+        self.udfs = udfs or {}
+        self.now = now  # driver-stamped constant for NOW() (determinism)
+
+    # ------------------------------------------------------------ resolve
+    def resolve_column(self, batch: pa.Table, ref: A.ColumnRef):
+        names = batch.column_names
+        lower = {n.lower(): n for n in names}
+        if ref.table_alias:
+            q = f"{ref.table_alias}.{ref.name}".lower()
+            if q in lower:
+                return batch.column(lower[q])
+            if ref.name.lower() in lower:
+                return batch.column(lower[ref.name.lower()])
+            raise EvalError(f"unknown column {ref.table_alias}.{ref.name}")
+        if ref.name.lower() in lower:
+            return batch.column(lower[ref.name.lower()])
+        # unqualified name may match a qualified physical column
+        suffix = "." + ref.name.lower()
+        hits = [n for n in names if n.lower().endswith(suffix)]
+        if len(hits) == 1:
+            return batch.column(hits[0])
+        if len(hits) > 1:
+            raise EvalError(f"ambiguous column {ref.name}")
+        raise EvalError(f"unknown column {ref.name} (have {names})")
+
+    # --------------------------------------------------------------- eval
+    def eval(self, expr: A.Expr, batch: pa.Table):
+        """Returns a pa.Array/ChunkedArray of len(batch) or a python scalar."""
+        m = getattr(self, f"_eval_{type(expr).__name__}", None)
+        if m is None:
+            raise EvalError(f"cannot evaluate {type(expr).__name__}")
+        return m(expr, batch)
+
+    def eval_mask(self, cond: A.Cond, batch: pa.Table) -> pa.ChunkedArray:
+        """Boolean filter mask; SQL semantics — NULL comparisons are not true."""
+        out = self.eval(cond, batch)
+        if _is_scalar(out):
+            out = pa.array([bool(out)] * len(batch))
+        if not pa.types.is_boolean(out.type):
+            out = pc.cast(out, pa.bool_())
+        return pc.fill_null(out, False)
+
+    # literals / refs ----------------------------------------------------
+    def _eval_Literal(self, e: A.Literal, batch):
+        return e.value
+
+    def _eval_ColumnRef(self, e: A.ColumnRef, batch):
+        return self.resolve_column(batch, e)
+
+    def _eval_VarRef(self, e: A.VarRef, batch):
+        if e.name not in self.variables:
+            raise EvalError(f"undeclared variable @{e.name}")
+        return self.variables[e.name]
+
+    # operators ----------------------------------------------------------
+    def _eval_UnaryOp(self, e: A.UnaryOp, batch):
+        val = self.eval(e.operand, batch)
+        if e.op == "-":
+            return -val if _is_scalar(val) and val is not None else pc.negate(val)
+        return val
+
+    def _eval_BinaryOp(self, e: A.BinaryOp, batch):
+        left = self.eval(e.left, batch)
+        right = self.eval(e.right, batch)
+        op = e.op
+        if op == "||":
+            return self._concat(left, right, len(batch))
+        if _is_scalar(left) and _is_scalar(right):
+            return self._scalar_arith(op, left, right)
+        if op == "+":
+            return pc.add(left, right)
+        if op == "-":
+            return pc.subtract(left, right)
+        if op == "*":
+            return pc.multiply(left, right)
+        if op == "/":
+            lf, rf = _to_float(left), _to_float(right)
+            # divide-by-zero → NULL (reference Divide.scala returns None)
+            if _is_scalar(rf):
+                if rf in (0, 0.0, None):
+                    return None
+                return pc.divide(lf, rf)
+            rf = pc.if_else(pc.equal(rf, 0.0), pa.scalar(None, pa.float64()), rf)
+            return pc.divide(lf, rf)
+        if op == "%":
+            lf = _as_array(left, len(batch)) if _is_scalar(left) else left
+            rf = _as_array(right, len(batch)) if _is_scalar(right) else right
+            int_inputs = pa.types.is_integer(lf.type) and pa.types.is_integer(rf.type)
+            a = np.asarray(pc.cast(lf, pa.float64()), dtype=float)
+            b = np.asarray(pc.cast(rf, pa.float64()), dtype=float)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out = np.fmod(a, b)  # C-style sign semantics, like DuckDB %
+            res = pa.array(out, type=pa.float64())
+            res = pc.if_else(pc.equal(rf, 0), pa.scalar(None, pa.float64()), res)
+            if int_inputs:
+                res = pc.cast(res, pa.int64(), safe=False)
+            return res
+        if op == "**":
+            return pc.power(_to_float(left), _to_float(right))
+        raise EvalError(f"unknown operator {op}")
+
+    @staticmethod
+    def _scalar_arith(op, a, b):
+        if a is None or b is None:
+            return None
+        if op == "+":
+            return a + b
+        if op == "-":
+            return a - b
+        if op == "*":
+            return a * b
+        if op == "/":
+            return None if b == 0 else a / b
+        if op == "%":
+            return None if b == 0 else math.fmod(a, b)
+        if op == "**":
+            return a ** b
+        raise EvalError(f"unknown operator {op}")
+
+    def _concat(self, left, right, length):
+        def prep(v):
+            if _is_scalar(v):
+                return None if v is None else str(v)
+            if not pa.types.is_string(v.type) and not pa.types.is_large_string(v.type):
+                return pc.cast(v, pa.string())
+            return v
+        left, right = prep(left), prep(right)
+        if _is_scalar(left) and _is_scalar(right):
+            return None if left is None or right is None else left + right
+        left = _as_array(left, length) if _is_scalar(left) else left
+        right = _as_array(right, length) if _is_scalar(right) else right
+        return pc.binary_join_element_wise(left, right, "", null_handling="emit_null")
+
+    # conditions ---------------------------------------------------------
+    def _eval_Comparison(self, e: A.Comparison, batch):
+        left = self.eval(e.left, batch)
+        right = self.eval(e.right, batch)
+        if _is_scalar(left) and _is_scalar(right):
+            if left is None or right is None:
+                return None
+            return {
+                "=": left == right, "!=": left != right,
+                ">": left > right, ">=": left >= right,
+                "<": left < right, "<=": left <= right,
+            }[e.op]
+        left, right = self._align_compare(left, right, len(batch))
+        fn = {"=": pc.equal, "!=": pc.not_equal, ">": pc.greater,
+              ">=": pc.greater_equal, "<": pc.less, "<=": pc.less_equal}[e.op]
+        return fn(left, right)
+
+    @staticmethod
+    def _align_compare(left, right, length):
+        """Coerce comparable types: string vs number → cast array side."""
+        def typ(v):
+            return v.type if not _is_scalar(v) else None
+        lt, rt = typ(left), typ(right)
+        if lt is not None and pa.types.is_string(lt) and _is_scalar(right) and isinstance(right, (int, float)) and not isinstance(right, bool):
+            left = try_cast(left, pa.float64())
+        elif rt is not None and pa.types.is_string(rt) and _is_scalar(left) and isinstance(left, (int, float)) and not isinstance(left, bool):
+            right = try_cast(right, pa.float64())
+        elif lt is not None and rt is not None:
+            if pa.types.is_string(lt) != pa.types.is_string(rt):
+                if pa.types.is_string(lt):
+                    left = try_cast(left, rt)
+                else:
+                    right = try_cast(right, lt)
+        return left, right
+
+    def _eval_Like(self, e: A.Like, batch):
+        val = self.eval(e.operand, batch)
+        pattern = self.eval(e.pattern, batch)
+        if not isinstance(pattern, str):
+            raise EvalError("LIKE pattern must be a string literal")
+        val = _as_array(val, len(batch)) if _is_scalar(val) else val
+        out = pc.match_like(val, pattern)
+        return pc.invert(out) if e.negated else out
+
+    def _eval_Matches(self, e: A.Matches, batch):
+        val = self.eval(e.operand, batch)
+        pattern = self.eval(e.pattern, batch)
+        val = _as_array(val, len(batch)) if _is_scalar(val) else val
+        return pc.match_substring_regex(val, pattern)
+
+    def _eval_IsNull(self, e: A.IsNull, batch):
+        val = self.eval(e.operand, batch)
+        if _is_scalar(val):
+            res = val is None
+            return (not res) if e.negated else res
+        return pc.is_valid(val) if e.negated else pc.is_null(val)
+
+    def _eval_InList(self, e: A.InList, batch):
+        val = self.eval(e.operand, batch)
+        items = [self.eval(v, batch) for v in e.values]
+        if any(not _is_scalar(i) for i in items):
+            raise EvalError("IN list must be scalars")
+        val = _as_array(val, len(batch)) if _is_scalar(val) else val
+        out = pc.is_in(val, value_set=pa.array([i for i in items if i is not None]))
+        return pc.invert(out) if e.negated else out
+
+    def _eval_Between(self, e: A.Between, batch):
+        val = self.eval(e.operand, batch)
+        low = self.eval(e.low, batch)
+        high = self.eval(e.high, batch)
+        val = _as_array(val, len(batch)) if _is_scalar(val) else val
+        val_l, low = self._align_compare(val, low, len(batch))
+        val_h, high = self._align_compare(val, high, len(batch))
+        out = pc.and_kleene(pc.greater_equal(val_l, low), pc.less_equal(val_h, high))
+        return pc.invert(out) if e.negated else out
+
+    def _bool(self, v, batch):
+        out = self.eval(v, batch)
+        if _is_scalar(out):
+            return out
+        return out
+
+    def _eval_And(self, e: A.And, batch):
+        left, right = self._bool(e.left, batch), self._bool(e.right, batch)
+        if _is_scalar(left) and _is_scalar(right):
+            return None if left is None or right is None else bool(left) and bool(right)
+        left = _as_array(left, len(batch)) if _is_scalar(left) else left
+        right = _as_array(right, len(batch)) if _is_scalar(right) else right
+        return pc.and_kleene(pc.cast(left, pa.bool_()), pc.cast(right, pa.bool_()))
+
+    def _eval_Or(self, e: A.Or, batch):
+        left, right = self._bool(e.left, batch), self._bool(e.right, batch)
+        if _is_scalar(left) and _is_scalar(right):
+            return None if left is None and right is None else bool(left) or bool(right)
+        left = _as_array(left, len(batch)) if _is_scalar(left) else left
+        right = _as_array(right, len(batch)) if _is_scalar(right) else right
+        return pc.or_kleene(pc.cast(left, pa.bool_()), pc.cast(right, pa.bool_()))
+
+    def _eval_Not(self, e: A.Not, batch):
+        val = self._bool(e.operand, batch)
+        if _is_scalar(val):
+            return None if val is None else not bool(val)
+        return pc.invert(pc.cast(val, pa.bool_()))
+
+    # case / cast --------------------------------------------------------
+    def _eval_CaseWhen(self, e: A.CaseWhen, batch):
+        length = len(batch)
+        # fold branches right-to-left with if_else, starting from ELSE (or NULL)
+        acc = self.eval(e.else_expr, batch) if e.else_expr is not None else None
+        for cond, val in reversed(e.branches):
+            mask = self.eval_mask(cond, batch)
+            value = self.eval(val, batch)
+            if _is_scalar(value) and _is_scalar(acc):
+                if value is None and acc is None:
+                    acc = pa.nulls(length)
+                    continue
+                vtype = pa.scalar(value if value is not None else acc).type
+                acc = pc.if_else(mask, pa.scalar(value, vtype), pa.scalar(acc, vtype))
+            else:
+                if _is_scalar(value):
+                    ref_type = acc.type
+                    value = pa.scalar(value, ref_type)
+                elif _is_scalar(acc):
+                    acc = pa.scalar(acc, value.type) if acc is not None else pa.scalar(None, value.type)
+                acc = pc.if_else(mask, value, acc)
+        return acc
+
+    def _eval_Cast(self, e: A.Cast, batch):
+        val = self.eval(e.operand, batch)
+        target = _ARROW_TYPES.get(e.type_name)
+        if target is None:
+            raise EvalError(f"unknown cast type {e.type_name}")
+        return try_cast(val, target)
+
+    def _eval__ScalarSubquery(self, e, batch):
+        raise EvalError("scalar subquery must be resolved by the compiler before eval")
+
+    # functions ----------------------------------------------------------
+    def _eval_FuncCall(self, e: A.FuncCall, batch):
+        name = e.name
+        if name in self.udfs:
+            fn, vectorized = self.udfs[name]
+            args = [self.eval(a, batch) for a in e.args]
+            if vectorized:
+                args = [_as_array(a, len(batch)) if _is_scalar(a) else a for a in args]
+                return fn(*args)
+            cols = [(_as_array(a, len(batch)) if _is_scalar(a) else a).to_pylist() for a in args]
+            return pa.array([fn(*row) for row in zip(*cols)])
+        handler = _SCALAR_FUNCS.get(name)
+        if handler is None:
+            raise EvalError(f"unknown function {name}")
+        return handler(self, e, batch)
+
+
+# ------------------------------------------------------------ scalar funcs
+def _arg(ev: Evaluator, e: A.FuncCall, batch, i, as_array=True):
+    val = ev.eval(e.args[i], batch)
+    if as_array and _is_scalar(val):
+        val = _as_array(val, len(batch))
+    return val
+
+
+def _str_arg(ev, e, batch, i):
+    val = _arg(ev, e, batch, i)
+    if not (pa.types.is_string(val.type) or pa.types.is_large_string(val.type)):
+        val = pc.cast(val, pa.string())
+    return val
+
+
+def _fn_len(ev, e, batch):
+    return pc.utf8_length(_str_arg(ev, e, batch, 0))
+
+
+def _fn_trim(ev, e, batch):
+    return pc.utf8_trim_whitespace(_str_arg(ev, e, batch, 0))
+
+
+def _fn_upper(ev, e, batch):
+    return pc.utf8_upper(_str_arg(ev, e, batch, 0))
+
+
+def _fn_lower(ev, e, batch):
+    return pc.utf8_lower(_str_arg(ev, e, batch, 0))
+
+
+def _fn_left(ev, e, batch):
+    n = ev.eval(e.args[1], batch)
+    return pc.utf8_slice_codeunits(_str_arg(ev, e, batch, 0), 0, int(n))
+
+
+def _fn_right(ev, e, batch):
+    s = _str_arg(ev, e, batch, 0)
+    n = int(ev.eval(e.args[1], batch))
+    # slice with a negative start: utf8_slice_codeunits supports it natively,
+    # but short strings then wrap — pandas .str handles the SQL semantics
+    ser = s.to_pandas()
+    return pa.array(ser.str[-n:] if n > 0 else ser.str[:0])
+
+
+def _fn_substring(ev, e, batch):
+    s = _str_arg(ev, e, batch, 0)
+    start = int(ev.eval(e.args[1], batch))
+    if len(e.args) > 2:
+        length = int(ev.eval(e.args[2], batch))
+        # SQL 1-based start (DuckDB substr); reference is 0-based (Substring.scala)
+        begin = max(start - 1, 0)
+        return pc.utf8_slice_codeunits(s, begin, begin + length)
+    return pc.utf8_slice_codeunits(s, max(start - 1, 0))
+
+
+def _fn_concat(ev, e, batch):
+    args = [_str_arg(ev, e, batch, i) for i in range(len(e.args))]
+    return pc.binary_join_element_wise(*args, "", null_handling="emit_null")
+
+
+def _fn_split(ev, e, batch):
+    # reference SPLIT is character-class split: s.split("[delim]") (Split.scala)
+    s = _str_arg(ev, e, batch, 0)
+    delim = ev.eval(e.args[1], batch)
+    return pc.split_pattern_regex(s, f"[{re.escape(delim)}]")
+
+
+def _fn_sqrt(ev, e, batch):
+    return pc.sqrt(_to_float(_arg(ev, e, batch, 0)))
+
+
+def _fn_sign(ev, e, batch):
+    return pc.sign(_arg(ev, e, batch, 0))
+
+
+def _fn_abs(ev, e, batch):
+    return pc.abs(_arg(ev, e, batch, 0))
+
+
+def _fn_round(ev, e, batch):
+    nd = int(ev.eval(e.args[1], batch)) if len(e.args) > 1 else 0
+    return pc.round(_arg(ev, e, batch, 0), ndigits=nd)
+
+
+def _fn_floor(ev, e, batch):
+    return pc.floor(_to_float(_arg(ev, e, batch, 0)))
+
+
+def _fn_ceil(ev, e, batch):
+    return pc.ceil(_to_float(_arg(ev, e, batch, 0)))
+
+
+def _fn_padleft(ev, e, batch):
+    # pad OR truncate to exactly w (reference PadLeft.scala:28)
+    s = _str_arg(ev, e, batch, 0)
+    w = int(ev.eval(e.args[1], batch))
+    return pc.utf8_slice_codeunits(pc.utf8_lpad(s, w, " "), 0, w)
+
+
+def _fn_padright(ev, e, batch):
+    s = _str_arg(ev, e, batch, 0)
+    w = int(ev.eval(e.args[1], batch))
+    return pc.utf8_slice_codeunits(pc.utf8_rpad(s, w, " "), 0, w)
+
+
+def _fn_lpad(ev, e, batch):
+    s = _str_arg(ev, e, batch, 0)
+    w = int(ev.eval(e.args[1], batch))
+    fill = ev.eval(e.args[2], batch) if len(e.args) > 2 else " "
+    return pc.utf8_lpad(s, w, fill)
+
+
+def _fn_rpad(ev, e, batch):
+    s = _str_arg(ev, e, batch, 0)
+    w = int(ev.eval(e.args[1], batch))
+    fill = ev.eval(e.args[2], batch) if len(e.args) > 2 else " "
+    return pc.utf8_rpad(s, w, fill)
+
+
+def _fn_replace(ev, e, batch):
+    s = _str_arg(ev, e, batch, 0)
+    return pc.replace_substring(s, ev.eval(e.args[1], batch), ev.eval(e.args[2], batch))
+
+
+def _fn_coalesce(ev, e, batch):
+    vals = [_arg(ev, e, batch, i) for i in range(len(e.args))]
+    return pc.coalesce(*vals)
+
+
+def _fn_nullif(ev, e, batch):
+    a = _arg(ev, e, batch, 0)
+    b = ev.eval(e.args[1], batch)
+    mask = pc.equal(a, b)
+    return pc.if_else(pc.fill_null(mask, False), pa.scalar(None, a.type), a)
+
+
+def _fn_now(ev, e, batch):
+    if ev.now is None:
+        raise EvalError("NOW() requires a driver-stamped timestamp (determinism policy, SURVEY.md §7.3)")
+    return ev.now
+
+
+def _fn_rand(ev, e, batch):
+    rng = np.random.default_rng(ev.variables.get("__seed", 42))
+    return pa.array(rng.random(len(batch)))
+
+
+def _fn_uuid(ev, e, batch):
+    import uuid as _uuid
+    rng = np.random.default_rng(ev.variables.get("__seed", 42))
+    return pa.array([str(_uuid.UUID(bytes=rng.bytes(16), version=4)) for _ in range(len(batch))])
+
+
+def _fn_date_format(ev, e, batch):
+    d = _arg(ev, e, batch, 0)
+    fmt = _java_to_strptime(ev.eval(e.args[1], batch))
+    return pc.strftime(d, format=fmt)
+
+
+def _fn_date_parse(ev, e, batch):
+    s = _str_arg(ev, e, batch, 0)
+    fmt = _java_to_strptime(ev.eval(e.args[1], batch))
+    return pc.strptime(s, format=fmt, unit="us", error_is_null=True)
+
+
+def _fn_year(ev, e, batch):
+    return pc.cast(pc.year(_arg(ev, e, batch, 0)), pa.int64())
+
+
+def _fn_month(ev, e, batch):
+    return pc.cast(pc.month(_arg(ev, e, batch, 0)), pa.int64())
+
+
+def _fn_day(ev, e, batch):
+    return pc.cast(pc.day(_arg(ev, e, batch, 0)), pa.int64())
+
+
+def _fn_hour(ev, e, batch):
+    return pc.cast(pc.hour(_arg(ev, e, batch, 0)), pa.int64())
+
+
+def _fn_md5(ev, e, batch):
+    import hashlib
+    s = _str_arg(ev, e, batch, 0)
+    return pa.array([None if v is None else hashlib.md5(v.encode()).hexdigest()
+                     for v in s.to_pylist()])
+
+
+def _fn_sha256(ev, e, batch):
+    import hashlib
+    s = _str_arg(ev, e, batch, 0)
+    return pa.array([None if v is None else hashlib.sha256(v.encode()).hexdigest()
+                     for v in s.to_pylist()])
+
+
+def _fn_instr(ev, e, batch):
+    s = _str_arg(ev, e, batch, 0)
+    sub = ev.eval(e.args[1], batch)
+    return pc.add(pc.find_substring(s, sub), 1)  # 1-based; 0 = not found
+
+
+_SCALAR_FUNCS: dict[str, Callable] = {
+    "LEN": _fn_len, "LENGTH": _fn_len,
+    "TRIM": _fn_trim,
+    "UPPER": _fn_upper, "UCASE": _fn_upper,
+    "LOWER": _fn_lower, "LCASE": _fn_lower,
+    "LEFT": _fn_left, "RIGHT": _fn_right,
+    "SUBSTRING": _fn_substring, "SUBSTR": _fn_substring,
+    "CONCAT": _fn_concat,
+    "SPLIT": _fn_split,
+    "SQRT": _fn_sqrt, "SIGN": _fn_sign, "ABS": _fn_abs,
+    "ROUND": _fn_round, "FLOOR": _fn_floor, "CEIL": _fn_ceil, "CEILING": _fn_ceil,
+    "PADLEFT": _fn_padleft, "PADRIGHT": _fn_padright,
+    "LPAD": _fn_lpad, "RPAD": _fn_rpad,
+    "REPLACE": _fn_replace,
+    "COALESCE": _fn_coalesce, "NULLIF": _fn_nullif,
+    "NOW": _fn_now, "RAND": _fn_rand, "UUID": _fn_uuid,
+    "DATE_FORMAT": _fn_date_format, "DATE_PARSE": _fn_date_parse,
+    "YEAR": _fn_year, "MONTH": _fn_month, "DAY": _fn_day, "HOUR": _fn_hour,
+    "MD5": _fn_md5, "SHA256": _fn_sha256,
+    "INSTR": _fn_instr, "STRPOS": _fn_instr,
+}
+
+AGG_FUNC_NAMES = {"AVG", "COUNT", "MIN", "MAX", "SUM", "STDDEV", "MEAN"}
+
+
+def collect_agg_calls(expr: A.Expr) -> list[A.FuncCall]:
+    """All aggregate FuncCall nodes in an expression tree."""
+    out: list[A.FuncCall] = []
+
+    def walk(node):
+        if isinstance(node, A.FuncCall):
+            if node.name in AGG_FUNC_NAMES:
+                out.append(node)
+                return  # no nested aggs
+            for a in node.args:
+                walk(a)
+        elif isinstance(node, A.BinaryOp):
+            walk(node.left); walk(node.right)
+        elif isinstance(node, A.UnaryOp):
+            walk(node.operand)
+        elif isinstance(node, A.Cast):
+            walk(node.operand)
+        elif isinstance(node, A.CaseWhen):
+            for c, v in node.branches:
+                walk(c); walk(v)
+            if node.else_expr is not None:
+                walk(node.else_expr)
+        elif isinstance(node, (A.Comparison, A.Like)):
+            walk(node.left) if isinstance(node, A.Comparison) else walk(node.operand)
+            walk(node.right) if isinstance(node, A.Comparison) else walk(node.pattern)
+        elif isinstance(node, (A.And, A.Or)):
+            walk(node.left); walk(node.right)
+        elif isinstance(node, A.Not):
+            walk(node.operand)
+        elif isinstance(node, (A.IsNull, A.Between, A.InList, A.Matches)):
+            walk(node.operand)
+
+    walk(expr)
+    return out
+
+
+def collect_column_refs(expr, out: set | None = None) -> set:
+    """All column names referenced (lower-cased) — used for read pruning."""
+    if out is None:
+        out = set()
+    if isinstance(expr, A.ColumnRef):
+        out.add(expr.name.lower())
+    elif isinstance(expr, A.BinaryOp):
+        collect_column_refs(expr.left, out); collect_column_refs(expr.right, out)
+    elif isinstance(expr, A.UnaryOp):
+        collect_column_refs(expr.operand, out)
+    elif isinstance(expr, A.FuncCall):
+        for a in expr.args:
+            collect_column_refs(a, out)
+    elif isinstance(expr, A.Cast):
+        collect_column_refs(expr.operand, out)
+    elif isinstance(expr, A.CaseWhen):
+        for c, v in expr.branches:
+            collect_column_refs(c, out); collect_column_refs(v, out)
+        if expr.else_expr is not None:
+            collect_column_refs(expr.else_expr, out)
+    elif isinstance(expr, A.Comparison):
+        collect_column_refs(expr.left, out); collect_column_refs(expr.right, out)
+    elif isinstance(expr, (A.And, A.Or)):
+        collect_column_refs(expr.left, out); collect_column_refs(expr.right, out)
+    elif isinstance(expr, A.Not):
+        collect_column_refs(expr.operand, out)
+    elif isinstance(expr, A.Like):
+        collect_column_refs(expr.operand, out); collect_column_refs(expr.pattern, out)
+    elif isinstance(expr, A.Matches):
+        collect_column_refs(expr.operand, out); collect_column_refs(expr.pattern, out)
+    elif isinstance(expr, A.IsNull):
+        collect_column_refs(expr.operand, out)
+    elif isinstance(expr, A.Between):
+        collect_column_refs(expr.operand, out)
+        collect_column_refs(expr.low, out); collect_column_refs(expr.high, out)
+    elif isinstance(expr, A.InList):
+        collect_column_refs(expr.operand, out)
+        for v in expr.values:
+            collect_column_refs(v, out)
+    return out

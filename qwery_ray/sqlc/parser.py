@@ -1,0 +1,724 @@
+"""Recursive-descent parser for the qwery SQL dialect.
+
+Grammar coverage mirrors the reference's declarative statement templates
+(core/SQLLanguageParser.scala:596-612 keyword dispatch; SELECT :813-821,
+INSERT :742, SELECT..INTO rewrite :839-853) plus sane supersets noted in
+SURVEY.md §7.1: multi-key GROUP BY, executed ORDER BY, LEFT/RIGHT/FULL joins,
+IN/BETWEEN/HAVING/DISTINCT.
+"""
+
+from __future__ import annotations
+
+from . import ast as A
+from .lexer import Token, tokenize, unquote_ident, unquote_string
+
+_TYPE_NAMES = {
+    "BOOLEAN", "BYTE", "DATE", "DOUBLE", "FLOAT", "INT", "INTEGER",
+    "LONG", "SHORT", "STRING", "UUID", "DECIMAL", "TIMESTAMP",
+}
+
+_AGG_FUNCS = {"AVG", "COUNT", "MIN", "MAX", "SUM"}
+
+
+class ParseError(ValueError):
+    pass
+
+
+class Parser:
+    def __init__(self, sql: str):
+        self.sql = sql
+        self.tokens = tokenize(sql)
+        self.i = 0
+
+    # ------------------------------------------------------------- plumbing
+    def peek(self, offset: int = 0) -> Token:
+        j = min(self.i + offset, len(self.tokens) - 1)
+        return self.tokens[j]
+
+    def next(self) -> Token:
+        tok = self.tokens[self.i]
+        if tok.kind != "EOF":
+            self.i += 1
+        return tok
+
+    def at(self, *words: str) -> bool:
+        tok = self.peek()
+        return tok.kind in ("IDENT", "OP") and tok.upper in words
+
+    def accept(self, *words: str) -> bool:
+        if self.at(*words):
+            self.next()
+            return True
+        return False
+
+    def expect(self, word: str) -> Token:
+        tok = self.peek()
+        if not self.at(word):
+            raise ParseError(f"expected {word!r} at pos {tok.pos}, got {tok.text!r}")
+        return self.next()
+
+    def error(self, msg: str):
+        tok = self.peek()
+        raise ParseError(f"{msg} at pos {tok.pos} (got {tok.text!r})")
+
+    # ----------------------------------------------------------- statements
+    def parse_statements(self) -> list[A.Statement]:
+        stmts = []
+        while self.peek().kind != "EOF":
+            while self.accept(";"):
+                pass
+            if self.peek().kind == "EOF":
+                break
+            stmts.append(self.parse_statement())
+            while self.accept(";"):
+                pass
+        return stmts
+
+    def parse_statement(self) -> A.Statement:
+        tok = self.peek()
+        word = tok.upper if tok.kind == "IDENT" else None
+        if word == "SELECT":
+            return self.parse_select_or_union()
+        if word == "INSERT":
+            return self.parse_insert()
+        if word == "UPSERT":
+            return self.parse_upsert()
+        if word == "UPDATE":
+            return self.parse_update()
+        if word == "DECLARE":
+            return self.parse_declare()
+        if word == "SET":
+            return self.parse_set()
+        if word == "CREATE":
+            return self.parse_create()
+        if word == "CALL":
+            return self.parse_call()
+        if word == "RETURN":
+            self.next()
+            if self.peek().kind == "EOF" or self.at(";", "END"):
+                return A.Return(None)
+            return A.Return(self.parse_expr())
+        if word == "BEGIN":
+            return self.parse_block()
+        if word == "DESCRIBE":
+            return self.parse_describe()
+        if word == "SHOW":
+            self.next()
+            ent = self.next().upper
+            return A.Show(ent)
+        self.error("unexpected statement")
+
+    def parse_block(self) -> A.CodeBlock:
+        self.expect("BEGIN")
+        stmts = []
+        while not self.at("END"):
+            if self.peek().kind == "EOF":
+                self.error("unterminated BEGIN block")
+            stmts.append(self.parse_statement())
+            while self.accept(";"):
+                pass
+        self.expect("END")
+        return A.CodeBlock(tuple(stmts))
+
+    # ------------------------------------------------------------- SELECT
+    def parse_select_or_union(self) -> A.Statement:
+        left = self.parse_select()
+        while self.at("UNION"):
+            self.next()
+            distinct = False
+            if self.accept("ALL"):
+                pass
+            elif self.accept("DISTINCT"):
+                distinct = True
+            # NOTE: reference UNION is UNION ALL (core/ops/sql/Union.scala:11-16)
+            right = self.parse_select()
+            left = A.Union(left, right, distinct=distinct)
+        return left
+
+    def parse_select(self) -> A.Statement:
+        self.expect("SELECT")
+        distinct = bool(self.accept("DISTINCT"))
+        limit = None
+        if self.accept("TOP"):  # TOP n (SQLLanguageParser.scala:815)
+            limit = int(self.next().text)
+        items = [self.parse_select_item()]
+        while self.accept(","):
+            items.append(self.parse_select_item())
+
+        source = None
+        joins: list[A.JoinClause] = []
+        if self.accept("FROM"):
+            source = self.parse_source()
+            while self.at("INNER", "LEFT", "RIGHT", "FULL", "JOIN", "CROSS"):
+                joins.append(self.parse_join())
+
+        where = self.parse_cond() if self.accept("WHERE") else None
+
+        group_by: list[A.Expr] = []
+        if self.accept("GROUP"):
+            self.expect("BY")
+            group_by.append(self.parse_expr())
+            while self.accept(","):
+                group_by.append(self.parse_expr())
+
+        having = self.parse_cond() if self.accept("HAVING") else None
+
+        order_by: list[A.OrderItem] = []
+        if self.accept("ORDER"):
+            self.expect("BY")
+            order_by.append(self.parse_order_item())
+            while self.accept(","):
+                order_by.append(self.parse_order_item())
+
+        if self.accept("LIMIT"):
+            limit = int(self.next().text)
+
+        select = A.Select(
+            items=tuple(items), source=source, joins=tuple(joins), where=where,
+            group_by=tuple(group_by), having=having, order_by=tuple(order_by),
+            limit=limit, distinct=distinct,
+        )
+
+        # SELECT ... INTO 'target' sugar → Insert (SQLLanguageParser.scala:839-853)
+        if self.accept("INTO"):
+            target = self.parse_target_name()
+            hints = self.parse_hints()
+            return A.Insert(target=target, columns=(), source=select, hints=hints)
+        return select
+
+    def parse_select_item(self):
+        tok = self.peek()
+        if tok.kind == "OP" and tok.text == "*":
+            self.next()
+            return A.Star()
+        # alias.* form: the lexer folds the trailing dot into the IDENT ("c.")
+        if (
+            tok.kind == "IDENT" and tok.text.endswith(".")
+            and self.peek(1).kind == "OP" and self.peek(1).text == "*"
+        ):
+            alias = self.next().text.rstrip(".")
+            self.next()
+            return A.Star(table_alias=alias)
+        expr = self.parse_expr()
+        alias = None
+        if self.accept("AS"):
+            alias = self._ident_name()
+        elif self.peek().kind in ("IDENT", "QIDENT") and not self._is_clause_keyword(self.peek()):
+            alias = self._ident_name()
+        return A.SelectItem(expr, alias)
+
+    _CLAUSE_KEYWORDS = {
+        "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "TOP", "UNION",
+        "INTO", "AS", "ON", "INNER", "LEFT", "RIGHT", "FULL", "JOIN", "CROSS",
+        "KEYED", "WITH", "AND", "OR", "NOT", "ASC", "DESC", "END", "WHEN",
+        "THEN", "ELSE", "CASE", "VALUES", "SET", "BY", "SELECT", "LIKE",
+        "MATCHES", "BETWEEN", "IN", "IS", "NULL", "DISTINCT", "ALL",
+    }
+
+    def _is_clause_keyword(self, tok: Token) -> bool:
+        return tok.upper in self._CLAUSE_KEYWORDS
+
+    def _ident_name(self) -> str:
+        tok = self.next()
+        if tok.kind == "QIDENT":
+            return unquote_ident(tok.text)
+        if tok.kind == "IDENT":
+            return tok.text
+        if tok.kind == "STR":
+            return unquote_string(tok.text)
+        raise ParseError(f"expected identifier at {tok.pos}, got {tok.text!r}")
+
+    def parse_order_item(self) -> A.OrderItem:
+        expr = self.parse_expr()
+        asc = True
+        if self.accept("DESC"):
+            asc = False
+        else:
+            self.accept("ASC")
+        return A.OrderItem(expr, asc)
+
+    # ------------------------------------------------------------- sources
+    def parse_source(self) -> A.Source:
+        tok = self.peek()
+        if tok.kind == "OP" and tok.text == "(":
+            self.next()
+            inner = self.parse_select_or_union()
+            self.expect(")")
+            alias = None
+            if self.accept("AS"):
+                alias = self._ident_name()
+            elif self.peek().kind in ("IDENT", "QIDENT") and not self._is_clause_keyword(self.peek()):
+                alias = self._ident_name()
+            if not isinstance(inner, A.Select):
+                inner = A.Select(items=(A.Star(),), source=inner)  # wrap union
+            return A.SubquerySource(inner, alias)
+        if tok.kind == "STR":  # quoted path: 'companylist.csv'
+            self.next()
+            name = unquote_string(tok.text)
+        else:
+            name = self._ident_name()
+        hints = self.parse_hints()
+        alias = None
+        if self.accept("AS"):
+            alias = self._ident_name()
+        elif self.peek().kind in ("IDENT", "QIDENT") and not self._is_clause_keyword(self.peek()):
+            alias = self._ident_name()
+        return A.TableRef(name, alias, hints)
+
+    def parse_hints(self) -> dict:
+        """WITH <FORMAT|'key' 'value'|...> hints, loosely mirroring
+        core/SQLLanguageParser.scala hint templates (WITH CSV/JSON/GZIP/
+        DELIMITER/HEADERS/QUOTED ...)."""
+        hints: dict = {}
+        while self.at("WITH"):
+            self.next()
+            key = self.next().upper
+            if key in ("CSV", "JSON", "PSV", "TSV", "FIXED", "AVRO", "PARQUET", "TEXT"):
+                hints["format"] = key.lower()
+                if key == "AVRO" and self.peek().kind == "STR":
+                    hints["avro_schema"] = unquote_string(self.next().text)
+            elif key == "GZIP":
+                hints["gzip"] = True
+            elif key == "DELIMITER":
+                hints["delimiter"] = unquote_string(self.next().text)
+            elif key == "QUOTED":
+                sub = self.next().upper  # NUMBERS | TEXT
+                hints[f"quoted_{sub.lower()}"] = True
+            elif key == "COLUMN":
+                self.expect("HEADERS")
+                hints["headers"] = True
+            elif key == "HEADERS":
+                hints["headers"] = True
+            elif key == "PROPERTIES":
+                hints["properties"] = unquote_string(self.next().text)
+            else:
+                # generic `WITH key 'value'`
+                if self.peek().kind == "STR":
+                    hints[key.lower()] = unquote_string(self.next().text)
+                else:
+                    hints[key.lower()] = True
+        return hints
+
+    def parse_join(self) -> A.JoinClause:
+        jt = "INNER"
+        if self.accept("INNER"):
+            jt = "INNER"
+        elif self.accept("LEFT"):
+            self.accept("OUTER")
+            jt = "LEFT"
+        elif self.accept("RIGHT"):
+            self.accept("OUTER")
+            jt = "RIGHT"
+        elif self.accept("FULL"):
+            self.accept("OUTER")
+            jt = "FULL"
+        elif self.accept("CROSS"):
+            jt = "CROSS"
+        self.expect("JOIN")
+        right = self.parse_source()
+        if jt == "CROSS":
+            return A.JoinClause(jt, right, A.Literal(True))
+        self.expect("ON")
+        on = self.parse_cond()
+        return A.JoinClause(jt, right, on)
+
+    # ------------------------------------------------------- DML statements
+    def parse_target_name(self) -> str:
+        tok = self.peek()
+        if tok.kind == "STR":
+            self.next()
+            return unquote_string(tok.text)
+        return self._ident_name()
+
+    def parse_insert(self) -> A.Insert:
+        self.expect("INSERT")
+        overwrite = False
+        if self.accept("OVERWRITE"):
+            overwrite = True
+        else:
+            self.expect("INTO")
+        target = self.parse_target_name()
+        columns: list[str] = []
+        if self.accept("("):
+            columns.append(self._ident_name())
+            while self.accept(","):
+                columns.append(self._ident_name())
+            self.expect(")")
+        hints = self.parse_hints()
+        source = self.parse_insert_source()
+        hints.update(self.parse_hints())
+        return A.Insert(target, tuple(columns), source, overwrite, hints)
+
+    def parse_insert_source(self) -> A.Statement:
+        if self.at("VALUES"):
+            rows = []
+            while self.accept("VALUES"):
+                self.expect("(")
+                row = [self.parse_expr()]
+                while self.accept(","):
+                    row.append(self.parse_expr())
+                self.expect(")")
+                rows.append(tuple(row))
+                # also allow VALUES (..), (..), (..)
+                while self.accept(","):
+                    self.expect("(")
+                    row = [self.parse_expr()]
+                    while self.accept(","):
+                        row.append(self.parse_expr())
+                    self.expect(")")
+                    rows.append(tuple(row))
+            return A.Values(tuple(rows))
+        return self.parse_select_or_union()
+
+    def parse_upsert(self) -> A.Upsert:
+        self.expect("UPSERT")
+        self.expect("INTO")
+        target = self.parse_target_name()
+        columns: list[str] = []
+        if self.accept("("):
+            columns.append(self._ident_name())
+            while self.accept(","):
+                columns.append(self._ident_name())
+            self.expect(")")
+        hints = self.parse_hints()
+        source = self.parse_insert_source()
+        self.expect("KEYED")
+        self.expect("ON")
+        keys = [self._ident_name()]
+        while self.accept(","):
+            keys.append(self._ident_name())
+        return A.Upsert(target, tuple(columns), source, tuple(keys), hints)
+
+    def parse_update(self) -> A.Update:
+        self.expect("UPDATE")
+        target = self.parse_target_name()
+        self.expect("SET")
+        assignments = []
+        name = self._ident_name()
+        self.expect("=")
+        assignments.append((name, self.parse_expr()))
+        while self.accept(","):
+            name = self._ident_name()
+            self.expect("=")
+            assignments.append((name, self.parse_expr()))
+        self.expect("FROM")
+        source = self.parse_select_or_union() if self.at("SELECT") else A.Select(
+            items=(A.Star(),), source=self.parse_source())
+        self.expect("KEYED")
+        self.expect("ON")
+        keys = [self._ident_name()]
+        while self.accept(","):
+            keys.append(self._ident_name())
+        return A.Update(target, tuple(assignments), source, tuple(keys))
+
+    def parse_declare(self) -> A.Declare:
+        self.expect("DECLARE")
+        var = self.next()
+        if var.kind != "VAR":
+            raise ParseError(f"expected @variable at {var.pos}")
+        type_name = self.next().upper
+        return A.Declare(var.text.lstrip("@"), type_name)
+
+    def parse_set(self) -> A.SetVar:
+        self.expect("SET")
+        var = self.next()
+        if var.kind != "VAR":
+            raise ParseError(f"expected @variable at {var.pos}")
+        self.expect("=")
+        if self.peek().kind == "OP" and self.peek().text == "(" and self.peek(1).upper == "SELECT":
+            self.next()
+            query = self.parse_select_or_union()
+            self.expect(")")
+            return A.SetVar(var.text.lstrip("@"), query)
+        return A.SetVar(var.text.lstrip("@"), self.parse_expr())
+
+    def parse_create(self) -> A.Statement:
+        self.expect("CREATE")
+        self.accept("OR") and self.expect("REPLACE")
+        kind = self.next().upper
+        name = self._ident_name()
+        if kind == "VIEW":
+            self.expect("AS")
+            return A.CreateView(name, self.parse_select_or_union())
+        params: list[str] = []
+        if self.accept("("):
+            if not self.at(")"):
+                params.append(self._ident_name())
+                while self.accept(","):
+                    params.append(self._ident_name())
+            self.expect(")")
+        self.expect("AS")
+        if self.at("BEGIN"):
+            body = self.parse_block().statements
+        else:
+            body = (self.parse_statement(),)
+        if kind == "FUNCTION":
+            return A.CreateFunction(name, tuple(params), body)
+        if kind == "PROCEDURE":
+            return A.CreateProcedure(name, tuple(params), body)
+        self.error(f"unsupported CREATE {kind}")
+
+    def parse_call(self) -> A.Call:
+        self.expect("CALL")
+        name = self._ident_name()
+        args: list[A.Expr] = []
+        if self.accept("("):
+            if not self.at(")"):
+                args.append(self.parse_expr())
+                while self.accept(","):
+                    args.append(self.parse_expr())
+            self.expect(")")
+        return A.Call(name, tuple(args))
+
+    def parse_describe(self) -> A.Describe:
+        self.expect("DESCRIBE")
+        if self.peek().kind == "OP" and self.peek().text == "(":
+            self.next()
+            src = self.parse_select_or_union()
+            self.expect(")")
+            src = A.SubquerySource(src, None)
+        else:
+            src = self.parse_source()
+        limit = None
+        if self.accept("LIMIT"):
+            limit = int(self.next().text)
+        return A.Describe(src, limit)
+
+    # ---------------------------------------------------------- conditions
+    def parse_cond(self) -> A.Cond:
+        return self.parse_or()
+
+    def parse_or(self) -> A.Cond:
+        left = self.parse_and()
+        while self.accept("OR"):
+            left = A.Or(left, self.parse_and())
+        return left
+
+    def parse_and(self) -> A.Cond:
+        left = self.parse_not()
+        while self.accept("AND"):
+            left = A.And(left, self.parse_not())
+        return left
+
+    def parse_not(self) -> A.Cond:
+        if self.accept("NOT"):
+            return A.Not(self.parse_not())
+        return self.parse_predicate()
+
+    def parse_predicate(self) -> A.Cond:
+        if self.peek().kind == "OP" and self.peek().text == "(":
+            # could be parenthesized condition; try it
+            save = self.i
+            try:
+                self.next()
+                cond = self.parse_cond()
+                self.expect(")")
+                if self._cond_follows():
+                    return cond
+                # it was a parenthesized expression in a comparison
+                self.i = save
+            except ParseError:
+                self.i = save
+        left = self.parse_expr()
+        return self._predicate_tail(left)
+
+    def _cond_follows(self) -> bool:
+        tok = self.peek()
+        return tok.kind == "EOF" or self.at(
+            "AND", "OR", ")", ";", "THEN", "GROUP", "ORDER", "LIMIT", "HAVING",
+        )
+
+    def _predicate_tail(self, left: A.Expr) -> A.Cond:
+        negated = bool(self.accept("NOT"))
+        if self.accept("LIKE"):
+            return A.Like(left, self.parse_expr(), negated)
+        if self.accept("MATCHES"):
+            m = A.Matches(left, self.parse_expr())
+            return A.Not(m) if negated else m
+        if self.accept("BETWEEN"):
+            low = self.parse_add()
+            self.expect("AND")
+            high = self.parse_add()
+            return A.Between(left, low, high, negated)
+        if self.accept("IN"):
+            self.expect("(")
+            vals = [self.parse_expr()]
+            while self.accept(","):
+                vals.append(self.parse_expr())
+            self.expect(")")
+            return A.InList(left, tuple(vals), negated)
+        if self.accept("IS"):
+            neg = bool(self.accept("NOT"))
+            self.expect("NULL")
+            return A.IsNull(left, neg)
+        if negated:
+            self.error("expected LIKE/MATCHES/BETWEEN/IN after NOT")
+        tok = self.peek()
+        if tok.kind == "OP" and tok.text in ("=", "!=", "<>", ">", ">=", "<", "<="):
+            self.next()
+            op = "=" if tok.text == "=" else ("!=" if tok.text in ("!=", "<>") else tok.text)
+            right = self.parse_expr()
+            return A.Comparison(op, left, right)
+        # no predicate operator follows: return the bare expression — when it
+        # is used as a condition, eval_mask casts it to boolean
+        return left
+
+    # --------------------------------------------------------- expressions
+    def parse_expr(self) -> A.Expr:
+        return self.parse_add()
+
+    def parse_add(self) -> A.Expr:
+        left = self.parse_mul()
+        while True:
+            tok = self.peek()
+            if tok.kind == "OP" and tok.text in ("+", "-", "||"):
+                self.next()
+                left = A.BinaryOp(tok.text, left, self.parse_mul())
+            else:
+                return left
+
+    def parse_mul(self) -> A.Expr:
+        left = self.parse_pow()
+        while True:
+            tok = self.peek()
+            if tok.kind == "OP" and tok.text in ("*", "/", "%"):
+                self.next()
+                left = A.BinaryOp(tok.text, left, self.parse_pow())
+            else:
+                return left
+
+    def parse_pow(self) -> A.Expr:
+        left = self.parse_unary()
+        tok = self.peek()
+        if tok.kind == "OP" and tok.text == "**":
+            self.next()
+            return A.BinaryOp("**", left, self.parse_pow())  # right-assoc
+        return left
+
+    def parse_unary(self) -> A.Expr:
+        tok = self.peek()
+        if tok.kind == "OP" and tok.text in ("-", "+"):
+            self.next()
+            return A.UnaryOp(tok.text, self.parse_unary())
+        return self.parse_primary()
+
+    def parse_primary(self) -> A.Expr:
+        tok = self.peek()
+        if tok.kind == "NUM":
+            self.next()
+            text = tok.text
+            if "." in text or "e" in text or "E" in text:
+                return A.Literal(float(text))
+            return A.Literal(int(text))
+        if tok.kind == "STR":
+            self.next()
+            return A.Literal(unquote_string(tok.text))
+        if tok.kind == "VAR":
+            self.next()
+            return A.VarRef(tok.text.lstrip("@"))
+        if tok.kind == "QIDENT":
+            self.next()
+            return A.ColumnRef(unquote_ident(tok.text))
+        if tok.kind == "OP" and tok.text == "(":
+            self.next()
+            if self.at("SELECT"):  # scalar subquery
+                q = self.parse_select_or_union()
+                self.expect(")")
+                return _ScalarSubquery(q)
+            expr = self.parse_cond()
+            self.expect(")")
+            return expr
+        if tok.kind == "IDENT":
+            word = tok.upper
+            if word == "CASE":
+                return self.parse_case()
+            if word == "CAST":
+                self.next()
+                self.expect("(")
+                operand = self.parse_expr()
+                self.expect("AS")
+                type_name = self.next().upper
+                if self.accept("("):  # DECIMAL(p,s) — ignore precision
+                    while not self.accept(")"):
+                        self.next()
+                self.expect(")")
+                return A.Cast(operand, type_name)
+            if word == "NULL":
+                self.next()
+                return A.Literal(None)
+            if word == "TRUE":
+                self.next()
+                return A.Literal(True)
+            if word == "FALSE":
+                self.next()
+                return A.Literal(False)
+            if word == "NOT":
+                self.next()
+                return A.Not(self.parse_predicate())
+            # function call?
+            if self.peek(1).kind == "OP" and self.peek(1).text == "(":
+                name = self.next().text
+                self.expect("(")
+                if self.accept(")"):
+                    return A.FuncCall(name.upper(), ())
+                if self.peek().kind == "OP" and self.peek().text == "*":
+                    self.next()
+                    self.expect(")")
+                    return A.FuncCall(name.upper(), (), is_star=True)
+                distinct = bool(self.accept("DISTINCT"))
+                args = [self.parse_expr()]
+                while self.accept(","):
+                    args.append(self.parse_expr())
+                self.expect(")")
+                return A.FuncCall(name.upper(), tuple(args), distinct=distinct)
+            # column ref (possibly alias.col via dotted IDENT)
+            self.next()
+            if "." in tok.text:
+                alias, _, col = tok.text.partition(".")
+                return A.ColumnRef(col, table_alias=alias)
+            # `alias`.`col` or ident.`col`
+            if self.peek().kind == "OP" and self.peek().text == "." and self.peek(1).kind == "QIDENT":
+                self.next()
+                col = unquote_ident(self.next().text)
+                return A.ColumnRef(col, table_alias=tok.text)
+            return A.ColumnRef(tok.text)
+        self.error("unexpected token in expression")
+
+    def parse_case(self) -> A.CaseWhen:
+        self.expect("CASE")
+        subject = None
+        if not self.at("WHEN"):
+            subject = self.parse_expr()
+        branches = []
+        while self.accept("WHEN"):
+            if subject is not None:
+                # simple CASE desugars to EQ (reference ExpressionParser.scala:246-282)
+                val = self.parse_expr()
+                cond: A.Cond = A.Comparison("=", subject, val)
+            else:
+                cond = self.parse_cond()
+            self.expect("THEN")
+            branches.append((cond, self.parse_expr()))
+        else_expr = None
+        if self.accept("ELSE"):
+            else_expr = self.parse_expr()
+        self.expect("END")
+        return A.CaseWhen(tuple(branches), else_expr)
+
+
+class _ScalarSubquery(A.Expr):
+    """Scalar subquery — first column of first row (Executable.scala:27-32)."""
+
+    def __init__(self, query):
+        self.query = query
+
+
+def parse(sql: str) -> list[A.Statement]:
+    return Parser(sql).parse_statements()
+
+
+def parse_one(sql: str) -> A.Statement:
+    stmts = parse(sql)
+    if len(stmts) != 1:
+        raise ParseError(f"expected one statement, got {len(stmts)}")
+    return stmts[0]

@@ -1,0 +1,190 @@
+"""SELECT / WHERE / expressions / aggregation parity vs DuckDB.
+
+Re-expresses the reference's golden e2e suite (coretest/QweryTest.scala:17-273)
+over the driver's synthetic tables, comparing order-insensitively against
+DuckDB (FIXTURES.md §5: GROUP BY compared sorted by key, not hash order).
+"""
+
+import pytest
+
+from conftest import SF_TINY, assert_frames_match, to_pandas
+
+
+def run_both(engine, duck, my_sql, duck_sql=None, sort_by=None):
+    mine = engine.sql(my_sql)
+    oracle = duck.execute(duck_sql or my_sql).fetch_df()
+    assert_frames_match(mine, oracle, sort_by=sort_by)
+
+
+class TestLiteralSelect:
+    def test_select_literal(self, engine):
+        out = to_pandas(engine.sql("SELECT 1 + 2 AS total"))
+        assert out["total"].tolist() == [3]
+
+    def test_select_arith(self, engine):
+        out = to_pandas(engine.sql(
+            "SELECT 100 * 2 AS a, 10 - 4 AS b, 9 / 2 AS c, 2 ** 3 AS d"))
+        assert out["a"].tolist() == [200]
+        assert out["b"].tolist() == [6]
+        assert out["c"].tolist() == [4.5]
+        assert out["d"].tolist() == [8.0]
+
+    def test_divide_by_zero_is_null(self, engine):
+        # reference Divide.scala returns None on /0
+        out = to_pandas(engine.sql("SELECT 1 / 0 AS x"))
+        assert out["x"].isna().all()
+
+    def test_concat_operator(self, engine):
+        out = to_pandas(engine.sql("SELECT 'a' || 'b' AS ab"))
+        assert out["ab"].tolist() == ["ab"]
+
+    def test_case_when(self, engine):
+        out = to_pandas(engine.sql(
+            "SELECT CASE WHEN 1 > 2 THEN 'x' WHEN 2 > 1 THEN 'y' ELSE 'z' END AS r"))
+        assert out["r"].tolist() == ["y"]
+
+    def test_cast(self, engine):
+        out = to_pandas(engine.sql("SELECT CAST('123' AS INT) AS n"))
+        assert out["n"].tolist() == [123]
+
+
+class TestScan:
+    def test_filter_project(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT o_orderkey, o_totalprice FROM orders "
+                 "WHERE o_totalprice > 200000")
+
+    def test_select_star_limit(self, engine):
+        out = to_pandas(engine.sql("SELECT * FROM region LIMIT 3"))
+        assert len(out) == 3
+        assert "r_name" in out.columns
+
+    def test_top_n(self, engine):
+        out = to_pandas(engine.sql("SELECT TOP 4 * FROM nation"))
+        assert len(out) == 4
+
+    def test_where_and_or(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT o_orderkey FROM orders WHERE "
+                 "(o_orderstatus = 'F' AND o_totalprice < 50000) "
+                 "OR o_orderpriority = '1-URGENT'")
+
+    def test_like(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT n_name FROM nation WHERE n_name LIKE 'A%'")
+
+    def test_in_between(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT o_orderkey, o_totalprice FROM orders "
+                 "WHERE o_orderstatus IN ('F', 'P') "
+                 "AND o_totalprice BETWEEN 100000 AND 150000")
+
+    def test_is_null(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT count(*) AS n FROM orders WHERE o_custkey IS NOT NULL")
+
+    def test_order_by_limit(self, engine, duck):
+        # ORDER BY executes here (dead in reference Select.scala:19)
+        mine = to_pandas(engine.sql(
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC LIMIT 5"))
+        oracle = duck.execute(
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC LIMIT 5").fetch_df()
+        assert mine["o_orderkey"].tolist() == oracle["o_orderkey"].tolist()
+
+    def test_computed_column(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT l_orderkey, l_extendedprice * (1 - l_discount) AS revenue "
+                 "FROM lineitem WHERE l_quantity > 45")
+
+
+class TestAggregation:
+    def test_global_aggregates(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT COUNT(*) AS n, SUM(o_totalprice) AS total, "
+                 "AVG(o_totalprice) AS mean, MIN(o_totalprice) AS lo, "
+                 "MAX(o_totalprice) AS hi FROM orders")
+
+    def test_group_by(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT o_orderstatus, COUNT(*) AS n, SUM(o_totalprice) AS total "
+                 "FROM orders GROUP BY o_orderstatus")
+
+    def test_group_by_multi_key(self, engine, duck):
+        # superset: reference uses only the first group field (Select.scala:75)
+        run_both(engine, duck,
+                 "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, "
+                 "COUNT(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus")
+
+    def test_group_by_expression_args(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT l_returnflag, SUM(l_extendedprice * (1 - l_discount)) AS rev "
+                 "FROM lineitem GROUP BY l_returnflag")
+
+    def test_avg_min_max(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT c_mktsegment, AVG(c_acctbal) AS avg_bal, "
+                 "MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal "
+                 "FROM customer GROUP BY c_mktsegment")
+
+    def test_having(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT o_custkey, COUNT(*) AS n FROM orders "
+                 "GROUP BY o_custkey HAVING COUNT(*) > 12")
+
+    def test_post_agg_expression(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT o_orderstatus, SUM(o_totalprice) / COUNT(*) AS avg2 "
+                 "FROM orders GROUP BY o_orderstatus")
+
+    def test_count_distinct(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS nc "
+                 "FROM orders GROUP BY o_orderstatus")
+
+    def test_empty_aggregate(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT COUNT(*) AS n, SUM(o_totalprice) AS s FROM orders "
+                 "WHERE o_totalprice < 0")
+
+    def test_order_by_aggregate(self, engine, duck):
+        mine = to_pandas(engine.sql(
+            "SELECT o_orderstatus, COUNT(*) AS n FROM orders "
+            "GROUP BY o_orderstatus ORDER BY COUNT(*) DESC"))
+        oracle = duck.execute(
+            "SELECT o_orderstatus, COUNT(*) AS n FROM orders "
+            "GROUP BY o_orderstatus ORDER BY COUNT(*) DESC").fetch_df()
+        # tie-tolerant: sort order must be non-increasing and contents equal
+        assert mine["n"].is_monotonic_decreasing
+        assert_frames_match(mine, oracle)
+
+
+class TestSetOps:
+    def test_union_all(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT r_name AS name FROM region UNION ALL "
+                 "SELECT n_name AS name FROM nation")
+
+    def test_union_distinct(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT o_orderstatus AS s FROM orders UNION DISTINCT "
+                 "SELECT l_linestatus AS s FROM lineitem")
+
+    def test_select_distinct(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders")
+
+
+class TestSubquery:
+    def test_from_subquery(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT s, n FROM (SELECT o_orderstatus AS s, COUNT(*) AS n "
+                 "FROM orders GROUP BY o_orderstatus) WHERE n > 100",
+                 "SELECT s, n FROM (SELECT o_orderstatus AS s, COUNT(*) AS n "
+                 "FROM orders GROUP BY o_orderstatus) t WHERE n > 100")
+
+    def test_scalar_subquery(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT o_orderkey FROM orders WHERE o_totalprice > "
+                 "(SELECT AVG(o_totalprice) * 1.8 FROM orders)")
