@@ -1,0 +1,64 @@
+"""Join parity vs DuckDB (reference has INNER only — Join.scala:10-37;
+LEFT/RIGHT/FULL are sane supersets)."""
+
+from conftest import assert_frames_match, to_pandas
+
+
+def run_both(engine, duck, my_sql, duck_sql=None, sort_by=None):
+    mine = engine.sql(my_sql)
+    oracle = duck.execute(duck_sql or my_sql).fetch_df()
+    assert_frames_match(mine, oracle, sort_by=sort_by)
+
+
+class TestJoins:
+    def test_inner_broadcast(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT n.n_name, r.r_name FROM nation n "
+                 "INNER JOIN region r ON n.n_regionkey = r.r_regionkey")
+
+    def test_inner_with_filter(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT c.c_name, o.o_orderkey, o.o_totalprice "
+                 "FROM orders o INNER JOIN customer c ON o.o_custkey = c.c_custkey "
+                 "WHERE o.o_totalprice > 300000")
+
+    def test_three_way(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT r.r_name, n.n_name, s.s_name FROM supplier s "
+                 "INNER JOIN nation n ON s.s_nationkey = n.n_nationkey "
+                 "INNER JOIN region r ON n.n_regionkey = r.r_regionkey")
+
+    def test_join_aggregate(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT c.c_mktsegment, COUNT(*) AS n, SUM(o.o_totalprice) AS total "
+                 "FROM orders o INNER JOIN customer c ON o.o_custkey = c.c_custkey "
+                 "GROUP BY c.c_mktsegment")
+
+    def test_left_join(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT c.c_custkey, o.o_orderkey FROM customer c "
+                 "LEFT JOIN orders o ON o.o_custkey = c.c_custkey")
+
+    def test_join_collision_columns(self, engine, duck):
+        # both sides expose *_nationkey-style names; qualified refs disambiguate
+        run_both(engine, duck,
+                 "SELECT s.s_name, c.c_name FROM supplier s "
+                 "INNER JOIN customer c ON s.s_nationkey = c.c_nationkey "
+                 "WHERE c.c_acctbal > 9000")
+
+    def test_join_residual_condition(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT s.s_name, c.c_name FROM supplier s "
+                 "INNER JOIN customer c ON s.s_nationkey = c.c_nationkey "
+                 "AND c.c_acctbal > s.s_acctbal")
+
+    def test_lineitem_orders_large(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT l.l_orderkey, l.l_quantity, o.o_orderdate FROM lineitem l "
+                 "INNER JOIN orders o ON l.l_orderkey = o.o_orderkey "
+                 "WHERE o.o_orderstatus = 'F' AND l.l_quantity > 48")
+
+    def test_cross_join(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n",
+                 "SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n")
