@@ -1,0 +1,406 @@
+"""CDCLakeEngine — streaming replay of a change-event tail into a partitioned
+Parquet lake with last-writer-wins semantics, additive schema evolution,
+exactly-once two-phase commit, and per-partition checkpoint/lineage.
+
+This is the Ray-Data-native generalization of the reference's
+``UPSERT INTO ... KEYED ON`` (ops/sql/Upsert.scala:14-32 +
+JDBCOutputSource.scala:62-104 insert-else-update) applied to a binlog/WAL tail
+whose per-partition offset order (reference Record.offset,
+core/devices/Record.scala:3; resume ≙ RandomAccessDevice.seek) becomes per-key
+LSN order.
+
+Pipeline per LSN chunk (one transaction):
+
+    read_parquet(events, filter=lo<lsn<=hi, columns=pruned)   # pushdown
+      → map_batches(PartialLww)        # pyarrow→pandas combiner: per-batch
+                                       #   per-key max-LSN winner + pkey
+      [→ groupby(pkey, salt).map_groups(lww)]   # optional salt stage for
+                                       #   extreme hot keys (LWW is
+                                       #   associative, so salting is safe)
+      → groupby(pkey).map_groups(MergePartition)   # per-partition COW merge
+                                       #   against the current lake file,
+                                       #   staged write, metrics row out
+      → driver: atomic manifest swap   # the ONLY visibility point
+
+Exactly-once: staged files are deterministically named by (txn, partition) and
+idempotently overwritten, so Ray task retries cannot double-apply; a txn id
+already in the manifest is skipped entirely, so replaying a committed LSN
+range is a no-op (FIXTURES.md §5).
+
+Scale notes (100 TB design): the only all-to-all exchange is the
+groupby(pkey) of per-batch winners — the combiner bounds its input to
+(#batches × distinct keys per batch), not raw events. Partition merges are
+embarrassingly parallel; content bytes stream through Arrow without driver
+materialization; P (num_partitions) should be sized ≳ 4× total cores.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+
+KEY_COLS = ["repo", "path"]
+MANIFEST = "manifest.json"
+
+
+def key_hash_partition(repo: pa.ChunkedArray, path: pa.ChunkedArray,
+                       num_partitions: int) -> np.ndarray:
+    """Deterministic key → partition id, stable across runs/processes
+    (no PYTHONHASHSEED dependence)."""
+    import polars as pl
+
+    joined = pc.binary_join_element_wise(repo, path, "\x00")
+    arr = joined.combine_chunks() if isinstance(joined, pa.ChunkedArray) else joined
+    # polars xxhash with a fixed seed: vectorized, value-stable across arrays
+    # and processes (pandas hash_array is NOT value-stable across arrays;
+    # Python hash() is process-salted)
+    hashed = pl.from_arrow(arr).hash(seed=42).to_numpy()
+    return (hashed % np.uint64(num_partitions)).astype(np.int64)
+
+
+class PartialLww:
+    """Per-batch combiner: keep only each key's max-LSN event in the batch and
+    tag it with its lake partition. Runs before the shuffle, so shuffle volume
+    is bounded by distinct-keys-per-batch, not event count."""
+
+    def __init__(self, num_partitions: int):
+        self.num_partitions = num_partitions
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column("pkey", pa.array([], type=pa.int64()))
+        pkey = key_hash_partition(batch.column("repo"), batch.column("path"),
+                                  self.num_partitions)
+        batch = batch.append_column("pkey", pa.array(pkey))
+        df = batch.to_pandas()
+        df = df.sort_values("lsn", kind="stable").drop_duplicates(
+            KEY_COLS, keep="last")
+        out = pa.Table.from_pandas(df, preserve_index=False)
+        # pandas round-trip can widen/narrow types; cast back for stable schema
+        return out.cast(_schema_of(batch, out))
+
+
+def _schema_of(original: pa.Table, out: pa.Table) -> pa.Schema:
+    fields = []
+    for name in out.column_names:
+        f = original.schema.field(name) if name in original.column_names else \
+            out.schema.field(name)
+        fields.append(f)
+    return pa.schema(fields)
+
+
+@dataclass
+class PartitionMetrics:
+    partition_id: int
+    staged_file: str
+    rows: int
+    last_lsn: int
+    upserts: int
+    deletes: int
+    bytes_written: int
+
+
+class MergePartition:
+    """Per-partition copy-on-write merge (map_groups over pkey).
+
+    Reads the partition's current lake file (from the manifest snapshot taken
+    at txn start), applies winners last-writer-wins honoring op=delete, unifies
+    schemas additively (new columns null-backfilled — the north rule's schema
+    evolution), writes ONE staged file with a deterministic name, and emits a
+    metrics row. Idempotent under task retry."""
+
+    def __init__(self, lake_dir: str, txn: str, partition_files: dict):
+        self.lake_dir = lake_dir
+        self.txn = txn
+        self.partition_files = partition_files  # pid → current file (or None)
+
+    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) == 0:
+            return pd.DataFrame()
+        pid = int(group["pkey"].iloc[0])
+        # final LWW among the per-batch winners
+        g = group.sort_values("lsn", kind="stable").drop_duplicates(
+            KEY_COLS, keep="last")
+        last_lsn = int(group["lsn"].max())
+        deletes = int((g["op"] == "delete").sum())
+        upserts = len(g) - deletes
+
+        new = pa.Table.from_pandas(g.drop(columns=["pkey"]), preserve_index=False)
+
+        old_file = self.partition_files.get(pid)
+        staged_dir = os.path.join(self.lake_dir, "_staging", self.txn)
+        os.makedirs(staged_dir, exist_ok=True)
+        staged = os.path.join(staged_dir, f"part-{pid:05d}.parquet")
+
+        winner_keys = set(zip(g["repo"], g["path"]))
+        survivors = None
+        if old_file is not None:
+            old = pq.read_table(os.path.join(self.lake_dir, old_file))
+            mask = [
+                (r, p) not in winner_keys
+                for r, p in zip(old.column("repo").to_pylist(),
+                                old.column("path").to_pylist())
+            ]
+            survivors = old.filter(pa.array(mask))
+
+        keep = new.filter(pc.not_equal(new.column("op"), "delete")) \
+            .drop_columns(["op"])
+        parts = [t for t in (survivors, keep) if t is not None and len(t) >= 0]
+        merged = _concat_evolving(parts)
+
+        # deterministic staged write (idempotent overwrite under retry)
+        tmp = staged + ".tmp"
+        pq.write_table(merged, tmp)
+        os.replace(tmp, staged)
+        return pd.DataFrame({
+            "partition_id": [pid],
+            "staged_file": [os.path.relpath(staged, self.lake_dir)],
+            "rows": [len(merged)],
+            "last_lsn": [last_lsn],
+            "upserts": [upserts],
+            "deletes": [deletes],
+            "bytes_written": [os.path.getsize(staged)],
+        })
+
+
+def _concat_evolving(tables: list[pa.Table]) -> pa.Table:
+    """Additive schema evolution: union of columns, null-backfill missing."""
+    tables = [t for t in tables if t is not None]
+    if not tables:
+        return pa.table({})
+    if len(tables) == 1:
+        return tables[0]
+    return pa.concat_tables(tables, promote_options="permissive")
+
+
+class CDCLakeEngine:
+    """Partitioned parquet lake + manifest; replay(), resume, verify."""
+
+    def __init__(self, lake_dir: str, *, num_partitions: int = 16,
+                 salt: int = 1):
+        self.lake_dir = lake_dir
+        self.num_partitions = num_partitions
+        self.salt = salt
+        os.makedirs(lake_dir, exist_ok=True)
+
+    # ------------------------------------------------------------ manifest
+    @property
+    def manifest_path(self) -> str:
+        return os.path.join(self.lake_dir, MANIFEST)
+
+    def load_manifest(self) -> dict:
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path) as f:
+                return json.load(f)
+        return {
+            "version": 0,
+            "num_partitions": self.num_partitions,
+            "watermark_lsn": 0,
+            "partitions": {},  # pid(str) → {file,last_lsn,rows,lineage:[txn]}
+            "committed_txns": [],
+            "lineage": [],  # per-txn: {txn, lo, hi, partitions, rows, ...}
+        }
+
+    def _commit_manifest(self, manifest: dict):
+        """Atomic rename — the single visibility point (two-phase commit)."""
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, self.manifest_path)
+
+    # -------------------------------------------------------------- replay
+    def replay(self, events_path: str, *, chunk_lsns: Optional[int] = None,
+               max_lsn: Optional[int] = None) -> dict:
+        """Replays all events with lsn > watermark, committing one txn per
+        LSN chunk (chunk = checkpoint granularity). Returns the final
+        manifest. Safe to re-run / resume at any time."""
+        lo_bound, hi_bound = self._events_lsn_range(events_path)
+        if max_lsn is not None:
+            hi_bound = min(hi_bound, max_lsn)
+        manifest = self.load_manifest()
+        start = manifest["watermark_lsn"]
+        if chunk_lsns is None:
+            chunk_lsns = max(1, hi_bound - start)
+        lo = start
+        while lo < hi_bound:
+            hi = min(lo + chunk_lsns, hi_bound)
+            manifest = self.apply_chunk(events_path, lo, hi, manifest)
+            lo = hi
+        return manifest
+
+    def _events_lsn_range(self, events_path: str) -> tuple[int, int]:
+        """min/max LSN from parquet footer statistics only (no data read)."""
+        import glob as _glob
+
+        files = sorted(_glob.glob(os.path.join(events_path, "*.parquet"))) \
+            if os.path.isdir(events_path) else [events_path]
+        lo, hi = None, None
+        for f in files:
+            md = pq.read_metadata(f)
+            idx = md.schema.to_arrow_schema().get_field_index("lsn")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is not None and st.has_min_max:
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+        if lo is None:
+            raise ValueError(f"no lsn statistics found under {events_path}")
+        return int(lo), int(hi)
+
+    def apply_chunk(self, events_path: str, lo: int, hi: int,
+                    manifest: Optional[dict] = None) -> dict:
+        """One transaction: apply events with lo < lsn <= hi. Idempotent."""
+        manifest = manifest or self.load_manifest()
+        txn = f"txn-{lo:012d}-{hi:012d}"
+        if txn in manifest["committed_txns"]:
+            return manifest  # exactly-once: committed ranges are no-ops
+
+        events = rd.read_parquet(
+            events_path,
+            filter=(pc.field("lsn") > pa.scalar(lo))
+            & (pc.field("lsn") <= pa.scalar(hi)),
+        )
+        winners = events.map_batches(
+            PartialLww(self.num_partitions), batch_format="pyarrow")
+
+        if self.salt > 1:
+            # extreme-skew path: pre-reduce within (pkey, salt) sub-groups;
+            # LWW (argmax lsn) is associative so salting preserves the result
+            winners = winners.map_batches(
+                _AddSalt(self.salt), batch_format="pyarrow")
+            winners = winners.groupby(["pkey", "__salt"]).map_groups(
+                _lww_group, batch_format="pandas")
+            winners = winners.map_batches(
+                lambda t: t.drop_columns(["__salt"]), batch_format="pyarrow")
+
+        partition_files = {
+            int(pid): info["file"]
+            for pid, info in manifest["partitions"].items()
+        }
+        merge = MergePartition(self.lake_dir, txn, partition_files)
+
+        def merge_group(df: pd.DataFrame, _m=merge) -> pd.DataFrame:
+            return _m(df)
+
+        metrics_ds = winners.groupby("pkey").map_groups(
+            merge_group, batch_format="pandas")
+        metrics = metrics_ds.to_pandas()  # ≤ num_partitions rows — tiny
+
+        # ---- commit phase (driver): move staged files in, swap manifest ----
+        part_dir = os.path.join(self.lake_dir, "partitions")
+        os.makedirs(part_dir, exist_ok=True)
+        for r in metrics.itertuples():
+            pid = int(r.partition_id)
+            final_rel = os.path.join("partitions", f"part-{pid:05d}-{txn}.parquet")
+            os.replace(os.path.join(self.lake_dir, str(r.staged_file)),
+                       os.path.join(self.lake_dir, final_rel))
+            old = manifest["partitions"].get(str(pid))
+            lineage = (old["lineage"] if old else []) + [txn]
+            manifest["partitions"][str(pid)] = {
+                "file": final_rel,
+                "last_lsn": int(r.last_lsn),
+                "rows": int(r.rows),
+                "lineage": lineage,
+            }
+        manifest["watermark_lsn"] = hi
+        manifest["version"] += 1
+        manifest["committed_txns"].append(txn)
+        manifest["lineage"].append({
+            "txn": txn, "lo": lo, "hi": hi,
+            "partitions_touched": int(len(metrics)),
+            "rows_upserted": int(metrics["upserts"].sum()) if len(metrics) else 0,
+            "rows_deleted": int(metrics["deletes"].sum()) if len(metrics) else 0,
+            "bytes_written": int(metrics["bytes_written"].sum()) if len(metrics) else 0,
+        })
+        self._commit_manifest(manifest)
+        staged_dir = os.path.join(self.lake_dir, "_staging", txn)
+        shutil.rmtree(staged_dir, ignore_errors=True)
+        self._gc_superseded(manifest)
+        return manifest
+
+    def _gc_superseded(self, manifest: dict):
+        """Remove partition files no longer referenced by the manifest."""
+        live = {info["file"] for info in manifest["partitions"].values()}
+        part_dir = os.path.join(self.lake_dir, "partitions")
+        if not os.path.isdir(part_dir):
+            return
+        for f in os.listdir(part_dir):
+            rel = os.path.join("partitions", f)
+            if rel not in live:
+                os.remove(os.path.join(part_dir, f))
+
+    # ---------------------------------------------------------------- read
+    def dataset(self) -> rd.Dataset:
+        manifest = self.load_manifest()
+        files = [os.path.join(self.lake_dir, info["file"])
+                 for info in manifest["partitions"].values()
+                 if info["rows"] > 0]
+        if not files:
+            return rd.from_arrow(pa.table({c: pa.array([], type=pa.string())
+                                           for c in KEY_COLS}))
+        return rd.read_parquet(files)
+
+    def table(self) -> pa.Table:
+        """Driver-side materialization — tests/small lakes only."""
+        manifest = self.load_manifest()
+        tables = []
+        for info in manifest["partitions"].values():
+            if info["rows"] > 0:
+                tables.append(pq.read_table(
+                    os.path.join(self.lake_dir, info["file"])))
+        return _concat_evolving(tables) if tables else pa.table({})
+
+    def sha256_dataset(self) -> rd.Dataset:
+        """Distributed per-row sha256(content) — the verification invariant."""
+
+        def hash_batch(batch: pa.Table) -> pa.Table:
+            digests = [
+                hashlib.sha256((v or "").encode()).hexdigest()
+                for v in batch.column("content").to_pylist()
+            ]
+            return pa.table({
+                "repo": batch.column("repo"),
+                "path": batch.column("path"),
+                "sha256": pa.array(digests),
+            })
+
+        return self.dataset().map_batches(hash_batch, batch_format="pyarrow")
+
+    def checkpoints(self) -> pd.DataFrame:
+        """Per-partition checkpoint records (partition_id, last_applied_lsn,
+        row_count, lineage) — the north rule's resume/lineage surface."""
+        manifest = self.load_manifest()
+        rows = [{
+            "partition_id": int(pid),
+            "last_applied_lsn": info["last_lsn"],
+            "row_count": info["rows"],
+            "lineage": ",".join(info["lineage"]),
+        } for pid, info in sorted(manifest["partitions"].items(),
+                                  key=lambda kv: int(kv[0]))]
+        return pd.DataFrame(rows)
+
+
+class _AddSalt:
+    def __init__(self, salt: int):
+        self.salt = salt
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lsn = batch.column("lsn").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "__salt", pa.array((lsn % self.salt).astype(np.int64)))
+
+
+def _lww_group(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values("lsn", kind="stable").drop_duplicates(
+        KEY_COLS, keep="last")

@@ -1,0 +1,168 @@
+"""CDC replay engine tests (FIXTURES.md §5 invariants):
+
+- final lake state sha256-matches the naive in-memory oracle replay
+- delete-as-final-event removes the key
+- resume from checkpoint converges to the same state as a full run
+- replaying a committed LSN range is a no-op (exactly-once, manifest stable)
+- additive schema evolution null-backfills old rows
+- salted sub-partitioning (hot-key path) preserves LWW results
+- determinism: two runs → identical manifest content
+"""
+
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from conftest import SF_TINY
+
+
+@pytest.fixture(scope="module")
+def events_dir(ray_session, tmp_path_factory):
+    from qwery_ray.cdc.synth import synth_change_events
+
+    d = tmp_path_factory.mktemp("events")
+    synth_change_events(str(d), n_keys=300, n_events=2000, seed=7,
+                        n_segments=4, evolve_after_lsn=1200)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def oracle_state(events_dir):
+    from qwery_ray.cdc.oracle import naive_replay, sha256_of_state
+
+    state = naive_replay(events_dir)
+    return state, sha256_of_state(state)
+
+
+def make_engine(tmp_path, **kw):
+    from qwery_ray.cdc.engine import CDCLakeEngine
+
+    kw.setdefault("num_partitions", 8)
+    return CDCLakeEngine(str(tmp_path / "lake"), **kw)
+
+
+def lake_sha(engine):
+    from qwery_ray.cdc.oracle import sha256_of_table
+
+    return sha256_of_table(engine.table())
+
+
+class TestReplayCorrectness:
+    def test_full_replay_matches_oracle(self, events_dir, oracle_state, tmp_path):
+        state, expected = oracle_state
+        eng = make_engine(tmp_path)
+        manifest = eng.replay(events_dir)
+        assert manifest["watermark_lsn"] == 2000
+        got = lake_sha(eng)
+        assert got == expected  # per-row sha256(content) equality
+
+    def test_deleted_keys_absent(self, events_dir, oracle_state, tmp_path):
+        state, _ = oracle_state
+        eng = make_engine(tmp_path)
+        eng.replay(events_dir)
+        table = eng.table()
+        keys = set(zip(table.column("repo").to_pylist(),
+                       table.column("path").to_pylist()))
+        assert len(keys) == len(table)  # key uniqueness
+        assert keys == set(state)
+
+    def test_chunked_replay_matches(self, events_dir, oracle_state, tmp_path):
+        _, expected = oracle_state
+        eng = make_engine(tmp_path)
+        manifest = eng.replay(events_dir, chunk_lsns=500)
+        assert len(manifest["committed_txns"]) == 4
+        assert lake_sha(eng) == expected
+
+    def test_salted_path_matches(self, events_dir, oracle_state, tmp_path):
+        _, expected = oracle_state
+        eng = make_engine(tmp_path, salt=4)
+        eng.replay(events_dir, chunk_lsns=1000)
+        assert lake_sha(eng) == expected
+
+
+class TestExactlyOnce:
+    def test_recommit_is_noop(self, events_dir, tmp_path):
+        eng = make_engine(tmp_path)
+        m1 = eng.replay(events_dir, chunk_lsns=1000)
+        with open(eng.manifest_path) as f:
+            bytes1 = f.read()
+        # replay an already-committed range explicitly
+        m2 = eng.apply_chunk(events_dir, 0, 1000)
+        with open(eng.manifest_path) as f:
+            bytes2 = f.read()
+        assert bytes1 == bytes2
+        assert m2["version"] == m1["version"]
+
+    def test_rerun_whole_stream_is_noop(self, events_dir, oracle_state, tmp_path):
+        _, expected = oracle_state
+        eng = make_engine(tmp_path)
+        eng.replay(events_dir, chunk_lsns=700)
+        with open(eng.manifest_path) as f:
+            before = f.read()
+        eng.replay(events_dir, chunk_lsns=700)  # watermark already at max
+        with open(eng.manifest_path) as f:
+            after = f.read()
+        assert before == after
+        assert lake_sha(eng) == expected
+
+
+class TestResume:
+    def test_resume_mid_stream(self, events_dir, oracle_state, tmp_path):
+        from qwery_ray.cdc.engine import CDCLakeEngine
+        from qwery_ray.cdc.oracle import naive_replay, sha256_of_state
+
+        _, expected = oracle_state
+        eng = make_engine(tmp_path)
+        # run only the first half (simulates a crash after checkpoint 2)
+        eng.replay(events_dir, chunk_lsns=500, max_lsn=1000)
+        mid = lake_sha(eng)
+        mid_expected = sha256_of_state(naive_replay(events_dir, upto_lsn=1000))
+        assert mid == mid_expected
+        # a FRESH engine instance resumes from the manifest watermark
+        eng2 = CDCLakeEngine(eng.lake_dir, num_partitions=8)
+        manifest = eng2.replay(events_dir, chunk_lsns=500)
+        assert manifest["watermark_lsn"] == 2000
+        assert lake_sha(eng2) == expected
+
+    def test_checkpoints_surface(self, events_dir, tmp_path):
+        eng = make_engine(tmp_path)
+        eng.replay(events_dir, chunk_lsns=1000)
+        cps = eng.checkpoints()
+        assert {"partition_id", "last_applied_lsn", "row_count", "lineage"} \
+            <= set(cps.columns)
+        assert cps["row_count"].sum() > 0
+        assert (cps["last_applied_lsn"] <= 2000).all()
+
+
+class TestSchemaEvolution:
+    def test_new_column_null_backfilled(self, events_dir, oracle_state, tmp_path):
+        state, _ = oracle_state
+        eng = make_engine(tmp_path)
+        # chunk boundary straddles the evolution LSN (1200)
+        eng.replay(events_dir, chunk_lsns=600)
+        table = eng.table()
+        assert "size_bytes" in table.column_names
+        rows = {(r["repo"], r["path"]): r for r in table.to_pylist()}
+        for key, expect in state.items():
+            got = rows[key]
+            assert got["size_bytes"] == expect.get("size_bytes")
+        # keys last-written before evolution carry NULL size_bytes
+        pre = [k for k, v in state.items() if v["lsn"] <= 1200]
+        assert pre, "fixture should have pre-evolution survivors"
+        assert all(rows[k]["size_bytes"] is None for k in pre)
+
+
+class TestDeterminism:
+    def test_two_runs_identical_manifest(self, events_dir, tmp_path):
+        eng1 = make_engine(tmp_path / "a")
+        eng2 = make_engine(tmp_path / "b")
+        eng1.replay(events_dir, chunk_lsns=650)
+        eng2.replay(events_dir, chunk_lsns=650)
+        with open(eng1.manifest_path) as f:
+            m1 = f.read()
+        with open(eng2.manifest_path) as f:
+            m2 = f.read()
+        assert m1 == m2
+        assert lake_sha(eng1) == lake_sha(eng2)
