@@ -1,0 +1,323 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine — the dedup family a 100 TB training-data pipeline needs.
+
+Scale shapes (see ray_guide.md aggregation section):
+- exact: content-hash column (cheap map_batches) → groupby(hash) keep-first.
+  The shuffle moves only (hash, id) — content never moves.
+- MinHash-LSH: per-batch shingle→signature (numpy broadcast), explode to
+  (band, band_hash, id) rows → groupby(band bucket) → candidate pairs →
+  verified per-pair. Signatures are mergeable; buckets bound memory.
+- SimHash: 64-bit signature; banded into 4×16-bit chunks for hamming≤3
+  candidate lookup.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+_MERSENNE = (1 << 61) - 1
+
+
+class ContentHash:
+    """sha256(content) column — per-row digest IS the work; everything else
+    stays vectorized."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "content_sha"):
+        self.text_col = text_col
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vals = batch.column(self.text_col).to_pylist()
+        digests = [hashlib.sha256((v or "").encode()).hexdigest() for v in vals]
+        return batch.append_column(self.out_col, pa.array(digests))
+
+
+def exact_dedup(ds: rd.Dataset, text_col: str = "text",
+                id_col: str = "doc_id") -> rd.Dataset:
+    """Keep the min-id row per distinct content (deterministic 'first')."""
+    hashed = ds.map_batches(ContentHash(text_col), batch_format="pyarrow")
+
+    def keep_first(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(id_col).head(1)
+
+    out = hashed.groupby("content_sha").map_groups(keep_first,
+                                                   batch_format="pandas")
+    return out.drop_columns(["content_sha"])
+
+
+# --------------------------------------------------------------- MinHash LSH
+class MinHashSignatures:
+    """Per-batch: k-shingles → n_perm minhash signature (universal hashing,
+    numpy broadcast over each doc's shingle-hash set). Seeded a/b params are
+    built once per actor."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 num_perm: int = 64, shingle_k: int = 5, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+        self.b = rng.integers(0, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+        self.num_perm = num_perm
+        self.k = shingle_k
+        self.text_col = text_col
+        self.id_col = id_col
+        self.norm_re = re.compile(r"\s+")
+
+    def _shingle_hashes(self, text: str) -> np.ndarray:
+        t = self.norm_re.sub(" ", (text or "").lower()).strip()
+        data = t.encode("utf-8", "ignore")
+        if len(data) < self.k:
+            data = data + b"\x00" * (self.k - len(data))
+        arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+        w = np.uint64(1000003) ** np.arange(self.k - 1, -1, -1, dtype=np.uint64)
+        windows = np.lib.stride_tricks.sliding_window_view(arr, self.k)
+        return np.unique((windows * w).sum(axis=1, dtype=np.uint64))
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = self._shingle_hashes(text)
+        # (num_perm, n_shingles) universal hash, min over shingles
+        vals = (np.outer(self.a, sh) + self.b[:, None]) % np.uint64(_MERSENNE)
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sigs = np.stack([self.signature(t) for t in batch[self.text_col]])
+        out = pd.DataFrame({self.id_col: batch[self.id_col].values})
+        out["signature"] = list(sigs)
+        return out
+
+
+class BandExplode:
+    """signature → one row per LSH band: (band_id, band_hash, id)."""
+
+    def __init__(self, num_bands: int, id_col: str = "doc_id"):
+        self.num_bands = num_bands
+        self.id_col = id_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sigs = np.stack(batch["signature"].values)
+        n, num_perm = sigs.shape
+        rows_per_band = num_perm // self.num_bands
+        ids, bands, hashes = [], [], []
+        for b in range(self.num_bands):
+            chunk = sigs[:, b * rows_per_band:(b + 1) * rows_per_band]
+            h = np.array([hash(c.tobytes()) & 0x7FFFFFFFFFFFFFFF for c in chunk])
+            ids.append(batch[self.id_col].values)
+            bands.append(np.full(n, b))
+            hashes.append(h)
+        return pd.DataFrame({
+            self.id_col: np.concatenate(ids),
+            "band_id": np.concatenate(bands),
+            "band_hash": np.concatenate(hashes),
+        })
+
+
+def minhash_lsh_candidates(ds: rd.Dataset, *, text_col: str = "text",
+                           id_col: str = "doc_id", num_perm: int = 64,
+                           num_bands: int = 16, shingle_k: int = 5,
+                           seed: int = 42) -> rd.Dataset:
+    """Candidate near-duplicate PAIRS (id_a < id_b) via banded MinHash."""
+    sigs = ds.map_batches(
+        MinHashSignatures(text_col, id_col, num_perm, shingle_k, seed),
+        batch_format="pandas")
+    bands = sigs.map_batches(_BandExplodeStable(num_bands, id_col),
+                             batch_format="pandas")
+
+    def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(df[id_col].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
+        return pd.DataFrame({"id_a": [p[0] for p in pairs],
+                             "id_b": [p[1] for p in pairs]})
+
+    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
+        emit_pairs, batch_format="pandas")
+    # distinct pairs (same pair can fire in several bands)
+    def local_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    def first(df: pd.DataFrame) -> pd.DataFrame:
+        return df.head(1)
+
+    return pairs.map_batches(local_dedup, batch_format="pandas") \
+        .groupby(["id_a", "id_b"]).map_groups(first, batch_format="pandas")
+
+
+class _BandExplodeStable(BandExplode):
+    """BandExplode with a process-stable band hash (no Python hash())."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sigs = np.stack(batch["signature"].values)
+        n, num_perm = sigs.shape
+        rows_per_band = num_perm // self.num_bands
+        ids, bands, hashes = [], [], []
+        for b in range(self.num_bands):
+            chunk = np.ascontiguousarray(
+                sigs[:, b * rows_per_band:(b + 1) * rows_per_band])
+            h = np.array([
+                int.from_bytes(hashlib.blake2b(c.tobytes(), digest_size=8).digest(),
+                               "little") >> 1
+                for c in chunk], dtype=np.int64)
+            ids.append(batch[self.id_col].values)
+            bands.append(np.full(n, b))
+            hashes.append(h)
+        return pd.DataFrame({
+            self.id_col: np.concatenate(ids),
+            "band_id": np.concatenate(bands),
+            "band_hash": np.concatenate(hashes),
+        })
+
+
+# ------------------------------------------------------------------- SimHash
+class SimHash:
+    """64-bit SimHash over word tokens; near-dups differ in ≤3 bits."""
+
+    def __init__(self, text_col: str = "text", seed: int = 42):
+        self.text_col = text_col
+        self.word_re = re.compile(r"[A-Za-z0-9]+")
+
+    def _sig(self, text: str) -> int:
+        words = self.word_re.findall((text or "").lower())
+        if not words:
+            return 0
+        acc = np.zeros(64, dtype=np.int64)
+        for w in set(words):
+            h = np.uint64(int.from_bytes(
+                hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"))
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits == 1, 1, -1) * words.count(w)
+        return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch["simhash"] = [self._sig(t) for t in batch[self.text_col]]
+        return batch
+
+
+def simhash_candidates(ds: rd.Dataset, *, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       max_hamming: int = 3) -> rd.Dataset:
+    """Banded SimHash: 4×16-bit chunks; hamming≤3 pairs share ≥1 chunk
+    (pigeonhole: 3 flips cannot hit all 4 bands)."""
+    sig = ds.map_batches(SimHash(text_col), batch_format="pandas")
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["simhash"].values.astype(np.uint64)
+        out = []
+        for b in range(4):
+            chunk = (s >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            out.append(pd.DataFrame({
+                id_col: df[id_col].values, "simhash": s,
+                "band_id": b, "band_val": chunk.astype(np.int64)}))
+        return pd.concat(out, ignore_index=True)
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        rows = df.drop_duplicates(id_col).sort_values(id_col)
+        ids = rows[id_col].tolist()
+        sigs = rows["simhash"].tolist()
+        pairs = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                dist = bin(int(sigs[i]) ^ int(sigs[j])).count("1")
+                if dist <= max_hamming:
+                    pairs.append((ids[i], ids[j], dist))
+        out = pd.DataFrame(pairs, columns=["id_a", "id_b", "hamming"])
+        return out.astype({"id_a": "int64", "id_b": "int64", "hamming": "int64"})
+
+    def first(df: pd.DataFrame) -> pd.DataFrame:
+        return df.head(1)
+
+    return sig.map_batches(explode, batch_format="pandas") \
+        .groupby(["band_id", "band_val"]).map_groups(emit, batch_format="pandas") \
+        .groupby(["id_a", "id_b"]).map_groups(first, batch_format="pandas")
+
+
+# ----------------------------------------------------------- n-gram Jaccard
+def ngram_set(text: str, n: int = 3) -> set:
+    t = re.sub(r"\s+", " ", (text or "").lower()).strip()
+    if len(t) < n:
+        return {t} if t else set()
+    return {t[i:i + n] for i in range(len(t) - n + 1)}
+
+
+def jaccard(a: str, b: str, n: int = 3) -> float:
+    sa, sb = ngram_set(a, n), ngram_set(b, n)
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / max(1, len(sa | sb))
+
+
+class VerifyJaccard:
+    """Verify candidate pairs against the raw texts (broadcast lookup —
+    candidates are small after LSH, texts fetched from a ray.put'd dict)."""
+
+    def __init__(self, texts_ref, threshold: float = 0.8, n: int = 3):
+        self.texts_ref = texts_ref
+        self.threshold = threshold
+        self.n = n
+        self._texts = None
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        import ray
+
+        if self._texts is None:
+            self._texts = ray.get(self.texts_ref)
+        sims = [jaccard(self._texts.get(a, ""), self._texts.get(b, ""), self.n)
+                for a, b in zip(batch["id_a"], batch["id_b"])]
+        batch["jaccard"] = sims
+        return batch[batch["jaccard"] >= self.threshold]
+
+
+# ---------------------------------------------------- embedding cosine dedup
+def embedding_dup_pairs(ds: rd.Dataset, *, vec_col: str = "embedding",
+                        id_col: str = "vec_id", threshold: float = 0.98,
+                        num_buckets: int = 16, seed: int = 42) -> rd.Dataset:
+    """Near-dup pairs by embedding cosine ≥ threshold. Random-hyperplane LSH
+    buckets (sign bits) co-locate near-identical vectors; exact cosine inside
+    each bucket. Vectors at the threshold boundary may land in neighbor
+    buckets — acceptable for near-dup (sim≥0.98 ⇒ few differing sign bits);
+    multi-probe would close the gap at scale."""
+    import math
+
+    nbits = max(1, int(math.log2(num_buckets)))
+
+    class Bucket:
+        def __init__(self):
+            self.planes = None
+            self.nbits = nbits
+            self.seed = seed
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            vecs = np.stack(batch[vec_col].values).astype(np.float64)
+            if self.planes is None:
+                rng = np.random.default_rng(self.seed)
+                self.planes = rng.standard_normal((vecs.shape[1], self.nbits))
+            bits = (vecs @ self.planes) > 0
+            bucket = bits @ (1 << np.arange(self.nbits))
+            return pd.DataFrame({
+                id_col: batch[id_col].values,
+                "bucket": bucket.astype(np.int64),
+                vec_col: list(vecs),
+            })
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(df[vec_col].values)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms
+        sim = unit @ unit.T
+        ids = df[id_col].values
+        ia, ib = np.triu_indices(len(ids), k=1)
+        mask = sim[ia, ib] >= threshold
+        return pd.DataFrame({
+            "id_a": np.minimum(ids[ia[mask]], ids[ib[mask]]),
+            "id_b": np.maximum(ids[ia[mask]], ids[ib[mask]]),
+            "cosine": sim[ia, ib][mask],
+        })
+
+    return ds.map_batches(Bucket, batch_format="pandas", concurrency=2) \
+        .groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas")

@@ -1,0 +1,217 @@
+"""Training-data ops: dedup family, ANN search, text analysis, multimodal."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from conftest import SF_TINY
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF_TINY}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF_TINY}/embeddings.parquet")
+
+
+class TestExactDedup:
+    def test_exact_dedup_matches_duckdb(self, docs_ds, duck):
+        from qwery_ray.ops.dedup import exact_dedup
+
+        mine = exact_dedup(docs_ds).to_pandas()
+        oracle = duck.execute(
+            "SELECT * FROM documents WHERE doc_id IN "
+            "(SELECT MIN(doc_id) FROM documents GROUP BY text)").fetch_df()
+        assert sorted(mine["doc_id"]) == sorted(oracle["doc_id"])
+
+
+class TestMinHash:
+    def test_duplicate_pair_found(self, ray_session):
+        import ray.data as rd
+        from qwery_ray.ops.dedup import jaccard, minhash_lsh_candidates
+
+        base = ("the quick brown fox jumps over the lazy dog and then runs "
+                "far away into the deep dark forest tonight")
+        rows = [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base.replace("tonight", "today")},  # near-dup
+            {"doc_id": 3, "text": "completely different content about ray data "
+                                  "pipelines and arrow batches for machines"},
+            {"doc_id": 4, "text": base},  # exact dup
+        ]
+        ds = rd.from_items(rows)
+        pairs = minhash_lsh_candidates(ds).to_pandas()
+        got = set(zip(pairs["id_a"], pairs["id_b"]))
+        assert (1, 4) in got
+        assert (1, 2) in got or jaccard(rows[0]["text"], rows[1]["text"]) < 0.75
+        assert (1, 3) not in got and (2, 3) not in got
+
+    def test_signatures_deterministic(self):
+        from qwery_ray.ops.dedup import MinHashSignatures
+
+        m1 = MinHashSignatures().signature("hello world this is a test")
+        m2 = MinHashSignatures().signature("hello world this is a test")
+        assert (m1 == m2).all()
+
+
+class TestSimHash:
+    def test_near_identical_docs_pair(self, ray_session):
+        import ray.data as rd
+        from qwery_ray.ops.dedup import simhash_candidates
+
+        # long docs: a 1-word edit flips only a few of 64 bits
+        base = " ".join(f"word{i}" for i in range(600))
+        ds = rd.from_items([
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base + " extraword"},
+            {"doc_id": 3, "text": " ".join(f"other{i}" for i in range(600))},
+        ])
+        pairs = simhash_candidates(ds, max_hamming=8).to_pandas()
+        got = set(zip(pairs["id_a"], pairs["id_b"]))
+        assert (1, 2) in got
+        assert (1, 3) not in got
+
+
+class TestEmbeddingDedup:
+    def test_finds_planted_duplicates(self, ray_session):
+        import ray.data as rd
+        from qwery_ray.ops.dedup import embedding_dup_pairs
+
+        rng = np.random.default_rng(0)
+        vecs = rng.standard_normal((50, 16))
+        vecs[30] = vecs[10] + rng.standard_normal(16) * 0.01  # planted near-dup
+        ds = rd.from_items([
+            {"vec_id": i, "embedding": vecs[i].tolist()} for i in range(50)])
+        pairs = embedding_dup_pairs(ds, num_buckets=4).to_pandas()
+        assert (10, 30) in set(zip(pairs["id_a"], pairs["id_b"]))
+
+
+class TestSimilarity:
+    def test_brute_force_topk_matches_numpy(self, emb_ds):
+        from qwery_ray.ops.similarity import brute_force_topk
+
+        table = emb_ds.take_all()
+        mat = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                        for r in table])
+        ids = np.array([r["vec_id"] for r in table])
+        qidx = [0, 1, 2]
+        out = brute_force_topk(emb_ds, ids[qidx].tolist(), mat[qidx], k=5) \
+            .to_pandas()
+        unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        for qi in qidx:
+            sims = unit[qi] @ unit.T
+            order = np.lexsort((ids, -sims))[:5]
+            expect = set(ids[order])
+            got = set(out[out["query_id"] == ids[qi]]["neighbor_id"])
+            assert got == expect
+
+    def test_ivf_recall(self, emb_ds):
+        from qwery_ray.ops.similarity import brute_force_topk, ivf_topk
+
+        table = emb_ds.take_all()
+        mat = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                        for r in table])
+        ids = [r["vec_id"] for r in table]
+        q = mat[:5]
+        exact = brute_force_topk(emb_ds, ids[:5], q, k=10).to_pandas()
+        approx = ivf_topk(emb_ds, ids[:5], q, k=10, num_cells=8,
+                          nprobe=4).to_pandas()
+        recalls = []
+        for qid in ids[:5]:
+            e = set(exact[exact["query_id"] == qid]["neighbor_id"])
+            a = set(approx[approx["query_id"] == qid]["neighbor_id"])
+            recalls.append(len(e & a) / len(e))
+        assert np.mean(recalls) >= 0.5  # nprobe=4/8 cells → decent recall
+
+
+class TestTextAnalysis:
+    def test_stats_and_quality(self, docs_ds):
+        from qwery_ray.ops.text import QualityScore, TextStats
+
+        # NB: pools sized so read tasks keep a CPU (4-CPU test cluster):
+        # two pools x concurrency=1 leaves 2 CPUs for read/convert stages
+        out = docs_ds.map_batches(TextStats, batch_format="pandas",
+                                  concurrency=1) \
+            .map_batches(QualityScore, batch_format="pandas",
+                         concurrency=1).to_pandas()
+        assert (out["n_tokens"] > 0).all()
+        assert out["quality_score"].between(0, 1).all()
+        assert (out["n_chars_calc"] == out["n_chars"]).all()  # vs driver table
+
+    def test_langid(self, ray_session):
+        import ray.data as rd
+        from qwery_ray.ops.text import LangId
+
+        ds = rd.from_items([
+            {"text": "the cat sat on the mat and it was happy with the dog"},
+            {"text": "der Hund ist nicht auf der Strasse und das ist gut"},
+            {"text": "le chat est dans la maison et il ne veut pas sortir"},
+        ])
+        out = ds.map_batches(LangId, batch_format="pandas", concurrency=2).to_pandas()
+        assert out["lang_pred"].tolist() == ["en", "de", "fr"]
+
+    def test_fingerprint_deterministic_and_sensitive(self, ray_session):
+        import ray.data as rd
+        from qwery_ray.ops.text import Fingerprint
+
+        ds = rd.from_items([
+            {"text": "some shared prefix content block"},
+            {"text": "some shared prefix content block"},
+            {"text": "entirely different words here now"},
+        ])
+        out = ds.map_batches(Fingerprint, batch_format="pandas", concurrency=2).to_pandas()
+        fps = out["fingerprint"].tolist()
+        assert fps[0] == fps[1]
+        assert fps[0] != fps[2]
+
+
+class TestMultimodal:
+    def test_decode_features(self, ray_session):
+        from qwery_ray.ops.multimodal import image_pipeline, synth_binary_images
+
+        table = synth_binary_images(20)
+        out = image_pipeline(table).to_pandas()
+        assert len(out) == 20
+        assert all(len(f) == 8 for f in out["features"])
+        # size feature equals width*height metadata
+        assert all(abs(f[7] - w * h) < 1e-6
+                   for f, w, h in zip(out["features"], out["width"], out["height"]))
+
+    def test_decode_strict_raises_on_real_image_bytes(self):
+        from qwery_ray.ops.multimodal import DecodeImage
+
+        dec = DecodeImage()
+        with pytest.raises(NotImplementedError):
+            dec._decode(b"\x89PNG\r\n\x1a\n....")
+
+    def test_resize(self, ray_session):
+        import ray.data as rd
+        from qwery_ray.ops.multimodal import ResizeImage, synth_binary_images
+
+        table = synth_binary_images(5)
+        out = rd.from_arrow(table).map_batches(
+            ResizeImage((8, 8)), batch_format="pyarrow", batch_size=2).to_pandas()
+        assert (out["width"] == 8).all() and (out["height"] == 8).all()
+        assert all(len(b) == 8 + 64 for b in out["data"])
+
+    def test_frame_sample(self, ray_session):
+        import ray.data as rd
+        from qwery_ray.ops.multimodal import FrameSample, synth_binary_images
+
+        frames = synth_binary_images(6)
+        video = b"".join(frames.column("data").to_pylist())
+        vid_table = pa.table({
+            "image_id": pa.array([99], type=pa.int64()),
+            "data": pa.array([video], type=pa.binary()),
+        })
+        out = rd.from_arrow(vid_table).map_batches(
+            FrameSample(every_n=2), batch_format="pyarrow").to_pandas()
+        assert out["frame_index"].tolist() == [0, 2, 4]
