@@ -1,44 +1,222 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the qwery_ray engine (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()``: flagship CDC replay at sf0.001 (synthesized change-event tail →
+partitioned parquet lake via the exactly-once engine), returns the lake.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()``: one entry per implemented operator family from SURVEY.md §2
+plus the training-data ops. SQL-surface entries run through the qwery dialect
+compiler (qwery_ray.sqlc); the paired ``oracle_sql()`` strings are ANSI
+DuckDB equivalents with IDENTICAL output column names.
+
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from qwery_ray.cdc.engine import CDCLakeEngine
+    from qwery_ray.cdc.synth import synth_change_events
+    import shutil
+
+    work = "/tmp/qwery_ray_driver/entry"
+    shutil.rmtree(work, ignore_errors=True)
+    synth_change_events(f"{work}/events", n_keys=500, n_events=3000, seed=42,
+                        n_segments=4, evolve_after_lsn=2000)
+    lake = CDCLakeEngine(f"{work}/lake", num_partitions=8)
+    lake.replay(f"{work}/events", chunk_lsns=1000)
+    return lake.dataset()
+
+
+def _sql(sf_dir: str, text: str):
+    from qwery_ray import QweryEngine
+
+    return QweryEngine(table_root=sf_dir).sql(text)
+
+
+_SQL_QUERIES: dict[str, tuple[str, str | None]] = {
+    # name: (qwery-dialect SQL for the Ray engine, oracle SQL or None if same)
+    "q1_pricing_summary": (
+        "SELECT l_returnflag, l_linestatus, "
+        "SUM(l_quantity) AS sum_qty, "
+        "SUM(l_extendedprice) AS sum_base_price, "
+        "SUM(l_extendedprice * (1 - l_discount)) AS sum_disc_price, "
+        "AVG(l_quantity) AS avg_qty, AVG(l_discount) AS avg_disc, "
+        "COUNT(*) AS count_order "
+        "FROM lineitem WHERE l_quantity < 50 "
+        "GROUP BY l_returnflag, l_linestatus "
+        "ORDER BY l_returnflag, l_linestatus",
+        None),
+    "filter_project": (
+        "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders "
+        "WHERE o_totalprice > 200000 AND o_orderstatus = 'O'",
+        None),
+    "computed_column": (
+        "SELECT l_orderkey, l_linenumber, "
+        "l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge "
+        "FROM lineitem WHERE l_discount BETWEEN 0.05 AND 0.07",
+        None),
+    "case_cast": (
+        "SELECT p_partkey, "
+        "CASE WHEN p_size > 30 THEN 'large' WHEN p_size > 10 THEN 'medium' "
+        "ELSE 'small' END AS size_class, "
+        "CAST(p_retailprice AS INT) AS price_int "
+        "FROM part WHERE p_brand LIKE 'Brand%'",
+        # dialect note: qwery CAST(double AS INT) truncates (reference
+        # Expression.getAsInt semantics); DuckDB CAST rounds → FLOOR here
+        "SELECT p_partkey, "
+        "CASE WHEN p_size > 30 THEN 'large' WHEN p_size > 10 THEN 'medium' "
+        "ELSE 'small' END AS size_class, "
+        "CAST(FLOOR(p_retailprice) AS INT) AS price_int "
+        "FROM part WHERE p_brand LIKE 'Brand%'"),
+    "string_funcs": (
+        "SELECT c_custkey, UPPER(c_mktsegment) AS seg_upper, "
+        "SUBSTRING(c_name, 1, 8) AS name_prefix, "
+        "LEN(TRIM(c_name)) AS name_len "
+        "FROM customer WHERE c_acctbal > 0",
+        "SELECT c_custkey, UPPER(c_mktsegment) AS seg_upper, "
+        "SUBSTRING(c_name, 1, 8) AS name_prefix, "
+        "LENGTH(TRIM(c_name)) AS name_len "
+        "FROM customer WHERE c_acctbal > 0"),
+    "sort_limit_topk": (
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20",
+        None),
+    "union_all_names": (
+        "SELECT r_name AS name FROM region UNION ALL "
+        "SELECT n_name AS name FROM nation",
+        None),
+    "distinct_status": (
+        "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+        None),
+    "global_aggregates": (
+        "SELECT COUNT(*) AS n, SUM(o_totalprice) AS total, "
+        "AVG(o_totalprice) AS mean_price, MIN(o_totalprice) AS lo, "
+        "MAX(o_totalprice) AS hi FROM orders",
+        None),
+    "group_having": (
+        "SELECT o_custkey, COUNT(*) AS n_orders, SUM(o_totalprice) AS spend "
+        "FROM orders GROUP BY o_custkey HAVING COUNT(*) > 15",
+        None),
+    "count_distinct_cust": (
+        "SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers "
+        "FROM orders GROUP BY o_orderstatus",
+        None),
+    "join_broadcast_dims": (
+        "SELECT n.n_name, r.r_name FROM nation n "
+        "INNER JOIN region r ON n.n_regionkey = r.r_regionkey",
+        "SELECT n.n_name, r.r_name FROM nation n "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey"),
+    "join_filter_agg": (
+        "SELECT c.c_mktsegment, COUNT(*) AS n, SUM(o.o_totalprice) AS revenue "
+        "FROM orders o INNER JOIN customer c ON o.o_custkey = c.c_custkey "
+        "WHERE o.o_orderstatus = 'F' GROUP BY c.c_mktsegment",
+        "SELECT c.c_mktsegment, COUNT(*) AS n, SUM(o.o_totalprice) AS revenue "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "WHERE o.o_orderstatus = 'F' GROUP BY c.c_mktsegment"),
+    "join_three_way": (
+        "SELECT r.r_name, COUNT(*) AS n_suppliers FROM supplier s "
+        "INNER JOIN nation n ON s.s_nationkey = n.n_nationkey "
+        "INNER JOIN region r ON n.n_regionkey = r.r_regionkey "
+        "GROUP BY r.r_name",
+        "SELECT r.r_name, COUNT(*) AS n_suppliers FROM supplier s "
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey "
+        "GROUP BY r.r_name"),
+    "left_join_counts": (
+        "SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders "
+        "FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey "
+        "GROUP BY c.c_custkey",
+        None),
+    "scalar_subquery_filter": (
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders)",
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders)"),
+    "subquery_source": (
+        "SELECT seg, n FROM (SELECT c_mktsegment AS seg, COUNT(*) AS n "
+        "FROM customer GROUP BY c_mktsegment) WHERE n > 10",
+        "SELECT seg, n FROM (SELECT c_mktsegment AS seg, COUNT(*) AS n "
+        "FROM customer GROUP BY c_mktsegment) t WHERE n > 10"),
+    "events_hourly_window": (
+        "SELECT DATE_TRUNC('hour', ts) AS hour_bucket, event_type, "
+        "COUNT(*) AS n_events, SUM(value) AS total_value "
+        "FROM events GROUP BY DATE_TRUNC('hour', ts), event_type",
+        "SELECT DATE_TRUNC('hour', ts) AS hour_bucket, event_type, "
+        "COUNT(*) AS n_events, SUM(value) AS total_value "
+        "FROM events GROUP BY 1, 2"),
+    "events_user_stats": (
+        "SELECT user_id, COUNT(*) AS n, AVG(value) AS avg_value, "
+        "MAX(value) AS max_value FROM events "
+        "WHERE event_type != 'heartbeat' GROUP BY user_id HAVING COUNT(*) > 3",
+        None),
+    "in_list_filter": (
+        "SELECT s_suppkey, s_name FROM supplier "
+        "WHERE s_nationkey IN (1, 3, 5) AND s_acctbal IS NOT NULL",
+        None),
+}
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from qwery_ray.pipelines import driver_queries as dq
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {}
+    for name, (sql_text, _oracle) in _SQL_QUERIES.items():
+        out[name] = (lambda sf_dir, _s=sql_text: _sql(sf_dir, _s))
+    out.update({
+        "cdc_replay": dq.cdc_replay,
+        "exact_dedup": dq.exact_dedup_docs,
+        "token_count": dq.token_counts,
+        "text_quality": dq.text_quality,          # heuristic — rows-only
+        "doc_fingerprint": dq.doc_fingerprints,   # rolling hash — rows-only
+        "minhash_near_dups": dq.minhash_near_dups,  # LSH — rows-only
+        "simhash_signatures": dq.simhash_sigs,    # rows-only
+        "ann_topk": dq.ann_topk,
+        "embedding_dups": dq.embedding_dups,
+    })
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from qwery_ray.cdc.synth import events_from_documents_sql
+
+    out = {name: (oracle or mine)
+           for name, (mine, oracle) in _SQL_QUERIES.items()}
+    out["cdc_replay"] = events_from_documents_sql()
+    out["exact_dedup"] = (
+        "SELECT * FROM documents WHERE doc_id IN "
+        "(SELECT MIN(doc_id) FROM documents GROUP BY text)")
+    out["token_count"] = (
+        "SELECT doc_id, CAST(length(regexp_extract_all(text, "
+        "'[A-Za-z]+|[0-9]+|[^\\w\\s]')) AS BIGINT) AS n_tokens FROM documents")
+    out["ann_topk"] = """
+WITH q AS (
+  SELECT vec_id, embedding FROM embeddings
+  ORDER BY vec_id LIMIT 5
+),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding, e.embedding) AS score
+  FROM q CROSS JOIN embeddings e
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, neighbor_id) AS BIGINT) AS nn_rank
+FROM scored
+QUALIFY nn_rank <= 10
+"""
+    out["embedding_dups"] = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 1000 AND b.vec_id < 1000
+  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+"""
+    return out

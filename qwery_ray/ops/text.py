@@ -137,6 +137,20 @@ class Fingerprint:
         return batch
 
 
+class TextAnalyzer:
+    """Fused TextStats → QualityScore → LangId in one actor-pool stage: one
+    pandas pass per batch, one pool to size (chaining three pools over-reserves
+    CPUs and can starve the read stage on small clusters)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.stats = TextStats(text_col)
+        self.quality = QualityScore()
+        self.langid = LangId(text_col)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return self.langid(self.quality(self.stats(batch)))
+
+
 def token_count_table(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Standalone vectorized token-count (whitespace + symbol regex) used by
     the oracle-checked query."""

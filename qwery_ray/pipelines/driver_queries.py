@@ -1,0 +1,157 @@
+"""Driver-facing query implementations for __ray_entry__.py.
+
+Each function takes ``sf_dir`` and returns a Dataset / pyarrow Table whose
+COLUMN NAMES match the paired oracle SQL exactly (the driver sorts columns by
+name and value-hashes — see __ray_entry__.py docstring).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+
+from ..engine.session import QweryEngine
+
+
+def engine_for(sf_dir: str) -> QweryEngine:
+    return QweryEngine(table_root=sf_dir)
+
+
+# --------------------------------------------------------------- CDC replay
+def cdc_replay(sf_dir: str, *, chunk_lsns: int = 5000, num_partitions: int = 16):
+    """Derive a deterministic change-event stream from ``documents`` (same
+    derivation as the SQL oracle), replay it through the full CDC lake engine
+    (chunked txns, manifest, LWW, deletes), return the final lake state."""
+    import ray.data as rd
+
+    from ..cdc.engine import CDCLakeEngine
+    from ..cdc.synth import events_from_documents_batch
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    work = f"/tmp/qwery_ray_driver/cdc_{tag}"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    events = docs.map_batches(events_from_documents_batch,
+                              batch_format="pyarrow")
+    events.write_parquet(os.path.join(work, "events"))
+
+    lake = CDCLakeEngine(os.path.join(work, "lake"),
+                         num_partitions=num_partitions)
+    lake.replay(os.path.join(work, "events"), chunk_lsns=chunk_lsns)
+    return lake.dataset().select_columns(["repo", "path", "lsn", "content"])
+
+
+# ------------------------------------------------------------- training ops
+def exact_dedup_docs(sf_dir: str):
+    import ray.data as rd
+
+    from ..ops.dedup import exact_dedup
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    return exact_dedup(ds)
+
+
+def token_counts(sf_dir: str):
+    import ray.data as rd
+
+    from ..ops.text import token_count_table
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = ds.map_batches(token_count_table, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "n_tokens"])
+
+
+def text_quality(sf_dir: str):
+    """Quality + language scoring (heuristics — rows-only driver check)."""
+    import ray.data as rd
+
+    from ..ops.text import TextAnalyzer
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = ds.map_batches(TextAnalyzer, batch_format="pandas", concurrency=2)
+    return out.select_columns(
+        ["doc_id", "n_tokens", "quality_score", "lang_pred"])
+
+
+def doc_fingerprints(sf_dir: str):
+    import ray.data as rd
+
+    from ..ops.text import Fingerprint
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = ds.map_batches(Fingerprint, batch_format="pandas", concurrency=2)
+    return out.select_columns(["doc_id", "fingerprint"])
+
+
+def minhash_near_dups(sf_dir: str):
+    import ray.data as rd
+
+    from ..ops.dedup import minhash_lsh_candidates
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return minhash_lsh_candidates(ds)
+
+
+def simhash_sigs(sf_dir: str):
+    import ray.data as rd
+
+    from ..ops.dedup import SimHash
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = ds.map_batches(SimHash(), batch_format="pandas", concurrency=2)
+    return out.select_columns(["doc_id", "simhash"])
+
+
+def ann_topk(sf_dir: str, *, k: int = 10, n_queries: int = 5):
+    """Brute-force cosine top-k; queries = the first n_queries vectors."""
+    import ray.data as rd
+
+    from ..ops.similarity import brute_force_topk
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = rd.read_parquet(path)
+    import pyarrow.parquet as pq
+
+    head = pq.read_table(path).sort_by("vec_id").slice(0, n_queries)
+    qids = head.column("vec_id").to_pylist()
+    qmat = np.stack([np.asarray(v, dtype=np.float64)
+                     for v in head.column("embedding").to_pylist()])
+    out = brute_force_topk(ds, qids, qmat, k=k)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["nn_rank" if c == "rank" else c for c in batch.column_names])
+
+    return out.select_columns(["query_id", "neighbor_id", "rank"]) \
+        .map_batches(rename, batch_format="pyarrow")
+
+
+def embedding_dups(sf_dir: str, *, threshold: float = 0.99,
+                   max_id: int = 1000):
+    """Exact cosine near-dup pairs over a bounded id range (single bucket ⇒
+    exhaustive; the LSH-bucketed variant is the scale path, tested for
+    recall in tests/test_ops.py)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..ops.dedup import embedding_dup_pairs
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         filter=pc.field("vec_id") < max_id)
+    out = embedding_dup_pairs(ds, threshold=threshold, num_buckets=1)
+    df = out.to_pandas()  # pair set is tiny; empty Datasets lose their schema
+    if "id_a" not in df.columns:
+        return pa.table({"id_a": pa.array([], type=pa.int64()),
+                         "id_b": pa.array([], type=pa.int64())})
+    return pa.table({"id_a": pa.array(df["id_a"], type=pa.int64()),
+                     "id_b": pa.array(df["id_b"], type=pa.int64())})

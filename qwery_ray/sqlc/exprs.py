@@ -599,6 +599,12 @@ def _fn_date_parse(ev, e, batch):
     return pc.strptime(s, format=fmt, unit="us", error_is_null=True)
 
 
+def _fn_date_trunc(ev, e, batch):
+    unit = ev.eval(e.args[0], batch)
+    d = _arg(ev, e, batch, 1)
+    return pc.floor_temporal(d, unit=unit.lower())
+
+
 def _fn_year(ev, e, batch):
     return pc.cast(pc.year(_arg(ev, e, batch, 0)), pa.int64())
 
@@ -653,6 +659,7 @@ _SCALAR_FUNCS: dict[str, Callable] = {
     "NOW": _fn_now, "RAND": _fn_rand, "UUID": _fn_uuid,
     "DATE_FORMAT": _fn_date_format, "DATE_PARSE": _fn_date_parse,
     "YEAR": _fn_year, "MONTH": _fn_month, "DAY": _fn_day, "HOUR": _fn_hour,
+    "DATE_TRUNC": _fn_date_trunc,
     "MD5": _fn_md5, "SHA256": _fn_sha256,
     "INSTR": _fn_instr, "STRPOS": _fn_instr,
 }

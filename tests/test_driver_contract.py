@@ -1,0 +1,50 @@
+"""Simulates the driver's correctness gate: every queries() entry runs at
+sf0.001 and, when an oracle_sql() entry exists, is compared against DuckDB
+(row count + schema + order-insensitive values) exactly like the driver's
+CORRECTNESS check. Catches name/shape drift before the real gate does."""
+
+import os
+import sys
+
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from conftest import SF_TINY, assert_frames_match, to_pandas
+
+import __ray_entry__ as entrymod
+
+ALL_QUERIES = sorted(entrymod.queries())
+ORACLES = entrymod.oracle_sql()
+
+
+def test_entry_smoke(ray_session):
+    ds = entrymod.entry()
+    df = to_pandas(ds)
+    assert len(df) > 0
+    assert {"repo", "path", "content"} <= set(df.columns)
+
+
+def test_every_query_has_oracle_or_reason():
+    qs = entrymod.queries()
+    missing = [n for n in qs if n not in ORACLES]
+    # heuristic / sketch ops are the only rows-only entries
+    assert set(missing) <= {"text_quality", "doc_fingerprint",
+                            "minhash_near_dups", "simhash_signatures"}
+
+
+@pytest.mark.parametrize("name", ALL_QUERIES)
+def test_query_vs_oracle(name, ray_session, duck):
+    fn = entrymod.queries()[name]
+    result = to_pandas(fn(SF_TINY))
+    assert result is not None
+    if name not in ORACLES:
+        assert len(result) > 0  # rows-only check
+        return
+    oracle = duck.execute(ORACLES[name]).fetch_df()
+    assert len(result) == len(oracle), \
+        f"{name}: rows {len(result)} vs oracle {len(oracle)}"
+    assert sorted(result.columns) == sorted(oracle.columns), \
+        f"{name}: columns {sorted(result.columns)} vs {sorted(oracle.columns)}"
+    assert_frames_match(result, oracle)
