@@ -1,0 +1,194 @@
+"""Benchmark driver: headline CDC replay + SQL/ops query suite.
+
+Prints ONE JSON line:
+  {"metric": "cdc_replay_wall_sec", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "events": N, "events_per_sec": N}
+
+``--scaling``: runs the headline pipeline in two fresh processes at
+RAY_GRAFT_CPUS=8 and 32 on the SAME input (page cache warmed) and reports
+both throughputs + efficiency = (t_8 / t_32) / (32/8), per the sandbox
+protocol in BASELINE.md (no real multi-node cluster available).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_TMP = "/tmp/qwery_bench"
+
+# headline CDC stream size scales with the sf tier
+_EVENTS_BY_SF = {"sf0.001": 20_000, "sf0.01": 100_000, "sf0.1": 400_000}
+
+
+def _sf_tag() -> str:
+    return os.path.basename(os.path.normpath(SF_DIR)) or "sf"
+
+
+def ensure_events() -> tuple[str, int]:
+    """Synthesize (once, cached) the deterministic CDC event stream."""
+    from qwery_ray.cdc.synth import synth_change_events
+
+    tag = _sf_tag()
+    n_events = _EVENTS_BY_SF.get(tag, 100_000)
+    n_keys = max(1000, n_events // 5)
+    out = os.path.join(BENCH_TMP, tag, "events")
+    marker = os.path.join(out, "_complete")
+    if not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        synth_change_events(out, n_keys=n_keys, n_events=n_events, seed=42,
+                            n_segments=32, evolve_after_lsn=n_events * 3 // 4,
+                            mean_content_len=600)
+        open(marker, "w").write("ok")
+    return out, n_events
+
+
+def run_headline(events_dir: str, n_events: int) -> float:
+    """CDC replay wall time (fresh lake each run)."""
+    from qwery_ray.cdc.engine import CDCLakeEngine
+
+    lake_dir = os.path.join(BENCH_TMP, _sf_tag(), f"lake_{NUM_CPUS}")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    eng = CDCLakeEngine(lake_dir, num_partitions=max(32, NUM_CPUS * 2))
+    t0 = time.perf_counter()
+    eng.replay(events_dir, chunk_lsns=n_events // 4)  # 4 checkpointed txns
+    return time.perf_counter() - t0
+
+
+def sql_queries() -> dict[str, str]:
+    return {
+        "q1_pricing_summary":
+            "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, "
+            "SUM(l_extendedprice * (1 - l_discount)) AS sum_disc_price, "
+            "AVG(l_quantity) AS avg_qty, COUNT(*) AS n FROM lineitem "
+            "WHERE l_quantity < 50 GROUP BY l_returnflag, l_linestatus "
+            "ORDER BY l_returnflag, l_linestatus",
+        "join_filter_agg":
+            "SELECT c.c_mktsegment, COUNT(*) AS n, SUM(o.o_totalprice) AS rev "
+            "FROM orders o INNER JOIN customer c ON o.o_custkey = c.c_custkey "
+            "WHERE o.o_orderstatus = 'F' GROUP BY c.c_mktsegment",
+        "join_large":
+            "SELECT o.o_orderpriority, COUNT(*) AS n FROM lineitem l "
+            "INNER JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "WHERE l.l_quantity > 30 GROUP BY o.o_orderpriority",
+        "sort_limit_topk":
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC LIMIT 100",
+        "count_distinct":
+            "SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS nc "
+            "FROM orders GROUP BY o_orderstatus",
+        "events_hourly_window":
+            "SELECT DATE_TRUNC('hour', ts) AS h, event_type, COUNT(*) AS n, "
+            "SUM(value) AS total FROM events GROUP BY "
+            "DATE_TRUNC('hour', ts), event_type",
+    }
+
+
+def run_queries() -> dict[str, float]:
+    from qwery_ray import QweryEngine
+    from qwery_ray.pipelines import driver_queries as dq
+
+    times: dict[str, float] = {}
+    for name, sql in sql_queries().items():
+        eng = QweryEngine(table_root=SF_DIR)
+        t0 = time.perf_counter()
+        result = eng.sql(sql)
+        _consume(result)
+        times[name] = round(time.perf_counter() - t0, 3)
+    for name, fn in (("exact_dedup", dq.exact_dedup_docs),
+                     ("token_count", dq.token_counts),
+                     ("text_quality", dq.text_quality),
+                     ("ann_topk", dq.ann_topk)):
+        t0 = time.perf_counter()
+        _consume(fn(SF_DIR))
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def _consume(result):
+    import ray.data as rd
+
+    if isinstance(result, rd.Dataset):
+        n = 0
+        for b in result.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            n += len(b)
+        return n
+    return len(result)
+
+
+def main() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    events_dir, n_events = ensure_events()
+    # warm page cache so both scaling runs measure compute, not first-read I/O
+    _warm(events_dir)
+    headline = run_headline(events_dir, n_events)
+    queries = run_queries() if os.environ.get("BENCH_SKIP_QUERIES") != "1" else {}
+    out = {
+        "metric": "cdc_replay_wall_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_tag(),
+        "num_cpus": NUM_CPUS,
+        "events": n_events,
+        "events_per_sec": round(n_events / headline, 1),
+    }
+    ray.shutdown()
+    return out
+
+
+def _warm(path: str):
+    for root, _, files in os.walk(path):
+        for f in files:
+            with open(os.path.join(root, f), "rb") as fh:
+                while fh.read(1 << 22):
+                    pass
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   BENCH_SKIP_QUERIES="1")
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                              env=env, capture_output=True, text=True,
+                              check=True)
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "cdc_replay_scaling",
+        "sf": _sf_tag(),
+        "events": r_lo["events"],
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"events_per_sec_{lo}": r_lo["events_per_sec"],
+        f"events_per_sec_{hi}": r_hi["events_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(main()))

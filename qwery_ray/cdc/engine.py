@@ -83,21 +83,22 @@ class PartialLww:
         pkey = key_hash_partition(batch.column("repo"), batch.column("path"),
                                   self.num_partitions)
         batch = batch.append_column("pkey", pa.array(pkey))
-        df = batch.to_pandas()
-        df = df.sort_values("lsn", kind="stable").drop_duplicates(
-            KEY_COLS, keep="last")
-        out = pa.Table.from_pandas(df, preserve_index=False)
-        # pandas round-trip can widen/narrow types; cast back for stable schema
-        return out.cast(_schema_of(batch, out))
+        idx = lww_winner_indices(batch)
+        # take() keeps content zero-copy; only key+lsn columns were converted
+        return batch.take(pa.array(idx))
 
 
-def _schema_of(original: pa.Table, out: pa.Table) -> pa.Schema:
-    fields = []
-    for name in out.column_names:
-        f = original.schema.field(name) if name in original.column_names else \
-            out.schema.field(name)
-        fields.append(f)
-    return pa.schema(fields)
+def lww_winner_indices(batch: pa.Table) -> np.ndarray:
+    """Row indices of each key's max-LSN event. Only (repo, path, lsn) are
+    materialized into pandas; payload columns are never converted."""
+    keys = pd.DataFrame({
+        "repo": batch.column("repo").to_pandas(),
+        "path": batch.column("path").to_pandas(),
+        "lsn": batch.column("lsn").to_numpy(zero_copy_only=False),
+    })
+    win = keys.sort_values("lsn", kind="stable").drop_duplicates(
+        ["repo", "path"], keep="last")
+    return np.sort(win.index.to_numpy())
 
 
 @dataclass
@@ -125,52 +126,48 @@ class MergePartition:
         self.txn = txn
         self.partition_files = partition_files  # pid → current file (or None)
 
-    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, group: pa.Table) -> pa.Table:
         if len(group) == 0:
-            return pd.DataFrame()
-        pid = int(group["pkey"].iloc[0])
-        # final LWW among the per-batch winners
-        g = group.sort_values("lsn", kind="stable").drop_duplicates(
-            KEY_COLS, keep="last")
-        last_lsn = int(group["lsn"].max())
-        deletes = int((g["op"] == "delete").sum())
+            return _empty_metrics()
+        pid = int(group.column("pkey")[0].as_py())
+        # final LWW among the per-batch winners (arrow take, content zero-copy)
+        g = group.take(pa.array(lww_winner_indices(group)))
+        last_lsn = int(pc.max(group.column("lsn")).as_py())
+        deletes = int(pc.sum(pc.cast(
+            pc.equal(g.column("op"), "delete"), pa.int64())).as_py() or 0)
         upserts = len(g) - deletes
 
-        new = pa.Table.from_pandas(g.drop(columns=["pkey"]), preserve_index=False)
-
+        new = g.drop_columns(["pkey"])
         old_file = self.partition_files.get(pid)
         staged_dir = os.path.join(self.lake_dir, "_staging", self.txn)
         os.makedirs(staged_dir, exist_ok=True)
         staged = os.path.join(staged_dir, f"part-{pid:05d}.parquet")
 
-        winner_keys = set(zip(g["repo"], g["path"]))
         survivors = None
         if old_file is not None:
             old = pq.read_table(os.path.join(self.lake_dir, old_file))
-            mask = [
-                (r, p) not in winner_keys
-                for r, p in zip(old.column("repo").to_pylist(),
-                                old.column("path").to_pylist())
-            ]
-            survivors = old.filter(pa.array(mask))
+            # vectorized anti-join: old rows whose key is NOT overwritten
+            survivors = old.join(new.select(KEY_COLS), keys=KEY_COLS,
+                                 join_type="left anti")
 
         keep = new.filter(pc.not_equal(new.column("op"), "delete")) \
             .drop_columns(["op"])
-        parts = [t for t in (survivors, keep) if t is not None and len(t) >= 0]
-        merged = _concat_evolving(parts)
+        merged = _concat_evolving(
+            [t for t in (survivors, keep) if t is not None])
 
         # deterministic staged write (idempotent overwrite under retry)
         tmp = staged + ".tmp"
         pq.write_table(merged, tmp)
         os.replace(tmp, staged)
-        return pd.DataFrame({
-            "partition_id": [pid],
-            "staged_file": [os.path.relpath(staged, self.lake_dir)],
-            "rows": [len(merged)],
-            "last_lsn": [last_lsn],
-            "upserts": [upserts],
-            "deletes": [deletes],
-            "bytes_written": [os.path.getsize(staged)],
+        return pa.table({
+            "partition_id": pa.array([pid], type=pa.int64()),
+            "staged_file": pa.array([os.path.relpath(staged, self.lake_dir)]),
+            "rows": pa.array([len(merged)], type=pa.int64()),
+            "last_lsn": pa.array([last_lsn], type=pa.int64()),
+            "upserts": pa.array([upserts], type=pa.int64()),
+            "deletes": pa.array([deletes], type=pa.int64()),
+            "bytes_written": pa.array([os.path.getsize(staged)],
+                                      type=pa.int64()),
         })
 
 
@@ -258,6 +255,24 @@ class CDCLakeEngine:
             raise ValueError(f"no lsn statistics found under {events_path}")
         return int(lo), int(hi)
 
+    def _auto_batch_size(self, events_path: str,
+                         target_bytes: int = 32 << 20) -> int:
+        """Combiner batch size from parquet footer stats (no data read)."""
+        import glob as _glob
+
+        files = sorted(_glob.glob(os.path.join(events_path, "*.parquet"))) \
+            if os.path.isdir(events_path) else [events_path]
+        rows, nbytes = 0, 0
+        for f in files[:4]:
+            md = pq.read_metadata(f)
+            rows += md.num_rows
+            nbytes += sum(md.row_group(i).total_byte_size
+                          for i in range(md.num_row_groups))
+        if rows == 0 or nbytes == 0:
+            return 32768
+        row_size = max(1, nbytes // rows)
+        return int(min(131072, max(1024, target_bytes // row_size)))
+
     def apply_chunk(self, events_path: str, lo: int, hi: int,
                     manifest: Optional[dict] = None) -> dict:
         """One transaction: apply events with lo < lsn <= hi. Idempotent."""
@@ -271,8 +286,13 @@ class CDCLakeEngine:
             filter=(pc.field("lsn") > pa.scalar(lo))
             & (pc.field("lsn") <= pa.scalar(hi)),
         )
+        # bytes-aware combiner batch size: ~32 MiB of rows per batch so the
+        # per-batch dedup actually reduces (tiny batches = no reduction) while
+        # wide content rows (100 KB files) still fit worker heaps
+        batch_size = self._auto_batch_size(events_path)
         winners = events.map_batches(
-            PartialLww(self.num_partitions), batch_format="pyarrow")
+            PartialLww(self.num_partitions), batch_format="pyarrow",
+            batch_size=batch_size)
 
         if self.salt > 1:
             # extreme-skew path: pre-reduce within (pkey, salt) sub-groups;
@@ -280,7 +300,7 @@ class CDCLakeEngine:
             winners = winners.map_batches(
                 _AddSalt(self.salt), batch_format="pyarrow")
             winners = winners.groupby(["pkey", "__salt"]).map_groups(
-                _lww_group, batch_format="pandas")
+                _lww_group, batch_format="pyarrow")
             winners = winners.map_batches(
                 lambda t: t.drop_columns(["__salt"]), batch_format="pyarrow")
 
@@ -290,11 +310,11 @@ class CDCLakeEngine:
         }
         merge = MergePartition(self.lake_dir, txn, partition_files)
 
-        def merge_group(df: pd.DataFrame, _m=merge) -> pd.DataFrame:
-            return _m(df)
+        def merge_group(t: pa.Table, _m=merge) -> pa.Table:
+            return _m(t)
 
         metrics_ds = winners.groupby("pkey").map_groups(
-            merge_group, batch_format="pandas")
+            merge_group, batch_format="pyarrow")
         metrics = metrics_ds.to_pandas()  # ≤ num_partitions rows — tiny
 
         # ---- commit phase (driver): move staged files in, swap manifest ----
@@ -401,6 +421,17 @@ class _AddSalt:
             "__salt", pa.array((lsn % self.salt).astype(np.int64)))
 
 
-def _lww_group(df: pd.DataFrame) -> pd.DataFrame:
-    return df.sort_values("lsn", kind="stable").drop_duplicates(
-        KEY_COLS, keep="last")
+def _lww_group(t: pa.Table) -> pa.Table:
+    return t.take(pa.array(lww_winner_indices(t)))
+
+
+def _empty_metrics() -> pa.Table:
+    return pa.table({
+        "partition_id": pa.array([], type=pa.int64()),
+        "staged_file": pa.array([], type=pa.string()),
+        "rows": pa.array([], type=pa.int64()),
+        "last_lsn": pa.array([], type=pa.int64()),
+        "upserts": pa.array([], type=pa.int64()),
+        "deletes": pa.array([], type=pa.int64()),
+        "bytes_written": pa.array([], type=pa.int64()),
+    })
