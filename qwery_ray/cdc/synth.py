@@ -74,12 +74,17 @@ def synth_change_events(
     lengths = np.maximum(8, rng.poisson(mean_content_len, n_events))
     word_idx = rng.integers(0, len(_WORDS), n_events)
     commits = _commit_hex(rng, n_events)
-    content = [
-        None if is_delete[i] else
-        (f"// {key_repo[key_seq[i]]}:{key_path[key_seq[i]]}@{lsn[i]}\n"
-         + " ".join([_WORDS[word_idx[i]]] * max(1, lengths[i] // (len(_WORDS[word_idx[i]]) + 1))))
-        for i in range(n_events)
-    ]
+    # vectorized content build: header + word repeated to ~length bytes
+    ev_repo = key_repo[key_seq]
+    ev_path = key_path[key_seq]
+    header = np.char.add(np.char.add(np.char.add(np.char.add(
+        "// ", ev_repo), ":"), ev_path),
+        np.char.add("@", np.char.add(lsn.astype(str), "\n")))
+    words = _WORDS[word_idx]
+    reps = np.maximum(1, lengths // (np.char.str_len(words) + 1))
+    body = np.char.multiply(np.char.add(words, " "), reps)
+    full = np.char.add(header, body)
+    content = np.where(is_delete, None, full)
     lang = np.array(LANGS)[rng.integers(0, len(LANGS), n_events)]
 
     cols = {
@@ -95,10 +100,10 @@ def synth_change_events(
 
     if evolve_after_lsn is not None:
         # additive schema evolution: size_bytes appears mid-stream
-        size = pa.array([
-            None if (l <= evolve_after_lsn or c is None) else len(c)
-            for l, c in zip(lsn.tolist(), content)
-        ], type=pa.int64())
+        sizes = np.char.str_len(full).astype(np.int64)
+        size = pa.array(
+            np.where(is_delete | (lsn <= evolve_after_lsn), None, sizes),
+            type=pa.int64())
         table = table.append_column("size_bytes", size)
 
     # segment files: contiguous LSN ranges, rows shuffled within a segment

@@ -422,9 +422,20 @@ class Compiler:
             table = proj(pa.table({"__one": [1]}))
             return Frame(rd.from_arrow(table), list(table.column_names))
 
-        frame = self.compile_source(sel.source)
+        # read-time optimization: prune columns + push WHERE into the scan
+        from .pushdown import referenced_columns, to_dataset_expression
+
+        needed = referenced_columns(sel)
+        pushdown = None
+        if sel.where is not None and isinstance(sel.source, A.TableRef):
+            schema = self._parquet_schema_of(sel.source)
+            if schema is not None:
+                pushdown = to_dataset_expression(sel.where, schema)
+
+        frame = self.compile_source(sel.source, columns=needed,
+                                    pushdown=pushdown)
         for j in sel.joins:
-            frame = self.compile_join(frame, j, sel)
+            frame = self.compile_join(frame, j, sel, needed=needed)
 
         if sel.where is not None:
             frame = Frame(
@@ -502,7 +513,8 @@ class Compiler:
         return out
 
     # --------------------------------------------------------------- source
-    def compile_source(self, src: A.Source) -> Frame:
+    def compile_source(self, src: A.Source, *, columns: Optional[set] = None,
+                       pushdown=None) -> Frame:
         if isinstance(src, A.SubquerySource):
             inner = self._select_frame(src.query)
             if src.alias:
@@ -511,10 +523,32 @@ class Compiler:
         if isinstance(src, A.Select):
             return self._select_frame(src)
         if isinstance(src, A.TableRef):
-            return self._table_frame(src)
+            return self._table_frame(src, columns=columns, pushdown=pushdown)
         raise ValueError(f"unsupported source {type(src).__name__}")
 
-    def _table_frame(self, ref: A.TableRef, columns: Optional[list[str]] = None) -> Frame:
+    def _parquet_schema_of(self, ref: A.TableRef) -> Optional[dict]:
+        """lower-cased column name → arrow type, from parquet footers only."""
+        from ..sources.readers import detect_format
+
+        name = self.session.expand_vars(ref.name)
+        if name.lower() in self.session.views:
+            return None
+        path = self.session.resolve_table_path(name)
+        if not os.path.exists(path) or detect_format(path, ref.hints) != "parquet":
+            return None
+        import pyarrow.parquet as pq
+
+        frag = path
+        if os.path.isdir(path):
+            frag = next((os.path.join(path, f) for f in sorted(os.listdir(path))
+                         if f.endswith(".parquet")), None)
+            if frag is None:
+                return None
+        s = pq.read_schema(frag)
+        return {n.lower(): t for n, t in zip(s.names, s.types)}
+
+    def _table_frame(self, ref: A.TableRef, columns: Optional[set] = None,
+                     pushdown=None) -> Frame:
         sess = self.session
         name = sess.expand_vars(ref.name)
         view = sess.views.get(name.lower())
@@ -546,16 +580,25 @@ class Compiler:
                     est_rows = pq.read_metadata(path).num_rows if os.path.isfile(path) else None
                 except Exception:
                     est_rows = None
-        ds = read_source(path, ref.hints, columns=columns)
-        frame = Frame(ds, cols or ds.schema().names, est_rows=est_rows)
+        prune = None
+        if columns is not None and cols is not None:
+            prune = [c for c in cols if c.lower() in columns]
+            if not prune:
+                prune = None
+        extra = {}
+        if pushdown is not None and cols is not None:
+            extra["filter"] = pushdown
+        ds = read_source(path, ref.hints, columns=prune, **extra)
+        frame = Frame(ds, prune or cols or ds.schema().names, est_rows=est_rows)
         alias = (ref.alias or name).lower()
         frame.aliases[alias] = True
         return frame
 
     # ---------------------------------------------------------------- joins
-    def compile_join(self, left: Frame, j: A.JoinClause, sel: A.Select) -> Frame:
+    def compile_join(self, left: Frame, j: A.JoinClause, sel: A.Select,
+                     needed: Optional[set] = None) -> Frame:
         env = _env(self.session)
-        right = self.compile_source(j.right)
+        right = self.compile_source(j.right, columns=needed)
         ralias = None
         if isinstance(j.right, A.TableRef):
             ralias = (j.right.alias or j.right.name).lower()

@@ -1,0 +1,120 @@
+"""Read-time optimizations: column pruning + parquet filter pushdown.
+
+Converts WHERE conjuncts over base-table columns into pyarrow dataset
+expressions so row groups are skipped at the scan (the reference reads every
+byte of every file; at 100 TB the scan is the dominant cost, so pruning at
+the read is the single biggest lever)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import ast as A
+from .exprs import collect_column_refs
+
+
+def _lit_ok(value, col_type: pa.DataType) -> bool:
+    """Only push comparisons whose literal type matches the column's type
+    class — the engine's lenient cross-type compares stay in the engine."""
+    if value is None:
+        return False
+    if isinstance(value, bool):
+        return pa.types.is_boolean(col_type)
+    if isinstance(value, (int, float)):
+        return pa.types.is_integer(col_type) or pa.types.is_floating(col_type)
+    if isinstance(value, str):
+        return pa.types.is_string(col_type) or pa.types.is_large_string(col_type)
+    return False
+
+
+def to_dataset_expression(cond, schema: dict[str, pa.DataType]):
+    """Cond → pyarrow dataset expression, or None if not safely pushable."""
+    if isinstance(cond, A.And):
+        left = to_dataset_expression(cond.left, schema)
+        right = to_dataset_expression(cond.right, schema)
+        if left is not None and right is not None:
+            return left & right
+        return left if right is None else right  # partial AND is still sound
+    if isinstance(cond, A.Or):
+        left = to_dataset_expression(cond.left, schema)
+        right = to_dataset_expression(cond.right, schema)
+        if left is None or right is None:
+            return None  # partial OR would over-filter — not sound
+        return left | right
+    if isinstance(cond, A.Comparison):
+        col, lit = _col_lit(cond.left, cond.right, schema)
+        if col is None:
+            return None
+        name, value, flipped = col, lit[0], lit[1]
+        op = cond.op
+        if flipped:
+            op = {">": "<", "<": ">", ">=": "<=", "<=": ">="}.get(op, op)
+        f = pc.field(name)
+        return {"=": f == value, "!=": f != value, ">": f > value,
+                ">=": f >= value, "<": f < value, "<=": f <= value}[op]
+    if isinstance(cond, A.IsNull):
+        if isinstance(cond.operand, A.ColumnRef):
+            name = _schema_name(cond.operand.name, schema)
+            if name:
+                f = pc.field(name)
+                return f.is_valid() if cond.negated else ~f.is_valid()
+        return None
+    if isinstance(cond, A.InList):
+        if isinstance(cond.operand, A.ColumnRef):
+            name = _schema_name(cond.operand.name, schema)
+            vals = [v.value for v in cond.values if isinstance(v, A.Literal)]
+            if name and len(vals) == len(cond.values) and \
+                    all(_lit_ok(v, schema[name.lower()]) for v in vals):
+                expr = pc.field(name).isin(vals)
+                return ~expr if cond.negated else expr
+        return None
+    if isinstance(cond, A.Between):
+        if isinstance(cond.operand, A.ColumnRef) and not cond.negated and \
+                isinstance(cond.low, A.Literal) and isinstance(cond.high, A.Literal):
+            name = _schema_name(cond.operand.name, schema)
+            if name and _lit_ok(cond.low.value, schema[name.lower()]) \
+                    and _lit_ok(cond.high.value, schema[name.lower()]):
+                f = pc.field(name)
+                return (f >= cond.low.value) & (f <= cond.high.value)
+        return None
+    return None
+
+
+def _schema_name(name: str, schema: dict[str, pa.DataType]) -> Optional[str]:
+    return name if name.lower() in schema else None
+
+
+def _col_lit(left, right, schema):
+    """(col_name, (literal, flipped)) for ColumnRef⋈Literal comparisons."""
+    if isinstance(left, A.ColumnRef) and isinstance(right, A.Literal):
+        name = _schema_name(left.name, schema)
+        if name and _lit_ok(right.value, schema[name.lower()]):
+            return name, (right.value, False)
+    if isinstance(right, A.ColumnRef) and isinstance(left, A.Literal):
+        name = _schema_name(right.name, schema)
+        if name and _lit_ok(left.value, schema[name.lower()]):
+            return name, (left.value, True)
+    return None, None
+
+
+def referenced_columns(sel: A.Select) -> Optional[set]:
+    """All column names (lower) a SELECT references, or None if it needs every
+    column (SELECT *)."""
+    if any(isinstance(it, A.Star) for it in sel.items):
+        return None
+    out: set = set()
+    for it in sel.items:
+        collect_column_refs(it.expr, out)
+    for clause in (sel.where, sel.having):
+        if clause is not None:
+            collect_column_refs(clause, out)
+    for g in sel.group_by:
+        collect_column_refs(g, out)
+    for ob in sel.order_by:
+        collect_column_refs(ob.expr, out)
+    for j in sel.joins:
+        collect_column_refs(j.on, out)
+    return out
