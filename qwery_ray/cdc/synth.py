@@ -29,7 +29,8 @@ _WORDS = np.array([
 
 
 def _commit_hex(rng: np.random.Generator, n: int) -> list[str]:
-    return [bytes(rng.integers(0, 256, 20, dtype=np.uint8)).hex() for _ in range(n)]
+    blob = rng.integers(0, 256, n * 20, dtype=np.uint8).tobytes().hex()
+    return [blob[i * 40:(i + 1) * 40] for i in range(n)]
 
 
 def synth_change_events(

@@ -96,7 +96,11 @@ def read_source(path: str, hints: Optional[dict] = None, *,
     if fmt == "parquet":
         return rd.read_parquet(path, columns=columns, **ray_kwargs)
     if fmt == "json":
-        return rd.read_json(path, **ray_kwargs)
+        ds = rd.read_json(path, **ray_kwargs)
+        # nested objects flatten to dotted column names, mirroring the
+        # reference's JSON model (core/util/JSONSupport.scala parseColumns:
+        # JsObject → "a.b" → v)
+        return ds.map_batches(flatten_structs, batch_format="pyarrow")
     if fmt == "text":
         return rd.read_text(path, **ray_kwargs)
     if fmt in ("csv", "tsv", "psv", "delimited"):
@@ -118,6 +122,29 @@ def read_source(path: str, hints: Optional[dict] = None, *,
     if fmt == "fixed":
         return read_fixed_width(path, hints, **ray_kwargs)
     raise ValueError(f"unsupported input format {fmt!r} for {path}")
+
+
+def flatten_structs(batch: pa.Table) -> pa.Table:
+    """Recursively expand struct columns into dotted leaf columns."""
+    changed = True
+    while changed:
+        changed = False
+        cols, names = [], []
+        for name in batch.column_names:
+            col = batch.column(name)
+            if pa.types.is_struct(col.type):
+                combined = col.combine_chunks() if isinstance(
+                    col, pa.ChunkedArray) else col
+                for field in col.type:
+                    names.append(f"{name}.{field.name}")
+                    cols.append(combined.field(field.name))
+                changed = True
+            else:
+                names.append(name)
+                cols.append(col)
+        if changed:
+            batch = pa.table(dict(zip(names, cols)))
+    return batch
 
 
 def read_fixed_width(path: str, hints: dict, **ray_kwargs) -> rd.Dataset:

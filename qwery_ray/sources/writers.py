@@ -54,7 +54,38 @@ def write_sink(ds: rd.Dataset, path: str, hints: Optional[dict] = None, *,
                                  header=hints.get("headers", True))
     if fmt == "json":
         return _write_single_json(ds, path, overwrite)
+    if fmt == "fixed":
+        return write_fixed_width(ds, path, hints.get("widths"),
+                                 overwrite=overwrite)
     raise ValueError(f"unsupported output format {fmt!r} for {path}")
+
+
+def write_fixed_width(ds: rd.Dataset, path: str, widths, *,
+                      overwrite: bool = False) -> int:
+    """Fixed-width encode: pad-or-truncate each column to its width
+    (reference core/sources/FixedWidthOutputSource.scala:9-35)."""
+    import pyarrow.compute as pc
+
+    if not widths:
+        raise ValueError("fixed-width output requires widths [(name, w), ...]")
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    exists = os.path.exists(path) and os.path.getsize(path) > 0
+    mode = "w" if overwrite or not exists else "a"
+    count = 0
+    with open(path, mode) as f:
+        for batch in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            parts = []
+            for name, width in widths:
+                col = pc.cast(batch.column(name), pa.string())
+                col = pc.utf8_slice_codeunits(
+                    pc.utf8_rpad(pc.fill_null(col, ""), width, " "), 0, width)
+                parts.append(col)
+            lines = pc.binary_join_element_wise(*parts, "") if len(parts) > 1 \
+                else parts[0]
+            for line in lines.to_pylist():
+                f.write(line + "\n")
+            count += len(batch)
+    return count
 
 
 def _write_single_csv(ds: rd.Dataset, path: str, delim: str,

@@ -1,0 +1,206 @@
+"""AST → SQL string decompiler.
+
+Parity with the reference's QweryDecompiler (core/QweryDecompiler.scala,
+tested by coretest/QweryDecompilerTest.scala golden round-trips): every
+statement the parser produces can be rendered back to SQL that re-parses to
+an equivalent AST (round-trip property tested in tests/test_decompiler.py).
+"""
+
+from __future__ import annotations
+
+from . import ast as A
+
+
+def _ident(name: str) -> str:
+    if name and name.replace("_", "a").isalnum() and not name[0].isdigit() \
+            and "." not in name and " " not in name:
+        return name
+    return f"`{name}`"
+
+
+def _string(value: str) -> str:
+    return "'" + value.replace("'", "''") + "'"
+
+
+def expr_sql(e) -> str:
+    if isinstance(e, A.Literal):
+        v = e.value
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, str):
+            return _string(v)
+        return repr(v)
+    if isinstance(e, A.ColumnRef):
+        if e.table_alias:
+            return f"{e.table_alias}.{_ident(e.name)}"
+        return _ident(e.name)
+    if isinstance(e, A.VarRef):
+        return f"@{e.name}"
+    if isinstance(e, A.BinaryOp):
+        return f"({expr_sql(e.left)} {e.op} {expr_sql(e.right)})"
+    if isinstance(e, A.UnaryOp):
+        return f"({e.op}{expr_sql(e.operand)})"
+    if isinstance(e, A.FuncCall):
+        if e.is_star:
+            return f"{e.name}(*)"
+        inner = ", ".join(expr_sql(a) for a in e.args)
+        if e.distinct:
+            inner = "DISTINCT " + inner
+        return f"{e.name}({inner})"
+    if isinstance(e, A.CaseWhen):
+        parts = ["CASE"]
+        for cond, val in e.branches:
+            parts.append(f"WHEN {expr_sql(cond)} THEN {expr_sql(val)}")
+        if e.else_expr is not None:
+            parts.append(f"ELSE {expr_sql(e.else_expr)}")
+        parts.append("END")
+        return " ".join(parts)
+    if isinstance(e, A.Cast):
+        return f"CAST({expr_sql(e.operand)} AS {e.type_name})"
+    if isinstance(e, A.Comparison):
+        return f"{expr_sql(e.left)} {e.op} {expr_sql(e.right)}"
+    if isinstance(e, A.Like):
+        op = "NOT LIKE" if e.negated else "LIKE"
+        return f"{expr_sql(e.operand)} {op} {expr_sql(e.pattern)}"
+    if isinstance(e, A.Matches):
+        return f"{expr_sql(e.operand)} MATCHES {expr_sql(e.pattern)}"
+    if isinstance(e, A.IsNull):
+        return f"{expr_sql(e.operand)} IS {'NOT ' if e.negated else ''}NULL"
+    if isinstance(e, A.InList):
+        vals = ", ".join(expr_sql(v) for v in e.values)
+        op = "NOT IN" if e.negated else "IN"
+        return f"{expr_sql(e.operand)} {op} ({vals})"
+    if isinstance(e, A.Between):
+        op = "NOT BETWEEN" if e.negated else "BETWEEN"
+        return (f"{expr_sql(e.operand)} {op} {expr_sql(e.low)} "
+                f"AND {expr_sql(e.high)}")
+    if isinstance(e, A.And):
+        return f"({expr_sql(e.left)} AND {expr_sql(e.right)})"
+    if isinstance(e, A.Or):
+        return f"({expr_sql(e.left)} OR {expr_sql(e.right)})"
+    if isinstance(e, A.Not):
+        return f"NOT ({expr_sql(e.operand)})"
+    raise ValueError(f"cannot decompile {type(e).__name__}")
+
+
+def _source_sql(src) -> str:
+    if isinstance(src, A.TableRef):
+        name = src.name if src.name.isidentifier() else _string(src.name)
+        out = name
+        if src.alias:
+            out += f" AS {src.alias}"
+        return out
+    if isinstance(src, A.SubquerySource):
+        out = f"({to_sql(src.query)})"
+        if src.alias:
+            out += f" AS {src.alias}"
+        return out
+    if isinstance(src, A.Select):
+        return f"({to_sql(src)})"
+    raise ValueError(f"cannot decompile source {type(src).__name__}")
+
+
+def to_sql(stmt) -> str:
+    if isinstance(stmt, A.Select):
+        parts = ["SELECT"]
+        if stmt.distinct:
+            parts.append("DISTINCT")
+        items = []
+        for it in stmt.items:
+            if isinstance(it, A.Star):
+                items.append(f"{it.table_alias}.*" if it.table_alias else "*")
+            else:
+                s = expr_sql(it.expr)
+                if it.alias:
+                    s += f" AS {_ident(it.alias)}"
+                items.append(s)
+        parts.append(", ".join(items))
+        if stmt.source is not None:
+            parts.append("FROM " + _source_sql(stmt.source))
+        for j in stmt.joins:
+            if j.join_type == "CROSS":
+                parts.append("CROSS JOIN " + _source_sql(j.right))
+            else:
+                parts.append(f"{j.join_type} JOIN {_source_sql(j.right)} "
+                             f"ON {expr_sql(j.on)}")
+        if stmt.where is not None:
+            parts.append("WHERE " + expr_sql(stmt.where))
+        if stmt.group_by:
+            parts.append("GROUP BY " + ", ".join(expr_sql(g)
+                                                 for g in stmt.group_by))
+        if stmt.having is not None:
+            parts.append("HAVING " + expr_sql(stmt.having))
+        if stmt.order_by:
+            obs = ", ".join(
+                expr_sql(o.expr) + ("" if o.ascending else " DESC")
+                for o in stmt.order_by)
+            parts.append("ORDER BY " + obs)
+        if stmt.limit is not None:
+            parts.append(f"LIMIT {stmt.limit}")
+        return " ".join(parts)
+    if isinstance(stmt, A.Union):
+        op = "UNION DISTINCT" if stmt.distinct else "UNION ALL"
+        return f"{to_sql(stmt.left)} {op} {to_sql(stmt.right)}"
+    if isinstance(stmt, A.Insert):
+        verb = "INSERT OVERWRITE" if stmt.overwrite else "INSERT INTO"
+        cols = f" ({', '.join(_ident(c) for c in stmt.columns)})" \
+            if stmt.columns else ""
+        target = stmt.target if stmt.target.isidentifier() \
+            else _string(stmt.target)
+        return f"{verb} {target}{cols} {to_sql(stmt.source)}"
+    if isinstance(stmt, A.Values):
+        rows = " ".join(
+            "VALUES (" + ", ".join(expr_sql(v) for v in row) + ")"
+            for row in stmt.rows)
+        return rows
+    if isinstance(stmt, A.Upsert):
+        cols = f" ({', '.join(_ident(c) for c in stmt.columns)})" \
+            if stmt.columns else ""
+        target = stmt.target if stmt.target.isidentifier() \
+            else _string(stmt.target)
+        keys = ", ".join(_ident(k) for k in stmt.keyed_on)
+        return (f"UPSERT INTO {target}{cols} {to_sql(stmt.source)} "
+                f"KEYED ON {keys}")
+    if isinstance(stmt, A.Update):
+        sets = ", ".join(f"{_ident(n)} = {expr_sql(e)}"
+                         for n, e in stmt.assignments)
+        target = stmt.target if stmt.target.isidentifier() \
+            else _string(stmt.target)
+        keys = ", ".join(_ident(k) for k in stmt.keyed_on)
+        return (f"UPDATE {target} SET {sets} FROM {to_sql(stmt.source)} "
+                f"KEYED ON {keys}")
+    if isinstance(stmt, A.Declare):
+        return f"DECLARE @{stmt.name} {stmt.type_name}"
+    if isinstance(stmt, A.SetVar):
+        if isinstance(stmt.value, A.Expr):
+            return f"SET @{stmt.name} = {expr_sql(stmt.value)}"
+        return f"SET @{stmt.name} = ({to_sql(stmt.value)})"
+    if isinstance(stmt, A.CreateView):
+        return f"CREATE VIEW {_ident(stmt.name)} AS {to_sql(stmt.query)}"
+    if isinstance(stmt, A.CreateFunction):
+        params = ", ".join(stmt.params)
+        body = "; ".join(to_sql(s) for s in stmt.body)
+        if len(stmt.body) > 1:
+            body = f"BEGIN {body} END"
+        return f"CREATE FUNCTION {_ident(stmt.name)}({params}) AS {body}"
+    if isinstance(stmt, A.CreateProcedure):
+        params = ", ".join(stmt.params)
+        body = "; ".join(to_sql(s) for s in stmt.body)
+        return f"CREATE PROCEDURE {_ident(stmt.name)}({params}) AS BEGIN {body} END"
+    if isinstance(stmt, A.Call):
+        args = ", ".join(expr_sql(a) for a in stmt.args)
+        return f"CALL {_ident(stmt.name)}({args})"
+    if isinstance(stmt, A.Return):
+        return "RETURN" if stmt.value is None else f"RETURN {expr_sql(stmt.value)}"
+    if isinstance(stmt, A.CodeBlock):
+        return "BEGIN " + "; ".join(to_sql(s) for s in stmt.statements) + " END"
+    if isinstance(stmt, A.Describe):
+        out = f"DESCRIBE {_source_sql(stmt.source)}"
+        if stmt.limit is not None:
+            out += f" LIMIT {stmt.limit}"
+        return out
+    if isinstance(stmt, A.Show):
+        return f"SHOW {stmt.entity}"
+    raise ValueError(f"cannot decompile {type(stmt).__name__}")

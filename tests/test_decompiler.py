@@ -1,0 +1,46 @@
+"""Decompiler round-trip: parse → to_sql → parse must be a fixed point
+(reference: QweryDecompilerTest.scala golden round-trips)."""
+
+import pytest
+
+from qwery_ray.sqlc.decompiler import to_sql
+from qwery_ray.sqlc.parser import parse_one
+
+STATEMENTS = [
+    "SELECT 1 + 2 AS total",
+    "SELECT * FROM lineitem",
+    "SELECT Symbol, Name FROM 'companylist.csv' WHERE Sector = 'Finance'",
+    "SELECT TOP 5 * FROM orders ORDER BY o_totalprice DESC",
+    "SELECT a, COUNT(*) AS n FROM t GROUP BY a HAVING COUNT(*) > 3",
+    "SELECT CASE WHEN x > 1 THEN 'hi' ELSE 'lo' END AS c FROM t",
+    "SELECT CAST(x AS DOUBLE) AS d FROM t WHERE y IS NOT NULL",
+    "SELECT x FROM t WHERE a LIKE 'A%' AND b MATCHES '\\d+'",
+    "SELECT x FROM t WHERE a IN (1, 2, 3) OR b BETWEEN 0 AND 9",
+    "SELECT c.name, o.total FROM orders o INNER JOIN customer c ON o.cid = c.id",
+    "SELECT l.k FROM a l LEFT JOIN b r ON l.k = r.k",
+    "SELECT x FROM a UNION ALL SELECT y FROM b",
+    "SELECT DISTINCT sector FROM companies",
+    "INSERT INTO 'out.csv' (a, b) SELECT a, b FROM t",
+    "INSERT OVERWRITE target (a) VALUES (1) VALUES (2)",
+    "UPSERT INTO lake (k, v) SELECT k, v FROM src KEYED ON k",
+    "UPDATE tgt SET v = (v * 2) FROM SELECT * FROM src KEYED ON k",
+    "DECLARE @x DOUBLE",
+    "SET @x = 5",
+    "SET @x = (SELECT MAX(v) AS m FROM t)",
+    "CREATE VIEW v AS SELECT * FROM t WHERE x > 1",
+    "CREATE FUNCTION f(a, b) AS RETURN (a + b)",
+    "CREATE PROCEDURE p(x) AS BEGIN SELECT * FROM t END",
+    "CALL p(1, 'two')",
+    "DESCRIBE orders LIMIT 3",
+    "SHOW VIEWS",
+    "SELECT `ADR TSO`, `Summary Quote` FROM 'companylist.csv'",
+]
+
+
+@pytest.mark.parametrize("sql", STATEMENTS)
+def test_round_trip(sql):
+    ast1 = parse_one(sql)
+    rendered = to_sql(ast1)
+    ast2 = parse_one(rendered)
+    assert to_sql(ast2) == rendered  # fixed point
+    assert type(ast1) is type(ast2)
