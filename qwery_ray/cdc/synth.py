@@ -72,20 +72,30 @@ def synth_change_events(
     is_delete = rng.random(n_events) < delete_frac
     op = np.where(is_delete, "delete", "upsert")
 
+    import pyarrow.compute as pc
+
     lengths = np.maximum(8, rng.poisson(mean_content_len, n_events))
     word_idx = rng.integers(0, len(_WORDS), n_events)
     commits = _commit_hex(rng, n_events)
-    # vectorized content build: header + word repeated to ~length bytes
-    ev_repo = key_repo[key_seq]
-    ev_path = key_path[key_seq]
-    header = np.char.add(np.char.add(np.char.add(np.char.add(
-        "// ", ev_repo), ":"), ev_path),
-        np.char.add("@", np.char.add(lsn.astype(str), "\n")))
-    words = _WORDS[word_idx]
-    reps = np.maximum(1, lengths // (np.char.str_len(words) + 1))
-    body = np.char.multiply(np.char.add(words, " "), reps)
-    full = np.char.add(header, body)
-    content = np.where(is_delete, None, full)
+    # content built with Arrow kernels (C++ vectorized, compact buffers; the
+    # numpy.char equivalents blow up memory at millions of rows)
+    ev_repo = pa.array(key_repo[key_seq])
+    ev_path = pa.array(key_path[key_seq])
+    lsn_arr = pa.array(lsn)
+    word_lens = np.array([len(w) for w in _WORDS])
+    words = pa.array(_WORDS[word_idx])
+    reps = np.maximum(1, lengths // (word_lens[word_idx] + 1)).astype(np.int64)
+    header = pc.binary_join_element_wise(
+        pa.array(np.full(n_events, "// ")), ev_repo,
+        pa.array(np.full(n_events, ":")), ev_path,
+        pa.array(np.full(n_events, "@")),
+        pc.cast(lsn_arr, pa.string()),
+        pa.array(np.full(n_events, "\n")), "")
+    body = pc.binary_repeat(
+        pc.binary_join_element_wise(words, pa.array(np.full(n_events, " ")), ""),
+        pa.array(reps))
+    full = pc.binary_join_element_wise(header, body, "")
+    content = pc.if_else(pa.array(is_delete), pa.scalar(None, pa.string()), full)
     lang = np.array(LANGS)[rng.integers(0, len(LANGS), n_events)]
 
     cols = {
@@ -95,16 +105,17 @@ def synth_change_events(
         "path": pa.array(key_path[key_seq].tolist()),
         "commit": pa.array(commits),
         "lang": pa.array(lang.tolist()),
-        "content": pa.array(content),
+        "content": content,
     }
     table = pa.table(cols)
 
     if evolve_after_lsn is not None:
         # additive schema evolution: size_bytes appears mid-stream
-        sizes = np.char.str_len(full).astype(np.int64)
-        size = pa.array(
-            np.where(is_delete | (lsn <= evolve_after_lsn), None, sizes),
-            type=pa.int64())
+        import pyarrow.compute as pc
+
+        sizes = pc.cast(pc.utf8_length(full), pa.int64())
+        mask = pa.array(is_delete | (lsn <= evolve_after_lsn))
+        size = pc.if_else(mask, pa.scalar(None, pa.int64()), sizes)
         table = table.append_column("size_bytes", size)
 
     # segment files: contiguous LSN ranges, rows shuffled within a segment

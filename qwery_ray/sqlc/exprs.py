@@ -560,6 +560,10 @@ def _fn_replace(ev, e, batch):
 
 def _fn_coalesce(ev, e, batch):
     vals = [_arg(ev, e, batch, i) for i in range(len(e.args))]
+    target = next((v.type for v in vals if not pa.types.is_null(v.type)), None)
+    if target is not None:
+        vals = [pc.cast(v, target) if pa.types.is_null(v.type) else v
+                for v in vals]
     return pc.coalesce(*vals)
 
 

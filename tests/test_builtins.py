@@ -1,0 +1,136 @@
+"""Scalar builtin parity — re-expresses the reference's
+coretest/ops/builtins/InternalFunctionTest.scala golden expectations,
+evaluated vectorized over a batch."""
+
+import pyarrow as pa
+import pytest
+
+from qwery_ray.sqlc.exprs import Evaluator
+from qwery_ray.sqlc.parser import Parser
+
+
+def ev(expr_sql: str, batch=None, variables=None):
+    p = Parser(expr_sql)
+    expr = p.parse_expr()
+    batch = batch or pa.table({"__one": [1]})
+    e = Evaluator(variables=variables or {})
+    out = e.eval(expr, batch)
+    if isinstance(out, (pa.Array, pa.ChunkedArray)):
+        return out.to_pylist()[0] if len(out) == 1 else out.to_pylist()
+    return out
+
+
+class TestStringFuncs:
+    def test_left(self):
+        assert ev("LEFT('Hello World', 5)") == "Hello"
+
+    def test_right(self):
+        assert ev("RIGHT('Hello World', 5)") == "World"
+
+    def test_len(self):
+        assert ev("LEN('Hello World')") == 11
+
+    def test_trim(self):
+        assert ev("TRIM('  Hello ')") == "Hello"
+
+    def test_substring_sql_one_based(self):
+        assert ev("SUBSTRING('Hello World', 7, 5)") == "World"
+
+    def test_concat_fn_and_operator(self):
+        assert ev("CONCAT('Hello', ' ', 'World')") == "Hello World"
+        assert ev("'Hello' || ' ' || 'World'") == "Hello World"
+
+    def test_concat_null_propagates(self):
+        assert ev("'Hello' || NULL") is None
+
+    def test_padleft_truncates(self):
+        # reference PadLeft pads OR truncates to exactly w (PadLeft.scala)
+        assert ev("PADLEFT('abc', 5)") == "  abc"
+        assert ev("PADLEFT('abcdef', 4)") == "abcd"
+
+    def test_padright(self):
+        assert ev("PADRIGHT('abc', 5)") == "abc  "
+
+    def test_split_char_class(self):
+        # reference SPLIT is a character-class split (Split.scala:7-13)
+        assert ev("SPLIT('a,b;c', ',;')") == ["a", "b", "c"]
+
+    def test_upper_lower_replace(self):
+        assert ev("UPPER('abc')") == "ABC"
+        assert ev("LOWER('ABC')") == "abc"
+        assert ev("REPLACE('aXbXc', 'X', '-')") == "a-b-c"
+
+    def test_instr(self):
+        assert ev("INSTR('Hello', 'll')") == 3
+        assert ev("INSTR('Hello', 'zz')") == 0
+
+
+class TestNumericFuncs:
+    def test_sqrt(self):
+        assert ev("SQRT(16)") == 4.0
+
+    def test_sign(self):
+        assert ev("SIGN(-7)") == -1
+        assert ev("SIGN(0)") == 0
+        assert ev("SIGN(3.2)") == 1.0
+
+    def test_abs_round_floor_ceil(self):
+        assert ev("ABS(-4)") == 4
+        assert ev("ROUND(2.567, 2)") == 2.57
+        assert ev("FLOOR(2.9)") == 2.0
+        assert ev("CEIL(2.1)") == 3.0
+
+    def test_pow_operator(self):
+        assert ev("2 ** 10") == 1024
+
+    def test_modulo(self):
+        assert ev("10 % 3", pa.table({"x": [1]})) == 1
+
+    def test_divide_by_zero_null(self):
+        assert ev("5 / 0") is None
+
+    def test_coalesce_nullif(self):
+        assert ev("COALESCE(NULL, 'x')", pa.table({"a": [None]})) == "x"
+        assert ev("NULLIF('a', 'a')", pa.table({"q": ["a"]})) is None
+
+
+class TestDateFuncs:
+    def test_date_parse_format_roundtrip(self):
+        out = ev("DATE_FORMAT(DATE_PARSE('2024-03-05 10:11:12', "
+                 "'yyyy-MM-dd HH:mm:ss'), 'yyyy/MM/dd')")
+        assert out == "2024/03/05"
+
+    def test_year_month_day(self):
+        assert ev("YEAR(DATE_PARSE('2024-03-05', 'yyyy-MM-dd'))") == 2024
+        assert ev("MONTH(DATE_PARSE('2024-03-05', 'yyyy-MM-dd'))") == 3
+        assert ev("DAY(DATE_PARSE('2024-03-05', 'yyyy-MM-dd'))") == 5
+
+
+class TestDeterminismPolicy:
+    def test_now_requires_driver_stamp(self):
+        # NOW() is forbidden unless driver-stamped (SURVEY.md §7.3)
+        from qwery_ray.sqlc.exprs import EvalError
+
+        with pytest.raises(EvalError):
+            ev("NOW()")
+
+    def test_now_with_stamp(self):
+        import datetime
+
+        p = Parser("NOW()")
+        expr = p.parse_expr()
+        e = Evaluator(now=datetime.datetime(2024, 1, 1))
+        assert e.eval(expr, pa.table({"__one": [1]})) == datetime.datetime(2024, 1, 1)
+
+    def test_rand_uuid_seeded(self):
+        r1 = ev("RAND()", pa.table({"x": [1, 2, 3]}))
+        r2 = ev("RAND()", pa.table({"x": [1, 2, 3]}))
+        assert r1 == r2  # seeded → reproducible
+        u1 = ev("UUID()", pa.table({"x": [1]}))
+        u2 = ev("UUID()", pa.table({"x": [1]}))
+        assert u1 == u2
+
+    def test_hashes(self):
+        assert ev("MD5('abc')") == "900150983cd24fb0d6963f7d28e17f72"
+        assert ev("SHA256('abc')") == (
+            "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
