@@ -22,11 +22,15 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_TMP = "/tmp/qwery_bench"
+# Bench storage lives on tmpfs: this sandbox's single virtio disk tops out at
+# ~165 MB/s buffered, which storage-binds the replay and masks CPU scaling.
+# A real deployment's lake sits on S3/HDFS whose aggregate bandwidth scales
+# with the cluster — RAM-backed tmpfs is the closer model of that here.
+BENCH_TMP = os.environ.get("QWERY_BENCH_TMP", "/dev/shm/qwery_bench")
 
 # headline CDC stream size scales with the sf tier (sf0.1 sized so the
 # 32-cpu run has real work per core, not scheduler overhead)
-_EVENTS_BY_SF = {"sf0.001": 20_000, "sf0.01": 100_000, "sf0.1": 2_000_000}
+_EVENTS_BY_SF = {"sf0.001": 20_000, "sf0.01": 100_000, "sf0.1": 8_000_000}
 
 
 def _sf_tag() -> str:
@@ -45,7 +49,7 @@ def ensure_events() -> tuple[str, int]:
     if not os.path.exists(marker):
         shutil.rmtree(out, ignore_errors=True)
         synth_change_events(out, n_keys=n_keys, n_events=n_events, seed=42,
-                            n_segments=32, evolve_after_lsn=n_events * 3 // 4,
+                            n_segments=64, evolve_after_lsn=n_events * 3 // 4,
                             mean_content_len=600)
         open(marker, "w").write("ok")
     return out, n_events
@@ -67,7 +71,7 @@ def run_headline(events_dir: str, n_events: int) -> float:
     # fixed partition count so both scaling levels do identical work
     eng = CDCLakeEngine(lake_dir, num_partitions=128)
     t0 = time.perf_counter()
-    eng.replay(events_dir, chunk_lsns=n_events // 4)  # 4 checkpointed txns
+    eng.replay(events_dir, chunk_lsns=n_events // 2)  # 2 checkpointed txns
     return time.perf_counter() - t0
 
 

@@ -11,27 +11,29 @@ LSN order.
 
 Pipeline per LSN chunk (one transaction):
 
-    read_parquet(events, filter=lo<lsn<=hi, columns=pruned)   # pushdown
-      → map_batches(PartialLww)        # pyarrow→pandas combiner: per-batch
-                                       #   per-key max-LSN winner + pkey
-      [→ groupby(pkey, salt).map_groups(lww)]   # optional salt stage for
-                                       #   extreme hot keys (LWW is
-                                       #   associative, so salting is safe)
-      → groupby(pkey).map_groups(MergePartition)   # per-partition COW merge
-                                       #   against the current lake file,
-                                       #   staged write, metrics row out
-      → driver: atomic manifest swap   # the ONLY visibility point
+    read_parquet(events, filter=lo<lsn<=hi)            # row-group pushdown
+      → map_batches(CombineShuffleWrite)               # per-batch LWW combine
+          writes each partition's slice to _staging/{txn}/shuffle/p{pid}/
+          (map-side hash shuffle: fan-out file writes instead of a sort-based
+          all-to-all of the full content payload)
+      → one merge task per touched partition (MergePartitionFS):
+          bounded incremental LWW reduce over the partition's shuffle slices
+          → copy-on-write against the current lake file → staged write
+      → driver: atomic manifest swap                   # the ONLY visibility point
 
-Exactly-once: staged files are deterministically named by (txn, partition) and
-idempotently overwritten, so Ray task retries cannot double-apply; a txn id
-already in the manifest is skipped entirely, so replaying a committed LSN
-range is a no-op (FIXTURES.md §5).
+Exactly-once: the driver clears a txn's shuffle dir before any attempt, final
+staged files are deterministically named by (txn, partition), and duplicate
+(key, lsn) rows collapse in the LWW reduce — so Ray task retries cannot
+double-apply; a txn id already in the manifest is skipped entirely, so
+replaying a committed LSN range is a no-op (FIXTURES.md §5).
 
-Scale notes (100 TB design): the only all-to-all exchange is the
-groupby(pkey) of per-batch winners — the combiner bounds its input to
-(#batches × distinct keys per batch), not raw events. Partition merges are
-embarrassingly parallel; content bytes stream through Arrow without driver
-materialization; P (num_partitions) should be sized ≳ 4× total cores.
+Scale notes (100 TB design): shuffle volume is bounded by the per-batch
+combiner (distinct keys per batch, not raw events); hot keys collapse to one
+winner per batch so no single reducer sees a key's full event volume; merge
+tasks are embarrassingly parallel file rewrites with O(partition) state;
+content bytes never cross the driver. On a multi-node cluster the shuffle
+files live on the same shared store as the lake. P (num_partitions) sizes
+both parallelism and the unit of recovery — use ≳ 4× total cores.
 """
 
 from __future__ import annotations
@@ -88,6 +90,62 @@ class PartialLww:
         return batch.take(pa.array(idx))
 
 
+class CombineShuffleWrite:
+    """Map-side shuffle: per-batch LWW combine, then write each partition's
+    slice straight to ``_staging/{txn}/shuffle/p{pid}/`` as parquet.
+
+    This replaces a sort-based all-to-all of the full content payload with
+    embarrassingly-parallel fan-out writes (the Spark/MR map-side shuffle
+    shape) — on a multi-node cluster these files live on the shared store the
+    lake already uses. File names are random; correctness under task retry
+    comes from LWW idempotence: duplicate (key, lsn) rows collapse in the
+    merge, and the driver clears the txn's shuffle dir before any attempt."""
+
+    def __init__(self, num_partitions: int, shuffle_dir: str):
+        self.num_partitions = num_partitions
+        self.shuffle_dir = shuffle_dir
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import uuid
+
+        if len(batch) == 0:
+            return _shuffle_stats(0, 0)
+        pkey = key_hash_partition(batch.column("repo"), batch.column("path"),
+                                  self.num_partitions)
+        batch = batch.append_column("pkey", pa.array(pkey))
+        batch = batch.take(pa.array(lww_winner_indices(batch)))
+        pk = batch.column("pkey").to_numpy()
+        order = np.argsort(pk, kind="stable")
+        sorted_batch = batch.take(pa.array(order))
+        pk_sorted = pk[order]
+        bounds = np.flatnonzero(np.diff(pk_sorted)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(pk_sorted)]])
+        # ONE file per map task, ONE row group per partition present: the
+        # reducer prunes to its partition via row-group pkey statistics, and
+        # the filesystem sees O(tasks) files, not O(tasks × partitions)
+        fname = os.path.join(self.shuffle_dir,
+                             f"task-{uuid.uuid4().hex[:12]}.parquet")
+        tmp = fname + ".tmp"
+        writer = pq.ParquetWriter(tmp, sorted_batch.schema, compression="lz4")
+        index = {}
+        for rg, (s, e) in enumerate(zip(starts, ends)):
+            writer.write_table(sorted_batch.slice(s, e - s))
+            index[int(pk_sorted[s])] = rg
+        writer.close()
+        os.replace(tmp, fname)
+        # sidecar index: pid → row-group ordinal, so reducers seek straight
+        # to their row group without touching parquet metadata
+        with open(fname + ".idx", "w") as f:
+            json.dump(index, f)
+        return _shuffle_stats(len(batch), len(starts))
+
+
+def _shuffle_stats(rows: int, files: int) -> pa.Table:
+    return pa.table({"rows": pa.array([rows], type=pa.int64()),
+                     "files": pa.array([files], type=pa.int64())})
+
+
 def lww_winner_indices(batch: pa.Table) -> np.ndarray:
     """Row indices of each key's max-LSN event. Only (repo, path, lsn) are
     materialized into pandas; payload columns are never converted."""
@@ -112,27 +170,58 @@ class PartitionMetrics:
     bytes_written: int
 
 
-class MergePartition:
-    """Per-partition copy-on-write merge (map_groups over pkey).
+class MergePartitionFS:
+    """Reduce-side merge task: one lake partition per input row.
 
-    Reads the partition's current lake file (from the manifest snapshot taken
-    at txn start), applies winners last-writer-wins honoring op=delete, unifies
-    schemas additively (new columns null-backfilled — the north rule's schema
-    evolution), writes ONE staged file with a deterministic name, and emits a
-    metrics row. Idempotent under task retry."""
+    Reads the partition's shuffle slices with a BOUNDED incremental LWW
+    reduce (``merge_fanin`` files at a time — per-task state is O(distinct
+    keys in partition), never O(events), the north rule's bounded-state
+    requirement), then copy-on-write merges into the current lake file
+    exactly like MergePartition. Emits one metrics row."""
 
-    def __init__(self, lake_dir: str, txn: str, partition_files: dict):
+    def __init__(self, lake_dir: str, txn: str, partition_files: dict,
+                 shuffle_dir: str, merge_fanin: int = 16):
         self.lake_dir = lake_dir
         self.txn = txn
-        self.partition_files = partition_files  # pid → current file (or None)
+        self.partition_files = partition_files
+        self.shuffle_dir = shuffle_dir
+        self.merge_fanin = max(2, merge_fanin)
 
-    def __call__(self, group: pa.Table) -> pa.Table:
-        if len(group) == 0:
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for pid in batch.column("pid").to_pylist():
+            out.append(self._merge_one(int(pid)))
+        return pa.concat_tables(out) if out else _empty_metrics()
+
+    def _reduce_shuffle(self, pid: int):
+        files = sorted(os.path.join(self.shuffle_dir, f)
+                       for f in os.listdir(self.shuffle_dir)
+                       if f.endswith(".parquet"))
+        acc = None
+        for i in range(0, len(files), self.merge_fanin):
+            tables = []
+            for f in files[i:i + self.merge_fanin]:
+                # sidecar index → direct row-group seek for this partition
+                with open(f + ".idx") as fh:
+                    index = json.load(fh)
+                rg = index.get(str(pid))
+                if rg is None:
+                    continue
+                pf = pq.ParquetFile(f)
+                tables.append(pf.read_row_group(rg))
+            if not tables:
+                continue
+            if acc is not None:
+                tables.append(acc)
+            t = _concat_evolving(tables)
+            acc = t.take(pa.array(lww_winner_indices(t)))
+        return acc, len(files)
+
+    def _merge_one(self, pid: int) -> pa.Table:
+        g, n_files = self._reduce_shuffle(pid)
+        if g is None or len(g) == 0:
             return _empty_metrics()
-        pid = int(group.column("pkey")[0].as_py())
-        # final LWW among the per-batch winners (arrow take, content zero-copy)
-        g = group.take(pa.array(lww_winner_indices(group)))
-        last_lsn = int(pc.max(group.column("lsn")).as_py())
+        last_lsn = int(pc.max(g.column("lsn")).as_py())
         deletes = int(pc.sum(pc.cast(
             pc.equal(g.column("op"), "delete"), pa.int64())).as_py() or 0)
         upserts = len(g) - deletes
@@ -146,16 +235,15 @@ class MergePartition:
         survivors = None
         if old_file is not None:
             old = pq.read_table(os.path.join(self.lake_dir, old_file))
-            # vectorized anti-join: old rows whose key is NOT overwritten
             survivors = old.join(new.select(KEY_COLS), keys=KEY_COLS,
                                  join_type="left anti")
-
         keep = new.filter(pc.not_equal(new.column("op"), "delete")) \
             .drop_columns(["op"])
         merged = _concat_evolving(
             [t for t in (survivors, keep) if t is not None])
-
-        # deterministic staged write (idempotent overwrite under retry)
+        # canonical key order → byte-identical partition files regardless of
+        # shuffle file arrival order (determinism invariant, FIXTURES.md §5)
+        merged = merged.sort_by([("repo", "ascending"), ("path", "ascending")])
         tmp = staged + ".tmp"
         pq.write_table(merged, tmp)
         os.replace(tmp, staged)
@@ -171,24 +259,14 @@ class MergePartition:
         })
 
 
-def _concat_evolving(tables: list[pa.Table]) -> pa.Table:
-    """Additive schema evolution: union of columns, null-backfill missing."""
-    tables = [t for t in tables if t is not None]
-    if not tables:
-        return pa.table({})
-    if len(tables) == 1:
-        return tables[0]
-    return pa.concat_tables(tables, promote_options="permissive")
-
-
 class CDCLakeEngine:
     """Partitioned parquet lake + manifest; replay(), resume, verify."""
 
     def __init__(self, lake_dir: str, *, num_partitions: int = 16,
-                 salt: int = 1):
+                 merge_fanin: int = 16):
         self.lake_dir = lake_dir
         self.num_partitions = num_partitions
-        self.salt = salt
+        self.merge_fanin = merge_fanin
         os.makedirs(lake_dir, exist_ok=True)
 
     # ------------------------------------------------------------ manifest
@@ -288,34 +366,50 @@ class CDCLakeEngine:
         )
         # bytes-aware combiner batch size: ~32 MiB of rows per batch so the
         # per-batch dedup actually reduces (tiny batches = no reduction) while
-        # wide content rows (100 KB files) still fit worker heaps
+        # wide content rows (100 KB files) still fit worker heaps; capped so
+        # the map side has ≥2 tasks per core (parallelism floor)
+        import ray as _ray
+
+        ncpu = int(_ray.cluster_resources().get("CPU", 8)) \
+            if _ray.is_initialized() else 8
         batch_size = self._auto_batch_size(events_path)
-        winners = events.map_batches(
-            PartialLww(self.num_partitions), batch_format="pyarrow",
-            batch_size=batch_size)
+        approx_rows = max(1, hi - lo)  # LSNs are dense in the synthetic tail
+        batch_size = max(2048, min(batch_size, approx_rows // (2 * ncpu) or batch_size))
 
-        if self.salt > 1:
-            # extreme-skew path: pre-reduce within (pkey, salt) sub-groups;
-            # LWW (argmax lsn) is associative so salting preserves the result
-            winners = winners.map_batches(
-                _AddSalt(self.salt), batch_format="pyarrow")
-            winners = winners.groupby(["pkey", "__salt"]).map_groups(
-                _lww_group, batch_format="pyarrow")
-            winners = winners.map_batches(
-                lambda t: t.drop_columns(["__salt"]), batch_format="pyarrow")
+        # ---- map-side shuffle: combine + partitioned staging writes --------
+        # (a fresh attempt of this txn clears any partial shuffle output, so
+        # non-deterministic shuffle file names cannot double-apply)
+        shuffle_dir = os.path.join(self.lake_dir, "_staging", txn, "shuffle")
+        shutil.rmtree(shuffle_dir, ignore_errors=True)
+        os.makedirs(shuffle_dir, exist_ok=True)
+        stats = events.map_batches(
+            CombineShuffleWrite(self.num_partitions, shuffle_dir),
+            batch_format="pyarrow", batch_size=batch_size)
+        for _ in stats.iter_batches(batch_size=1024):
+            pass  # drive the map side to completion (shuffle barrier)
 
+        # ---- reduce side: one merge task per touched partition -------------
         partition_files = {
             int(pid): info["file"]
             for pid, info in manifest["partitions"].items()
         }
-        merge = MergePartition(self.lake_dir, txn, partition_files)
+        # touched partitions from shuffle-file row-group statistics (footers
+        # only); untouched partitions get no merge task and keep their entry
+        touched = self._touched_partitions(shuffle_dir)
+        if touched:
+            merge = MergePartitionFS(self.lake_dir, txn, partition_files,
+                                     shuffle_dir, self.merge_fanin)
 
-        def merge_group(t: pa.Table, _m=merge) -> pa.Table:
-            return _m(t)
+            def merge_fn(t: pa.Table, _m=merge) -> pa.Table:
+                return _m(t)
 
-        metrics_ds = winners.groupby("pkey").map_groups(
-            merge_group, batch_format="pyarrow")
-        metrics = metrics_ds.to_pandas()  # ≤ num_partitions rows — tiny
+            pid_ds = rd.from_items([{"pid": p} for p in touched],
+                                   override_num_blocks=len(touched))
+            metrics = pid_ds.map_batches(
+                merge_fn, batch_format="pyarrow",
+                batch_size=1).to_pandas()
+        else:
+            metrics = _empty_metrics().to_pandas()
 
         # ---- commit phase (driver): move staged files in, swap manifest ----
         part_dir = os.path.join(self.lake_dir, "partitions")
@@ -348,6 +442,15 @@ class CDCLakeEngine:
         shutil.rmtree(staged_dir, ignore_errors=True)
         self._gc_superseded(manifest)
         return manifest
+
+    @staticmethod
+    def _touched_partitions(shuffle_dir: str) -> list[int]:
+        pids: set[int] = set()
+        for f in os.listdir(shuffle_dir):
+            if f.endswith(".idx"):
+                with open(os.path.join(shuffle_dir, f)) as fh:
+                    pids.update(int(k) for k in json.load(fh))
+        return sorted(pids)
 
     def _gc_superseded(self, manifest: dict):
         """Remove partition files no longer referenced by the manifest."""
@@ -411,18 +514,14 @@ class CDCLakeEngine:
         return pd.DataFrame(rows)
 
 
-class _AddSalt:
-    def __init__(self, salt: int):
-        self.salt = salt
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        lsn = batch.column("lsn").to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "__salt", pa.array((lsn % self.salt).astype(np.int64)))
-
-
-def _lww_group(t: pa.Table) -> pa.Table:
-    return t.take(pa.array(lww_winner_indices(t)))
+def _concat_evolving(tables: list[pa.Table]) -> pa.Table:
+    """Additive schema evolution: union of columns, null-backfill missing."""
+    tables = [t for t in tables if t is not None]
+    if not tables:
+        return pa.table({})
+    if len(tables) == 1:
+        return tables[0]
+    return pa.concat_tables(tables, promote_options="permissive")
 
 
 def _empty_metrics() -> pa.Table:

@@ -76,52 +76,52 @@ def synth_change_events(
 
     lengths = np.maximum(8, rng.poisson(mean_content_len, n_events))
     word_idx = rng.integers(0, len(_WORDS), n_events)
-    commits = _commit_hex(rng, n_events)
-    # content built with Arrow kernels (C++ vectorized, compact buffers; the
-    # numpy.char equivalents blow up memory at millions of rows)
-    ev_repo = pa.array(key_repo[key_seq])
-    ev_path = pa.array(key_path[key_seq])
-    lsn_arr = pa.array(lsn)
-    word_lens = np.array([len(w) for w in _WORDS])
-    words = pa.array(_WORDS[word_idx])
-    reps = np.maximum(1, lengths // (word_lens[word_idx] + 1)).astype(np.int64)
-    header = pc.binary_join_element_wise(
-        pa.array(np.full(n_events, "// ")), ev_repo,
-        pa.array(np.full(n_events, ":")), ev_path,
-        pa.array(np.full(n_events, "@")),
-        pc.cast(lsn_arr, pa.string()),
-        pa.array(np.full(n_events, "\n")), "")
-    body = pc.binary_repeat(
-        pc.binary_join_element_wise(words, pa.array(np.full(n_events, " ")), ""),
-        pa.array(reps))
-    full = pc.binary_join_element_wise(header, body, "")
-    content = pc.if_else(pa.array(is_delete), pa.scalar(None, pa.string()), full)
+    commits = np.array(_commit_hex(rng, n_events))
     lang = np.array(LANGS)[rng.integers(0, len(LANGS), n_events)]
+    word_lens = np.array([len(w) for w in _WORDS])
+    reps = np.maximum(1, lengths // (word_lens[word_idx] + 1)).astype(np.int64)
 
-    cols = {
-        "lsn": pa.array(lsn),
-        "op": pa.array(op.tolist()),
-        "repo": pa.array(key_repo[key_seq].tolist()),
-        "path": pa.array(key_path[key_seq].tolist()),
-        "commit": pa.array(commits),
-        "lang": pa.array(lang.tolist()),
-        "content": content,
-    }
-    table = pa.table(cols)
-
-    if evolve_after_lsn is not None:
-        # additive schema evolution: size_bytes appears mid-stream
-        import pyarrow.compute as pc
-
-        sizes = pc.cast(pc.utf8_length(full), pa.int64())
-        mask = pa.array(is_delete | (lsn <= evolve_after_lsn))
-        size = pc.if_else(mask, pa.scalar(None, pa.int64()), sizes)
-        table = table.append_column("size_bytes", size)
-
-    # segment files: contiguous LSN ranges, rows shuffled within a segment
+    # content is built PER SEGMENT with Arrow kernels: C++ vectorized, and
+    # bounded buffers (one giant string array would overflow 32-bit offsets
+    # at ~2 GB; the numpy.char equivalents allocate multi-GB intermediates)
     seg_bounds = np.linspace(0, n_events, n_segments + 1, dtype=int)
     for i in range(n_segments):
-        seg = table.slice(seg_bounds[i], seg_bounds[i + 1] - seg_bounds[i])
+        s, e = int(seg_bounds[i]), int(seg_bounds[i + 1])
+        n = e - s
+        if n == 0:
+            continue
+        ks = key_seq[s:e]
+        header = pc.binary_join_element_wise(
+            pa.array(np.full(n, "// ")), pa.array(key_repo[ks]),
+            pa.array(np.full(n, ":")), pa.array(key_path[ks]),
+            pa.array(np.full(n, "@")),
+            pc.cast(pa.array(lsn[s:e]), pa.string()),
+            pa.array(np.full(n, "\n")), "")
+        body = pc.binary_repeat(
+            pc.binary_join_element_wise(
+                pa.array(_WORDS[word_idx[s:e]]),
+                pa.array(np.full(n, " ")), ""),
+            pa.array(reps[s:e]))
+        full = pc.binary_join_element_wise(header, body, "")
+        content = pc.if_else(pa.array(is_delete[s:e]),
+                             pa.scalar(None, pa.string()), full)
+        cols = {
+            "lsn": pa.array(lsn[s:e]),
+            "op": pa.array(op[s:e].tolist()),
+            "repo": pa.array(key_repo[ks].tolist()),
+            "path": pa.array(key_path[ks].tolist()),
+            "commit": pa.array(commits[s:e].tolist()),
+            "lang": pa.array(lang[s:e].tolist()),
+            "content": content,
+        }
+        seg = pa.table(cols)
+        if evolve_after_lsn is not None:
+            # additive schema evolution: size_bytes appears mid-stream
+            sizes = pc.cast(pc.utf8_length(full), pa.int64())
+            mask = pa.array(is_delete[s:e] | (lsn[s:e] <= evolve_after_lsn))
+            size = pc.if_else(mask, pa.scalar(None, pa.int64()), sizes)
+            seg = seg.append_column("size_bytes", size)
+        # rows shuffled within a segment (out of key order, LSN-unique)
         perm = rng.permutation(len(seg))
         seg = seg.take(pa.array(perm))
         pq.write_table(seg, os.path.join(out_dir, f"events-{i:04d}.parquet"))

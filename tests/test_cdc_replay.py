@@ -75,9 +75,12 @@ class TestReplayCorrectness:
         assert len(manifest["committed_txns"]) == 4
         assert lake_sha(eng) == expected
 
-    def test_salted_path_matches(self, events_dir, oracle_state, tmp_path):
+    def test_bounded_incremental_merge_matches(self, events_dir, oracle_state,
+                                               tmp_path):
+        # merge_fanin=2 forces many incremental LWW reduce steps per
+        # partition (the bounded-state path for hot partitions)
         _, expected = oracle_state
-        eng = make_engine(tmp_path, salt=4)
+        eng = make_engine(tmp_path, merge_fanin=2)
         eng.replay(events_dir, chunk_lsns=1000)
         assert lake_sha(eng) == expected
 
