@@ -21,7 +21,7 @@ from ..sqlc.compiler import Compiler, _env, make_evaluator
 from ..sqlc.parser import _ScalarSubquery, parse
 from ..sqlc.rewrite import substitute_columns, transform_expr
 
-_HANDLEBARS = re.compile(r"\{\{\s*(\w+)\s*\}\}")
+_HANDLEBARS = re.compile(r"\{\{\s*([\w.]+)\s*\}\}")
 
 
 class QweryEngine:

@@ -1,0 +1,91 @@
+"""ETL trigger/workflow tests (reference etltest/triggers/TriggerTest.scala:
+prefix-match trigger executes an INSERT script; file lifecycle
+inbox → work → archive/failed)."""
+
+import json
+import os
+
+import pytest
+
+
+@pytest.fixture()
+def etl_home(ray_session, tmp_path):
+    home = str(tmp_path / "etl")
+    os.makedirs(os.path.join(home, "inbox"), exist_ok=True)
+    return home
+
+
+def write_inbox(home, name, text):
+    with open(os.path.join(home, "inbox", name), "w") as f:
+        f.write(text)
+
+
+class TestConstraints:
+    def test_constraint_kinds(self):
+        from qwery_ray.etl.triggers import Constraint
+
+        assert Constraint(prefix="comp").matches("Companylist.csv")
+        assert not Constraint(prefix="comp").matches("list.csv")
+        assert Constraint(suffix=".csv").matches("a.CSV")
+        assert Constraint(contains="any").matches("companylist.csv")
+        assert Constraint(equals="a.csv").matches("A.csv")
+        assert Constraint(regex=r"comp\w+\.csv").matches("companylist.csv")
+        assert not Constraint(regex=r"comp\w+\.csv").matches("x.csv")
+
+
+class TestWorkflow:
+    def test_trigger_runs_script_and_archives(self, etl_home, tmp_path):
+        from qwery_ray.etl.triggers import Constraint, ETLController, Trigger
+
+        out = str(tmp_path / "out.json")
+        trig = Trigger(
+            "company-lists",
+            [Constraint(prefix="company"), Constraint(suffix=".csv")],
+            f"INSERT INTO '{out}' (symbol, sector) "
+            "SELECT Symbol, Sector FROM '{{ work.file.path }}' "
+            "WHERE Sector = 'Finance'")
+        ctl = ETLController(etl_home, [trig])
+        write_inbox(etl_home, "companylist.csv",
+                    "Symbol,Sector\nAAPL,Technology\nGS,Finance\nMS,Finance\n")
+        write_inbox(etl_home, "ignored.txt", "nope")
+        results = ctl.process_inbox()
+        assert len(results) == 1
+        r = results[0]
+        assert r.status == "archived" and r.rows_inserted == 2
+        # file archived under yyyy/MM/dd
+        archived = []
+        for root, _, files in os.walk(os.path.join(etl_home, "archive")):
+            archived += files
+        assert archived == ["companylist.csv"]
+        assert os.listdir(os.path.join(etl_home, "inbox")) == ["ignored.txt"]
+        with open(out) as f:
+            rows = [json.loads(l) for l in f]
+        assert {r["symbol"] for r in rows} == {"GS", "MS"}
+
+    def test_failing_job_goes_to_failed(self, etl_home):
+        from qwery_ray.etl.triggers import Constraint, ETLController, Trigger
+
+        trig = Trigger("bad", [Constraint(suffix=".csv")],
+                       "SELECT * FROM nonexistent_table_xyz")
+        ctl = ETLController(etl_home, [trig])
+        write_inbox(etl_home, "data.csv", "a,b\n1,2\n")
+        results = ctl.process_inbox()
+        assert results[0].status == "failed"
+        assert results[0].error
+        failed = []
+        for root, _, files in os.walk(os.path.join(etl_home, "failed")):
+            failed += files
+        assert failed == ["data.csv"]
+
+    def test_from_config_json(self, etl_home, tmp_path):
+        from qwery_ray.etl.triggers import ETLController
+
+        cfg = tmp_path / "triggers.json"
+        cfg.write_text(json.dumps({"triggers": [{
+            "name": "t1",
+            "constraints": [{"suffix": ".csv"}],
+            "script": "SELECT 1 AS one",
+        }]}))
+        ctl = ETLController.from_config(etl_home, str(cfg))
+        assert ctl.lookup_trigger("x.csv").name == "t1"
+        assert ctl.lookup_trigger("x.json") is None
