@@ -354,6 +354,11 @@ class CDCLakeEngine:
     def apply_chunk(self, events_path: str, lo: int, hi: int,
                     manifest: Optional[dict] = None) -> dict:
         """One transaction: apply events with lo < lsn <= hi. Idempotent."""
+        import time as _time
+
+        trace = os.environ.get("QWERY_CDC_TIMING") == "1"
+        t_start = _time.perf_counter()
+
         manifest = manifest or self.load_manifest()
         txn = f"txn-{lo:012d}-{hi:012d}"
         if txn in manifest["committed_txns"]:
@@ -387,6 +392,10 @@ class CDCLakeEngine:
             batch_format="pyarrow", batch_size=batch_size)
         for _ in stats.iter_batches(batch_size=1024):
             pass  # drive the map side to completion (shuffle barrier)
+        if trace:
+            print(f"[cdc] {txn} map_side={_time.perf_counter()-t_start:.2f}s "
+                  f"batch_size={batch_size}", flush=True)
+            t_map = _time.perf_counter()
 
         # ---- reduce side: one merge task per touched partition -------------
         partition_files = {
@@ -410,6 +419,10 @@ class CDCLakeEngine:
                 batch_size=1).to_pandas()
         else:
             metrics = _empty_metrics().to_pandas()
+        if trace:
+            print(f"[cdc] {txn} merge={_time.perf_counter()-t_map:.2f}s "
+                  f"touched={len(touched)}", flush=True)
+            t_merge = _time.perf_counter()
 
         # ---- commit phase (driver): move staged files in, swap manifest ----
         part_dir = os.path.join(self.lake_dir, "partitions")
@@ -441,6 +454,9 @@ class CDCLakeEngine:
         staged_dir = os.path.join(self.lake_dir, "_staging", txn)
         shutil.rmtree(staged_dir, ignore_errors=True)
         self._gc_superseded(manifest)
+        if trace:
+            print(f"[cdc] {txn} commit={_time.perf_counter()-t_merge:.2f}s "
+                  f"total={_time.perf_counter()-t_start:.2f}s", flush=True)
         return manifest
 
     @staticmethod
