@@ -147,16 +147,19 @@ def _shuffle_stats(rows: int, files: int) -> pa.Table:
 
 
 def lww_winner_indices(batch: pa.Table) -> np.ndarray:
-    """Row indices of each key's max-LSN event. Only (repo, path, lsn) are
-    materialized into pandas; payload columns are never converted."""
-    keys = pd.DataFrame({
-        "repo": batch.column("repo").to_pandas(),
-        "path": batch.column("path").to_pandas(),
-        "lsn": batch.column("lsn").to_numpy(zero_copy_only=False),
-    })
-    win = keys.sort_values("lsn", kind="stable").drop_duplicates(
-        ["repo", "path"], keep="last")
-    return np.sort(win.index.to_numpy())
+    """Row indices of each key's max-LSN event. Only (repo, path, lsn) leave
+    Arrow (into polars, zero-copy); payload columns are never converted.
+    Duplicate (key, lsn) rows are identical by construction, so any-of-ties
+    is deterministic in effect."""
+    import polars as pl
+
+    df = pl.DataFrame({
+        "repo": pl.from_arrow(batch.column("repo").combine_chunks()),
+        "path": pl.from_arrow(batch.column("path").combine_chunks()),
+        "lsn": pl.from_arrow(batch.column("lsn").combine_chunks()),
+    }).with_row_index("__i")
+    win = df.sort("lsn").group_by(["repo", "path"]).last()
+    return np.sort(win["__i"].to_numpy())
 
 
 @dataclass
@@ -313,6 +316,31 @@ class CDCLakeEngine:
             manifest = self.apply_chunk(events_path, lo, hi, manifest)
             lo = hi
         return manifest
+
+    def follow(self, events_path: str, *, poll_interval: float = 1.0,
+               idle_rounds: Optional[int] = 3,
+               chunk_lsns: Optional[int] = None) -> dict:
+        """Tail the event log: replay any LSNs beyond the watermark as new
+        segment files appear (the reference's Kafka poll loop,
+        KafkaInputDevice.scala:54-67, generalized to a parquet log; resume ≙
+        RandomAccessDevice.seek). Returns after ``idle_rounds`` empty polls
+        (pass None to follow forever)."""
+        import time as _time
+
+        idle = 0
+        while idle_rounds is None or idle < idle_rounds:
+            manifest = self.load_manifest()
+            try:
+                _, hi = self._events_lsn_range(events_path)
+            except ValueError:
+                hi = manifest["watermark_lsn"]  # no segments yet
+            if hi > manifest["watermark_lsn"]:
+                self.replay(events_path, chunk_lsns=chunk_lsns)
+                idle = 0
+            else:
+                idle += 1
+                _time.sleep(poll_interval)
+        return self.load_manifest()
 
     def _events_lsn_range(self, events_path: str) -> tuple[int, int]:
         """min/max LSN from parquet footer statistics only (no data read)."""

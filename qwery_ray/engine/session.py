@@ -255,6 +255,26 @@ class QweryEngine:
             val = val.to_pylist()[0]
         return pa.table({"RETURN_VALUE": [val]})
 
+    def _exec_NativeSQL(self, stmt: A.NativeSQL):
+        """Escape hatch: raw SQL through DuckDB over the same catalog
+        (reference NativeSQL.scala's JDBC passthrough, with {{var}}
+        expansion)."""
+        import duckdb
+
+        conn_str = stmt.connection or ""
+        if conn_str.startswith("duckdb:"):
+            con = duckdb.connect(conn_str[len("duckdb:"):])
+        else:
+            con = duckdb.connect()
+        try:
+            for name, path in self.tables.items():
+                con.execute(
+                    f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM "
+                    f"read_parquet('{path}')")
+            return con.execute(self.expand_vars(stmt.query)).fetch_arrow_table()
+        finally:
+            con.close()
+
     # ---------------------------------------------------- introspection
     def _exec_Describe(self, stmt: A.Describe):
         """One-row sample + runtime types (reference Describe.scala:13-25)."""

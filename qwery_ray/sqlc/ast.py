@@ -299,3 +299,13 @@ class Describe(Statement):
 @dataclass(frozen=True)
 class Show(Statement):
     entity: str  # FILES FUNCTIONS PROCEDURES VARIABLES VIEWS TABLES
+
+
+@dataclass(frozen=True)
+class NativeSQL(Statement):
+    """NATIVE SQL 'query' [FROM 'duckdb:file.db'] — raw passthrough to an
+    embedded engine (reference ops/sql/NativeSQL.scala sends to JDBC; the
+    rebuild's escape hatch is DuckDB over the same catalog)."""
+
+    query: str
+    connection: Optional[str] = None

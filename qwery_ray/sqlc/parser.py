@@ -98,6 +98,14 @@ class Parser:
             if self.peek().kind == "EOF" or self.at(";", "END"):
                 return A.Return(None)
             return A.Return(self.parse_expr())
+        if word == "NATIVE":
+            self.next()
+            self.expect("SQL")
+            query = unquote_string(self.next().text)
+            conn = None
+            if self.accept("FROM"):
+                conn = unquote_string(self.next().text)
+            return A.NativeSQL(query, conn)
         if word == "BEGIN":
             return self.parse_block()
         if word == "DESCRIBE":

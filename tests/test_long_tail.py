@@ -1,0 +1,62 @@
+"""Long-tail parity: NATIVE SQL escape hatch, CDC follow (streaming tail),
+Avro gating."""
+
+import os
+
+import pytest
+
+from conftest import SF_TINY, to_pandas
+
+
+class TestNativeSQL:
+    def test_native_sql_duckdb(self, engine):
+        out = to_pandas(engine.sql(
+            "NATIVE SQL 'SELECT COUNT(*) AS n FROM region'"))
+        assert out["n"][0] == 5
+
+    def test_native_sql_var_expansion(self, engine):
+        engine.variables["minKey"] = 3
+        out = to_pandas(engine.sql(
+            "NATIVE SQL 'SELECT COUNT(*) AS n FROM nation "
+            "WHERE n_nationkey >= {{ minKey }}'"))
+        assert out["n"][0] == 22
+
+
+class TestFollow:
+    def test_follow_picks_up_new_segments(self, ray_session, tmp_path):
+        from qwery_ray.cdc.engine import CDCLakeEngine
+        from qwery_ray.cdc.oracle import naive_replay, sha256_of_state, \
+            sha256_of_table
+        from qwery_ray.cdc.synth import synth_change_events
+
+        ev = str(tmp_path / "ev")
+        # synthesize the full stream elsewhere, then release segments in two
+        # steps to simulate a growing binlog tail
+        full = str(tmp_path / "full")
+        synth_change_events(full, n_keys=100, n_events=600, seed=3,
+                            n_segments=4)
+        os.makedirs(ev)
+        segs = sorted(os.listdir(full))
+        for s in segs[:2]:
+            os.rename(os.path.join(full, s), os.path.join(ev, s))
+
+        eng = CDCLakeEngine(str(tmp_path / "lake"), num_partitions=4)
+        eng.follow(ev, poll_interval=0.05, idle_rounds=2)
+        m1 = eng.load_manifest()
+        assert m1["watermark_lsn"] == 300
+
+        for s in segs[2:]:
+            os.rename(os.path.join(full, s), os.path.join(ev, s))
+        eng.follow(ev, poll_interval=0.05, idle_rounds=2)
+        m2 = eng.load_manifest()
+        assert m2["watermark_lsn"] == 600
+        expected = sha256_of_state(naive_replay(ev))
+        assert sha256_of_table(eng.table()) == expected
+
+
+class TestAvroGate:
+    def test_avro_raises_clear_import_error(self):
+        from qwery_ray.sources.avro import read_avro
+
+        with pytest.raises(ImportError, match="fastavro"):
+            read_avro("/tmp/nonexistent.avro")
