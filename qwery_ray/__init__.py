@@ -9,6 +9,15 @@ last-writer-wins semantics, exactly-once manifest commits and
 checkpoint/resume (see qwery_ray.cdc).
 """
 
+import os as _os
+
+# polars is used for vectorized hashing/group-max inside Ray worker tasks;
+# left unset it spawns a machine-wide thread pool PER WORKER (n_workers ×
+# n_cores threads = oversubscription). One thread per task slot is correct —
+# Ray provides the process-level parallelism. Must be set before the first
+# polars import anywhere in the process.
+_os.environ.setdefault("POLARS_MAX_THREADS", "1")
+
 from .engine.session import QweryEngine
 
 __version__ = "0.1.0"

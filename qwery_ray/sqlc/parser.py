@@ -98,6 +98,12 @@ class Parser:
             if self.peek().kind == "EOF" or self.at(";", "END"):
                 return A.Return(None)
             return A.Return(self.parse_expr())
+        if word == "SPARK":
+            # reference InsertSpark (ops/sql/InsertSpark.scala) materialized
+            # via Spark; the whole rebuild IS the distributed path, so SPARK
+            # INSERT is an alias for INSERT
+            self.next()
+            return self.parse_insert()
         if word == "NATIVE":
             self.next()
             self.expect("SQL")
