@@ -31,6 +31,11 @@ BENCH_TMP = os.environ.get("QWERY_BENCH_TMP", "/dev/shm/qwery_bench")
 # headline CDC stream size scales with the sf tier (sf0.1 sized so the
 # 32-cpu run has real work per core, not scheduler overhead)
 _EVENTS_BY_SF = {"sf0.001": 20_000, "sf0.01": 100_000, "sf0.1": 16_000_000}
+# --scaling uses a larger stream: per-chunk fixed costs (stage scheduling,
+# shuffle barrier, commit) are ~4s regardless of size; at 16M they still eat
+# ~15% of the 32-cpu run. The driver's plain per-round bench stays at 16M.
+_SCALING_EVENTS_BY_SF = {"sf0.001": 40_000, "sf0.01": 400_000,
+                         "sf0.1": 32_000_000}
 
 
 def _sf_tag() -> str:
@@ -42,9 +47,12 @@ def ensure_events() -> tuple[str, int]:
     from qwery_ray.cdc.synth import synth_change_events
 
     tag = _sf_tag()
-    n_events = _EVENTS_BY_SF.get(tag, 100_000)
+    if os.environ.get("BENCH_SCALING_CHILD") == "1":
+        n_events = _SCALING_EVENTS_BY_SF.get(tag, 400_000)
+    else:
+        n_events = _EVENTS_BY_SF.get(tag, 100_000)
     n_keys = max(1000, n_events // 5)
-    out = os.path.join(BENCH_TMP, tag, "events")
+    out = os.path.join(BENCH_TMP, tag, f"events_{n_events}")
     marker = os.path.join(out, "_complete")
     if not os.path.exists(marker):
         shutil.rmtree(out, ignore_errors=True)
@@ -187,7 +195,7 @@ def _warm(path: str):
 def run_scaling() -> dict:
     def run_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   BENCH_SKIP_QUERIES="1")
+                   BENCH_SKIP_QUERIES="1", BENCH_SCALING_CHILD="1")
         proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
                               env=env, capture_output=True, text=True,
                               check=True)
