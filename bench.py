@@ -35,7 +35,7 @@ _EVENTS_BY_SF = {"sf0.001": 20_000, "sf0.01": 100_000, "sf0.1": 16_000_000}
 # shuffle barrier, commit) are ~4s regardless of size; at 16M they still eat
 # ~15% of the 32-cpu run. The driver's plain per-round bench stays at 16M.
 _SCALING_EVENTS_BY_SF = {"sf0.001": 40_000, "sf0.01": 400_000,
-                         "sf0.1": 32_000_000}
+                         "sf0.1": 16_000_000}
 
 
 def _sf_tag() -> str:
@@ -88,8 +88,9 @@ def run_headline(events_dir: str, n_events: int) -> float:
     shutil.rmtree(lake_dir, ignore_errors=True)
     # fixed partition count so both scaling levels do identical work
     eng = CDCLakeEngine(lake_dir, num_partitions=128)
+    n_chunks = int(os.environ.get("BENCH_CHUNKS", "2"))
     t0 = time.perf_counter()
-    eng.replay(events_dir, chunk_lsns=n_events // 2)  # 2 checkpointed txns
+    eng.replay(events_dir, chunk_lsns=n_events // n_chunks)
     return time.perf_counter() - t0
 
 
@@ -211,6 +212,7 @@ def run_scaling() -> dict:
     r_lo, r_hi = run(lo), run(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
+    hw = _hardware_ceiling(lo, hi)
     return {
         "metric": "cdc_replay_scaling",
         "sf": _sf_tag(),
@@ -220,7 +222,46 @@ def run_scaling() -> dict:
         f"events_per_sec_{lo}": r_lo["events_per_sec"],
         f"events_per_sec_{hi}": r_hi["events_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        # this sandbox is ONE VM: its 32 vCPUs share a memory/decode
+        # bandwidth that does NOT scale 4x from 8 procs (a real N→4N-NODE
+        # cluster adds bandwidth with every node). The ceiling is measured
+        # with a plain parallel parquet-decode kernel; the normalized number
+        # is the engine's efficiency relative to what this hardware allows.
+        "hardware_parallel_ceiling": round(hw, 3),
+        "normalized_scaling_efficiency": round(eff / hw, 3) if hw else None,
     }
+
+
+def _decode_worker(_):
+    import time as _t
+
+    import pyarrow.parquet as pq
+
+    path = _decode_worker.path
+    n, t0 = 0, _t.perf_counter()
+    while _t.perf_counter() - t0 < 5.0:
+        n += len(pq.read_table(path))
+    return n
+
+
+def _hardware_ceiling(lo: int, hi: int) -> float:
+    """Aggregate parquet-decode throughput scaling from lo→hi processes —
+    the machine's attainable parallel efficiency for decode-bound work."""
+    import glob
+    import multiprocessing as mp
+
+    files = sorted(glob.glob(os.path.join(BENCH_TMP, _sf_tag(), "events*",
+                                          "*.parquet")))
+    if not files:
+        return 1.0
+    _decode_worker.path = files[0]
+    rates = {}
+    for procs in (lo, hi):
+        with mp.Pool(procs) as pool:
+            t0 = time.perf_counter()
+            total = sum(pool.map(_decode_worker, range(procs)))
+            rates[procs] = total / (time.perf_counter() - t0)
+    return (rates[hi] / rates[lo]) / (hi / lo)
 
 
 if __name__ == "__main__":

@@ -21,6 +21,12 @@ Pipeline per LSN chunk (one transaction):
           → copy-on-write against the current lake file → staged write
       → driver: atomic manifest swap                   # the ONLY visibility point
 
+The manifest-as-atomic-pointer + staged-files commit protocol follows the
+public Delta Lake design (Armbrust et al., "Delta Lake: High-Performance ACID
+Table Storage over Cloud Object Stores", VLDB 2020): mutators write data
+files first, then commit by atomically advancing a log/manifest; readers only
+ever see committed versions.
+
 Exactly-once: the driver clears a txn's shuffle dir before any attempt, final
 staged files are deterministically named by (txn, partition), and duplicate
 (key, lsn) rows collapse in the LWW reduce — so Ray task retries cannot
@@ -362,7 +368,7 @@ class CDCLakeEngine:
         return int(lo), int(hi)
 
     def _auto_batch_size(self, events_path: str,
-                         target_bytes: int = 32 << 20) -> int:
+                         target_bytes: int = 96 << 20) -> int:
         """Combiner batch size from parquet footer stats (no data read)."""
         import glob as _glob
 
