@@ -103,6 +103,7 @@ class QweryEngine:
                 return None
             expr = transform_expr(expr, self._expand_sql_udf)
             expr = transform_expr(expr, self._resolve_scalar_subquery)
+            expr = transform_expr(expr, self._resolve_in_subquery)
             return expr
 
         return _map_statement_exprs(stmt, fix_expr)
@@ -120,6 +121,24 @@ class QweryEngine:
             out = substitute_columns(body.value, mapping)
             # params may be referenced again inside nested udf calls
             return transform_expr(out, self._expand_sql_udf)
+        return node
+
+    def _resolve_in_subquery(self, node):
+        """IN (SELECT …): collect the subquery's first column ONCE on the
+        driver (broadcast-sized key set) and rewrite to a vectorized is_in
+        membership test — the guide's broadcast semi-join, no shuffle.
+        NOTE: NOT IN follows the engine's non-null set semantics (null keys
+        are dropped), diverging from ANSI's all-NULL poisoning."""
+        if isinstance(node, A.InSubquery):
+            ds = self.compiler.compile_query(self._prepare(node.query))
+            rows = ds.take_all()
+            if len(rows) > 5_000_000:
+                raise ValueError("IN (SELECT …) key set too large to broadcast")
+            vals = {next(iter(r.values())) for r in rows}
+            vals.discard(None)
+            return A.InList(node.operand,
+                            tuple(A.Literal(v) for v in sorted(vals)),
+                            node.negated)
         return node
 
     def _resolve_scalar_subquery(self, node):

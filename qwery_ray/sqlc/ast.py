@@ -114,6 +114,18 @@ class InList(Cond):
 
 
 @dataclass(frozen=True)
+class InSubquery(Cond):
+    """expr IN (SELECT …) — compiled as a broadcast semi-join: the subquery's
+    first column is collected once (``ray.put``) and membership is a
+    vectorized ``is_in`` mask per batch (ray_guide semi/anti-join pattern).
+    The subquery result must be broadcast-sized (dimension keys)."""
+
+    operand: Expr
+    query: object  # A.Select | A.Union (untyped to avoid fwd ref)
+    negated: bool = False
+
+
+@dataclass(frozen=True)
 class Between(Cond):
     operand: Expr
     low: Expr

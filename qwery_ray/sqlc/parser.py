@@ -556,6 +556,11 @@ class Parser:
             return A.Between(left, low, high, negated)
         if self.accept("IN"):
             self.expect("(")
+            if self.at("SELECT"):
+                # IN (SELECT …) → semi/anti join via broadcast key set
+                sub = self.parse_select_or_union()
+                self.expect(")")
+                return A.InSubquery(left, sub, negated)
             vals = [self.parse_expr()]
             while self.accept(","):
                 vals.append(self.parse_expr())

@@ -60,3 +60,56 @@ class TestAvroGate:
 
         with pytest.raises(ImportError, match="fastavro"):
             read_avro("/tmp/nonexistent.avro")
+
+
+class TestInSubquery:
+    def test_semi_join_in_subquery(self, engine, duck):
+        from conftest import assert_frames_match
+
+        sql = ("SELECT s_suppkey, s_name FROM supplier WHERE s_nationkey IN "
+               "(SELECT n_nationkey FROM nation WHERE n_regionkey = 2)")
+        mine = engine.sql(sql)
+        oracle = duck.execute(sql).fetch_df()
+        assert_frames_match(mine, oracle)
+
+    def test_anti_join_not_in_subquery(self, engine, duck):
+        from conftest import assert_frames_match
+
+        sql = ("SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
+               "(SELECT o_custkey FROM orders)")
+        mine = engine.sql(sql)
+        # ANSI NOT IN with possible NULLs poisons; both sides here are
+        # null-free so DuckDB agrees with the engine's set semantics
+        oracle = duck.execute(sql).fetch_df()
+        assert_frames_match(mine, oracle)
+
+
+class TestStaleStagingRecovery:
+    def test_stale_staging_cleared_and_replay_converges(self, ray_session,
+                                                        tmp_path):
+        """Simulates a crash after staging but before commit: leftover
+        _staging/{txn} content must not corrupt a rerun (exactly-once)."""
+        import os
+
+        from qwery_ray.cdc.engine import CDCLakeEngine
+        from qwery_ray.cdc.oracle import naive_replay, sha256_of_state, \
+            sha256_of_table
+        from qwery_ray.cdc.synth import synth_change_events
+
+        ev = str(tmp_path / "ev")
+        synth_change_events(ev, n_keys=100, n_events=800, seed=9, n_segments=2)
+        eng = CDCLakeEngine(str(tmp_path / "lake"), num_partitions=4)
+        # run only txn 1, then plant a garbage partial attempt of txn 2
+        eng.replay(ev, chunk_lsns=400, max_lsn=400)
+        stale = os.path.join(eng.lake_dir, "_staging",
+                             "txn-000000000400-000000000800")
+        os.makedirs(os.path.join(stale, "shuffle"), exist_ok=True)
+        with open(os.path.join(stale, "shuffle", "task-dead.parquet"), "w") as f:
+            f.write("not parquet")
+        with open(os.path.join(stale, "part-00001.parquet"), "w") as f:
+            f.write("garbage staged file")
+        # resume: the txn attempt must clear its shuffle dir and re-stage
+        eng2 = CDCLakeEngine(eng.lake_dir, num_partitions=4)
+        eng2.replay(ev, chunk_lsns=400)
+        expected = sha256_of_state(naive_replay(ev))
+        assert sha256_of_table(eng2.table()) == expected
