@@ -432,6 +432,8 @@ class Compiler:
             if schema is not None:
                 pushdown = to_dataset_expression(sel.where, schema)
 
+        sel = self._resolve_positional_refs(sel)
+
         frame = self.compile_source(sel.source, columns=needed,
                                     pushdown=pushdown)
         for j in sel.joins:
@@ -479,6 +481,34 @@ class Compiler:
                 frame.ds.map_batches(DropColumns(drop_cols), batch_format="pyarrow"),
                 [c for c in frame.columns if c not in drop_cols])
         return frame
+
+    def _resolve_positional_refs(self, sel: A.Select) -> A.Select:
+        """GROUP BY 1 / ORDER BY 2 → the corresponding SELECT item."""
+        items = [it for it in sel.items]
+
+        def item_expr(pos: int):
+            it = items[pos - 1]
+            if isinstance(it, A.Star):
+                raise ValueError("positional ref cannot target *")
+            return it
+
+        group_by = tuple(
+            item_expr(g.value).expr
+            if isinstance(g, A.Literal) and isinstance(g.value, int) else g
+            for g in sel.group_by)
+        order_by = tuple(
+            A.OrderItem(A.ColumnRef(self._output_name(
+                item_expr(o.expr.value),
+                o.expr.value - 1)), o.ascending)
+            if isinstance(o.expr, A.Literal) and isinstance(o.expr.value, int)
+            else o
+            for o in sel.order_by)
+        if group_by == sel.group_by and order_by == sel.order_by:
+            return sel
+        return A.Select(items=sel.items, source=sel.source, joins=sel.joins,
+                        where=sel.where, group_by=group_by, having=sel.having,
+                        order_by=order_by, limit=sel.limit,
+                        distinct=sel.distinct)
 
     def _output_name(self, item: A.SelectItem, idx: int) -> str:
         if item.alias:

@@ -188,3 +188,10 @@ class TestSubquery:
         run_both(engine, duck,
                  "SELECT o_orderkey FROM orders WHERE o_totalprice > "
                  "(SELECT AVG(o_totalprice) * 1.8 FROM orders)")
+
+
+class TestPositionalRefs:
+    def test_group_order_by_position(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT o_orderstatus, COUNT(*) AS n FROM orders "
+                 "GROUP BY 1 ORDER BY 2 DESC")
