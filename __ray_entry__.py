@@ -162,6 +162,27 @@ _SQL_QUERIES: dict[str, tuple[str, str | None]] = {
         "SELECT s_suppkey, s_name FROM supplier "
         "WHERE s_nationkey IN (1, 3, 5) AND s_acctbal IS NOT NULL",
         None),
+    "like_filter": (
+        "SELECT p_partkey, p_name FROM part "
+        "WHERE p_name LIKE '%iv%' OR p_type LIKE 'SMALL%'",
+        None),
+    "union_distinct_status": (
+        "SELECT o_orderstatus AS s FROM orders UNION DISTINCT "
+        "SELECT l_linestatus AS s FROM lineitem",
+        None),
+    "stddev_agg": (
+        "SELECT o_orderstatus, STDDEV(o_totalprice) AS sd "
+        "FROM orders GROUP BY o_orderstatus",
+        "SELECT o_orderstatus, STDDEV_SAMP(o_totalprice) AS sd "
+        "FROM orders GROUP BY o_orderstatus"),
+    "semi_join_in_subquery": (
+        "SELECT s_suppkey, s_name FROM supplier WHERE s_nationkey IN "
+        "(SELECT n_nationkey FROM nation WHERE n_regionkey = 2)",
+        None),
+    "between_filter": (
+        "SELECT l_orderkey, l_quantity FROM lineitem "
+        "WHERE l_quantity BETWEEN 10 AND 12 AND l_returnflag = 'R'",
+        None),
 }
 
 

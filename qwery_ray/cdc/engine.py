@@ -112,39 +112,77 @@ class CombineShuffleWrite:
         self.shuffle_dir = shuffle_dir
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import uuid
-
         if len(batch) == 0:
             return _shuffle_stats(0, 0)
-        pkey = key_hash_partition(batch.column("repo"), batch.column("path"),
-                                  self.num_partitions)
-        batch = batch.append_column("pkey", pa.array(pkey))
-        batch = batch.take(pa.array(lww_winner_indices(batch)))
-        pk = batch.column("pkey").to_numpy()
-        order = np.argsort(pk, kind="stable")
-        sorted_batch = batch.take(pa.array(order))
-        pk_sorted = pk[order]
-        bounds = np.flatnonzero(np.diff(pk_sorted)) + 1
-        starts = np.concatenate([[0], bounds])
-        ends = np.concatenate([bounds, [len(pk_sorted)]])
-        # ONE file per map task, ONE row group per partition present: the
-        # reducer prunes to its partition via row-group pkey statistics, and
-        # the filesystem sees O(tasks) files, not O(tasks × partitions)
-        fname = os.path.join(self.shuffle_dir,
-                             f"task-{uuid.uuid4().hex[:12]}.parquet")
-        tmp = fname + ".tmp"
-        writer = pq.ParquetWriter(tmp, sorted_batch.schema, compression="lz4")
-        index = {}
-        for rg, (s, e) in enumerate(zip(starts, ends)):
-            writer.write_table(sorted_batch.slice(s, e - s))
-            index[int(pk_sorted[s])] = rg
-        writer.close()
-        os.replace(tmp, fname)
-        # sidecar index: pid → row-group ordinal, so reducers seek straight
-        # to their row group without touching parquet metadata
-        with open(fname + ".idx", "w") as f:
-            json.dump(index, f)
-        return _shuffle_stats(len(batch), len(starts))
+        rows, files = _combine_and_write(batch, self.num_partitions,
+                                         self.shuffle_dir)
+        return _shuffle_stats(rows, files)
+
+
+class MultiTxnShuffleWrite:
+    """Pipelined variant: ONE map pass covers several pending transactions.
+    Rows are split by LSN range FIRST (so each txn's combiner sees only its
+    own events — checkpoint-k state stays exactly 'replay of events ≤ hi_k'),
+    then each span runs the normal combine-and-write into its own txn
+    shuffle dir."""
+
+    def __init__(self, num_partitions: int, spans):
+        # spans: list of (lo, hi, shuffle_dir), ordered, non-overlapping
+        self.num_partitions = num_partitions
+        self.spans = spans
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _shuffle_stats(0, 0)
+        lsn = batch.column("lsn").to_numpy(zero_copy_only=False)
+        his = np.array([hi for _, hi, _ in self.spans])
+        span_idx = np.searchsorted(his, lsn)  # lsn <= hi → this span
+        rows = files = 0
+        for i, (_lo, _hi, sdir) in enumerate(self.spans):
+            mask = span_idx == i
+            if not mask.any():
+                continue
+            sub = batch.take(pa.array(np.flatnonzero(mask)))
+            r, f = _combine_and_write(sub, self.num_partitions, sdir)
+            rows += r
+            files += f
+        return _shuffle_stats(rows, files)
+
+
+def _combine_and_write(batch: pa.Table, num_partitions: int,
+                       shuffle_dir: str) -> tuple[int, int]:
+    """Per-batch LWW combine + one-file-per-task partitioned write.
+
+    ONE file per call, ONE row group per partition present: the reducer
+    prunes to its partition via the sidecar index, and the filesystem sees
+    O(tasks) files, not O(tasks × partitions)."""
+    import uuid
+
+    pkey = key_hash_partition(batch.column("repo"), batch.column("path"),
+                              num_partitions)
+    batch = batch.append_column("pkey", pa.array(pkey))
+    batch = batch.take(pa.array(lww_winner_indices(batch)))
+    pk = batch.column("pkey").to_numpy()
+    order = np.argsort(pk, kind="stable")
+    sorted_batch = batch.take(pa.array(order))
+    pk_sorted = pk[order]
+    bounds = np.flatnonzero(np.diff(pk_sorted)) + 1
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [len(pk_sorted)]])
+    fname = os.path.join(shuffle_dir, f"task-{uuid.uuid4().hex[:12]}.parquet")
+    tmp = fname + ".tmp"
+    writer = pq.ParquetWriter(tmp, sorted_batch.schema, compression="lz4")
+    index = {}
+    for rg, (s, e) in enumerate(zip(starts, ends)):
+        writer.write_table(sorted_batch.slice(s, e - s))
+        index[int(pk_sorted[s])] = rg
+    writer.close()
+    os.replace(tmp, fname)
+    # sidecar index: pid → row-group ordinal, so reducers seek straight
+    # to their row group without touching parquet metadata
+    with open(fname + ".idx", "w") as f:
+        json.dump(index, f)
+    return len(batch), len(starts)
 
 
 def _shuffle_stats(rows: int, files: int) -> pa.Table:
@@ -305,10 +343,15 @@ class CDCLakeEngine:
 
     # -------------------------------------------------------------- replay
     def replay(self, events_path: str, *, chunk_lsns: Optional[int] = None,
-               max_lsn: Optional[int] = None) -> dict:
+               max_lsn: Optional[int] = None, pipelined: bool = True) -> dict:
         """Replays all events with lsn > watermark, committing one txn per
         LSN chunk (chunk = checkpoint granularity). Returns the final
-        manifest. Safe to re-run / resume at any time."""
+        manifest. Safe to re-run / resume at any time.
+
+        ``pipelined=True`` runs ONE map/shuffle pass covering all pending
+        chunks (rows split by LSN span before combining, so each checkpoint's
+        state is still exactly 'events ≤ hi_k'), then merges+commits the
+        transactions in order — the map side's fixed cost is paid once."""
         lo_bound, hi_bound = self._events_lsn_range(events_path)
         if max_lsn is not None:
             hi_bound = min(hi_bound, max_lsn)
@@ -316,12 +359,54 @@ class CDCLakeEngine:
         start = manifest["watermark_lsn"]
         if chunk_lsns is None:
             chunk_lsns = max(1, hi_bound - start)
+        chunks = []
         lo = start
         while lo < hi_bound:
             hi = min(lo + chunk_lsns, hi_bound)
-            manifest = self.apply_chunk(events_path, lo, hi, manifest)
+            chunks.append((lo, hi))
             lo = hi
+        pending = [(l, h) for l, h in chunks
+                   if f"txn-{l:012d}-{h:012d}" not in manifest["committed_txns"]]
+        if pipelined and len(pending) > 1:
+            self._map_all(events_path, pending)
+            for l, h in pending:
+                manifest = self.apply_chunk(events_path, l, h, manifest,
+                                            premapped=True)
+        else:
+            for l, h in chunks:
+                manifest = self.apply_chunk(events_path, l, h, manifest)
         return manifest
+
+    def _map_all(self, events_path: str, chunks) -> None:
+        """Phase A of pipelined replay: one combine+shuffle pass for every
+        pending transaction (clears each txn's shuffle dir first — a crashed
+        earlier attempt cannot leak rows)."""
+        spans = []
+        for lo, hi in chunks:
+            txn = f"txn-{lo:012d}-{hi:012d}"
+            sdir = os.path.join(self.lake_dir, "_staging", txn, "shuffle")
+            shutil.rmtree(sdir, ignore_errors=True)
+            os.makedirs(sdir, exist_ok=True)
+            spans.append((lo, hi, sdir))
+        lo_all, hi_all = chunks[0][0], chunks[-1][1]
+        events = rd.read_parquet(
+            events_path,
+            filter=(pc.field("lsn") > pa.scalar(lo_all))
+            & (pc.field("lsn") <= pa.scalar(hi_all)),
+        )
+        import ray as _ray
+
+        ncpu = int(_ray.cluster_resources().get("CPU", 8)) \
+            if _ray.is_initialized() else 8
+        batch_size = self._auto_batch_size(events_path)
+        approx_rows = max(1, hi_all - lo_all)
+        batch_size = max(2048, min(batch_size,
+                                   approx_rows // (2 * ncpu) or batch_size))
+        stats = events.map_batches(
+            MultiTxnShuffleWrite(self.num_partitions, spans),
+            batch_format="pyarrow", batch_size=batch_size)
+        for _ in stats.iter_batches(batch_size=1024):
+            pass
 
     def follow(self, events_path: str, *, poll_interval: float = 1.0,
                idle_rounds: Optional[int] = 3,
@@ -386,8 +471,11 @@ class CDCLakeEngine:
         return int(min(131072, max(1024, target_bytes // row_size)))
 
     def apply_chunk(self, events_path: str, lo: int, hi: int,
-                    manifest: Optional[dict] = None) -> dict:
-        """One transaction: apply events with lo < lsn <= hi. Idempotent."""
+                    manifest: Optional[dict] = None, *,
+                    premapped: bool = False) -> dict:
+        """One transaction: apply events with lo < lsn <= hi. Idempotent.
+        ``premapped=True`` (pipelined replay) skips the map/shuffle phase —
+        _map_all already populated this txn's shuffle dir."""
         import time as _time
 
         trace = os.environ.get("QWERY_CDC_TIMING") == "1"
@@ -398,37 +486,40 @@ class CDCLakeEngine:
         if txn in manifest["committed_txns"]:
             return manifest  # exactly-once: committed ranges are no-ops
 
-        events = rd.read_parquet(
-            events_path,
-            filter=(pc.field("lsn") > pa.scalar(lo))
-            & (pc.field("lsn") <= pa.scalar(hi)),
-        )
-        # bytes-aware combiner batch size: ~32 MiB of rows per batch so the
-        # per-batch dedup actually reduces (tiny batches = no reduction) while
-        # wide content rows (100 KB files) still fit worker heaps; capped so
-        # the map side has ≥2 tasks per core (parallelism floor)
-        import ray as _ray
-
-        ncpu = int(_ray.cluster_resources().get("CPU", 8)) \
-            if _ray.is_initialized() else 8
-        batch_size = self._auto_batch_size(events_path)
-        approx_rows = max(1, hi - lo)  # LSNs are dense in the synthetic tail
-        batch_size = max(2048, min(batch_size, approx_rows // (2 * ncpu) or batch_size))
-
-        # ---- map-side shuffle: combine + partitioned staging writes --------
-        # (a fresh attempt of this txn clears any partial shuffle output, so
-        # non-deterministic shuffle file names cannot double-apply)
         shuffle_dir = os.path.join(self.lake_dir, "_staging", txn, "shuffle")
-        shutil.rmtree(shuffle_dir, ignore_errors=True)
-        os.makedirs(shuffle_dir, exist_ok=True)
-        stats = events.map_batches(
-            CombineShuffleWrite(self.num_partitions, shuffle_dir),
-            batch_format="pyarrow", batch_size=batch_size)
-        for _ in stats.iter_batches(batch_size=1024):
-            pass  # drive the map side to completion (shuffle barrier)
+        if not premapped:
+            events = rd.read_parquet(
+                events_path,
+                filter=(pc.field("lsn") > pa.scalar(lo))
+                & (pc.field("lsn") <= pa.scalar(hi)),
+            )
+            # bytes-aware combiner batch size (~96 MiB of rows) so the
+            # per-batch dedup actually reduces and shuffle row groups stay
+            # read-efficient, capped so the map side has ≥2 tasks per core
+            import ray as _ray
+
+            ncpu = int(_ray.cluster_resources().get("CPU", 8)) \
+                if _ray.is_initialized() else 8
+            batch_size = self._auto_batch_size(events_path)
+            approx_rows = max(1, hi - lo)  # LSNs are dense in the tail
+            batch_size = max(2048, min(batch_size,
+                                       approx_rows // (2 * ncpu) or batch_size))
+
+            # ---- map-side shuffle: combine + partitioned staging writes ----
+            # (a fresh attempt of this txn clears any partial shuffle output,
+            # so non-deterministic shuffle file names cannot double-apply)
+            shutil.rmtree(shuffle_dir, ignore_errors=True)
+            os.makedirs(shuffle_dir, exist_ok=True)
+            stats = events.map_batches(
+                CombineShuffleWrite(self.num_partitions, shuffle_dir),
+                batch_format="pyarrow", batch_size=batch_size)
+            for _ in stats.iter_batches(batch_size=1024):
+                pass  # drive the map side to completion (shuffle barrier)
+        else:
+            os.makedirs(shuffle_dir, exist_ok=True)
         if trace:
             print(f"[cdc] {txn} map_side={_time.perf_counter()-t_start:.2f}s "
-                  f"batch_size={batch_size}", flush=True)
+                  f"premapped={premapped}", flush=True)
             t_map = _time.perf_counter()
 
         # ---- reduce side: one merge task per touched partition -------------
