@@ -55,7 +55,14 @@ class TestArithmeticParity:
     @settings(max_examples=120, deadline=None)
     @given(arith_exprs())
     def test_arith(self, expr):
-        mine, duck = eval_mine(expr), eval_duck(expr)
+        from hypothesis import assume
+
+        try:
+            duck = eval_duck(expr)
+        except duckdb.OutOfRangeException:
+            assume(False)  # DuckDB INT32 literal overflow — out of scope
+            return
+        mine = eval_mine(expr)
         assert mine == pytest.approx(duck, rel=1e-9, abs=1e-9)
 
     @settings(max_examples=80, deadline=None)
