@@ -366,6 +366,23 @@ class PostAgg:
         return pa.table(cols)
 
 
+class LocalTopK:
+    """Keep a batch's top-k rows under the sort ordering (nulls last,
+    matching Ray's sort placement)."""
+
+    def __init__(self, sort_cols, descending, k):
+        self.sort_keys = [(c, "descending" if d else "ascending")
+                          for c, d in zip(sort_cols, descending)]
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) <= self.k:
+            return batch
+        idx = pc.sort_indices(batch, sort_keys=self.sort_keys,
+                              null_placement="at_end")
+        return batch.take(idx.slice(0, self.k))
+
+
 class DropColumns:
     def __init__(self, names):
         self.names = names
@@ -473,7 +490,8 @@ class Compiler:
 
         drop_cols = getattr(frame, "_drop_cols", None)
         if sel.order_by:
-            frame = self._compile_order(frame, sel.order_by, env)
+            frame = self._compile_order(frame, sel.order_by, env,
+                                        limit=sel.limit)
         if sel.limit is not None:
             frame = Frame(frame.ds.limit(sel.limit), frame.columns)
         if drop_cols:
@@ -871,7 +889,10 @@ class Compiler:
         return frame2
 
     # ---------------------------------------------------------------- order
-    def _compile_order(self, frame: Frame, order_by, env) -> Frame:
+    TOPK_PUSHDOWN_LIMIT = 100_000
+
+    def _compile_order(self, frame: Frame, order_by, env,
+                       limit: Optional[int] = None) -> Frame:
         sort_cols, descending = [], []
         temp_exprs, temp_names = [], []
         mapping = getattr(frame, "_agg_mapping", None)
@@ -891,6 +912,13 @@ class Compiler:
         ds = frame.ds
         if temp_exprs:
             ds = ds.map_batches(AddSortKeys(temp_exprs, temp_names, env),
+                                batch_format="pyarrow")
+        if limit is not None and limit <= self.TOPK_PUSHDOWN_LIMIT:
+            # top-k pushdown: each batch keeps only its local top-`limit`
+            # rows before the global range shuffle — the global answer is a
+            # subset of the union of per-batch top-k, so the sort input
+            # shrinks from |rows| to ≤ limit × #batches
+            ds = ds.map_batches(LocalTopK(sort_cols, descending, limit),
                                 batch_format="pyarrow")
         ds = ds.sort(sort_cols, descending=descending)
         if temp_exprs:
