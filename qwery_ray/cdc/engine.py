@@ -66,9 +66,16 @@ def key_hash_partition(repo: pa.ChunkedArray, path: pa.ChunkedArray,
                        num_partitions: int) -> np.ndarray:
     """Deterministic key → partition id, stable across runs/processes
     (no PYTHONHASHSEED dependence)."""
+    return key_hash_partition_cols([repo, path], num_partitions)
+
+
+def key_hash_partition_cols(cols, num_partitions: int) -> np.ndarray:
+    """Generalized n-column key → partition id."""
     import polars as pl
 
-    joined = pc.binary_join_element_wise(repo, path, "\x00")
+    str_cols = [pc.cast(c, pa.string()) for c in cols]
+    joined = str_cols[0] if len(str_cols) == 1 else \
+        pc.binary_join_element_wise(*str_cols, "\x00")
     arr = joined.combine_chunks() if isinstance(joined, pa.ChunkedArray) else joined
     # polars xxhash with a fixed seed: vectorized, value-stable across arrays
     # and processes (pandas hash_array is NOT value-stable across arrays;
@@ -107,15 +114,17 @@ class CombineShuffleWrite:
     comes from LWW idempotence: duplicate (key, lsn) rows collapse in the
     merge, and the driver clears the txn's shuffle dir before any attempt."""
 
-    def __init__(self, num_partitions: int, shuffle_dir: str):
+    def __init__(self, num_partitions: int, shuffle_dir: str,
+                 key_cols=tuple(KEY_COLS)):
         self.num_partitions = num_partitions
         self.shuffle_dir = shuffle_dir
+        self.key_cols = list(key_cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
             return _shuffle_stats(0, 0)
         rows, files = _combine_and_write(batch, self.num_partitions,
-                                         self.shuffle_dir)
+                                         self.shuffle_dir, self.key_cols)
         return _shuffle_stats(rows, files)
 
 
@@ -126,10 +135,11 @@ class MultiTxnShuffleWrite:
     then each span runs the normal combine-and-write into its own txn
     shuffle dir."""
 
-    def __init__(self, num_partitions: int, spans):
+    def __init__(self, num_partitions: int, spans, key_cols=tuple(KEY_COLS)):
         # spans: list of (lo, hi, shuffle_dir), ordered, non-overlapping
         self.num_partitions = num_partitions
         self.spans = spans
+        self.key_cols = list(key_cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
@@ -143,14 +153,16 @@ class MultiTxnShuffleWrite:
             if not mask.any():
                 continue
             sub = batch.take(pa.array(np.flatnonzero(mask)))
-            r, f = _combine_and_write(sub, self.num_partitions, sdir)
+            r, f = _combine_and_write(sub, self.num_partitions, sdir,
+                                      self.key_cols)
             rows += r
             files += f
         return _shuffle_stats(rows, files)
 
 
 def _combine_and_write(batch: pa.Table, num_partitions: int,
-                       shuffle_dir: str) -> tuple[int, int]:
+                       shuffle_dir: str,
+                       key_cols=tuple(KEY_COLS)) -> tuple[int, int]:
     """Per-batch LWW combine + one-file-per-task partitioned write.
 
     ONE file per call, ONE row group per partition present: the reducer
@@ -158,10 +170,10 @@ def _combine_and_write(batch: pa.Table, num_partitions: int,
     O(tasks) files, not O(tasks × partitions)."""
     import uuid
 
-    pkey = key_hash_partition(batch.column("repo"), batch.column("path"),
-                              num_partitions)
+    pkey = key_hash_partition_cols(
+        [batch.column(c) for c in key_cols], num_partitions)
     batch = batch.append_column("pkey", pa.array(pkey))
-    batch = batch.take(pa.array(lww_winner_indices(batch)))
+    batch = batch.take(pa.array(lww_winner_indices(batch, key_cols)))
     pk = batch.column("pkey").to_numpy()
     order = np.argsort(pk, kind="stable")
     sorted_batch = batch.take(pa.array(order))
@@ -190,19 +202,19 @@ def _shuffle_stats(rows: int, files: int) -> pa.Table:
                      "files": pa.array([files], type=pa.int64())})
 
 
-def lww_winner_indices(batch: pa.Table) -> np.ndarray:
-    """Row indices of each key's max-LSN event. Only (repo, path, lsn) leave
+def lww_winner_indices(batch: pa.Table,
+                       key_cols: list[str] = KEY_COLS) -> np.ndarray:
+    """Row indices of each key's max-LSN event. Only (key cols, lsn) leave
     Arrow (into polars, zero-copy); payload columns are never converted.
     Duplicate (key, lsn) rows are identical by construction, so any-of-ties
     is deterministic in effect."""
     import polars as pl
 
-    df = pl.DataFrame({
-        "repo": pl.from_arrow(batch.column("repo").combine_chunks()),
-        "path": pl.from_arrow(batch.column("path").combine_chunks()),
-        "lsn": pl.from_arrow(batch.column("lsn").combine_chunks()),
-    }).with_row_index("__i")
-    win = df.sort("lsn").group_by(["repo", "path"]).last()
+    data = {c: pl.from_arrow(batch.column(c).combine_chunks())
+            for c in key_cols}
+    data["lsn"] = pl.from_arrow(batch.column("lsn").combine_chunks())
+    df = pl.DataFrame(data).with_row_index("__i")
+    win = df.sort("lsn").group_by(list(key_cols)).last()
     return np.sort(win["__i"].to_numpy())
 
 
@@ -227,12 +239,14 @@ class MergePartitionFS:
     exactly like MergePartition. Emits one metrics row."""
 
     def __init__(self, lake_dir: str, txn: str, partition_files: dict,
-                 shuffle_dir: str, merge_fanin: int = 16):
+                 shuffle_dir: str, merge_fanin: int = 16,
+                 key_cols=tuple(KEY_COLS)):
         self.lake_dir = lake_dir
         self.txn = txn
         self.partition_files = partition_files
         self.shuffle_dir = shuffle_dir
         self.merge_fanin = max(2, merge_fanin)
+        self.key_cols = list(key_cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
@@ -261,7 +275,7 @@ class MergePartitionFS:
             if acc is not None:
                 tables.append(acc)
             t = _concat_evolving(tables)
-            acc = t.take(pa.array(lww_winner_indices(t)))
+            acc = t.take(pa.array(lww_winner_indices(t, self.key_cols)))
         return acc, len(files)
 
     def _merge_one(self, pid: int) -> pa.Table:
@@ -282,15 +296,15 @@ class MergePartitionFS:
         survivors = None
         if old_file is not None:
             old = pq.read_table(os.path.join(self.lake_dir, old_file))
-            survivors = old.join(new.select(KEY_COLS), keys=KEY_COLS,
-                                 join_type="left anti")
+            survivors = old.join(new.select(self.key_cols),
+                                 keys=self.key_cols, join_type="left anti")
         keep = new.filter(pc.not_equal(new.column("op"), "delete")) \
             .drop_columns(["op"])
         merged = _concat_evolving(
             [t for t in (survivors, keep) if t is not None])
         # canonical key order → byte-identical partition files regardless of
         # shuffle file arrival order (determinism invariant, FIXTURES.md §5)
-        merged = merged.sort_by([("repo", "ascending"), ("path", "ascending")])
+        merged = merged.sort_by([(c, "ascending") for c in self.key_cols])
         tmp = staged + ".tmp"
         pq.write_table(merged, tmp)
         os.replace(tmp, staged)
@@ -310,11 +324,17 @@ class CDCLakeEngine:
     """Partitioned parquet lake + manifest; replay(), resume, verify."""
 
     def __init__(self, lake_dir: str, *, num_partitions: int = 16,
-                 merge_fanin: int = 16):
+                 merge_fanin: int = 16, key_cols=tuple(KEY_COLS)):
         self.lake_dir = lake_dir
         self.num_partitions = num_partitions
         self.merge_fanin = merge_fanin
+        self.key_cols = list(key_cols)
         os.makedirs(lake_dir, exist_ok=True)
+        existing = self.load_manifest()
+        if existing.get("key_cols") and existing["key_cols"] != self.key_cols:
+            raise ValueError(
+                f"lake at {lake_dir} is keyed on {existing['key_cols']}, "
+                f"got {self.key_cols}")
 
     # ------------------------------------------------------------ manifest
     @property
@@ -328,6 +348,7 @@ class CDCLakeEngine:
         return {
             "version": 0,
             "num_partitions": self.num_partitions,
+            "key_cols": self.key_cols,
             "watermark_lsn": 0,
             "partitions": {},  # pid(str) → {file,last_lsn,rows,lineage:[txn]}
             "committed_txns": [],
@@ -403,7 +424,7 @@ class CDCLakeEngine:
         batch_size = max(2048, min(batch_size,
                                    approx_rows // (2 * ncpu) or batch_size))
         stats = events.map_batches(
-            MultiTxnShuffleWrite(self.num_partitions, spans),
+            MultiTxnShuffleWrite(self.num_partitions, spans, self.key_cols),
             batch_format="pyarrow", batch_size=batch_size)
         for _ in stats.iter_batches(batch_size=1024):
             pass
@@ -511,7 +532,8 @@ class CDCLakeEngine:
             shutil.rmtree(shuffle_dir, ignore_errors=True)
             os.makedirs(shuffle_dir, exist_ok=True)
             stats = events.map_batches(
-                CombineShuffleWrite(self.num_partitions, shuffle_dir),
+                CombineShuffleWrite(self.num_partitions, shuffle_dir,
+                                    self.key_cols),
                 batch_format="pyarrow", batch_size=batch_size)
             for _ in stats.iter_batches(batch_size=1024):
                 pass  # drive the map side to completion (shuffle barrier)
@@ -532,7 +554,8 @@ class CDCLakeEngine:
         touched = self._touched_partitions(shuffle_dir)
         if touched:
             merge = MergePartitionFS(self.lake_dir, txn, partition_files,
-                                     shuffle_dir, self.merge_fanin)
+                                     shuffle_dir, self.merge_fanin,
+                                     self.key_cols)
 
             def merge_fn(t: pa.Table, _m=merge) -> pa.Table:
                 return _m(t)

@@ -181,11 +181,15 @@ class QweryEngine:
         return pa.table({"ROWS_INSERTED": [inserted], "ROWS_REJECTED": [0]})
 
     def _exec_Upsert(self, stmt: A.Upsert):
-        """UPSERT INTO lake table KEYED ON k — last-writer-wins merge into a
-        parquet target (reference semantics: ops/sql/Upsert.scala +
-        JDBCOutputSource.scala:62-104, insert-else-update)."""
-        from ..cdc.upsert import upsert_into_parquet
+        """UPSERT INTO target KEYED ON k — last-writer-wins merge (reference
+        semantics: ops/sql/Upsert.scala + JDBCOutputSource.scala:62-104,
+        insert-else-update).
 
+        Two targets:
+        - a parquet FILE → driver-side keyed merge (dimension-table scale)
+        - a LAKE directory (``WITH LAKE`` hint or existing manifest.json) →
+          the full streaming CDC engine: the source must carry an ``lsn``
+          column (per-key ordering authority); ``op`` defaults to upsert."""
         if isinstance(stmt.source, A.Values):
             ds = self.compiler.compile_values(stmt.source, stmt.columns)
         else:
@@ -195,9 +199,52 @@ class QweryEngine:
                                     batch_format="pyarrow")
         target = self.expand_vars(stmt.target)
         path = self.resolve_table_path(target)
+
+        is_lake = stmt.hints.get("lake") or os.path.exists(
+            os.path.join(path, "manifest.json"))
+        if is_lake:
+            return self._upsert_into_lake(ds, path, list(stmt.keyed_on))
+        from ..cdc.upsert import upsert_into_parquet
+
         ins, upd = upsert_into_parquet(ds, path, list(stmt.keyed_on))
         return pa.table({"ROWS_INSERTED": [ins], "ROWS_UPDATED": [upd],
                          "ROWS_REJECTED": [0]})
+
+    def _upsert_into_lake(self, ds, lake_dir: str, keys: list[str]):
+        """Route a SQL UPSERT through the exactly-once CDC lake engine."""
+        import shutil
+        import tempfile
+
+        from ..cdc.engine import CDCLakeEngine
+
+        def ensure_op(batch: pa.Table) -> pa.Table:
+            if "op" not in batch.column_names:
+                batch = batch.append_column(
+                    "op", pa.array(["upsert"] * len(batch)))
+            return batch
+
+        ds = ds.map_batches(ensure_op, batch_format="pyarrow")
+        staging = tempfile.mkdtemp(prefix="qwery_upsert_events_")
+        try:
+            ds.write_parquet(staging)
+            eng = CDCLakeEngine(lake_dir, key_cols=keys)
+            before = eng.load_manifest()["watermark_lsn"]
+            manifest = eng.replay(staging)
+            applied = [t for t in manifest["lineage"]
+                       if t["lo"] >= before]
+            ins = sum(t["rows_upserted"] for t in applied)
+            dels = sum(t["rows_deleted"] for t in applied)
+            return pa.table({"ROWS_INSERTED": [ins], "ROWS_UPDATED": [0],
+                             "ROWS_DELETED": [dels], "ROWS_REJECTED": [0]})
+        except ValueError as exc:
+            if "lsn" in str(exc):
+                raise ValueError(
+                    "UPSERT into a lake target requires an 'lsn' column in "
+                    "the source (per-key ordering authority); add one, e.g. "
+                    "SELECT ..., event_id AS lsn ...") from exc
+            raise
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
 
     def _exec_Update(self, stmt: A.Update):
         from ..cdc.upsert import update_parquet

@@ -113,3 +113,43 @@ class TestStaleStagingRecovery:
         eng2.replay(ev, chunk_lsns=400)
         expected = sha256_of_state(naive_replay(ev))
         assert sha256_of_table(eng2.table()) == expected
+
+
+class TestUpsertIntoLake:
+    def test_sql_upsert_routes_through_lake_engine(self, ray_session, tmp_path):
+        """UPSERT INTO a WITH LAKE target = the exactly-once CDC engine:
+        the SQL surface IS the declarative layer over the change tail."""
+        import pyarrow.parquet as pq
+
+        from conftest import SF_TINY, to_pandas
+        from qwery_ray import QweryEngine
+
+        lake = str(tmp_path / "events_lake")
+        eng = QweryEngine(table_root=SF_TINY)
+        r1 = eng.sql(
+            f"UPSERT INTO '{lake}' WITH LAKE "
+            f"SELECT event_id AS lsn, user_id, event_type, value "
+            f"FROM events WHERE event_id <= 500 KEYED ON user_id, event_type")
+        assert to_pandas(r1)["ROWS_INSERTED"][0] > 0
+        assert os.path.exists(os.path.join(lake, "manifest.json"))
+
+        # second statement continues the SAME lake (resume from watermark)
+        eng.sql(
+            f"UPSERT INTO '{lake}' "
+            f"SELECT event_id AS lsn, user_id, event_type, value "
+            f"FROM events KEYED ON user_id, event_type")
+
+        from qwery_ray.cdc.engine import CDCLakeEngine
+
+        lake_eng = CDCLakeEngine(lake, key_cols=["user_id", "event_type"])
+        final = lake_eng.table().to_pandas()
+        # last-writer-wins oracle via pandas over the raw events
+        import pandas as pd
+
+        ev = pq.read_table(f"{SF_TINY}/events.parquet").to_pandas()
+        expect = ev.sort_values("event_id").drop_duplicates(
+            ["user_id", "event_type"], keep="last")
+        assert len(final) == len(expect)
+        got = final.set_index(["user_id", "event_type"])["value"].to_dict()
+        want = expect.set_index(["user_id", "event_type"])["value"].to_dict()
+        assert got == want
