@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out[name] = (lambda sf_dir, _s=sql_text: _sql(sf_dir, _s))
     out.update({
         "cdc_replay": dq.cdc_replay,
+        "events_lake_lww": dq.events_lake_lww,
         "exact_dedup": dq.exact_dedup_docs,
         "token_count": dq.token_counts,
         "text_quality": dq.text_quality,          # heuristic — rows-only
@@ -212,6 +213,14 @@ def oracle_sql() -> dict[str, str]:
     out = {name: (oracle or mine)
            for name, (mine, oracle) in _SQL_QUERIES.items()}
     out["cdc_replay"] = events_from_documents_sql()
+    out["events_lake_lww"] = """
+SELECT e.user_id, e.event_type, e.event_id AS lsn, e.value
+FROM events e
+JOIN (SELECT user_id, event_type, MAX(event_id) AS m
+      FROM events GROUP BY user_id, event_type) x
+  ON e.user_id = x.user_id AND e.event_type = x.event_type
+ AND e.event_id = x.m
+"""
     out["exact_dedup"] = (
         "SELECT * FROM documents WHERE doc_id IN "
         "(SELECT MIN(doc_id) FROM documents GROUP BY text)")

@@ -47,6 +47,25 @@ def cdc_replay(sf_dir: str, *, chunk_lsns: int = 5000, num_partitions: int = 16)
     return lake.dataset().select_columns(["repo", "path", "lsn", "content"])
 
 
+def events_lake_lww(sf_dir: str):
+    """SQL UPSERT INTO a lake target keyed on (user_id, event_type): the
+    declarative statement compiles to the exactly-once CDC engine; returns
+    the final lake state (oracle: per-key argmax event_id in SQL)."""
+    from ..cdc.engine import CDCLakeEngine
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    lake = f"/tmp/qwery_ray_driver/events_lake_{tag}"
+    shutil.rmtree(lake, ignore_errors=True)
+    eng = engine_for(sf_dir)
+    eng.sql(
+        f"UPSERT INTO '{lake}' WITH LAKE "
+        f"SELECT event_id AS lsn, user_id, event_type, value FROM events "
+        f"KEYED ON user_id, event_type")
+    lake_eng = CDCLakeEngine(lake, key_cols=["user_id", "event_type"])
+    return lake_eng.dataset().select_columns(
+        ["user_id", "event_type", "lsn", "value"])
+
+
 # ------------------------------------------------------------- training ops
 def exact_dedup_docs(sf_dir: str):
     import ray.data as rd
