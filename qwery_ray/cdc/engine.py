@@ -664,6 +664,28 @@ class CDCLakeEngine:
 
         return self.dataset().map_batches(hash_batch, batch_format="pyarrow")
 
+    def lookup(self, *key_values) -> Optional[dict]:
+        """Point lookup by full key: hashes straight to ONE partition file
+        and filters it — O(partition) I/O, no scan of the lake. Returns the
+        row dict or None."""
+        if len(key_values) != len(self.key_cols):
+            raise ValueError(f"lookup needs {len(self.key_cols)} key values "
+                             f"({self.key_cols})")
+        pid = int(key_hash_partition_cols(
+            [pa.chunked_array([pa.array([v])]) for v in key_values],
+            self.num_partitions)[0])
+        manifest = self.load_manifest()
+        info = manifest["partitions"].get(str(pid))
+        if info is None or info["rows"] == 0:
+            return None
+        table = pq.read_table(os.path.join(self.lake_dir, info["file"]))
+        mask = None
+        for col, val in zip(self.key_cols, key_values):
+            m = pc.equal(table.column(col), val)
+            mask = m if mask is None else pc.and_(mask, m)
+        hit = table.filter(mask)
+        return hit.to_pylist()[0] if len(hit) else None
+
     def checkpoints(self) -> pd.DataFrame:
         """Per-partition checkpoint records (partition_id, last_applied_lsn,
         row_count, lineage) — the north rule's resume/lineage surface."""

@@ -169,3 +169,16 @@ class TestDeterminism:
             m2 = f.read()
         assert m1 == m2
         assert lake_sha(eng1) == lake_sha(eng2)
+
+
+class TestLookup:
+    def test_point_lookup(self, events_dir, oracle_state, tmp_path):
+        state, _ = oracle_state
+        eng = make_engine(tmp_path)
+        eng.replay(events_dir)
+        key, expect = next(iter(state.items()))
+        row = eng.lookup(*key)
+        assert row is not None
+        assert row["content"] == expect["content"]
+        assert row["lsn"] == expect["lsn"]
+        assert eng.lookup("no/such-repo", "nope.py") is None
