@@ -137,10 +137,21 @@ def run_queries() -> dict[str, float]:
     for name, fn in (("exact_dedup", dq.exact_dedup_docs),
                      ("token_count", dq.token_counts),
                      ("text_quality", dq.text_quality),
-                     ("ann_topk", dq.ann_topk)):
+                     ("ann_topk", dq.ann_topk),
+                     ("minhash_near_dups", dq.minhash_near_dups)):
         t0 = time.perf_counter()
         _consume(fn(SF_DIR))
         times[name] = round(time.perf_counter() - t0, 3)
+
+    # embedding near-dup at bench scale uses the LSH-bucketed scale path
+    import ray.data as rd
+
+    from qwery_ray.ops.dedup import embedding_dup_pairs
+
+    t0 = time.perf_counter()
+    emb = rd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    _consume(embedding_dup_pairs(emb, num_buckets=64))
+    times["embedding_dups_lsh"] = round(time.perf_counter() - t0, 3)
     return times
 
 

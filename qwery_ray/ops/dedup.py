@@ -121,23 +121,46 @@ def minhash_lsh_candidates(ds: rd.Dataset, *, text_col: str = "text",
                            num_bands: int = 16, shingle_k: int = 5,
                            seed: int = 42) -> rd.Dataset:
     """Candidate near-duplicate PAIRS (id_a < id_b) via banded MinHash."""
-    sigs = ds.map_batches(
+    import ray
+
+    # signature computation is the CPU-heavy stage; small inputs arrive as a
+    # single block which would serialize it — split to the core count first
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    sigs = ds.repartition(ncpu * 2).map_batches(
         MinHashSignatures(text_col, id_col, num_perm, shingle_k, seed),
         batch_format="pandas")
     bands = sigs.map_batches(_BandExplodeStable(num_bands, id_col),
                              batch_format="pandas")
 
-    def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(df[id_col].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
-        return pd.DataFrame({"id_a": [p[0] for p in pairs],
-                             "id_b": [p[1] for p in pairs]})
+    # coarse shuffle key: hash the (band, bucket) space down to ~4×cores
+    # groups — a bucket lands wholly in one group, but map_groups sees ~10²
+    # groups instead of |docs|×bands tiny ones (per-group dispatch dominates
+    # otherwise); the exact bucketing happens in pandas inside the group
+    n_groups = max(32, ncpu * 4)
 
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        emit_pairs, batch_format="pandas")
-    # distinct pairs (same pair can fire in several bands)
+    def add_group(df: pd.DataFrame) -> pd.DataFrame:
+        df["bucket_grp"] = (df["band_hash"].astype("int64")
+                            % np.int64(n_groups))
+        return df
+
+    def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for (_, _), grp in df.groupby(["band_id", "band_hash"], sort=False):
+            if len(grp) < 2:
+                continue
+            ids = sorted(grp[id_col].unique())
+            for i, a in enumerate(ids):
+                for b in ids[i + 1:]:
+                    out_a.append(a)
+                    out_b.append(b)
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b}).drop_duplicates() \
+            .astype({"id_a": "int64", "id_b": "int64"})
+
+    pairs = bands.map_batches(add_group, batch_format="pandas") \
+        .groupby("bucket_grp").map_groups(emit_pairs, batch_format="pandas")
+
+    # distinct pairs (same pair can fire in several bands/groups)
     def local_dedup(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates()
 
@@ -216,23 +239,31 @@ def simhash_candidates(ds: rd.Dataset, *, text_col: str = "text",
         return pd.concat(out, ignore_index=True)
 
     def emit(df: pd.DataFrame) -> pd.DataFrame:
-        rows = df.drop_duplicates(id_col).sort_values(id_col)
-        ids = rows[id_col].tolist()
-        sigs = rows["simhash"].tolist()
         pairs = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                dist = bin(int(sigs[i]) ^ int(sigs[j])).count("1")
-                if dist <= max_hamming:
-                    pairs.append((ids[i], ids[j], dist))
+        for (_, _), grp in df.groupby(["band_id", "band_val"], sort=False):
+            rows = grp.drop_duplicates(id_col).sort_values(id_col)
+            ids = rows[id_col].tolist()
+            sigs = rows["simhash"].tolist()
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    dist = bin(int(sigs[i]) ^ int(sigs[j])).count("1")
+                    if dist <= max_hamming:
+                        pairs.append((ids[i], ids[j], dist))
         out = pd.DataFrame(pairs, columns=["id_a", "id_b", "hamming"])
         return out.astype({"id_a": "int64", "id_b": "int64", "hamming": "int64"})
+
+    def add_group(df: pd.DataFrame) -> pd.DataFrame:
+        # coarse shuffle key (see minhash_lsh_candidates): buckets stay whole
+        df["bucket_grp"] = (df["band_val"].astype("int64") * 7 +
+                            df["band_id"].astype("int64")) % np.int64(256)
+        return df
 
     def first(df: pd.DataFrame) -> pd.DataFrame:
         return df.head(1)
 
     return sig.map_batches(explode, batch_format="pandas") \
-        .groupby(["band_id", "band_val"]).map_groups(emit, batch_format="pandas") \
+        .map_batches(add_group, batch_format="pandas") \
+        .groupby("bucket_grp").map_groups(emit, batch_format="pandas") \
         .groupby(["id_a", "id_b"]).map_groups(first, batch_format="pandas")
 
 

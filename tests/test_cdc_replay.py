@@ -182,3 +182,27 @@ class TestLookup:
         assert row["content"] == expect["content"]
         assert row["lsn"] == expect["lsn"]
         assert eng.lookup("no/such-repo", "nope.py") is None
+
+
+class TestRandomizedStreams:
+    @pytest.mark.parametrize("seed,n_keys,n_events,chunks,delete_frac", [
+        (11, 50, 900, 3, 0.3),    # heavy deletes
+        (23, 1000, 1200, 2, 0.05),  # mostly-unique keys
+        (37, 20, 1500, 5, 0.15),  # tiny key space = extreme hot keys
+    ])
+    def test_random_stream_matches_oracle(self, ray_session, tmp_path,
+                                          seed, n_keys, n_events, chunks,
+                                          delete_frac):
+        from qwery_ray.cdc.engine import CDCLakeEngine
+        from qwery_ray.cdc.oracle import naive_replay, sha256_of_state, \
+            sha256_of_table
+        from qwery_ray.cdc.synth import synth_change_events
+
+        ev = str(tmp_path / "ev")
+        synth_change_events(ev, n_keys=n_keys, n_events=n_events, seed=seed,
+                            n_segments=3, delete_frac=delete_frac,
+                            evolve_after_lsn=n_events // 2)
+        eng = CDCLakeEngine(str(tmp_path / "lake"), num_partitions=5)
+        eng.replay(ev, chunk_lsns=n_events // chunks + 1)
+        expected = sha256_of_state(naive_replay(ev))
+        assert sha256_of_table(eng.table()) == expected
