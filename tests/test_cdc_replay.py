@@ -206,3 +206,23 @@ class TestRandomizedStreams:
         eng.replay(ev, chunk_lsns=n_events // chunks + 1)
         expected = sha256_of_state(naive_replay(ev))
         assert sha256_of_table(eng.table()) == expected
+
+
+class TestWideContent:
+    def test_wide_rows_small_batches(self, ray_session, tmp_path):
+        """~50 KB contents: the bytes-aware combiner batch size must shrink
+        (wide-record stressor, FIXTURES.md §2) and results stay exact."""
+        from qwery_ray.cdc.engine import CDCLakeEngine
+        from qwery_ray.cdc.oracle import naive_replay, sha256_of_state, \
+            sha256_of_table
+        from qwery_ray.cdc.synth import synth_change_events
+
+        ev = str(tmp_path / "ev")
+        synth_change_events(ev, n_keys=60, n_events=400, seed=5,
+                            n_segments=2, mean_content_len=50_000)
+        eng = CDCLakeEngine(str(tmp_path / "lake"), num_partitions=4)
+        bs = eng._auto_batch_size(ev)
+        assert bs < 20_000  # bytes-aware: far below the row-count cap
+        eng.replay(ev, chunk_lsns=200)
+        expected = sha256_of_state(naive_replay(ev))
+        assert sha256_of_table(eng.table()) == expected
