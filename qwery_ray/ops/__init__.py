@@ -1,0 +1,21 @@
+"""Training-data operators: dedup, similarity search, text analysis,
+multimodal stages (see COVERAGE.md for the full map)."""
+
+from .dedup import (ContentHash, MinHashSignatures, SimHash, VerifyJaccard,
+                    embedding_dup_pairs, exact_dedup, jaccard,
+                    minhash_lsh_candidates, ngram_set, simhash_candidates)
+from .multimodal import (DecodeImage, FrameSample, ResizeImage,
+                         image_pipeline, synth_binary_images)
+from .similarity import brute_force_topk, ivf_topk
+from .text import (Fingerprint, LangId, QualityScore, TextAnalyzer,
+                   TextStats, token_count_table)
+
+__all__ = [
+    "ContentHash", "MinHashSignatures", "SimHash", "VerifyJaccard",
+    "embedding_dup_pairs", "exact_dedup", "jaccard",
+    "minhash_lsh_candidates", "ngram_set", "simhash_candidates",
+    "DecodeImage", "FrameSample", "ResizeImage", "image_pipeline",
+    "synth_binary_images", "brute_force_topk", "ivf_topk",
+    "Fingerprint", "LangId", "QualityScore", "TextAnalyzer", "TextStats",
+    "token_count_table",
+]
