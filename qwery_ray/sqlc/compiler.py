@@ -473,10 +473,30 @@ class Compiler:
             if not (len(items) == 1 and isinstance(items[0], A.Star)
                     and items[0].table_alias is None):
                 names = self._output_names(items)
+                # ORDER BY may reference input columns that the projection
+                # drops (SELECT a FROM t ORDER BY b): carry them through the
+                # projection under their own names; dropped after the sort
+                extra_sort_cols = []
+                if sel.order_by and not any(isinstance(it, A.Star)
+                                            for it in items):
+                    out_lower = {n.lower() for n in names if n}
+                    for ob in sel.order_by:
+                        for ref in sorted(collect_column_refs(ob.expr)):
+                            if ref not in out_lower and \
+                                    _try_resolve(ref, frame.columns):
+                                actual = _resolve_name(ref, frame.columns)
+                                if actual not in extra_sort_cols:
+                                    extra_sort_cols.append(actual)
+                    for c in extra_sort_cols:
+                        items.append(A.SelectItem(A.ColumnRef(c), c))
+                        names.append(c)
                 frame = Frame(
                     frame.ds.map_batches(ProjectBatch(items, env, names),
                                          batch_format="pyarrow"),
                     self._expand_names(items, names, frame))
+                if extra_sort_cols:
+                    prev = getattr(frame, "_drop_cols", None) or []
+                    frame._drop_cols = prev + extra_sort_cols  # type: ignore[attr-defined]
             else:
                 # SELECT * : de-qualify any alias.col physical names
                 dequal = {c: c.split(".")[-1] for c in frame.columns if "." in c}
@@ -757,8 +777,21 @@ class Compiler:
             raise ValueError("SELECT * cannot be combined with GROUP BY")
         out_names = [self._output_name(it, i) for i, it in enumerate(items)]
 
-        # group keys: name each key column; plain ColumnRefs keep their name
-        key_exprs = list(sel.group_by)
+        # group keys: name each key column; plain ColumnRefs keep their name.
+        # A key naming a SELECT alias resolves to that item's expression
+        # (GROUP BY alias, standard-SQL convenience).
+        alias_exprs = {}
+        for it in items:
+            if it.alias:
+                alias_exprs[it.alias.lower()] = it.expr
+        key_exprs = []
+        for g in sel.group_by:
+            if isinstance(g, A.ColumnRef) and g.table_alias is None and \
+                    not _try_resolve(g.name, frame.columns) and \
+                    g.name.lower() in alias_exprs:
+                key_exprs.append(alias_exprs[g.name.lower()])
+            else:
+                key_exprs.append(g)
         key_names = []
         for i, g in enumerate(key_exprs):
             if isinstance(g, A.ColumnRef):

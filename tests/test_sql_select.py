@@ -195,3 +195,19 @@ class TestPositionalRefs:
         run_both(engine, duck,
                  "SELECT o_orderstatus, COUNT(*) AS n FROM orders "
                  "GROUP BY 1 ORDER BY 2 DESC")
+
+    def test_group_by_alias(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT UPPER(o_orderstatus) AS status, COUNT(*) AS n "
+                 "FROM orders GROUP BY status",
+                 "SELECT UPPER(o_orderstatus) AS status, COUNT(*) AS n "
+                 "FROM orders GROUP BY UPPER(o_orderstatus)")
+
+    def test_order_by_unprojected_column(self, engine, duck):
+        mine = to_pandas(engine.sql(
+            "SELECT o_orderkey FROM orders ORDER BY o_totalprice DESC LIMIT 5"))
+        oracle = duck.execute(
+            "SELECT o_orderkey FROM orders ORDER BY o_totalprice DESC LIMIT 5"
+        ).fetch_df()
+        assert mine["o_orderkey"].tolist() == oracle["o_orderkey"].tolist()
+        assert list(mine.columns) == ["o_orderkey"]
