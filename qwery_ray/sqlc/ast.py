@@ -60,6 +60,19 @@ class FuncCall(Expr):
 
 
 @dataclass(frozen=True)
+class WindowCall(Expr):
+    """fn(...) OVER (PARTITION BY … ORDER BY …) — superset of the reference
+    (which has no window functions, SURVEY.md §2.5); compiled to
+    groupby(partition).map_groups with per-group sort. Aggregate functions
+    are cumulative when ORDER BY is present (ANSI default frame), else
+    whole-partition."""
+
+    func: "FuncCall"
+    partition_by: tuple = ()
+    order_by: tuple = ()  # of OrderItem
+
+
+@dataclass(frozen=True)
 class CaseWhen(Expr):
     """Searched CASE; the simple form is desugared to EQ conditions at parse
     time, mirroring reference ExpressionParser.scala:246-282."""

@@ -366,6 +366,72 @@ class PostAgg:
         return pa.table(cols)
 
 
+class _WindowGroupFn:
+    """Per-partition window computation (pandas, group already co-located).
+
+    Ranking fns need ORDER BY; aggregates are cumulative when ORDER BY is
+    present (ANSI default frame: unbounded preceding → current row), else
+    whole-partition."""
+
+    def __init__(self, func: str, arg_col, okeys, odesc, out_name):
+        self.func = func
+        self.arg_col = arg_col
+        self.okeys = okeys
+        self.odesc = odesc
+        self.out_name = out_name
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if self.okeys:
+            df = df.sort_values(self.okeys,
+                                ascending=[not d for d in self.odesc],
+                                kind="stable")
+        n = len(df)
+        fn = self.func
+        if fn == "ROW_NUMBER":
+            out = np.arange(1, n + 1)
+        elif fn in ("RANK", "DENSE_RANK"):
+            if not self.okeys:
+                raise ValueError(f"{fn}() requires ORDER BY in OVER()")
+            keys = pd.Series(list(zip(*[df[k] for k in self.okeys])),
+                             index=df.index)
+            method = "min" if fn == "RANK" else "dense"
+            out = keys.rank(method=method).astype("int64").to_numpy()
+        elif fn in ("LAG", "LEAD"):
+            shift = 1 if fn == "LAG" else -1
+            out = df[self.arg_col].shift(shift).to_numpy()
+        elif fn in ("SUM", "COUNT", "AVG", "MEAN", "MIN", "MAX"):
+            s = df[self.arg_col] if self.arg_col else None
+            if self.okeys:  # cumulative frame
+                if fn == "SUM":
+                    out = s.cumsum().to_numpy()
+                elif fn == "COUNT":
+                    out = (s.notna().cumsum() if s is not None
+                           else pd.Series(np.arange(1, n + 1))).to_numpy()
+                elif fn in ("AVG", "MEAN"):
+                    out = (s.cumsum() / s.notna().cumsum()).to_numpy()
+                elif fn == "MIN":
+                    out = s.cummin().to_numpy()
+                else:
+                    out = s.cummax().to_numpy()
+            else:  # whole-partition
+                if fn == "SUM":
+                    val = s.sum(min_count=1)
+                elif fn == "COUNT":
+                    val = s.count() if s is not None else n
+                elif fn in ("AVG", "MEAN"):
+                    val = s.mean()
+                elif fn == "MIN":
+                    val = s.min()
+                else:
+                    val = s.max()
+                out = np.full(n, val)
+        else:
+            raise ValueError(f"unsupported window function {fn}")
+        df = df.copy()
+        df[self.out_name] = out
+        return df
+
+
 class LocalTopK:
     """Keep a batch's top-k rows under the sort ordering (nulls last,
     matching Ray's sort placement)."""
@@ -461,6 +527,26 @@ class Compiler:
                 frame.ds.map_batches(FilterBatch(sel.where, env),
                                      batch_format="pyarrow"),
                 frame.columns, frame.aliases)
+
+        # window functions: computed after WHERE, before projection/agg;
+        # WindowCall nodes are replaced by their materialized __w columns
+        wcalls: list[A.WindowCall] = []
+        for it in sel.items:
+            if isinstance(it, A.SelectItem):
+                _collect_window_calls(it.expr, wcalls)
+        if wcalls:
+            frame, wmap = self._compile_windows(frame, wcalls, env)
+            new_items = tuple(
+                it if isinstance(it, A.Star)
+                else A.SelectItem(substitute_nodes(it.expr, wmap), it.alias)
+                for it in sel.items)
+            order_by = tuple(A.OrderItem(substitute_nodes(o.expr, wmap),
+                                         o.ascending) for o in sel.order_by)
+            sel = A.Select(items=new_items, source=sel.source,
+                           joins=sel.joins, where=None,
+                           group_by=sel.group_by, having=sel.having,
+                           order_by=order_by, limit=sel.limit,
+                           distinct=sel.distinct)
 
         has_agg = bool(sel.group_by) or any(
             collect_agg_calls(it.expr)
@@ -921,6 +1007,75 @@ class Compiler:
         frame2._drop_cols = extra_names  # type: ignore[attr-defined]
         return frame2
 
+    # --------------------------------------------------------------- window
+    def _compile_windows(self, frame: Frame, wcalls, env):
+        """fn() OVER (PARTITION BY p ORDER BY o): one groupby(partition) +
+        per-group pandas computation per distinct window call. Emits __w{i}
+        columns; rows keep all original columns."""
+        mapping = {}
+        for i, wc in enumerate(dict.fromkeys(wcalls)):  # dedup, keep order
+            frame = self._compile_one_window(frame, wc, f"__w{i}", env)
+            mapping[wc] = A.ColumnRef(f"__w{i}")
+        return frame, mapping
+
+    def _compile_one_window(self, frame: Frame, wc: A.WindowCall,
+                            out_name: str, env) -> Frame:
+        prep_exprs, prep_names = [], []
+        pkeys = []
+        for j, p in enumerate(wc.partition_by):
+            if isinstance(p, A.ColumnRef) and _try_resolve(p.name, frame.columns):
+                pkeys.append(_resolve_name(p.name, frame.columns))
+            else:
+                name = f"{out_name}_p{j}"
+                prep_exprs.append(p)
+                prep_names.append(name)
+                pkeys.append(name)
+        okeys, odesc = [], []
+        for j, o in enumerate(wc.order_by):
+            if isinstance(o.expr, A.ColumnRef) and \
+                    _try_resolve(o.expr.name, frame.columns):
+                okeys.append(_resolve_name(o.expr.name, frame.columns))
+            else:
+                name = f"{out_name}_o{j}"
+                prep_exprs.append(o.expr)
+                prep_names.append(name)
+                okeys.append(name)
+            odesc.append(not o.ascending)
+        arg_col = None
+        fn = wc.func
+        if fn.args:
+            arg0 = fn.args[0]
+            if isinstance(arg0, A.ColumnRef) and \
+                    _try_resolve(arg0.name, frame.columns):
+                arg_col = _resolve_name(arg0.name, frame.columns)
+            else:
+                arg_col = f"{out_name}_a"
+                prep_exprs.append(arg0)
+                prep_names.append(arg_col)
+
+        ds = frame.ds
+        if prep_exprs:
+            ds = ds.map_batches(AddSortKeys(prep_exprs, prep_names, env),
+                                batch_format="pyarrow")
+        if not pkeys:
+            const = f"{out_name}_g"
+            ds = ds.map_batches(
+                lambda t, _c=const: t.append_column(
+                    _c, pa.array([0] * len(t))), batch_format="pyarrow")
+            pkeys = [const]
+            prep_names = prep_names + [const]
+
+        win = _WindowGroupFn(fn.name, arg_col, okeys, odesc, out_name)
+
+        def window_fn(df: pd.DataFrame, _w=win) -> pd.DataFrame:
+            return _w(df)
+
+        ds = ds.groupby(pkeys).map_groups(window_fn, batch_format="pandas")
+        helper = [n for n in prep_names]
+        if helper:
+            ds = ds.map_batches(DropColumns(helper), batch_format="pyarrow")
+        return Frame(ds, frame.columns + [out_name], frame.aliases)
+
     # ---------------------------------------------------------------- order
     TOPK_PUSHDOWN_LIMIT = 100_000
 
@@ -1032,6 +1187,28 @@ class CombinePartials:
 
 
 # ------------------------------------------------------------------ helpers
+def _collect_window_calls(expr, out: list):
+    if isinstance(expr, A.WindowCall):
+        if expr not in out:
+            out.append(expr)
+        return  # no nested windows
+    if isinstance(expr, A.Expr) and hasattr(expr, "__dataclass_fields__"):
+        from dataclasses import fields
+
+        for f in fields(expr):
+            val = getattr(expr, f.name)
+            if isinstance(val, A.Expr):
+                _collect_window_calls(val, out)
+            elif isinstance(val, tuple):
+                for v in val:
+                    if isinstance(v, A.Expr):
+                        _collect_window_calls(v, out)
+                    elif isinstance(v, tuple):
+                        for w in v:
+                            if isinstance(w, A.Expr):
+                                _collect_window_calls(w, out)
+
+
 def _partial_suffixes(kind: str) -> list[str]:
     return {
         "SUM": ["sum"], "COUNT": ["cnt"], "AVG": ["sum", "cnt"],

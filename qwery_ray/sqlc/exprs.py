@@ -713,6 +713,12 @@ def collect_column_refs(expr, out: set | None = None) -> set:
         out = set()
     if isinstance(expr, A.ColumnRef):
         out.add(expr.name.lower())
+    elif isinstance(expr, A.WindowCall):
+        collect_column_refs(expr.func, out)
+        for p in expr.partition_by:
+            collect_column_refs(p, out)
+        for o in expr.order_by:
+            collect_column_refs(o.expr, out)
     elif isinstance(expr, A.BinaryOp):
         collect_column_refs(expr.left, out); collect_column_refs(expr.right, out)
     elif isinstance(expr, A.UnaryOp):

@@ -225,6 +225,7 @@ class Parser:
         "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "TOP", "UNION",
         "INTO", "AS", "ON", "INNER", "LEFT", "RIGHT", "FULL", "JOIN", "CROSS",
         "KEYED", "WITH", "AND", "OR", "NOT", "ASC", "DESC", "END", "WHEN",
+        "OVER", "PARTITION", "QUALIFY",
         "THEN", "ELSE", "CASE", "VALUES", "SET", "BY", "SELECT", "LIKE",
         "MATCHES", "BETWEEN", "IN", "IS", "NULL", "DISTINCT", "ALL",
     }
@@ -679,17 +680,26 @@ class Parser:
                 name = self.next().text
                 self.expect("(")
                 if self.accept(")"):
-                    return A.FuncCall(name.upper(), ())
+                    call = A.FuncCall(name.upper(), ())
+                    if self.at("OVER"):
+                        return self._parse_over(call)
+                    return call
                 if self.peek().kind == "OP" and self.peek().text == "*":
                     self.next()
                     self.expect(")")
-                    return A.FuncCall(name.upper(), (), is_star=True)
+                    call = A.FuncCall(name.upper(), (), is_star=True)
+                    if self.at("OVER"):
+                        return self._parse_over(call)
+                    return call
                 distinct = bool(self.accept("DISTINCT"))
                 args = [self.parse_expr()]
                 while self.accept(","):
                     args.append(self.parse_expr())
                 self.expect(")")
-                return A.FuncCall(name.upper(), tuple(args), distinct=distinct)
+                call = A.FuncCall(name.upper(), tuple(args), distinct=distinct)
+                if self.at("OVER"):
+                    return self._parse_over(call)
+                return call
             # column ref (possibly alias.col via dotted IDENT)
             self.next()
             if "." in tok.text:
@@ -702,6 +712,24 @@ class Parser:
                 return A.ColumnRef(col, table_alias=tok.text)
             return A.ColumnRef(tok.text)
         self.error("unexpected token in expression")
+
+    def _parse_over(self, call: A.FuncCall) -> A.WindowCall:
+        self.expect("OVER")
+        self.expect("(")
+        partition_by: list[A.Expr] = []
+        order_by: list[A.OrderItem] = []
+        if self.accept("PARTITION"):
+            self.expect("BY")
+            partition_by.append(self.parse_expr())
+            while self.accept(","):
+                partition_by.append(self.parse_expr())
+        if self.accept("ORDER"):
+            self.expect("BY")
+            order_by.append(self.parse_order_item())
+            while self.accept(","):
+                order_by.append(self.parse_order_item())
+        self.expect(")")
+        return A.WindowCall(call, tuple(partition_by), tuple(order_by))
 
     def parse_case(self) -> A.CaseWhen:
         self.expect("CASE")

@@ -1,0 +1,55 @@
+"""Window functions (OVER) vs DuckDB — superset of the reference (§2.5:
+no windows there), needed for keyed-dedup idioms in training pipelines."""
+
+from conftest import assert_frames_match, to_pandas
+
+
+def run_both(engine, duck, my_sql, duck_sql=None):
+    mine = engine.sql(my_sql)
+    oracle = duck.execute(duck_sql or my_sql).fetch_df()
+    assert_frames_match(mine, oracle)
+
+
+class TestWindows:
+    def test_row_number_latest_per_key(self, engine, duck):
+        sql = ("SELECT o_custkey, o_orderkey, rn FROM ("
+               "SELECT o_custkey, o_orderkey, "
+               "ROW_NUMBER() OVER (PARTITION BY o_custkey "
+               "ORDER BY o_orderdate DESC, o_orderkey) AS rn FROM orders"
+               ") WHERE rn = 1")
+        duck_sql = sql.replace(") WHERE rn = 1", ") t WHERE rn = 1")
+        run_both(engine, duck, sql, duck_sql)
+
+    def test_rank_dense_rank(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT l_orderkey, l_linenumber, "
+                 "RANK() OVER (PARTITION BY l_orderkey ORDER BY l_quantity) AS r, "
+                 "DENSE_RANK() OVER (PARTITION BY l_orderkey "
+                 "ORDER BY l_quantity) AS dr "
+                 "FROM lineitem WHERE l_orderkey < 100")
+
+    def test_cumulative_sum(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT o_custkey, o_orderkey, "
+                 "SUM(o_totalprice) OVER (PARTITION BY o_custkey "
+                 "ORDER BY o_orderkey) AS running_total "
+                 "FROM orders WHERE o_custkey < 30")
+
+    def test_partition_aggregate_no_order(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT o_orderkey, o_orderstatus, "
+                 "COUNT(*) OVER (PARTITION BY o_orderstatus) AS n_in_status "
+                 "FROM orders WHERE o_orderkey < 200")
+
+    def test_lag(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT o_custkey, o_orderkey, "
+                 "LAG(o_totalprice) OVER (PARTITION BY o_custkey "
+                 "ORDER BY o_orderkey) AS prev_price "
+                 "FROM orders WHERE o_custkey < 20")
+
+    def test_global_window(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT o_orderkey, "
+                 "ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn "
+                 "FROM orders WHERE o_totalprice > 400000")
