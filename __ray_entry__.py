@@ -179,6 +179,23 @@ _SQL_QUERIES: dict[str, tuple[str, str | None]] = {
         "SELECT s_suppkey, s_name FROM supplier WHERE s_nationkey IN "
         "(SELECT n_nationkey FROM nation WHERE n_regionkey = 2)",
         None),
+    "window_latest_per_customer": (
+        "SELECT o_custkey, o_orderkey, o_totalprice FROM ("
+        "SELECT o_custkey, o_orderkey, o_totalprice, "
+        "ROW_NUMBER() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate DESC, o_orderkey) AS rn FROM orders"
+        ") WHERE rn = 1",
+        "SELECT o_custkey, o_orderkey, o_totalprice FROM ("
+        "SELECT o_custkey, o_orderkey, o_totalprice, "
+        "ROW_NUMBER() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate DESC, o_orderkey) AS rn FROM orders"
+        ") t WHERE rn = 1"),
+    "window_running_total": (
+        "SELECT o_custkey, o_orderkey, "
+        "SUM(o_totalprice) OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderkey) AS running_total "
+        "FROM orders WHERE o_custkey < 100",
+        None),
     "between_filter": (
         "SELECT l_orderkey, l_quantity FROM lineitem "
         "WHERE l_quantity BETWEEN 10 AND 12 AND l_returnflag = 'R'",
