@@ -417,7 +417,8 @@ def _map_statement_exprs(stmt, fix: Callable):
             having=fix(stmt.having),
             order_by=tuple(A.OrderItem(fix(o.expr), o.ascending)
                            for o in stmt.order_by),
-            limit=stmt.limit, distinct=stmt.distinct)
+            limit=stmt.limit, distinct=stmt.distinct,
+            qualify=fix(stmt.qualify))
     if isinstance(stmt, A.Union):
         return A.Union(_map_statement_exprs(stmt.left, fix),
                        _map_statement_exprs(stmt.right, fix), stmt.distinct)

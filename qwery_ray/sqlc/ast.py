@@ -222,6 +222,7 @@ class Select(Statement, Source):
     order_by: tuple[OrderItem, ...] = ()
     limit: Optional[int] = None
     distinct: bool = False
+    qualify: Optional[Cond] = None  # window-aware post-filter (DuckDB-style)
 
 
 @dataclass(frozen=True)

@@ -392,10 +392,23 @@ class _WindowGroupFn:
         elif fn in ("RANK", "DENSE_RANK"):
             if not self.okeys:
                 raise ValueError(f"{fn}() requires ORDER BY in OVER()")
-            keys = pd.Series(list(zip(*[df[k] for k in self.okeys])),
-                             index=df.index)
-            method = "min" if fn == "RANK" else "dense"
-            out = keys.rank(method=method).astype("int64").to_numpy()
+            # rank from POSITION in the already-sorted (direction-aware)
+            # order: a new rank starts wherever the order key changes
+            keys = df[self.okeys].reset_index(drop=True)
+            changed = np.ones(n, dtype=bool)
+            if n > 1:
+                eq_prev = (keys.iloc[1:].reset_index(drop=True)
+                           .eq(keys.iloc[:-1].reset_index(drop=True))
+                           | (keys.iloc[1:].isna().reset_index(drop=True)
+                              & keys.iloc[:-1].isna().reset_index(drop=True))
+                           ).all(axis=1).to_numpy()
+                changed[1:] = ~eq_prev
+            if fn == "RANK":
+                pos = np.arange(1, n + 1)
+                out = pd.Series(np.where(changed, pos, np.nan)) \
+                    .ffill().astype("int64").to_numpy()
+            else:
+                out = changed.cumsum().astype("int64")
         elif fn in ("LAG", "LEAD"):
             shift = 1 if fn == "LAG" else -1
             out = df[self.arg_col].shift(shift).to_numpy()
@@ -534,6 +547,8 @@ class Compiler:
         for it in sel.items:
             if isinstance(it, A.SelectItem):
                 _collect_window_calls(it.expr, wcalls)
+        if sel.qualify is not None:
+            _collect_window_calls(sel.qualify, wcalls)
         if wcalls:
             frame, wmap = self._compile_windows(frame, wcalls, env)
             new_items = tuple(
@@ -542,11 +557,34 @@ class Compiler:
                 for it in sel.items)
             order_by = tuple(A.OrderItem(substitute_nodes(o.expr, wmap),
                                          o.ascending) for o in sel.order_by)
+            qualify = substitute_nodes(sel.qualify, wmap) \
+                if sel.qualify is not None else None
             sel = A.Select(items=new_items, source=sel.source,
                            joins=sel.joins, where=None,
                            group_by=sel.group_by, having=sel.having,
                            order_by=order_by, limit=sel.limit,
-                           distinct=sel.distinct)
+                           distinct=sel.distinct, qualify=qualify)
+
+        if sel.qualify is not None:
+            # QUALIFY filters on window results / select aliases BEFORE the
+            # projection (the __w helper columns still exist here)
+            from .rewrite import substitute_columns
+
+            alias_map = {
+                it.alias.lower(): it.expr
+                for it in sel.items
+                if isinstance(it, A.SelectItem) and it.alias
+            }
+            q = substitute_columns(sel.qualify, alias_map)
+            frame = Frame(
+                frame.ds.map_batches(FilterBatch(q, env),
+                                     batch_format="pyarrow"),
+                frame.columns, frame.aliases)
+            sel = A.Select(items=sel.items, source=sel.source,
+                           joins=sel.joins, where=sel.where,
+                           group_by=sel.group_by, having=sel.having,
+                           order_by=sel.order_by, limit=sel.limit,
+                           distinct=sel.distinct, qualify=None)
 
         has_agg = bool(sel.group_by) or any(
             collect_agg_calls(it.expr)

@@ -176,6 +176,7 @@ class Parser:
                 group_by.append(self.parse_expr())
 
         having = self.parse_cond() if self.accept("HAVING") else None
+        qualify = self.parse_cond() if self.accept("QUALIFY") else None
 
         order_by: list[A.OrderItem] = []
         if self.accept("ORDER"):
@@ -190,7 +191,7 @@ class Parser:
         select = A.Select(
             items=tuple(items), source=source, joins=tuple(joins), where=where,
             group_by=tuple(group_by), having=having, order_by=tuple(order_by),
-            limit=limit, distinct=distinct,
+            limit=limit, distinct=distinct, qualify=qualify,
         )
 
         # SELECT ... INTO 'target' sugar → Insert (SQLLanguageParser.scala:839-853)

@@ -108,7 +108,7 @@ def referenced_columns(sel: A.Select) -> Optional[set]:
     out: set = set()
     for it in sel.items:
         collect_column_refs(it.expr, out)
-    for clause in (sel.where, sel.having):
+    for clause in (sel.where, sel.having, sel.qualify):
         if clause is not None:
             collect_column_refs(clause, out)
     for g in sel.group_by:

@@ -53,3 +53,16 @@ class TestWindows:
                  "SELECT o_orderkey, "
                  "ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn "
                  "FROM orders WHERE o_totalprice > 400000")
+
+    def test_qualify(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT o_custkey, o_orderkey FROM orders "
+                 "QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey "
+                 "ORDER BY o_orderdate DESC, o_orderkey) = 1")
+
+    def test_qualify_alias(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT o_custkey, o_orderkey, "
+                 "RANK() OVER (PARTITION BY o_custkey "
+                 "ORDER BY o_totalprice DESC) AS r "
+                 "FROM orders WHERE o_custkey < 50 QUALIFY r <= 2")
