@@ -49,6 +49,20 @@ def expr_sql(e) -> str:
         if e.distinct:
             inner = "DISTINCT " + inner
         return f"{e.name}({inner})"
+    if isinstance(e, A.WindowCall):
+        inner = expr_sql(e.func) + " OVER ("
+        parts = []
+        if e.partition_by:
+            parts.append("PARTITION BY " + ", ".join(expr_sql(p)
+                                                     for p in e.partition_by))
+        if e.order_by:
+            parts.append("ORDER BY " + ", ".join(
+                expr_sql(o.expr) + ("" if o.ascending else " DESC")
+                for o in e.order_by))
+        return inner + " ".join(parts) + ")"
+    if isinstance(e, A.InSubquery):
+        op = "NOT IN" if e.negated else "IN"
+        return f"{expr_sql(e.operand)} {op} ({to_sql(e.query)})"
     if isinstance(e, A.CaseWhen):
         parts = ["CASE"]
         for cond, val in e.branches:
@@ -132,6 +146,8 @@ def to_sql(stmt) -> str:
                                                  for g in stmt.group_by))
         if stmt.having is not None:
             parts.append("HAVING " + expr_sql(stmt.having))
+        if stmt.qualify is not None:
+            parts.append("QUALIFY " + expr_sql(stmt.qualify))
         if stmt.order_by:
             obs = ", ".join(
                 expr_sql(o.expr) + ("" if o.ascending else " DESC")
@@ -203,4 +219,9 @@ def to_sql(stmt) -> str:
         return out
     if isinstance(stmt, A.Show):
         return f"SHOW {stmt.entity}"
+    if isinstance(stmt, A.NativeSQL):
+        out = f"NATIVE SQL {_string(stmt.query)}"
+        if stmt.connection:
+            out += f" FROM {_string(stmt.connection)}"
+        return out
     raise ValueError(f"cannot decompile {type(stmt).__name__}")

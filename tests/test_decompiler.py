@@ -44,3 +44,19 @@ def test_round_trip(sql):
     ast2 = parse_one(rendered)
     assert to_sql(ast2) == rendered  # fixed point
     assert type(ast1) is type(ast2)
+
+
+WINDOW_STATEMENTS = [
+    "SELECT a, ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts DESC) AS rn FROM t",
+    "SELECT a FROM t QUALIFY RANK() OVER (ORDER BY v) <= 3",
+    "SELECT x FROM t WHERE k IN (SELECT k FROM dims WHERE region = 2)",
+    "NATIVE SQL 'SELECT 1' FROM 'duckdb:mem.db'",
+]
+
+
+@pytest.mark.parametrize("sql", WINDOW_STATEMENTS)
+def test_round_trip_extended(sql):
+    ast1 = parse_one(sql)
+    rendered = to_sql(ast1)
+    ast2 = parse_one(rendered)
+    assert to_sql(ast2) == rendered
