@@ -116,6 +116,10 @@ def sql_queries() -> dict[str, str]:
         "count_distinct":
             "SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS nc "
             "FROM orders GROUP BY o_orderstatus",
+        "window_latest_per_key":
+            "SELECT o_custkey, o_orderkey FROM orders "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate DESC, o_orderkey) = 1",
         "events_hourly_window":
             "SELECT DATE_TRUNC('hour', ts) AS h, event_type, COUNT(*) AS n, "
             "SUM(value) AS total FROM events GROUP BY "

@@ -174,9 +174,7 @@ class QweryEngine:
                 ds = ds.map_batches(_PositionalRename(stmt.columns),
                                     batch_format="pyarrow")
         target = self.expand_vars(stmt.target)
-        if not os.path.isabs(target) and self.table_root and \
-                target.lower() not in self.tables and not os.path.exists(target):
-            pass  # relative paths stay relative (cwd), matching the reference
+        # relative paths stay relative to cwd, matching the reference
         inserted = write_sink(ds, target, stmt.hints, overwrite=stmt.overwrite)
         return pa.table({"ROWS_INSERTED": [inserted], "ROWS_REJECTED": [0]})
 
