@@ -753,6 +753,10 @@ class Compiler:
                 frame.aliases[ref.alias.lower()] = True
             return frame
         path = sess.resolve_table_path(name)
+        if "://" not in path and "*" not in path and not os.path.exists(path):
+            known = ", ".join(sorted(sess.tables)) or "(none)"
+            raise ValueError(
+                f"unknown table or path {name!r}; registered tables: {known}")
         from ..sources.readers import read_source, detect_format
 
         est_rows = None
