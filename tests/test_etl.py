@@ -89,3 +89,46 @@ class TestWorkflow:
         ctl = ETLController.from_config(etl_home, str(cfg))
         assert ctl.lookup_trigger("x.csv").name == "t1"
         assert ctl.lookup_trigger("x.json") is None
+
+
+class TestScheduledEvents:
+    def test_next_run_rollover_and_due(self):
+        import datetime as dt
+
+        from qwery_ray.etl.schedule import ScheduledEvent
+
+        ev = ScheduledEvent("nightly", "SELECT 1", ["02:30", "14:00"])
+        now = dt.datetime(2026, 8, 17, 15, 0)
+        assert ev.next_run(now) == dt.datetime(2026, 8, 18, 2, 30)
+        assert ev.due(now)  # 14:00 already passed and never ran
+        ev.last_run = now
+        assert not ev.due(dt.datetime(2026, 8, 17, 15, 5))
+        assert ev.due(dt.datetime(2026, 8, 18, 2, 31))
+
+    def test_run_pending_executes_script(self, ray_session, tmp_path):
+        import datetime as dt
+        import json as _json
+
+        from qwery_ray.etl.schedule import Scheduler
+
+        out = tmp_path / "sched_out.csv"
+        cfg = tmp_path / "scheduled-events.json"
+        cfg.write_text(_json.dumps({"events": [{
+            "name": "export-regions",
+            "script": f"INSERT INTO '{out}' (name) SELECT r_name FROM region",
+            "times": ["03:00"],
+        }]}))
+
+        def factory():
+            from qwery_ray import QweryEngine
+
+            from conftest import SF_TINY
+
+            return QweryEngine(table_root=SF_TINY)
+
+        sched = Scheduler.from_config(str(cfg), engine_factory=factory)
+        ran = sched.run_pending(dt.datetime(2026, 8, 17, 3, 1))
+        assert ran == ["export-regions"]
+        assert len(out.read_text().strip().splitlines()) == 6  # header + 5
+        # second poll in the same window: no double-run
+        assert sched.run_pending(dt.datetime(2026, 8, 17, 3, 2)) == []
