@@ -462,6 +462,18 @@ class LocalTopK:
         return batch.take(idx.slice(0, self.k))
 
 
+class _PositionalUnionRename:
+    """Re-label the right UNION arm positionally to the left arm's names."""
+
+    def __init__(self, from_names, to_names):
+        self.order = list(from_names)
+        self.to_names = list(to_names)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = batch.select(self.order)
+        return batch.rename_columns(self.to_names)
+
+
 class DropColumns:
     def __init__(self, names):
         self.names = names
@@ -480,15 +492,34 @@ class Compiler:
         if isinstance(stmt, A.Select):
             return self.compile_select(stmt)
         if isinstance(stmt, A.Union):
-            left = self.compile_query(stmt.left)
-            right = self.compile_query(stmt.right)
-            out = left.union(right)
+            left_f = self._query_frame(stmt.left)
+            right_f = self._query_frame(stmt.right)
+            right_ds = right_f.ds
+            if right_f.columns and left_f.columns and \
+                    right_f.columns != left_f.columns:
+                # ANSI UNION is positional: re-label the right arm to the
+                # left arm's column names (Ray's union aligns by name)
+                if len(right_f.columns) != len(left_f.columns):
+                    raise ValueError(
+                        f"UNION arms have {len(left_f.columns)} vs "
+                        f"{len(right_f.columns)} columns")
+                mapping = dict(zip(right_f.columns, left_f.columns))
+                right_ds = right_ds.map_batches(
+                    _PositionalUnionRename(right_f.columns, left_f.columns),
+                    batch_format="pyarrow")
+            out = left_f.ds.union(right_ds)
             if stmt.distinct:
                 out = _distinct(out)
             return out
         if isinstance(stmt, A.Values):
             return self.compile_values(stmt, ())
         raise ValueError(f"not a query: {type(stmt).__name__}")
+
+    def _query_frame(self, stmt) -> Frame:
+        if isinstance(stmt, A.Select):
+            return self._select_frame(stmt)
+        ds = self.compile_query(stmt)
+        return Frame(ds, [])
 
     def compile_values(self, stmt: A.Values, columns: tuple[str, ...]) -> rd.Dataset:
         ev = make_evaluator(_env(self.session))

@@ -211,3 +211,11 @@ class TestPositionalRefs:
         ).fetch_df()
         assert mine["o_orderkey"].tolist() == oracle["o_orderkey"].tolist()
         assert list(mine.columns) == ["o_orderkey"]
+
+    def test_union_positional_alignment(self, engine, duck):
+        # ANSI UNION pairs columns by POSITION, not name
+        run_both(engine, duck,
+                 "SELECT r_regionkey AS a, r_name AS b FROM region UNION ALL "
+                 "SELECT n_regionkey AS x, n_name AS y FROM nation",
+                 "SELECT r_regionkey AS a, r_name AS b FROM region UNION ALL "
+                 "SELECT n_regionkey, n_name FROM nation")
