@@ -965,6 +965,18 @@ class Compiler:
                         break
                 key_names.append(name)
 
+        # HAVING may reference select aliases (HAVING n > 5) — resolve them
+        # to their expressions before aggregate collection
+        if sel.having is not None and alias_exprs:
+            from .rewrite import substitute_columns
+
+            sel = A.Select(items=sel.items, source=sel.source,
+                           joins=sel.joins, where=sel.where,
+                           group_by=sel.group_by,
+                           having=substitute_columns(sel.having, alias_exprs),
+                           order_by=sel.order_by, limit=sel.limit,
+                           distinct=sel.distinct, qualify=sel.qualify)
+
         agg_calls: list[A.FuncCall] = []
         for it in items:
             for call in collect_agg_calls(it.expr):

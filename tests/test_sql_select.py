@@ -219,3 +219,10 @@ class TestPositionalRefs:
                  "SELECT n_regionkey AS x, n_name AS y FROM nation",
                  "SELECT r_regionkey AS a, r_name AS b FROM region UNION ALL "
                  "SELECT n_regionkey, n_name FROM nation")
+
+    def test_having_alias(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT o_orderstatus, COUNT(*) AS n FROM orders "
+                 "GROUP BY o_orderstatus HAVING n > 400",
+                 "SELECT o_orderstatus, COUNT(*) AS n FROM orders "
+                 "GROUP BY o_orderstatus HAVING COUNT(*) > 400")
