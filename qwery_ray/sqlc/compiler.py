@@ -131,6 +131,33 @@ class AddSortKeys:
         return batch
 
 
+class HarmonizeJoinKeys:
+    """Cast integer join keys to int64 / floats to float64 so both sides of
+    a join share key types (Acero rejects int32⋈int64)."""
+
+    def __init__(self, keys):
+        self.keys = keys
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return _harmonize_keys(batch, self.keys)
+
+
+def _harmonize_keys(table: pa.Table, keys) -> pa.Table:
+    for k in keys:
+        if k not in table.column_names:
+            continue
+        t = table.column(k).type
+        if pa.types.is_integer(t) and t != pa.int64():
+            table = table.set_column(
+                table.column_names.index(k), k,
+                pc.cast(table.column(k), pa.int64()))
+        elif pa.types.is_floating(t) and t != pa.float64():
+            table = table.set_column(
+                table.column_names.index(k), k,
+                pc.cast(table.column(k), pa.float64()))
+    return table
+
+
 class BroadcastJoinBatch:
     """Per-batch hash join against a ray.put-broadcast right table.
 
@@ -865,8 +892,11 @@ class Compiler:
         small = right.est_rows is not None and right.est_rows <= BROADCAST_ROW_LIMIT
         if small and j.join_type in ("INNER", "LEFT"):
             pa_type = {"INNER": "inner", "LEFT": "left outer"}[j.join_type]
-            right_ref = ray.put(_materialize_small(right.ds))
+            right_tbl = _harmonize_keys(_materialize_small(right.ds), right_keys)
+            right_ref = ray.put(right_tbl)
             ds = left.ds.map_batches(
+                HarmonizeJoinKeys(left_keys), batch_format="pyarrow")
+            ds = ds.map_batches(
                 BroadcastJoinBatch(right_ref, left_keys, right_keys,
                                    pa_type, residual, env),
                 batch_format="pyarrow")
@@ -875,8 +905,12 @@ class Compiler:
         ray_type = {"INNER": "inner", "LEFT": "left_outer",
                     "RIGHT": "right_outer", "FULL": "full_outer"}[j.join_type]
         num_cpus = int(ray.cluster_resources().get("CPU", 8))
-        ds = left.ds.join(
-            right.ds, join_type=ray_type,
+        left_ds = left.ds.map_batches(HarmonizeJoinKeys(left_keys),
+                                      batch_format="pyarrow")
+        right_ds = right.ds.map_batches(HarmonizeJoinKeys(right_keys),
+                                        batch_format="pyarrow")
+        ds = left_ds.join(
+            right_ds, join_type=ray_type,
             num_partitions=max(num_cpus * 2, 16),
             on=tuple(left_keys), right_on=tuple(right_keys))
         if residual is not None:

@@ -62,3 +62,20 @@ class TestJoins:
         run_both(engine, duck,
                  "SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n",
                  "SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n")
+
+    def test_self_join(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT o1.o_orderkey AS a, o2.o_orderkey AS b FROM orders o1 "
+                 "INNER JOIN orders o2 ON o1.o_custkey = o2.o_custkey "
+                 "WHERE o1.o_orderkey < o2.o_orderkey AND o1.o_custkey = 7")
+
+    def test_join_subquery_mixed_key_widths(self, engine, duck):
+        # nation.n_nationkey is int32; the aggregated subquery key widens to
+        # int64 — join keys must harmonize
+        run_both(engine, duck,
+                 "SELECT n.n_name, x.cnt FROM nation n INNER JOIN "
+                 "(SELECT s_nationkey, COUNT(*) AS cnt FROM supplier "
+                 "GROUP BY s_nationkey) x ON n.n_nationkey = x.s_nationkey",
+                 "SELECT n.n_name, x.cnt FROM nation n JOIN "
+                 "(SELECT s_nationkey, COUNT(*) AS cnt FROM supplier "
+                 "GROUP BY s_nationkey) x ON n.n_nationkey = x.s_nationkey")
