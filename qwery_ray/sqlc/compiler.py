@@ -608,6 +608,17 @@ class Compiler:
         if sel.qualify is not None:
             _collect_window_calls(sel.qualify, wcalls)
         if wcalls:
+            if sel.group_by or any(
+                    collect_agg_calls(it.expr) for it in sel.items
+                    if isinstance(it, A.SelectItem)):
+                # ANSI evaluates windows AFTER grouping; this engine computes
+                # them over the pre-aggregation rows — refuse rather than
+                # silently disagree. The subquery form works:
+                #   SELECT *, RANK() OVER (...) FROM (SELECT k, SUM(x) ... )
+                raise ValueError(
+                    "window functions combined with GROUP BY/aggregates in "
+                    "one SELECT are not supported; wrap the aggregation in "
+                    "a subquery and apply the window outside")
             frame, wmap = self._compile_windows(frame, wcalls, env)
             new_items = tuple(
                 it if isinstance(it, A.Star)

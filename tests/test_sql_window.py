@@ -66,3 +66,19 @@ class TestWindows:
                  "RANK() OVER (PARTITION BY o_custkey "
                  "ORDER BY o_totalprice DESC) AS r "
                  "FROM orders WHERE o_custkey < 50 QUALIFY r <= 2")
+
+    def test_window_over_aggregate_refused_but_subquery_works(self, engine, duck):
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="subquery"):
+            engine.sql("SELECT o_orderstatus, COUNT(*) AS n, "
+                       "RANK() OVER (ORDER BY COUNT(*)) AS r "
+                       "FROM orders GROUP BY o_orderstatus").to_pandas()
+        # the documented subquery form
+        run_both(engine, duck,
+                 "SELECT s, n, RANK() OVER (ORDER BY n DESC) AS r FROM ("
+                 "SELECT o_orderstatus AS s, COUNT(*) AS n FROM orders "
+                 "GROUP BY o_orderstatus)",
+                 "SELECT s, n, RANK() OVER (ORDER BY n DESC) AS r FROM ("
+                 "SELECT o_orderstatus AS s, COUNT(*) AS n FROM orders "
+                 "GROUP BY o_orderstatus) t")
