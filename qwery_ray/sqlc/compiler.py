@@ -400,14 +400,25 @@ class _WindowGroupFn:
     present (ANSI default frame: unbounded preceding → current row), else
     whole-partition."""
 
-    def __init__(self, func: str, arg_col, okeys, odesc, out_name):
+    def __init__(self, func: str, arg_col, okeys, odesc, out_name,
+                 pkeys=None):
         self.func = func
         self.arg_col = arg_col
         self.okeys = okeys
         self.odesc = odesc
         self.out_name = out_name
+        self.pkeys = pkeys or []
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if self.pkeys:
+            # coarse group contains many partition keys: compute per key
+            return pd.concat(
+                [self._one(g) for _, g in
+                 df.groupby(self.pkeys, sort=False, dropna=False)],
+                ignore_index=True)
+        return self._one(df)
+
+    def _one(self, df: pd.DataFrame) -> pd.DataFrame:
         if self.okeys:
             df = df.sort_values(self.okeys,
                                 ascending=[not d for d in self.odesc],
@@ -1187,23 +1198,44 @@ class Compiler:
         if prep_exprs:
             ds = ds.map_batches(AddSortKeys(prep_exprs, prep_names, env),
                                 batch_format="pyarrow")
+        grp_col = f"{out_name}_g"
         if not pkeys:
-            const = f"{out_name}_g"
             ds = ds.map_batches(
-                lambda t, _c=const: t.append_column(
+                lambda t, _c=grp_col: t.append_column(
                     _c, pa.array([0] * len(t))), batch_format="pyarrow")
-            pkeys = [const]
-            prep_names = prep_names + [const]
+        else:
+            # coarse shuffle key: hash(partition cols) % ~4×cores so the
+            # shuffle moves each key wholly but map_groups dispatches ~10²
+            # groups, not one call per key; exact per-key windows happen in
+            # pandas inside the group
+            import ray as _ray
 
-        win = _WindowGroupFn(fn.name, arg_col, okeys, odesc, out_name)
+            ncpu = int(_ray.cluster_resources().get("CPU", 8)) \
+                if _ray.is_initialized() else 8
+
+            class _AddWgrp:
+                def __init__(self, keys, n_groups, name):
+                    self.keys, self.n, self.name = keys, n_groups, name
+
+                def __call__(self, t: pa.Table) -> pa.Table:
+                    from ..cdc.engine import key_hash_partition_cols
+
+                    g = key_hash_partition_cols(
+                        [t.column(k) for k in self.keys], self.n)
+                    return t.append_column(self.name, pa.array(g))
+
+            ds = ds.map_batches(_AddWgrp(pkeys, max(32, ncpu * 4), grp_col),
+                                batch_format="pyarrow")
+
+        win = _WindowGroupFn(fn.name, arg_col, okeys, odesc, out_name,
+                             pkeys=pkeys)
 
         def window_fn(df: pd.DataFrame, _w=win) -> pd.DataFrame:
             return _w(df)
 
-        ds = ds.groupby(pkeys).map_groups(window_fn, batch_format="pandas")
-        helper = [n for n in prep_names]
-        if helper:
-            ds = ds.map_batches(DropColumns(helper), batch_format="pyarrow")
+        ds = ds.groupby([grp_col]).map_groups(window_fn, batch_format="pandas")
+        helper = prep_names + [grp_col]
+        ds = ds.map_batches(DropColumns(helper), batch_format="pyarrow")
         return Frame(ds, frame.columns + [out_name], frame.aliases)
 
     # ---------------------------------------------------------------- order
