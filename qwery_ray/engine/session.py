@@ -158,6 +158,9 @@ class QweryEngine:
     def _exec_Union(self, stmt: A.Union):
         return self.compiler.compile_query(stmt)
 
+    def _exec_SetOp(self, stmt: A.SetOp):
+        return self.compiler.compile_query(stmt)
+
     def _exec_Values(self, stmt: A.Values):
         return self.compiler.compile_values(stmt, ())
 
@@ -420,6 +423,9 @@ def _map_statement_exprs(stmt, fix: Callable):
     if isinstance(stmt, A.Union):
         return A.Union(_map_statement_exprs(stmt.left, fix),
                        _map_statement_exprs(stmt.right, fix), stmt.distinct)
+    if isinstance(stmt, A.SetOp):
+        return A.SetOp(stmt.op, _map_statement_exprs(stmt.left, fix),
+                       _map_statement_exprs(stmt.right, fix))
     if isinstance(stmt, A.Insert):
         return A.Insert(stmt.target, stmt.columns,
                         _map_statement_exprs(stmt.source, fix),

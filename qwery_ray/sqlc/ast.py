@@ -233,6 +233,17 @@ class Union(Statement, Source):
 
 
 @dataclass(frozen=True)
+class SetOp(Statement, Source):
+    """EXCEPT / INTERSECT (ANSI set semantics: DISTINCT output) — superset of
+    the reference (§2.5: no set ops besides UNION). Compiled to Ray's
+    left_anti / left_semi hash joins on all columns."""
+
+    op: str  # EXCEPT | INTERSECT
+    left: Statement
+    right: Statement
+
+
+@dataclass(frozen=True)
 class Insert(Statement):
     target: str
     columns: tuple[str, ...]

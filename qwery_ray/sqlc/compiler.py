@@ -549,6 +549,27 @@ class Compiler:
             if stmt.distinct:
                 out = _distinct(out)
             return out
+        if isinstance(stmt, A.SetOp):
+            left_f = self._query_frame(stmt.left)
+            right_f = self._query_frame(stmt.right)
+            right_ds = right_f.ds
+            if right_f.columns and left_f.columns and \
+                    right_f.columns != left_f.columns:
+                if len(right_f.columns) != len(left_f.columns):
+                    raise ValueError(
+                        f"{stmt.op} arms have {len(left_f.columns)} vs "
+                        f"{len(right_f.columns)} columns")
+                right_ds = right_ds.map_batches(
+                    _PositionalUnionRename(right_f.columns, left_f.columns),
+                    batch_format="pyarrow")
+            keys = tuple(left_f.columns) or tuple(
+                left_f.ds.schema().names)
+            join_type = "left_anti" if stmt.op == "EXCEPT" else "left_semi"
+            num_cpus = int(ray.cluster_resources().get("CPU", 8))
+            out = left_f.ds.join(right_ds, join_type=join_type,
+                                 num_partitions=max(num_cpus * 2, 16),
+                                 on=keys)
+            return _distinct(out)  # ANSI EXCEPT/INTERSECT emit distinct rows
         if isinstance(stmt, A.Values):
             return self.compile_values(stmt, ())
         raise ValueError(f"not a query: {type(stmt).__name__}")

@@ -159,6 +159,8 @@ def to_sql(stmt) -> str:
     if isinstance(stmt, A.Union):
         op = "UNION DISTINCT" if stmt.distinct else "UNION ALL"
         return f"{to_sql(stmt.left)} {op} {to_sql(stmt.right)}"
+    if isinstance(stmt, A.SetOp):
+        return f"{to_sql(stmt.left)} {stmt.op} {to_sql(stmt.right)}"
     if isinstance(stmt, A.Insert):
         verb = "INSERT OVERWRITE" if stmt.overwrite else "INSERT INTO"
         cols = f" ({', '.join(_ident(c) for c in stmt.columns)})" \

@@ -137,16 +137,19 @@ class Parser:
     # ------------------------------------------------------------- SELECT
     def parse_select_or_union(self) -> A.Statement:
         left = self.parse_select()
-        while self.at("UNION"):
-            self.next()
-            distinct = False
-            if self.accept("ALL"):
-                pass
-            elif self.accept("DISTINCT"):
-                distinct = True
-            # NOTE: reference UNION is UNION ALL (core/ops/sql/Union.scala:11-16)
-            right = self.parse_select()
-            left = A.Union(left, right, distinct=distinct)
+        while self.at("UNION", "EXCEPT", "INTERSECT"):
+            word = self.next().upper
+            if word == "UNION":
+                distinct = False
+                if self.accept("ALL"):
+                    pass
+                elif self.accept("DISTINCT"):
+                    distinct = True
+                # NOTE: reference UNION is UNION ALL (ops/sql/Union.scala)
+                left = A.Union(left, self.parse_select(), distinct=distinct)
+            else:
+                self.accept("DISTINCT")
+                left = A.SetOp(word, left, self.parse_select())
         return left
 
     def parse_select(self) -> A.Statement:
@@ -226,7 +229,7 @@ class Parser:
         "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "TOP", "UNION",
         "INTO", "AS", "ON", "INNER", "LEFT", "RIGHT", "FULL", "JOIN", "CROSS",
         "KEYED", "WITH", "AND", "OR", "NOT", "ASC", "DESC", "END", "WHEN",
-        "OVER", "PARTITION", "QUALIFY",
+        "OVER", "PARTITION", "QUALIFY", "EXCEPT", "INTERSECT",
         "THEN", "ELSE", "CASE", "VALUES", "SET", "BY", "SELECT", "LIKE",
         "MATCHES", "BETWEEN", "IN", "IS", "NULL", "DISTINCT", "ALL",
     }

@@ -226,3 +226,20 @@ class TestPositionalRefs:
                  "GROUP BY o_orderstatus HAVING n > 400",
                  "SELECT o_orderstatus, COUNT(*) AS n FROM orders "
                  "GROUP BY o_orderstatus HAVING COUNT(*) > 400")
+
+
+class TestSetOpsExceptIntersect:
+    def test_except(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT o_custkey FROM orders EXCEPT "
+                 "SELECT c_custkey FROM customer WHERE c_acctbal > 0")
+
+    def test_intersect(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT o_custkey FROM orders INTERSECT "
+                 "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'")
+
+    def test_except_multi_column(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT n_regionkey, n_nationkey FROM nation EXCEPT "
+                 "SELECT n_regionkey, n_nationkey FROM nation WHERE n_nationkey < 10")
