@@ -196,6 +196,14 @@ _SQL_QUERIES: dict[str, tuple[str, str | None]] = {
         "ORDER BY o_orderkey) AS running_total "
         "FROM orders WHERE o_custkey < 100",
         None),
+    "except_setop": (
+        "SELECT o_custkey FROM orders EXCEPT "
+        "SELECT c_custkey FROM customer WHERE c_acctbal > 5000",
+        None),
+    "intersect_setop": (
+        "SELECT o_custkey FROM orders INTERSECT "
+        "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'",
+        None),
     "between_filter": (
         "SELECT l_orderkey, l_quantity FROM lineitem "
         "WHERE l_quantity BETWEEN 10 AND 12 AND l_returnflag = 'R'",
