@@ -91,10 +91,17 @@ def text_quality(sf_dir: str):
     """Quality + language scoring (heuristics — rows-only driver check)."""
     import ray.data as rd
 
+    import ray
+
     from ..ops.text import TextAnalyzer
 
+    # actor pool sized to ~1/4 of the cluster so read/convert stages keep CPUs
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    pool = min(8, max(1, ncpu // 4))
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
-    out = ds.map_batches(TextAnalyzer, batch_format="pandas", concurrency=2)
+    out = ds.map_batches(TextAnalyzer, batch_format="pandas",
+                         concurrency=pool, batch_size=256)
     return out.select_columns(
         ["doc_id", "n_tokens", "quality_score", "lang_pred"])
 
