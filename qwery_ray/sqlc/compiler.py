@@ -1094,7 +1094,40 @@ class Compiler:
             if not isinstance(g, A.ColumnRef):
                 order_mapping[g] = A.ColumnRef(key_names[i])
 
-        if any_distinct:
+        only_count_distinct = (
+            any_distinct and len(aggs) == 1 and key_names
+            and aggs[0][0].name == "COUNT" and aggs[0][0].distinct)
+        if only_count_distinct:
+            # scalable exact path: dedup (keys, arg) pairs first (per-batch
+            # combiner + grouped head-1), then count pairs per key — both
+            # shuffles move only DISTINCT pairs, never raw rows
+            call, i = aggs[0]
+            prep = PreAggPrep(key_exprs, key_names, aggs, env)
+            ds2 = frame.ds.map_batches(prep, batch_format="pyarrow")
+            arg = f"__a{i}"
+
+            def local_dedup(t: pa.Table) -> pa.Table:
+                if len(t) == 0:
+                    return t
+                df = t.to_pandas().drop_duplicates()
+                return pa.Table.from_pandas(df, preserve_index=False) \
+                    .cast(t.schema)
+
+            def head1(df: pd.DataFrame) -> pd.DataFrame:
+                return df.head(1)
+
+            pairs = ds2.map_batches(local_dedup, batch_format="pyarrow") \
+                .groupby(key_names + [arg]).map_groups(
+                    head1, batch_format="pandas")
+            # drop NULL args (COUNT DISTINCT ignores nulls), then count
+            pairs = pairs.map_batches(
+                lambda t, _a=arg: t.filter(pc.is_valid(t.column(_a))),
+                batch_format="pyarrow")
+            from ray.data.aggregate import Count
+
+            out = pairs.groupby(key_names).aggregate(
+                Count(on=arg, ignore_nulls=True, alias_name=f"__r{i}"))
+        elif any_distinct:
             # exact path: ship key+arg columns, aggregate per group in pandas
             prep = PreAggPrep(key_exprs, key_names, aggs, env)
             ds2 = frame.ds.map_batches(prep, batch_format="pyarrow")
