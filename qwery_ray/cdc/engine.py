@@ -464,6 +464,11 @@ class CDCLakeEngine:
         for f in files:
             md = pq.read_metadata(f)
             idx = md.schema.to_arrow_schema().get_field_index("lsn")
+            if idx < 0:
+                raise ValueError(
+                    f"events table {f} has no 'lsn' column (the per-key "
+                    "ordering authority) — add one, e.g. SELECT ..., "
+                    "event_id AS lsn")
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(idx).statistics
                 if st is not None and st.has_min_max:

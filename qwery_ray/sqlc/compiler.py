@@ -815,6 +815,10 @@ class Compiler:
             return inner
         if isinstance(src, A.Select):
             return self._select_frame(src)
+        if isinstance(src, (A.Union, A.SetOp)):
+            # set-operation result as a FROM source
+            ds = self.compile_query(src)
+            return Frame(ds, ds.schema().names)
         if isinstance(src, A.TableRef):
             return self._table_frame(src, columns=columns, pushdown=pushdown)
         raise ValueError(f"unsupported source {type(src).__name__}")

@@ -243,3 +243,17 @@ class TestSetOpsExceptIntersect:
         run_both(engine, duck,
                  "SELECT n_regionkey, n_nationkey FROM nation EXCEPT "
                  "SELECT n_regionkey, n_nationkey FROM nation WHERE n_nationkey < 10")
+
+    def test_setop_as_from_source(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT COUNT(*) AS n FROM (SELECT o_custkey FROM orders "
+                 "EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal > 5000)",
+                 "SELECT COUNT(*) AS n FROM (SELECT o_custkey FROM orders "
+                 "EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal > 5000) t")
+
+    def test_union_as_from_source(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT COUNT(*) AS n FROM (SELECT r_name AS x FROM region "
+                 "UNION ALL SELECT n_name AS x FROM nation)",
+                 "SELECT COUNT(*) AS n FROM (SELECT r_name AS x FROM region "
+                 "UNION ALL SELECT n_name AS x FROM nation) t")
