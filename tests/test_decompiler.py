@@ -51,6 +51,9 @@ WINDOW_STATEMENTS = [
     "SELECT a FROM t QUALIFY RANK() OVER (ORDER BY v) <= 3",
     "SELECT x FROM t WHERE k IN (SELECT k FROM dims WHERE region = 2)",
     "NATIVE SQL 'SELECT 1' FROM 'duckdb:mem.db'",
+    "SELECT a FROM t EXCEPT SELECT b FROM u",
+    "SELECT a FROM t INTERSECT SELECT b FROM u",
+    "SELECT n FROM (SELECT a AS n FROM t UNION ALL SELECT b AS n FROM u)",
 ]
 
 
