@@ -111,7 +111,7 @@ def _source_sql(src) -> str:
         if src.alias:
             out += f" AS {src.alias}"
         return out
-    if isinstance(src, A.Select):
+    if isinstance(src, (A.Select, A.Union, A.SetOp)):
         return f"({to_sql(src)})"
     raise ValueError(f"cannot decompile source {type(src).__name__}")
 
