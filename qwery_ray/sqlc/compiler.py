@@ -809,7 +809,11 @@ class Compiler:
     def compile_source(self, src: A.Source, *, columns: Optional[set] = None,
                        pushdown=None) -> Frame:
         if isinstance(src, A.SubquerySource):
-            inner = self._select_frame(src.query)
+            if isinstance(src.query, (A.Union, A.SetOp)):
+                ds = self.compile_query(src.query)
+                inner = Frame(ds, ds.schema().names)
+            else:
+                inner = self._select_frame(src.query)
             if src.alias:
                 inner.aliases[src.alias.lower()] = True
             return inner

@@ -268,8 +268,6 @@ class Parser:
                 alias = self._ident_name()
             elif self.peek().kind in ("IDENT", "QIDENT") and not self._is_clause_keyword(self.peek()):
                 alias = self._ident_name()
-            if not isinstance(inner, A.Select):
-                inner = A.Select(items=(A.Star(),), source=inner)  # wrap union
             return A.SubquerySource(inner, alias)
         if tok.kind == "STR":  # quoted path: 'companylist.csv'
             self.next()
