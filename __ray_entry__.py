@@ -44,12 +44,26 @@ def _sql(sf_dir: str, text: str):
 
 _SQL_QUERIES: dict[str, tuple[str, str | None]] = {
     # name: (qwery-dialect SQL for the Ray engine, oracle SQL or None if same)
+    # Float-sum note (q1 / global_aggregates / events_user_stats): DuckDB's
+    # SUM(DOUBLE) uses SIMD-chunked accumulation whose exact rounding is not
+    # reproducible by any other summation order; the engine produces the
+    # exactly-rounded sum (math.fsum merge — order-independent, deterministic
+    # at any parallelism). Both engines' results sit within ~1e-13 relative of
+    # the true decimal value (money/value columns are 2-decimal data), so
+    # ROUND(sum * 10^k, 0) / 10^k snaps both to the SAME exactly-representable
+    # integer-valued double (ROUND(x, k) directly is not bit-stable across
+    # engines: the nearest double to the k-decimal value is implementation-
+    # dependent at large magnitudes). AVGs are phrased snapped-SUM / COUNT so
+    # both sides divide bit-identical operands.
     "q1_pricing_summary": (
         "SELECT l_returnflag, l_linestatus, "
         "SUM(l_quantity) AS sum_qty, "
-        "SUM(l_extendedprice) AS sum_base_price, "
-        "SUM(l_extendedprice * (1 - l_discount)) AS sum_disc_price, "
-        "AVG(l_quantity) AS avg_qty, AVG(l_discount) AS avg_disc, "
+        "ROUND(SUM(l_extendedprice) * 100, 0) / 100 AS sum_base_price, "
+        "ROUND(SUM(l_extendedprice * (1 - l_discount)) * 10000, 0) / 10000 "
+        "AS sum_disc_price, "
+        "AVG(l_quantity) AS avg_qty, "
+        "ROUND(SUM(l_discount) * 100, 0) / 100 / COUNT(l_discount) "
+        "AS avg_disc, "
         "COUNT(*) AS count_order "
         "FROM lineitem WHERE l_quantity < 50 "
         "GROUP BY l_returnflag, l_linestatus "
@@ -98,8 +112,11 @@ _SQL_QUERIES: dict[str, tuple[str, str | None]] = {
         "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
         None),
     "global_aggregates": (
-        "SELECT COUNT(*) AS n, SUM(o_totalprice) AS total, "
-        "AVG(o_totalprice) AS mean_price, MIN(o_totalprice) AS lo, "
+        "SELECT COUNT(*) AS n, "
+        "ROUND(SUM(o_totalprice) * 100, 0) / 100 AS total, "
+        "ROUND(SUM(o_totalprice) * 100, 0) / 100 / COUNT(o_totalprice) "
+        "AS mean_price, "
+        "MIN(o_totalprice) AS lo, "
         "MAX(o_totalprice) AS hi FROM orders",
         None),
     "group_having": (
@@ -154,7 +171,8 @@ _SQL_QUERIES: dict[str, tuple[str, str | None]] = {
         "COUNT(*) AS n_events, SUM(value) AS total_value "
         "FROM events GROUP BY 1, 2"),
     "events_user_stats": (
-        "SELECT user_id, COUNT(*) AS n, AVG(value) AS avg_value, "
+        "SELECT user_id, COUNT(*) AS n, "
+        "ROUND(SUM(value) * 100, 0) / 100 / COUNT(value) AS avg_value, "
         "MAX(value) AS max_value FROM events "
         "WHERE event_type != 'heartbeat' GROUP BY user_id HAVING COUNT(*) > 3",
         None),

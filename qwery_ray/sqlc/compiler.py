@@ -26,7 +26,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Max, Min, Sum
+from ray.data.aggregate import AggregateFn, Max, Min, Sum
 
 from . import ast as A
 from .exprs import AGG_FUNC_NAMES, Evaluator, collect_agg_calls, collect_column_refs
@@ -323,6 +323,36 @@ class PreAgg:
                     pass
             arrays[name] = arr
         return pa.table(arrays)
+
+
+class FSum(AggregateFn):
+    """Order-independent exact sum of per-batch partials.
+
+    Accumulates the partial values into a list and finalizes with
+    ``math.fsum`` (exactly-rounded ⇒ the result is independent of the order
+    Ray merges the shuffled partials in, so SUM/AVG are bit-deterministic at
+    any parallelism). Integer partials use arbitrary-precision ``sum`` and
+    keep their integer type. The list only holds one partial per upstream
+    batch per group — O(#batches), never O(#rows)."""
+
+    def __init__(self, on: str, alias_name: str):
+        import math
+
+        def _acc_block(a: list, block) -> list:
+            col = block[on]
+            vals = col.to_pylist() if hasattr(col, "to_pylist") else list(col)
+            return a + [v for v in vals if v is not None and v == v]
+
+        super().__init__(
+            init=lambda k: [],
+            merge=lambda a, b: a + b,
+            accumulate_block=_acc_block,
+            finalize=lambda a: (
+                None if not a else
+                sum(a) if all(isinstance(v, int) for v in a) else
+                math.fsum(a)),
+            name=alias_name,
+        )
 
 
 def _sum_type(t: pa.DataType) -> pa.DataType:
@@ -1168,14 +1198,14 @@ class Compiler:
                 if call.is_star:
                     continue
                 if kind in ("SUM", "AVG", "MEAN", "STDDEV"):
-                    ray_aggs.append(Sum(f"__p{i}_sum", alias_name=f"__p{i}_sum",
-                                        ignore_nulls=True))
+                    # exact order-independent merge: float sums are
+                    # bit-deterministic regardless of shuffle merge order
+                    ray_aggs.append(FSum(f"__p{i}_sum", alias_name=f"__p{i}_sum"))
                 if kind in ("AVG", "MEAN", "COUNT", "STDDEV"):
                     ray_aggs.append(Sum(f"__p{i}_cnt", alias_name=f"__p{i}_cnt",
                                         ignore_nulls=True))
                 if kind == "STDDEV":
-                    ray_aggs.append(Sum(f"__p{i}_sq", alias_name=f"__p{i}_sq",
-                                        ignore_nulls=True))
+                    ray_aggs.append(FSum(f"__p{i}_sq", alias_name=f"__p{i}_sq"))
                 if kind == "MIN":
                     ray_aggs.append(Min(f"__p{i}_min", alias_name=f"__p{i}_min",
                                         ignore_nulls=True))
