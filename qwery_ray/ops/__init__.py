@@ -2,8 +2,9 @@
 multimodal stages (see COVERAGE.md for the full map)."""
 
 from .dedup import (ContentHash, MinHashSignatures, SimHash, VerifyJaccard,
-                    embedding_dup_pairs, exact_dedup, jaccard,
-                    minhash_lsh_candidates, ngram_set, simhash_candidates)
+                    choose_nbits, embedding_dup_pairs, exact_dedup, jaccard,
+                    minhash_lsh_candidates, ngram_set, simhash_candidates,
+                    verify_jaccard)
 from .multimodal import (DecodeImage, FrameSample, ResizeImage,
                          image_pipeline, synth_binary_images)
 from .similarity import brute_force_topk, ivf_topk
@@ -12,8 +13,9 @@ from .text import (Fingerprint, LangId, QualityScore, TextAnalyzer,
 
 __all__ = [
     "ContentHash", "MinHashSignatures", "SimHash", "VerifyJaccard",
-    "embedding_dup_pairs", "exact_dedup", "jaccard",
+    "choose_nbits", "embedding_dup_pairs", "exact_dedup", "jaccard",
     "minhash_lsh_candidates", "ngram_set", "simhash_candidates",
+    "verify_jaccard",
     "DecodeImage", "FrameSample", "ResizeImage", "image_pipeline",
     "synth_binary_images", "brute_force_topk", "ivf_topk",
     "Fingerprint", "LangId", "QualityScore", "TextAnalyzer", "TextStats",

@@ -38,17 +38,69 @@ class ContentHash:
         return batch.append_column(self.out_col, pa.array(digests))
 
 
+LOSER_BROADCAST_LIMIT = 5_000_000  # duplicate-id sets below this broadcast
+
+
 def exact_dedup(ds: rd.Dataset, text_col: str = "text",
                 id_col: str = "doc_id") -> rd.Dataset:
-    """Keep the min-id row per distinct content (deterministic 'first')."""
-    hashed = ds.map_batches(ContentHash(text_col), batch_format="pyarrow")
+    """Keep the min-id row per distinct content (deterministic 'first').
 
-    def keep_first(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(id_col).head(1)
+    Scale shape: the CONTENT never crosses a shuffle. One narrow
+    (sha256, id) pair stream shuffles to ~4×cores hash buckets (a sha's
+    pairs land wholly in one bucket group); inside each group the non-min
+    ids per sha are the duplicate 'losers' (typically a few % of the
+    corpus). Losers are removed from the original dataset by a
+    broadcast-set filter when small, else by one left_anti hash join on
+    the id column — either way full rows move at most once."""
+    import ray
 
-    out = hashed.groupby("content_sha").map_groups(keep_first,
-                                                   batch_format="pandas")
-    return out.drop_columns(["content_sha"])
+    from ..sqlc.compiler import AddBucketCol
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    nparts = max(ncpu * 2, 16)
+
+    pairs = ds.select_columns([id_col, text_col]) \
+        .map_batches(ContentHash(text_col), batch_format="pyarrow") \
+        .map_batches(lambda t: t.select(["content_sha", id_col]),
+                     batch_format="pyarrow")
+
+    def losers_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.groupby("content_sha")[id_col].transform("min")
+        return df.loc[df[id_col] != m, [id_col]]
+
+    losers = pairs.map_batches(
+        AddBucketCol(["content_sha"], max(32, ncpu * 4), "__db"),
+        batch_format="pyarrow") \
+        .groupby("__db") \
+        .map_groups(losers_in_bucket, batch_format="pandas") \
+        .materialize()
+
+    n_losers = losers.count()
+    if n_losers == 0:
+        return ds
+    if n_losers <= LOSER_BROADCAST_LIMIT:
+        ref = ray.put(np.unique(
+            losers.to_pandas()[id_col].to_numpy()))
+
+        class DropLosers:
+            def __init__(self):
+                self._ids = None
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                if self._ids is None:
+                    self._ids = ray.get(ref)  # sorted unique ids
+                ids = t.column(id_col).to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(self._ids, ids)
+                pos = np.clip(pos, 0, len(self._ids) - 1)
+                keep = self._ids[pos] != ids
+                return t.filter(pa.array(keep))
+
+        return ds.map_batches(DropLosers, batch_format="pyarrow",
+                              concurrency=(1, 8))
+    # large duplicate set: one hash-partitioned anti join on the id column
+    return ds.join(losers, join_type="left_anti", num_partitions=nparts,
+                   on=(id_col,))
 
 
 # --------------------------------------------------------------- MinHash LSH
@@ -160,15 +212,11 @@ def minhash_lsh_candidates(ds: rd.Dataset, *, text_col: str = "text",
     pairs = bands.map_batches(add_group, batch_format="pandas") \
         .groupby("bucket_grp").map_groups(emit_pairs, batch_format="pandas")
 
-    # distinct pairs (same pair can fire in several bands/groups)
-    def local_dedup(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates()
+    # distinct pairs (same pair can fire in several bands/groups):
+    # bucketed distinct — O(#buckets) dispatches, not one per pair
+    from ..sqlc.compiler import distinct_rows
 
-    def first(df: pd.DataFrame) -> pd.DataFrame:
-        return df.head(1)
-
-    return pairs.map_batches(local_dedup, batch_format="pandas") \
-        .groupby(["id_a", "id_b"]).map_groups(first, batch_format="pandas")
+    return distinct_rows(pairs, names=["id_a", "id_b"])
 
 
 class _BandExplodeStable(BandExplode):
@@ -258,13 +306,13 @@ def simhash_candidates(ds: rd.Dataset, *, text_col: str = "text",
                             df["band_id"].astype("int64")) % np.int64(256)
         return df
 
-    def first(df: pd.DataFrame) -> pd.DataFrame:
-        return df.head(1)
+    from ..sqlc.compiler import distinct_rows
 
-    return sig.map_batches(explode, batch_format="pandas") \
+    pairs = sig.map_batches(explode, batch_format="pandas") \
         .map_batches(add_group, batch_format="pandas") \
-        .groupby("bucket_grp").map_groups(emit, batch_format="pandas") \
-        .groupby(["id_a", "id_b"]).map_groups(first, batch_format="pandas")
+        .groupby("bucket_grp").map_groups(emit, batch_format="pandas")
+    # same pair may fire in several bands — bucketed distinct
+    return distinct_rows(pairs, names=["id_a", "id_b", "hamming"])
 
 
 # ----------------------------------------------------------- n-gram Jaccard
@@ -282,9 +330,51 @@ def jaccard(a: str, b: str, n: int = 3) -> float:
     return len(sa & sb) / max(1, len(sa | sb))
 
 
+def verify_jaccard(pairs: rd.Dataset, docs: rd.Dataset, *,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   threshold: float = 0.8, n: int = 3) -> rd.Dataset:
+    """Verify LSH candidate pairs against the raw texts WITHOUT broadcasting
+    the corpus: the candidate id set (small by LSH construction — bounded by
+    |pairs|, not |docs|) filters the documents table down to touched docs;
+    only those texts ship to the verify stage. The corpus streams through a
+    vectorized membership filter — it is never collected on the driver."""
+    import ray
+
+    pairs = pairs.materialize()  # small post-LSH; consumed twice below
+    id_tbl = pa.concat_tables([
+        t.select(["id_a"]).rename_columns([id_col])
+        for t in pairs.select_columns(["id_a"])
+        .iter_batches(batch_size=None, batch_format="pyarrow")] + [
+        t.select(["id_b"]).rename_columns([id_col])
+        for t in pairs.select_columns(["id_b"])
+        .iter_batches(batch_size=None, batch_format="pyarrow")])
+    cand_ids = np.unique(id_tbl.column(id_col).to_numpy(zero_copy_only=False))
+    ids_ref = ray.put(cand_ids)
+
+    class KeepCandidates:
+        def __init__(self):
+            self._ids = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self._ids is None:
+                self._ids = ray.get(ids_ref)  # sorted unique
+            ids = t.column(id_col).to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(self._ids, ids),
+                          0, len(self._ids) - 1)
+            return t.filter(pa.array(self._ids[pos] == ids))
+
+    touched = docs.select_columns([id_col, text_col]) \
+        .map_batches(KeepCandidates, batch_format="pyarrow",
+                     concurrency=(1, 8)).to_pandas()
+    texts_ref = ray.put(dict(zip(touched[id_col], touched[text_col])))
+    return pairs.map_batches(VerifyJaccard(texts_ref, threshold, n),
+                             batch_format="pandas")
+
+
 class VerifyJaccard:
-    """Verify candidate pairs against the raw texts (broadcast lookup —
-    candidates are small after LSH, texts fetched from a ray.put'd dict)."""
+    """Per-batch pair verification against a ray.put text lookup. Build the
+    lookup with :func:`verify_jaccard` (candidate-filtered docs) — never
+    from the whole corpus."""
 
     def __init__(self, texts_ref, threshold: float = 0.8, n: int = 3):
         self.texts_ref = texts_ref
@@ -304,17 +394,50 @@ class VerifyJaccard:
 
 
 # ---------------------------------------------------- embedding cosine dedup
-def embedding_dup_pairs(ds: rd.Dataset, *, vec_col: str = "embedding",
-                        id_col: str = "vec_id", threshold: float = 0.98,
-                        num_buckets: int = 16, seed: int = 42) -> rd.Dataset:
-    """Near-dup pairs by embedding cosine ≥ threshold. Random-hyperplane LSH
-    buckets (sign bits) co-locate near-identical vectors; exact cosine inside
-    each bucket. Vectors at the threshold boundary may land in neighbor
-    buckets — acceptable for near-dup (sim≥0.98 ⇒ few differing sign bits);
-    multi-probe would close the gap at scale."""
+TARGET_BUCKET_VECS = 2048  # aim for ≤ this many vectors per LSH bucket
+
+
+def choose_nbits(n_vectors: int, target_bucket: int = TARGET_BUCKET_VECS,
+                 max_bits: int = 30) -> int:
+    """Hyperplane count so the EXPECTED bucket holds ≤ target_bucket vectors
+    (within-bucket work is all-pairs O(b²) — b must not grow with the
+    corpus): nbits = ceil(log2(N / target))."""
     import math
 
-    nbits = max(1, int(math.log2(num_buckets)))
+    if n_vectors <= target_bucket:
+        return 1
+    return min(max_bits, max(1, math.ceil(
+        math.log2(n_vectors / target_bucket))))
+
+
+def embedding_dup_pairs(ds: rd.Dataset, *, vec_col: str = "embedding",
+                        id_col: str = "vec_id", threshold: float = 0.98,
+                        num_buckets: int | None = None, seed: int = 42,
+                        probes: int = 1) -> rd.Dataset:
+    """Near-dup pairs by embedding cosine ≥ threshold.
+
+    Random-hyperplane LSH sign-bit buckets co-locate near-identical vectors;
+    exact all-pairs cosine runs inside each bucket. Scale levers:
+    - nbits derives from the CORPUS SIZE (``choose_nbits``) so buckets stay
+      ≤ ~2k vectors however large the input; pass ``num_buckets`` only to
+      pin it (tests / exact mode with 1 bucket).
+    - multi-probe: each vector is also emitted into the buckets reached by
+      flipping its ``probes`` lowest-|margin| hyperplane bits, recovering
+      boundary pairs that straddle one plane.
+    - buckets shuffle under a coarse group key (~4×cores groups); the exact
+      per-bucket pairing runs in pandas inside the group, so dispatches are
+      O(groups), not O(2^nbits).
+    Pairs found via several probes dedup through distinct_rows."""
+    import math
+
+    import ray
+
+    if num_buckets is not None:
+        nbits = max(1, int(math.log2(num_buckets)))
+        n_probes = 0 if num_buckets == 1 else probes
+    else:
+        nbits = choose_nbits(ds.count())
+        n_probes = probes
 
     class Bucket:
         def __init__(self):
@@ -327,28 +450,69 @@ def embedding_dup_pairs(ds: rd.Dataset, *, vec_col: str = "embedding",
             if self.planes is None:
                 rng = np.random.default_rng(self.seed)
                 self.planes = rng.standard_normal((vecs.shape[1], self.nbits))
-            bits = (vecs @ self.planes) > 0
-            bucket = bits @ (1 << np.arange(self.nbits))
+            proj = vecs @ self.planes                      # (n, nbits)
+            bits = proj > 0
+            weights = 1 << np.arange(self.nbits)
+            bucket = (bits @ weights).astype(np.int64)
+            ids = batch[id_col].values
+            out_ids = [ids]
+            out_buckets = [bucket]
+            out_vecs = [vecs]
+            # multi-probe: flip the lowest-|margin| bits one at a time
+            if self.nbits > 1 and n_probes > 0:
+                order = np.argsort(np.abs(proj), axis=1)
+                for p in range(min(n_probes, self.nbits)):
+                    flip = order[:, p]
+                    out_ids.append(ids)
+                    out_buckets.append(
+                        (bucket ^ weights[flip]).astype(np.int64))
+                    out_vecs.append(vecs)
             return pd.DataFrame({
-                id_col: batch[id_col].values,
-                "bucket": bucket.astype(np.int64),
-                vec_col: list(vecs),
+                id_col: np.concatenate(out_ids),
+                "bucket": np.concatenate(out_buckets),
+                vec_col: list(np.vstack(out_vecs)),
             })
 
-    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        vecs = np.stack(df[vec_col].values)
-        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        unit = vecs / norms
-        sim = unit @ unit.T
-        ids = df[id_col].values
-        ia, ib = np.triu_indices(len(ids), k=1)
-        mask = sim[ia, ib] >= threshold
-        return pd.DataFrame({
-            "id_a": np.minimum(ids[ia[mask]], ids[ib[mask]]),
-            "id_b": np.maximum(ids[ia[mask]], ids[ib[mask]]),
-            "cosine": sim[ia, ib][mask],
-        })
+    def pairs_in_group(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in df.groupby("bucket", sort=False):
+            g = grp.drop_duplicates(id_col)
+            if len(g) < 2:
+                continue
+            vecs = np.stack(g[vec_col].values)
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            unit = vecs / norms
+            sim = unit @ unit.T
+            ids = g[id_col].values
+            ia, ib = np.triu_indices(len(ids), k=1)
+            mask = sim[ia, ib] >= threshold
+            outs.append(pd.DataFrame({
+                "id_a": np.minimum(ids[ia[mask]], ids[ib[mask]]),
+                "id_b": np.maximum(ids[ia[mask]], ids[ib[mask]]),
+                "cosine": sim[ia, ib][mask],
+            }))
+        # typed empty frame when no bucket in this group yielded pairs
+        if not outs:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "cosine": pd.Series([], dtype="float64")})
+        return pd.concat(outs, ignore_index=True)
 
-    return ds.map_batches(Bucket, batch_format="pandas", concurrency=2) \
-        .groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas")
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+
+    def add_group(df: pd.DataFrame) -> pd.DataFrame:
+        df["bucket_grp"] = (df["bucket"].astype("int64")
+                            % np.int64(max(32, ncpu * 4)))
+        return df
+
+    pairs = ds.map_batches(Bucket, batch_format="pandas", concurrency=2) \
+        .map_batches(add_group, batch_format="pandas") \
+        .groupby("bucket_grp").map_groups(pairs_in_group,
+                                          batch_format="pandas")
+    if n_probes == 0:
+        return pairs
+    from ..sqlc.compiler import distinct_rows
+
+    return distinct_rows(pairs, names=["id_a", "id_b", "cosine"])

@@ -110,7 +110,14 @@ def ivf_topk(ds: rd.Dataset, query_ids, query_matrix: np.ndarray,
             probe.setdefault(int(c), []).append(qi)
     probe_ref = ray.put((list(query_ids), qmat, probe))
 
-    class CellTopK:
+    class BatchCellTopK:
+        """Per-BATCH probe: rows of this batch belonging to a probed cell
+        score against that cell's queries; local top-k per query. No cell
+        is ever materialized whole — per-task memory is bounded by the
+        batch size regardless of cell skew — and the corpus never
+        shuffles (the old groupby('cell') moved every vector AND pinned
+        an entire cell into one pandas frame)."""
+
         def __init__(self):
             self._p = None
 
@@ -118,33 +125,42 @@ def ivf_topk(ds: rd.Dataset, query_ids, query_matrix: np.ndarray,
             if self._p is None:
                 self._p = ray.get(probe_ref)
             qids, qmat_, probe_ = self._p
-            cell = int(df["cell"].iloc[0])
-            qidx = probe_.get(cell, [])
-            if not qidx:
-                return pd.DataFrame({"query_id": [], "neighbor_id": [],
-                                     "score": []})
-            qunit = _unit(qmat_[qidx])
-            vecs = _unit(_as_matrix(df[vec_col].values))
-            ids = df[id_col].values
-            sim = qunit @ vecs.T
-            kk = min(k, sim.shape[1])
-            top = np.argpartition(-sim, kth=kk - 1, axis=1)[:, :kk]
+            cells = df["cell"].values
+            ids_all = df[id_col].values
+            vecs_all = _unit(_as_matrix(df[vec_col].values))
+            out_q, out_n, out_s = [], [], []
+            for cell in np.unique(cells):
+                qidx = probe_.get(int(cell), [])
+                if not qidx:
+                    continue
+                m = cells == cell
+                vecs, ids = vecs_all[m], ids_all[m]
+                sim = _unit(qmat_[qidx]) @ vecs.T
+                kk = min(k, sim.shape[1])
+                top = np.argpartition(-sim, kth=kk - 1, axis=1)[:, :kk]
+                out_q.append(np.repeat([qids[i] for i in qidx], kk))
+                out_n.append(ids[top].ravel())
+                out_s.append(np.take_along_axis(sim, top, axis=1).ravel())
+            if not out_q:
+                return pd.DataFrame({
+                    "query_id": pd.Series([], dtype="int64"),
+                    "neighbor_id": pd.Series([], dtype="int64"),
+                    "score": pd.Series([], dtype="float64")})
             return pd.DataFrame({
-                "query_id": np.repeat([qids[i] for i in qidx], kk),
-                "neighbor_id": ids[top].ravel(),
-                "score": np.take_along_axis(sim, top, axis=1).ravel(),
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "score": np.concatenate(out_s),
             })
 
-    def cell_topk(df: pd.DataFrame, _fn=CellTopK()) -> pd.DataFrame:
-        return _fn(df)
-
     def merge(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.sort_values(["score", "neighbor_id"],
-                             ascending=[False, True]).head(k)
+        out = df.drop_duplicates("neighbor_id") \
+            .sort_values(["score", "neighbor_id"],
+                         ascending=[False, True]).head(k)
         out = out.reset_index(drop=True)
         out["rank"] = np.arange(1, len(out) + 1)
         return out
 
     assigned = ds.map_batches(IvfAssign(cref, vec_col), batch_format="pandas")
-    local = assigned.groupby("cell").map_groups(cell_topk, batch_format="pandas")
+    local = assigned.map_batches(BatchCellTopK, batch_format="pandas",
+                                 batch_size=4096, concurrency=(1, 8))
     return local.groupby("query_id").map_groups(merge, batch_format="pandas")

@@ -148,7 +148,24 @@ def ann_topk(sf_dir: str, *, k: int = 10, n_queries: int = 5):
     ds = rd.read_parquet(path)
     import pyarrow.parquet as pq
 
-    head = pq.read_table(path).sort_by("vec_id").slice(0, n_queries)
+    # query rows = the n_queries min-vec_id rows; row-group stats prune the
+    # read to the group(s) that can hold them — never the whole table
+    meta = pq.ParquetFile(path)
+    col_idx = meta.schema_arrow.names.index("vec_id")
+    mins = [meta.metadata.row_group(i).column(col_idx).statistics.min
+            if meta.metadata.row_group(i).column(col_idx).statistics
+            else float("-inf") for i in range(meta.num_row_groups)]
+    order = np.argsort(mins)
+    parts, have = [], 0
+    for pos, gi in enumerate(order):
+        parts.append(meta.read_row_group(int(gi)))
+        have += parts[-1].num_rows
+        nth = sorted(pa.concat_tables(parts).column("vec_id").to_pylist()
+                     )[:n_queries]
+        nxt = mins[order[pos + 1]] if pos + 1 < len(order) else None
+        if have >= n_queries and (nxt is None or nxt > nth[-1]):
+            break
+    head = pa.concat_tables(parts).sort_by("vec_id").slice(0, n_queries)
     qids = head.column("vec_id").to_pylist()
     qmat = np.stack([np.asarray(v, dtype=np.float64)
                      for v in head.column("embedding").to_pylist()])

@@ -1795,3 +1795,7 @@ def _distinct(ds: rd.Dataset, names: Optional[list] = None) -> rd.Dataset:
               .groupby("__db")
               .map_groups(bucket_dedup, batch_format="pyarrow")
               .map_batches(DropColumns(["__db"]), batch_format="pyarrow"))
+
+
+# public name for reuse outside the SQL compiler (ops.dedup etc.)
+distinct_rows = _distinct

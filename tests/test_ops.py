@@ -93,6 +93,62 @@ class TestEmbeddingDedup:
         pairs = embedding_dup_pairs(ds, num_buckets=4).to_pandas()
         assert (10, 30) in set(zip(pairs["id_a"], pairs["id_b"]))
 
+    def test_nbits_scales_with_corpus(self):
+        """Bucket width follows corpus size: the expected bucket population
+        N / 2^nbits stays ≤ the per-task target at any scale (the O(b²)
+        within-bucket pairing must not grow with the corpus)."""
+        from qwery_ray.ops.dedup import TARGET_BUCKET_VECS, choose_nbits
+
+        for n in (1_000, 100_000, 10_000_000, 1_000_000_000):
+            nbits = choose_nbits(n)
+            assert n / (2 ** nbits) <= TARGET_BUCKET_VECS
+        # 10× corpus ⇒ bucket target unchanged, more buckets
+        assert choose_nbits(10_000_000) > choose_nbits(1_000_000)
+
+    def test_multiprobe_recovers_boundary_pairs(self, ray_session):
+        """Adaptive mode with probes: planted near-dups are found even when
+        a hyperplane separates them (single-probe LSH would miss any pair
+        straddling a plane)."""
+        import ray.data as rd
+        from qwery_ray.ops.dedup import embedding_dup_pairs
+
+        rng = np.random.default_rng(7)
+        vecs = rng.standard_normal((400, 16))
+        planted = [(10, 210), (50, 250), (90, 290)]
+        for a, b in planted:
+            vecs[b] = vecs[a] + rng.standard_normal(16) * 0.005
+        ds = rd.from_items([
+            {"vec_id": i, "embedding": vecs[i].tolist()}
+            for i in range(len(vecs))])
+        pairs = embedding_dup_pairs(ds, num_buckets=16, probes=2,
+                                    threshold=0.98).to_pandas()
+        got = set(zip(pairs["id_a"], pairs["id_b"]))
+        found = sum((a, b) in got for a, b in planted)
+        assert found == len(planted)
+
+
+class TestVerifyJaccard:
+    def test_verify_without_corpus_broadcast(self, ray_session):
+        import ray.data as rd
+        from qwery_ray.ops.dedup import minhash_lsh_candidates, verify_jaccard
+
+        base = ("the quick brown fox jumps over the lazy dog and then runs "
+                "far away into the deep dark forest tonight")
+        rows = [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base.replace("tonight", "today")},
+            {"doc_id": 3, "text": "completely different content about ray "
+                                  "data pipelines and arrow batches"},
+            {"doc_id": 4, "text": base},
+        ]
+        docs = rd.from_items(rows)
+        pairs = minhash_lsh_candidates(docs)
+        verified = verify_jaccard(pairs, docs, threshold=0.8).to_pandas()
+        got = set(zip(verified["id_a"], verified["id_b"]))
+        assert (1, 4) in got               # exact dup survives
+        assert (1, 3) not in got and (2, 3) not in got
+        assert (verified["jaccard"] >= 0.8).all()
+
 
 class TestSimilarity:
     def test_brute_force_topk_matches_numpy(self, emb_ds):
