@@ -1381,17 +1381,32 @@ class Compiler:
             ds2 = frame.ds.map_batches(prep, batch_format="pyarrow")
             arg = f"__a{i}"
 
-            # dedup (key, arg) pairs with the bucketed-distinct shape —
-            # shuffle volume = distinct pairs, dispatches = #buckets
-            pairs = _distinct(ds2, names=key_names + [arg])
-            # drop NULL args (COUNT DISTINCT ignores nulls), then count
-            pairs = pairs.map_batches(
-                lambda t, _a=arg: t.filter(pc.is_valid(t.column(_a))),
-                batch_format="pyarrow")
-            from ray.data.aggregate import Count
+            # scalable exact COUNT DISTINCT in ONE shuffle: per-batch pair
+            # dedup (combiner) → hash-bucket by the GROUP KEY (~4×cores
+            # buckets: every pair of a key lands in one bucket group) →
+            # in-bucket exact pair dedup + per-key distinct count. No
+            # second aggregate pass — each key resolves inside its bucket.
+            ncpu = int(ray.cluster_resources().get("CPU", 8)) \
+                if ray.is_initialized() else 8
+            nb = max(32, ncpu * 4)
+            pairs = ds2.map_batches(_arrow_distinct,
+                                    batch_format="pyarrow").materialize()
 
-            out = pairs.groupby(key_names).aggregate(
-                Count(on=arg, ignore_nulls=True, alias_name=f"__r{i}"))
+            def count_in_bucket(t: pa.Table, _k=tuple(key_names),
+                                _a=arg, _r=f"__r{i}") -> pa.Table:
+                return _count_distinct_pairs(t, _k, _a, _r)
+
+            if pairs.count() <= self.SMALL_PAIRS_LIMIT:
+                # the combiner left few distinct pairs — one task finishes
+                # them without paying a sort-shuffle barrier
+                out = pairs.repartition(1).map_batches(
+                    count_in_bucket, batch_format="pyarrow")
+            else:
+                deduped = pairs.map_batches(
+                    AddBucketCol(key_names, nb, "__db"),
+                    batch_format="pyarrow")
+                out = deduped.groupby("__db") \
+                    .map_groups(count_in_bucket, batch_format="pyarrow")
         elif any_distinct:
             # exact path: ship key+arg columns, aggregate per group in pandas
             prep = PreAggPrep(key_exprs, key_names, aggs, env)
@@ -1569,6 +1584,9 @@ class Compiler:
 
     # ---------------------------------------------------------------- order
     TOPK_PUSHDOWN_LIMIT = 100_000
+    # distinct (key, arg) pair sets below this resolve in one task instead
+    # of a bucket shuffle (pairs are narrow: key + one value column)
+    SMALL_PAIRS_LIMIT = 2_000_000
 
     def _compile_order(self, frame: Frame, order_by, env,
                        limit: Optional[int] = None) -> Frame:
@@ -1706,6 +1724,27 @@ def _collect_window_calls(expr, out: list):
                         for w in v:
                             if isinstance(w, A.Expr):
                                 _collect_window_calls(w, out)
+
+
+def _count_distinct_pairs(t: pa.Table, keys, arg: str, out: str) -> pa.Table:
+    """COUNT(DISTINCT arg) per key over co-located (key, arg) pairs.
+    pandas nunique: drops NULL args (COUNT semantics) but keeps NULL keys
+    and all-null-arg keys (count 0) as groups."""
+    df = t.select(list(keys) + [arg]).to_pandas()
+    g = df.groupby(list(keys), dropna=False, sort=False)[arg] \
+        .nunique().reset_index()
+    arrays = {}
+    for kcol in keys:
+        arr = pa.Array.from_pandas(g[kcol])
+        want = t.schema.field(kcol).type
+        if arr.type != want:
+            try:
+                arr = arr.cast(want)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                pass
+        arrays[kcol] = arr
+    arrays[out] = pa.Array.from_pandas(g[arg]).cast(pa.int64())
+    return pa.table(arrays)
 
 
 def _partial_suffixes(kind: str) -> list[str]:
