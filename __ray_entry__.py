@@ -240,10 +240,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lake_lww": dq.events_lake_lww,
         "exact_dedup": dq.exact_dedup_docs,
         "token_count": dq.token_counts,
-        "text_quality": dq.text_quality,          # heuristic — rows-only
-        "doc_fingerprint": dq.doc_fingerprints,   # rolling hash — rows-only
-        "minhash_near_dups": dq.minhash_near_dups,  # LSH — rows-only
-        "simhash_signatures": dq.simhash_sigs,    # rows-only
+        "text_quality": dq.text_quality,          # full SQL oracle
+        # doc_fingerprint: NO SQL ORACLE — the 64-bit rolling polynomial
+        # min-hash over byte k-grams has no DuckDB equivalent; instead an
+        # independent pure-Python reimplementation gates it in
+        # tests/test_ops.py (golden cross-check), driver records rows-only.
+        "doc_fingerprint": dq.doc_fingerprints,
+        # minhash_near_dups: NO SQL ORACLE — probabilistic LSH sketch; the
+        # query SELF-CHECKS recall against exact n-gram Jaccard at gate
+        # scale (raises if any true J≥0.9 pair beyond 1% is missed).
+        "minhash_near_dups": dq.minhash_near_dups,
+        "simhash_signatures": dq.simhash_sigs,    # full SQL oracle (md5 bits)
         "ann_topk": dq.ann_topk,
         "embedding_dups": dq.embedding_dups,
     })
@@ -270,6 +277,10 @@ JOIN (SELECT user_id, event_type, MAX(event_id) AS m
     out["token_count"] = (
         "SELECT doc_id, CAST(length(regexp_extract_all(text, "
         "'[A-Za-z]+|[0-9]+|[^\\w\\s]')) AS BIGINT) AS n_tokens FROM documents")
+    from qwery_ray.pipelines.oracles import simhash_oracle, text_quality_oracle
+
+    out["text_quality"] = text_quality_oracle()
+    out["simhash_signatures"] = simhash_oracle()
     out["ann_topk"] = """
 WITH q AS (
   SELECT vec_id, embedding FROM embeddings

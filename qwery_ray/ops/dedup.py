@@ -245,6 +245,13 @@ class _BandExplodeStable(BandExplode):
 
 
 # ------------------------------------------------------------------- SimHash
+def _word_hash64(word: str) -> int:
+    """Per-word 64-bit hash = low 8 bytes of MD5, little-endian — chosen to
+    equal DuckDB's ``md5_number_lower`` so the SQL oracle can recompute
+    signatures bit-for-bit."""
+    return int.from_bytes(hashlib.md5(word.encode()).digest()[8:], "little")
+
+
 class SimHash:
     """64-bit SimHash over word tokens; near-dups differ in ≤3 bits."""
 
@@ -258,8 +265,7 @@ class SimHash:
             return 0
         acc = np.zeros(64, dtype=np.int64)
         for w in set(words):
-            h = np.uint64(int.from_bytes(
-                hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"))
+            h = np.uint64(_word_hash64(w))
             bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
             acc += np.where(bits == 1, 1, -1) * words.count(w)
         return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())

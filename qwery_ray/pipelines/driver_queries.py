@@ -117,17 +117,50 @@ def doc_fingerprints(sf_dir: str):
     return out.select_columns(["doc_id", "fingerprint"])
 
 
-def minhash_near_dups(sf_dir: str):
+def minhash_near_dups(sf_dir: str, *, recall_check_max_docs: int = 2000):
+    """MinHash-LSH candidate pairs. No SQL oracle (probabilistic sketch) —
+    instead the query SELF-CHECKS recall at gate scale: when the corpus is
+    small enough for an exact pass, every pair with true n-gram Jaccard
+    ≥ 0.9 must appear among the candidates (16 bands × 4 rows ⇒ detection
+    probability ≈ 1 − (1 − 0.9⁴)¹⁶ ≈ 0.999)."""
+    import pyarrow.parquet as pq
     import ray.data as rd
 
-    from ..ops.dedup import minhash_lsh_candidates
+    from ..ops.dedup import minhash_lsh_candidates, ngram_set
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id", "text"])
-    return minhash_lsh_candidates(ds)
+    path = os.path.join(sf_dir, "documents.parquet")
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    pairs = minhash_lsh_candidates(ds).materialize()
+
+    if pq.read_metadata(path).num_rows <= recall_check_max_docs:
+        docs = pq.read_table(path, columns=["doc_id", "text"])
+        ids = docs.column("doc_id").to_pylist()
+        sets = [ngram_set(t, 5) for t in docs.column("text").to_pylist()]
+        sizes = [len(s) for s in sets]
+        truth = set()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                lo, hi = sorted((sizes[i], sizes[j]))
+                if hi == 0 or lo / hi < 0.9:  # J ≥ 0.9 needs similar sizes
+                    continue
+                inter = len(sets[i] & sets[j])
+                if inter and inter / len(sets[i] | sets[j]) >= 0.9:
+                    truth.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+        got = set(zip(*[pairs.to_pandas()[c] for c in ("id_a", "id_b")])) \
+            if pairs.count() else set()
+        missed = truth - got
+        if truth and len(missed) > max(1, len(truth) // 100):
+            raise AssertionError(
+                f"MinHash-LSH recall check failed: {len(missed)}/{len(truth)} "
+                f"true Jaccard≥0.9 pairs missed (e.g. {sorted(missed)[:3]})")
+    return pairs
 
 
 def simhash_sigs(sf_dir: str):
+    """SimHash signatures, hex-encoded — bit-exact SQL oracle (word hash is
+    DuckDB's md5_number_lower; the oracle recomputes the 64-bit majority
+    vote per document)."""
+    import pandas as pd
     import ray.data as rd
 
     from ..ops.dedup import SimHash
@@ -135,7 +168,14 @@ def simhash_sigs(sf_dir: str):
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"])
     out = ds.map_batches(SimHash(), batch_format="pandas", concurrency=2)
-    return out.select_columns(["doc_id", "simhash"])
+
+    def to_hex(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "simhash_hex": [format(int(s), "016x") for s in df["simhash"]],
+        })
+
+    return out.map_batches(to_hex, batch_format="pandas")
 
 
 def ann_topk(sf_dir: str, *, k: int = 10, n_queries: int = 5):

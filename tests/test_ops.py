@@ -214,6 +214,32 @@ class TestTextAnalysis:
         out = ds.map_batches(LangId, batch_format="pandas", concurrency=2).to_pandas()
         assert out["lang_pred"].tolist() == ["en", "de", "fr"]
 
+    def test_fingerprint_matches_independent_reference(self):
+        """Golden cross-check: the vectorized rolling-hash minimum equals a
+        straightforward scalar Rabin–Karp reimplementation (doc_fingerprint
+        has no SQL oracle — this is its independent gate)."""
+        from qwery_ray.ops.text import Fingerprint
+
+        def reference(text: str, k: int = 8) -> str:
+            data = text.encode("utf-8", "ignore")
+            if len(data) < k:
+                data = data + b"\x00" * (k - len(data))
+            best = None
+            for i in range(len(data) - k + 1):
+                h = 0
+                for byte in data[i:i + k]:
+                    h = (h * 257 + byte) % (1 << 64)
+                best = h if best is None else min(best, h)
+            return format(best, "016x")
+
+        fp = Fingerprint()
+        for text in ["hello world, this is a fingerprint test",
+                     "short", "", "ä unicode ößü content",
+                     "aaaaaaaaaaaaaaaaaaaaaaa", "0123456789abcdef" * 5]:
+            mine = format(fp._min_rolling(text.encode("utf-8", "ignore")),
+                          "016x")
+            assert mine == reference(text), text
+
     def test_fingerprint_deterministic_and_sensitive(self, ray_session):
         import ray.data as rd
         from qwery_ray.ops.text import Fingerprint
