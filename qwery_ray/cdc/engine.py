@@ -123,9 +123,9 @@ class CombineShuffleWrite:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
             return _shuffle_stats(0, 0)
-        rows, files = _combine_and_write(batch, self.num_partitions,
-                                         self.shuffle_dir, self.key_cols)
-        return _shuffle_stats(rows, files)
+        rows, files, fname, index = _combine_and_write(
+            batch, self.num_partitions, self.shuffle_dir, self.key_cols)
+        return _shuffle_stats(rows, files, self.shuffle_dir, fname, index)
 
 
 class MultiTxnShuffleWrite:
@@ -147,17 +147,16 @@ class MultiTxnShuffleWrite:
         lsn = batch.column("lsn").to_numpy(zero_copy_only=False)
         his = np.array([hi for _, hi, _ in self.spans])
         span_idx = np.searchsorted(his, lsn)  # lsn <= hi → this span
-        rows = files = 0
+        parts = []
         for i, (_lo, _hi, sdir) in enumerate(self.spans):
             mask = span_idx == i
             if not mask.any():
                 continue
             sub = batch.take(pa.array(np.flatnonzero(mask)))
-            r, f = _combine_and_write(sub, self.num_partitions, sdir,
-                                      self.key_cols)
-            rows += r
-            files += f
-        return _shuffle_stats(rows, files)
+            r, f, fname, index = _combine_and_write(
+                sub, self.num_partitions, sdir, self.key_cols)
+            parts.append(_shuffle_stats(r, f, sdir, fname, index))
+        return pa.concat_tables(parts) if parts else _shuffle_stats(0, 0)
 
 
 def _combine_and_write(batch: pa.Table, num_partitions: int,
@@ -190,16 +189,21 @@ def _combine_and_write(batch: pa.Table, num_partitions: int,
         index[int(pk_sorted[s])] = rg
     writer.close()
     os.replace(tmp, fname)
-    # sidecar index: pid → row-group ordinal, so reducers seek straight
-    # to their row group without touching parquet metadata
-    with open(fname + ".idx", "w") as f:
-        json.dump(index, f)
-    return len(batch), len(starts)
+    # the pid → row-group index returns through the stats table; the driver
+    # folds all tasks' entries into ONE per-txn index.json (no per-file
+    # sidecar scans on the reduce side: O(1) metadata reads per merge task)
+    return len(batch), len(starts), os.path.basename(fname), index
 
 
-def _shuffle_stats(rows: int, files: int) -> pa.Table:
-    return pa.table({"rows": pa.array([rows], type=pa.int64()),
-                     "files": pa.array([files], type=pa.int64())})
+def _shuffle_stats(rows: int, files: int, sdir: str = "", fname: str = "",
+                   index: Optional[dict] = None) -> pa.Table:
+    return pa.table({
+        "rows": pa.array([rows], type=pa.int64()),
+        "files": pa.array([files], type=pa.int64()),
+        "sdir": pa.array([sdir], type=pa.string()),
+        "fname": pa.array([fname], type=pa.string()),
+        "index_json": pa.array([json.dumps(index or {})], type=pa.string()),
+    })
 
 
 def lww_winner_indices(batch: pa.Table,
@@ -230,13 +234,17 @@ class PartitionMetrics:
 
 
 class MergePartitionFS:
-    """Reduce-side merge task: one lake partition per input row.
+    """Reduce-side merge task: SEVERAL lake partitions per task.
 
-    Reads the partition's shuffle slices with a BOUNDED incremental LWW
-    reduce (``merge_fanin`` files at a time — per-task state is O(distinct
-    keys in partition), never O(events), the north rule's bounded-state
-    requirement), then copy-on-write merges into the current lake file
-    exactly like MergePartition. Emits one metrics row."""
+    The per-txn ``index.json`` (written once by the driver from the map
+    tasks' returned indexes) maps shuffle file → {pid: row group}; each
+    merge task opens every shuffle file at most ONCE for its whole pid
+    group (one footer parse serves all its partitions — the old
+    one-task-per-pid × per-file .idx scan was O(files × partitions)
+    metadata ops). The LWW reduce stays BOUNDED: files stream in
+    ``merge_fanin`` chunks, per-pid state is O(distinct keys in the
+    partition), never O(events). Then copy-on-write against the current
+    lake file → staged write. Emits one metrics row per partition."""
 
     def __init__(self, lake_dir: str, txn: str, partition_files: dict,
                  shuffle_dir: str, merge_fanin: int = 16,
@@ -247,39 +255,53 @@ class MergePartitionFS:
         self.shuffle_dir = shuffle_dir
         self.merge_fanin = max(2, merge_fanin)
         self.key_cols = list(key_cols)
+        self._index = None
+
+    def _load_index(self) -> dict:
+        if self._index is None:
+            path = os.path.join(self.shuffle_dir, "index.json")
+            if os.path.exists(path):
+                with open(path) as fh:
+                    self._index = json.load(fh)
+            else:
+                self._index = {}
+        return self._index
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = []
-        for pid in batch.column("pid").to_pylist():
-            out.append(self._merge_one(int(pid)))
+        pids = [int(p) for p in batch.column("pid").to_pylist()]
+        if not pids:
+            return _empty_metrics()
+        reduced = self._reduce_shuffle(pids)
+        out = [self._merge_one(p, reduced.get(p)) for p in pids]
         return pa.concat_tables(out) if out else _empty_metrics()
 
-    def _reduce_shuffle(self, pid: int):
-        files = sorted(os.path.join(self.shuffle_dir, f)
-                       for f in os.listdir(self.shuffle_dir)
-                       if f.endswith(".parquet"))
-        acc = None
+    def _reduce_shuffle(self, pids: list) -> dict:
+        index = self._load_index()
+        want = set(pids)
+        files = sorted(index)
+        acc: dict = {p: None for p in pids}
         for i in range(0, len(files), self.merge_fanin):
-            tables = []
-            for f in files[i:i + self.merge_fanin]:
-                # sidecar index → direct row-group seek for this partition
-                with open(f + ".idx") as fh:
-                    index = json.load(fh)
-                rg = index.get(str(pid))
-                if rg is None:
+            pending: dict = {p: [] for p in pids}
+            for fname in files[i:i + self.merge_fanin]:
+                hits = [(int(p), rg) for p, rg in index[fname].items()
+                        if int(p) in want]
+                if not hits:
                     continue
-                pf = pq.ParquetFile(f)
-                tables.append(pf.read_row_group(rg))
-            if not tables:
-                continue
-            if acc is not None:
-                tables.append(acc)
-            t = _concat_evolving(tables)
-            acc = t.take(pa.array(lww_winner_indices(t, self.key_cols)))
-        return acc, len(files)
+                pf = pq.ParquetFile(os.path.join(self.shuffle_dir, fname))
+                for p, rg in hits:
+                    pending[p].append(pf.read_row_group(rg))
+            for p in pids:
+                if not pending[p]:
+                    continue
+                tables = pending[p]
+                if acc[p] is not None:
+                    tables = tables + [acc[p]]
+                t = _concat_evolving(tables)
+                acc[p] = t.take(pa.array(
+                    lww_winner_indices(t, self.key_cols)))
+        return acc
 
-    def _merge_one(self, pid: int) -> pa.Table:
-        g, n_files = self._reduce_shuffle(pid)
+    def _merge_one(self, pid: int, g: Optional[pa.Table]) -> pa.Table:
         if g is None or len(g) == 0:
             return _empty_metrics()
         last_lsn = int(pc.max(g.column("lsn")).as_py())
@@ -306,7 +328,7 @@ class MergePartitionFS:
         # shuffle file arrival order (determinism invariant, FIXTURES.md §5)
         merged = merged.sort_by([(c, "ascending") for c in self.key_cols])
         tmp = staged + ".tmp"
-        pq.write_table(merged, tmp)
+        pq.write_table(merged, tmp, compression="lz4")
         os.replace(tmp, staged)
         return pa.table({
             "partition_id": pa.array([pid], type=pa.int64()),
@@ -389,8 +411,39 @@ class CDCLakeEngine:
         pending = [(l, h) for l, h in chunks
                    if f"txn-{l:012d}-{h:012d}" not in manifest["committed_txns"]]
         if pipelined and len(pending) > 1:
-            self._map_all(events_path, pending)
-            for l, h in pending:
+            # software pipeline: txn k+1's map/shuffle pass (bandwidth-bound
+            # parquet scan) runs CONCURRENTLY with txn k's merge+commit
+            # (CPU+IO mixed) in a prefetch thread — wall clock per step is
+            # max(map, merge), not their sum. Commit order is untouched:
+            # apply_chunk(k) only starts after map(k) joined.
+            import threading
+
+            class _MapJob:
+                def __init__(self, fn, span):
+                    self.err = None
+
+                    def run():
+                        try:
+                            fn(span)
+                        except BaseException as e:  # re-raised on join
+                            self.err = e
+
+                    self.t = threading.Thread(target=run, daemon=True)
+                    self.t.start()
+
+                def join(self):
+                    self.t.join()
+                    if self.err is not None:
+                        raise self.err
+
+            def run_map(span):
+                self._map_all(events_path, [span])
+
+            job = _MapJob(run_map, pending[0])
+            for i, (l, h) in enumerate(pending):
+                job.join()
+                if i + 1 < len(pending):
+                    job = _MapJob(run_map, pending[i + 1])
                 manifest = self.apply_chunk(events_path, l, h, manifest,
                                             premapped=True)
         else:
@@ -426,8 +479,7 @@ class CDCLakeEngine:
         stats = events.map_batches(
             MultiTxnShuffleWrite(self.num_partitions, spans, self.key_cols),
             batch_format="pyarrow", batch_size=batch_size)
-        for _ in stats.iter_batches(batch_size=1024):
-            pass
+        self._collect_shuffle_index(stats)
 
     def follow(self, events_path: str, *, poll_interval: float = 1.0,
                idle_rounds: Optional[int] = 3,
@@ -540,8 +592,9 @@ class CDCLakeEngine:
                 CombineShuffleWrite(self.num_partitions, shuffle_dir,
                                     self.key_cols),
                 batch_format="pyarrow", batch_size=batch_size)
-            for _ in stats.iter_batches(batch_size=1024):
-                pass  # drive the map side to completion (shuffle barrier)
+            # drives the map side to completion (shuffle barrier) and folds
+            # the returned per-file indexes into this txn's index.json
+            self._collect_shuffle_index(stats)
         else:
             os.makedirs(shuffle_dir, exist_ok=True)
         if trace:
@@ -565,11 +618,23 @@ class CDCLakeEngine:
             def merge_fn(t: pa.Table, _m=merge) -> pa.Table:
                 return _m(t)
 
+            import math
+
+            import ray as _ray
+
+            ncpu = int(_ray.cluster_resources().get("CPU", 8)) \
+                if _ray.is_initialized() else 8
+            # several partitions per merge task: each task parses every
+            # shuffle footer once for its whole group (metadata ops drop
+            # from O(files×partitions) to O(files×tasks)); 2×cores tasks
+            # keep all cores busy under size skew
+            n_tasks = min(len(touched), max(1, ncpu * 2))
+            bsize = math.ceil(len(touched) / n_tasks)
             pid_ds = rd.from_items([{"pid": p} for p in touched],
-                                   override_num_blocks=len(touched))
+                                   override_num_blocks=n_tasks)
             metrics = pid_ds.map_batches(
                 merge_fn, batch_format="pyarrow",
-                batch_size=1).to_pandas()
+                batch_size=bsize).to_pandas()
         else:
             metrics = _empty_metrics().to_pandas()
         if trace:
@@ -596,12 +661,24 @@ class CDCLakeEngine:
         manifest["watermark_lsn"] = hi
         manifest["version"] += 1
         manifest["committed_txns"].append(txn)
+        elapsed = _time.perf_counter() - t_start
+        n_bytes = int(metrics["bytes_written"].sum()) if len(metrics) else 0
         manifest["lineage"].append({
             "txn": txn, "lo": lo, "hi": hi,
             "partitions_touched": int(len(metrics)),
             "rows_upserted": int(metrics["upserts"].sum()) if len(metrics) else 0,
             "rows_deleted": int(metrics["deletes"].sum()) if len(metrics) else 0,
-            "bytes_written": int(metrics["bytes_written"].sum()) if len(metrics) else 0,
+            "bytes_written": n_bytes,
+        })
+        # progress statistics (reference StatisticsGenerator.scala:49-80
+        # records/s + bytes/s snapshots): appended per txn to a side log —
+        # NOT the manifest, which stays byte-deterministic across reruns
+        self._append_stats({
+            "txn": txn, "lo": lo, "hi": hi,
+            "elapsed_sec": round(elapsed, 3),
+            "events_per_sec": round((hi - lo) / elapsed, 1) if elapsed else 0,
+            "bytes_per_sec": round(n_bytes / elapsed, 1) if elapsed else 0,
+            "bytes_written": n_bytes,
         })
         self._commit_manifest(manifest)
         staged_dir = os.path.join(self.lake_dir, "_staging", txn)
@@ -613,12 +690,34 @@ class CDCLakeEngine:
         return manifest
 
     @staticmethod
+    def _collect_shuffle_index(stats: rd.Dataset) -> None:
+        """Drain the map-side stats stream and write ONE index.json per txn
+        shuffle dir: {file → {pid → row group}}. Completed-but-unreported
+        task attempts (worker death after write) leave orphan files that are
+        simply absent from the index — ignored by every reducer."""
+        per_dir: dict[str, dict] = {}
+        for b in stats.iter_batches(batch_size=None, batch_format="pyarrow"):
+            for sdir, fname, idx in zip(b.column("sdir").to_pylist(),
+                                        b.column("fname").to_pylist(),
+                                        b.column("index_json").to_pylist()):
+                if fname:
+                    per_dir.setdefault(sdir, {})[fname] = json.loads(idx)
+        for sdir, mapping in per_dir.items():
+            tmp = os.path.join(sdir, "index.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(mapping, f)
+            os.replace(tmp, os.path.join(sdir, "index.json"))
+
+    @staticmethod
     def _touched_partitions(shuffle_dir: str) -> list[int]:
+        path = os.path.join(shuffle_dir, "index.json")
+        if not os.path.exists(path):
+            return []
+        with open(path) as fh:
+            index = json.load(fh)
         pids: set[int] = set()
-        for f in os.listdir(shuffle_dir):
-            if f.endswith(".idx"):
-                with open(os.path.join(shuffle_dir, f)) as fh:
-                    pids.update(int(k) for k in json.load(fh))
+        for mapping in index.values():
+            pids.update(int(k) for k in mapping)
         return sorted(pids)
 
     def _gc_superseded(self, manifest: dict):
@@ -690,6 +789,20 @@ class CDCLakeEngine:
             mask = m if mask is None else pc.and_(mask, m)
         hit = table.filter(mask)
         return hit.to_pylist()[0] if len(hit) else None
+
+    def _append_stats(self, record: dict) -> None:
+        with open(os.path.join(self.lake_dir, "_stats.jsonl"), "a") as f:
+            f.write(json.dumps(record, sort_keys=True) + "\n")
+
+    def stats_records(self) -> list[dict]:
+        """Per-txn throughput snapshots (records/s, bytes/s, elapsed) —
+        the follow() progress surface; one record per committed replay
+        round, mirroring the reference's periodic Statistics rows."""
+        path = os.path.join(self.lake_dir, "_stats.jsonl")
+        if not os.path.exists(path):
+            return []
+        with open(path) as f:
+            return [json.loads(line) for line in f if line.strip()]
 
     def checkpoints(self) -> pd.DataFrame:
         """Per-partition checkpoint records (partition_id, last_applied_lsn,

@@ -53,6 +53,13 @@ class TestFollow:
         expected = sha256_of_state(naive_replay(ev))
         assert sha256_of_table(eng.table()) == expected
 
+        # progress statistics: one throughput snapshot per replay round
+        # (reference StatisticsGenerator records/s surface)
+        stats = eng.stats_records()
+        assert len(stats) == len(m2["committed_txns"])
+        for rec in stats:
+            assert rec["events_per_sec"] > 0 and rec["elapsed_sec"] > 0
+
 
 class TestAvroGate:
     def test_avro_raises_clear_import_error(self):
