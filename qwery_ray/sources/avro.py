@@ -1,11 +1,11 @@
-"""Avro source/sink — gated behind fastavro (reference:
-core/sources/AvroInputSource.scala / AvroOutputSource.scala, schema via
-``WITH AVRO 'file.avsc'``).
+"""Avro source/sink (reference: core/sources/AvroInputSource.scala:14-35 /
+AvroOutputSource.scala, schema via ``WITH AVRO 'file.avsc'``).
 
-fastavro is not available in this sandbox, so the codec raises a clear
-ImportError at use; the Ray-side plumbing (read_binary_files → decode
-map_batches; encode per batch → .avro container) is real and mirrors the
-other sources."""
+fastavro is the fast path when importable; otherwise the vendored
+pure-Python codec (avro_codec.py — Apache Avro 1.11 binary spec) decodes
+and encodes Object Container Files, so Avro works in this sandbox too.
+The Ray-side plumbing mirrors the other sources: read_binary_files →
+per-batch decode in map_batches; encode per batch → .avro container."""
 
 from __future__ import annotations
 
@@ -15,27 +15,32 @@ import pyarrow as pa
 import ray.data as rd
 
 
-def _require_fastavro():
+def _fastavro():
     try:
-        import fastavro  # noqa: F401
+        import fastavro
 
         return fastavro
-    except ImportError as exc:  # pragma: no cover - environment-dependent
-        raise ImportError(
-            "Avro support requires the 'fastavro' package (not installed in "
-            "this environment). Parquet covers the schema'd-binary role "
-            "(SURVEY.md §2.3).") from exc
+    except ImportError:
+        return None
 
 
 def read_avro(path: str, schema_path: Optional[str] = None) -> rd.Dataset:
-    fastavro = _require_fastavro()
+    """Avro OCF file(s) → Dataset. Each input file decodes in one map task
+    (Avro blocks are not splittable without an index; fine for the
+    many-files layout Kafka dumps use)."""
 
     def decode(batch: pa.Table) -> pa.Table:
+        import io
+
+        fastavro = _fastavro()
         rows = []
         for blob in batch.column("bytes").to_pylist():
-            import io
+            if fastavro is not None:
+                rows.extend(fastavro.reader(io.BytesIO(blob)))
+            else:
+                from .avro_codec import read_ocf
 
-            rows.extend(fastavro.reader(io.BytesIO(blob)))
+                rows.extend(read_ocf(blob)[1])
         return pa.Table.from_pylist(rows)
 
     return rd.read_binary_files(path).map_batches(
@@ -43,13 +48,20 @@ def read_avro(path: str, schema_path: Optional[str] = None) -> rd.Dataset:
 
 
 def write_avro(ds: rd.Dataset, path: str, schema: dict) -> int:
-    fastavro = _require_fastavro()
+    """Dataset → one Avro OCF file (driver-side collect: the Avro sink is
+    the small-export path; the lake's native format is parquet)."""
+    fastavro = _fastavro()
     count = 0
-    with open(path, "wb") as out:
-        parsed = fastavro.parse_schema(schema)
-        records = []
-        for batch in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
-            records.extend(batch.to_pylist())
-            count += len(batch)
-        fastavro.writer(out, parsed, records)
+    records = []
+    for batch in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        records.extend(batch.to_pylist())
+        count += len(batch)
+    if fastavro is not None:
+        with open(path, "wb") as out:
+            fastavro.writer(out, fastavro.parse_schema(schema), records)
+    else:
+        from .avro_codec import write_ocf
+
+        with open(path, "wb") as out:
+            out.write(write_ocf(records, schema))
     return count

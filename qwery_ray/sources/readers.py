@@ -27,6 +27,71 @@ _EXT_FORMAT = {
 
 _DELIMS = {"csv": ",", "tsv": "\t", "psv": "|"}
 
+# ------------------------------------------------------- source registry
+# name (URL scheme like "kafka"/"memory", or a format name) → factory
+# fn(path, hints, *, columns=None, **ray_kwargs) -> ray.data.Dataset.
+# Mirrors the reference's pluggable device factory hook
+# (core/devices/InputDeviceFactory.scala:24-27 `add(prefix, factory)`):
+# a registered scheme/format takes precedence over the built-in resolver.
+_SOURCE_REGISTRY: dict = {}
+
+
+def register_source(name: str, factory) -> None:
+    """Register a custom reader for a URL scheme or format name."""
+    _SOURCE_REGISTRY[name.lower()] = factory
+
+
+def unregister_source(name: str) -> None:
+    _SOURCE_REGISTRY.pop(name.lower(), None)
+
+
+def _url_scheme(path: str) -> Optional[str]:
+    if "://" in path:
+        return path.split("://", 1)[0].lower()
+    return None
+
+
+def _filesystem_for(path: str):
+    """(filesystem, fs-relative path) via pyarrow.fs — remote URLs
+    (s3://, hdfs://, ...) resolve through Arrow's filesystem layer instead
+    of crashing in local-only open()/os.path code. Unknown schemes fall
+    back to fsspec when available."""
+    from pyarrow import fs as pafs
+
+    if "://" not in path:
+        return pafs.LocalFileSystem(), path
+    try:
+        return pafs.FileSystem.from_uri(path)
+    except (pa.ArrowInvalid, OSError, ValueError):
+        try:
+            import fsspec
+
+            scheme, rest = path.split("://", 1)
+            return pafs.PyFileSystem(
+                pafs.FSSpecHandler(fsspec.filesystem(scheme))), rest
+        except Exception:
+            raise ValueError(
+                f"cannot resolve filesystem for {path!r}; register a "
+                f"custom reader with register_source('{_url_scheme(path)}', "
+                f"factory)")
+
+
+def source_exists(path: str) -> bool:
+    """Existence check through pyarrow.fs (works for any resolvable URL;
+    globs are deferred to the reader)."""
+    if "*" in path:
+        return True
+    from pyarrow import fs as pafs
+
+    try:
+        filesystem, rel = _filesystem_for(path)
+    except ValueError:
+        return False
+    try:
+        return filesystem.get_file_info(rel).type != pafs.FileType.NotFound
+    except OSError:
+        return False
+
 
 def _strip_gz(path: str) -> tuple[str, bool]:
     if path.endswith(".gz"):
@@ -45,17 +110,48 @@ def detect_format(path: str, hints: dict) -> str:
 
 
 def _open_head(path: str, n: int = 5) -> list[str]:
-    """First n lines for delimiter sniffing (DelimitedInputSource.scala:36-57)."""
-    opener = gzip.open if path.endswith(".gz") else open
+    """First n lines for delimiter sniffing (DelimitedInputSource.scala:36-57).
+    Reads through pyarrow.fs so URL paths (s3://, memory://, ...) sniff the
+    same way local files do."""
+    import io
+
+    filesystem, rel = _filesystem_for(path)
     lines = []
-    with opener(path, "rt", errors="replace") as f:
-        for _ in range(n):
-            line = f.readline()
-            if not line:
-                break
-            if line.strip():
-                lines.append(line.rstrip("\n"))
+    # open_input_stream auto-decompresses by extension (.gz included)
+    with filesystem.open_input_stream(rel) as raw:
+        data = raw.read(1 << 20)  # 1 MiB is ample for 5 sample lines
+    for line in io.TextIOWrapper(io.BytesIO(data), errors="replace"):
+        if line.strip():
+            lines.append(line.rstrip("\n"))
+        if len(lines) >= n:
+            break
     return lines
+
+def _sample_file(path: str) -> Optional[str]:
+    """A concrete sample file for sniffing: the path itself, or the first
+    file inside when it is a directory; None when nothing readable exists.
+    Resolves through pyarrow.fs so URL directories work too."""
+    from pyarrow import fs as pafs
+
+    if "*" in path:
+        return None
+    try:
+        filesystem, rel = _filesystem_for(path)
+        info = filesystem.get_file_info(rel)
+    except (ValueError, OSError):
+        return None
+    if info.type == pafs.FileType.NotFound:
+        return None
+    if info.type == pafs.FileType.Directory:
+        entries = sorted(
+            f.path for f in filesystem.get_file_info(pafs.FileSelector(rel))
+            if f.type == pafs.FileType.File)
+        if not entries:
+            return None
+        scheme = _url_scheme(path)
+        return f"{scheme}://{entries[0]}" if scheme else entries[0]
+    return path
+
 
 def sniff_delimiter(path: str) -> str:
     """Pick the candidate delimiter splitting sample lines into the most
@@ -93,6 +189,19 @@ def read_source(path: str, hints: Optional[dict] = None, *,
     """
     hints = dict(hints or {})
     fmt = detect_format(path, hints)
+    sniff_path = path  # original (possibly URL) path for header sniffing
+    # registered custom sources take precedence: by explicit format hint,
+    # then by URL scheme (the reference's InputDeviceFactory.add contract)
+    scheme = _url_scheme(path)
+    factory = _SOURCE_REGISTRY.get(fmt) or \
+        (scheme and _SOURCE_REGISTRY.get(scheme))
+    if factory:
+        return factory(path, hints, columns=columns, **ray_kwargs)
+    if scheme and scheme not in ("file", "local"):
+        # remote URL on a built-in format: hand Ray the resolved filesystem
+        filesystem, rel = _filesystem_for(path)
+        ray_kwargs.setdefault("filesystem", filesystem)
+        path = rel
     if fmt == "parquet":
         return rd.read_parquet(path, columns=columns, **ray_kwargs)
     if fmt == "json":
@@ -105,15 +214,12 @@ def read_source(path: str, hints: Optional[dict] = None, *,
         return rd.read_text(path, **ray_kwargs)
     if fmt in ("csv", "tsv", "psv", "delimited"):
         delim = hints.get("delimiter") or _DELIMS.get(fmt)
-        sample_path = path
-        if os.path.isdir(path):
-            entries = sorted(os.listdir(path))
-            sample_path = os.path.join(path, entries[0]) if entries else path
+        sample_path = _sample_file(sniff_path)
         if delim is None:
             delim = sniff_delimiter(sample_path)
         parse_options = pacsv.ParseOptions(delimiter=delim)
         convert_options = None
-        if all_strings and os.path.exists(sample_path) and not os.path.isdir(sample_path):
+        if all_strings and sample_path is not None:
             names = _csv_header(sample_path, delim)
             convert_options = pacsv.ConvertOptions(
                 column_types={n: pa.string() for n in names})

@@ -195,6 +195,17 @@ class SubquerySource(Source):
 
 
 @dataclass(frozen=True)
+class ExecutableSource(Source):
+    """An introspection statement used as a FROM source —
+    ``SELECT * FROM (SHOW VIEWS) WHERE ...`` (reference
+    core/ops/Executable.scala:10-14: every executable yields a table,
+    README.md:766-779)."""
+
+    stmt: "Statement"
+    alias: Optional[str] = None
+
+
+@dataclass(frozen=True)
 class JoinClause:
     join_type: str  # INNER LEFT RIGHT FULL (reference has INNER only, Join.scala:10)
     right: Source

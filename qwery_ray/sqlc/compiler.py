@@ -1002,6 +1002,13 @@ class Compiler:
     # --------------------------------------------------------------- source
     def compile_source(self, src: A.Source, *, columns: Optional[set] = None,
                        pushdown=None) -> Frame:
+        if isinstance(src, A.ExecutableSource):
+            # SHOW/DESCRIBE result as a source (Executable.scala:10-14)
+            table = self.session.execute(src.stmt)
+            frame = Frame(rd.from_arrow(table), list(table.column_names))
+            if src.alias:
+                frame.aliases[src.alias.lower()] = True
+            return frame
         if isinstance(src, A.SubquerySource):
             if isinstance(src.query, (A.Union, A.SetOp)):
                 ds = self.compile_query(src.query)
@@ -1029,8 +1036,9 @@ class Compiler:
         if name.lower() in self.session.views:
             return None
         path = self.session.resolve_table_path(name)
-        if not os.path.exists(path) or detect_format(path, ref.hints) != "parquet":
-            return None
+        if "://" in path or not os.path.exists(path) or \
+                detect_format(path, ref.hints) != "parquet":
+            return None  # URL paths: skip footer peeks, let the reader read
         import pyarrow.parquet as pq
 
         frag = path
@@ -1056,15 +1064,20 @@ class Compiler:
                 frame.aliases[ref.alias.lower()] = True
             return frame
         path = sess.resolve_table_path(name)
-        if "://" not in path and "*" not in path and not os.path.exists(path):
+        from ..sources.readers import (_SOURCE_REGISTRY, _url_scheme,
+                                       detect_format, read_source,
+                                       source_exists)
+
+        scheme = _url_scheme(path)
+        if not (scheme and scheme in _SOURCE_REGISTRY) and \
+                not source_exists(path):
             known = ", ".join(sorted(sess.tables)) or "(none)"
             raise ValueError(
                 f"unknown table or path {name!r}; registered tables: {known}")
-        from ..sources.readers import read_source, detect_format
 
         est_rows = None
         cols = None
-        if detect_format(path, ref.hints) == "parquet":
+        if "://" not in path and detect_format(path, ref.hints) == "parquet":
             import pyarrow.parquet as pq
 
             if os.path.isdir(path):

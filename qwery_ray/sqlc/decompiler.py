@@ -113,6 +113,11 @@ def _source_sql(src) -> str:
         return out
     if isinstance(src, (A.Select, A.Union, A.SetOp)):
         return f"({to_sql(src)})"
+    if isinstance(src, A.ExecutableSource):
+        out = f"({to_sql(src.stmt)})"
+        if src.alias:
+            out += f" AS {src.alias}"
+        return out
     raise ValueError(f"cannot decompile source {type(src).__name__}")
 
 

@@ -261,6 +261,22 @@ class Parser:
         tok = self.peek()
         if tok.kind == "OP" and tok.text == "(":
             self.next()
+            # (SHOW ...) / (DESCRIBE ...) as a source: every executable
+            # yields a table (reference core/ops/Executable.scala:10-14)
+            if self.peek().upper in ("SHOW", "DESCRIBE"):
+                if self.peek().upper == "SHOW":
+                    self.next()
+                    inner_stmt: A.Statement = A.Show(self.next().upper)
+                else:
+                    inner_stmt = self.parse_describe()
+                self.expect(")")
+                alias = None
+                if self.accept("AS"):
+                    alias = self._ident_name()
+                elif self.peek().kind in ("IDENT", "QIDENT") and \
+                        not self._is_clause_keyword(self.peek()):
+                    alias = self._ident_name()
+                return A.ExecutableSource(inner_stmt, alias)
             inner = self.parse_select_or_union()
             self.expect(")")
             alias = None

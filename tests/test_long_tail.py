@@ -61,12 +61,76 @@ class TestFollow:
             assert rec["events_per_sec"] > 0 and rec["elapsed_sec"] > 0
 
 
-class TestAvroGate:
-    def test_avro_raises_clear_import_error(self):
-        from qwery_ray.sources.avro import read_avro
+class TestAvroCodec:
+    """Vendored pure-Python Avro codec (Apache Avro 1.11 binary spec):
+    round-trips an analytics-hit shaped schema — wrapped primitives,
+    nullable unions, arrays of records, enums — the same shape as the
+    reference's pixall fixture (reference pixall-v5.avsc.json,
+    core/sources/AvroInputSource.scala:14-35)."""
 
-        with pytest.raises(ImportError, match="fastavro"):
-            read_avro("/tmp/nonexistent.avro")
+    SCHEMA = {
+        "type": "record", "name": "Hit", "namespace": "t.analytics",
+        "fields": [
+            {"name": "visitor_id",
+             "type": {"type": "string", "avro.java.string": "String"}},
+            {"name": "ts", "type": {"type": "long"}},
+            {"name": "code", "type": ["null", {"type": "string"}],
+             "default": None},
+            {"name": "score", "type": "double"},
+            {"name": "kind", "type": {"type": "enum", "name": "Kind",
+                                      "symbols": ["view", "click"]}},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+            {"name": "attrs", "type": {"type": "map", "values": "long"}},
+            {"name": "nested", "type": ["null", {
+                "type": "record", "name": "Geo", "fields": [
+                    {"name": "lat", "type": "double"},
+                    {"name": "lon", "type": "double"}]}]},
+        ],
+    }
+    ROWS = [
+        {"visitor_id": "v1", "ts": 1700000000123, "code": "d42",
+         "score": 0.5, "kind": "view", "tags": ["a", "b"],
+         "attrs": {"n": 3}, "nested": {"lat": 1.25, "lon": -2.5}},
+        {"visitor_id": "v2", "ts": -7, "code": None, "score": -1.75,
+         "kind": "click", "tags": [], "attrs": {}, "nested": None},
+    ]
+
+    def test_ocf_round_trip_null_and_deflate(self):
+        from qwery_ray.sources.avro_codec import read_ocf, write_ocf
+
+        for codec in ("null", "deflate"):
+            blob = write_ocf(self.ROWS, self.SCHEMA, codec=codec)
+            schema, records = read_ocf(blob)
+            assert schema["name"] == "Hit"
+            assert records == self.ROWS
+
+    def test_read_avro_dataset(self, ray_session, tmp_path):
+        from qwery_ray.sources.avro import read_avro
+        from qwery_ray.sources.avro_codec import write_ocf
+
+        p = str(tmp_path / "hits.avro")
+        with open(p, "wb") as f:
+            f.write(write_ocf(self.ROWS, self.SCHEMA, codec="deflate"))
+        df = read_avro(p).to_pandas()
+        assert sorted(df["visitor_id"]) == ["v1", "v2"]
+        assert df["ts"].abs().max() == 1700000000123
+
+    def test_write_avro_flat_schema(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from qwery_ray.sources.avro import read_avro, write_avro
+
+        schema = {"type": "record", "name": "Flat", "fields": [
+            {"name": "sym", "type": "string"},
+            {"name": "px", "type": "double"},
+            {"name": "qty", "type": ["null", "long"], "default": None}]}
+        rows = [{"sym": "AAPL", "px": 145.5, "qty": 3},
+                {"sym": "MSFT", "px": 99.0, "qty": None}]
+        p = str(tmp_path / "flat.avro")
+        assert write_avro(rd.from_items(rows), p, schema) == 2
+        back = read_avro(p).to_pandas().sort_values("sym", ignore_index=True)
+        assert back["sym"].tolist() == ["AAPL", "MSFT"]
+        assert back["px"].tolist() == [145.5, 99.0]
 
 
 class TestInSubquery:

@@ -227,3 +227,37 @@ class TestFixedWidth:
         df = ds.to_pandas()
         assert df["symbol"].tolist() == ["AAPL", "MSFT"]
         assert df["price"].tolist() == ["000145", "000332"]
+
+
+class TestExecutableSource:
+    """SHOW/DESCRIBE results usable as FROM sources (reference
+    core/ops/Executable.scala:10-14, README.md:766-779)."""
+
+    def test_select_from_show_views(self, ray_session, tmp_path):
+        from qwery_ray import QweryEngine
+
+        eng = QweryEngine(table_root=str(tmp_path))
+        eng.sql("CREATE VIEW alpha AS SELECT 1 AS x")
+        eng.sql("CREATE VIEW beta AS SELECT 2 AS x")
+        df = eng.sql(
+            "SELECT * FROM (SHOW VIEWS) WHERE name LIKE 'a%'").to_pandas()
+        assert df["name"].tolist() == ["alpha"]
+
+    def test_select_from_show_tables_with_agg(self, engine):
+        df = engine.sql(
+            "SELECT COUNT(*) AS n FROM (SHOW TABLES)").to_pandas()
+        assert df["n"][0] >= 10  # the sf tables are registered
+
+    def test_select_from_describe(self, engine):
+        df = engine.sql(
+            "SELECT Column FROM (DESCRIBE nation) ORDER BY Column"
+        ).to_pandas()
+        assert "n_name" in df["Column"].tolist()
+
+    def test_decompiler_roundtrip(self):
+        from qwery_ray.sqlc.decompiler import to_sql
+        from qwery_ray.sqlc.parser import parse
+
+        sql = "SELECT * FROM (SHOW VIEWS) WHERE name LIKE 'a%'"
+        stmt = parse(sql)[0]
+        assert to_sql(parse(to_sql(stmt))[0]) == to_sql(stmt)
