@@ -123,17 +123,24 @@ class QweryEngine:
             return transform_expr(out, self._expand_sql_udf)
         return node
 
+    # IN (SELECT …) key sets up to this many rows inline as a broadcast
+    # membership test; larger sets stay as InSubquery nodes and compile to a
+    # hash semi-join (never millions of literals in the AST)
+    IN_BROADCAST_LIMIT = 100_000
+
     def _resolve_in_subquery(self, node):
-        """IN (SELECT …): collect the subquery's first column ONCE on the
-        driver (broadcast-sized key set) and rewrite to a vectorized is_in
-        membership test — the guide's broadcast semi-join, no shuffle.
+        """IN (SELECT …): probe the subquery size. Small key sets collect
+        ONCE on the driver and rewrite to a vectorized is_in membership test
+        (the guide's broadcast semi-join, no shuffle). Larger sets keep the
+        InSubquery node — the compiler turns a top-level WHERE conjunct into
+        a hash left_semi/left_anti join.
         NOTE: NOT IN follows the engine's non-null set semantics (null keys
         are dropped), diverging from ANSI's all-NULL poisoning."""
         if isinstance(node, A.InSubquery):
             ds = self.compiler.compile_query(self._prepare(node.query))
-            rows = ds.take_all()
-            if len(rows) > 5_000_000:
-                raise ValueError("IN (SELECT …) key set too large to broadcast")
+            rows = ds.limit(self.IN_BROADCAST_LIMIT + 1).take_all()
+            if len(rows) > self.IN_BROADCAST_LIMIT:
+                return node  # semi-join path (compiler)
             vals = {next(iter(r.values())) for r in rows}
             vals.discard(None)
             return A.InList(node.operand,

@@ -819,11 +819,26 @@ class Compiler:
         for j in sel.joins:
             frame = self.compile_join(frame, j, sel, needed=needed)
 
-        if sel.where is not None:
+        # top-level IN (SELECT …) conjuncts too large to broadcast compile
+        # to hash semi/anti joins; the rest of WHERE stays a batch filter
+        where = sel.where
+        semi_nodes = []
+        if where is not None:
+            conjs = _flatten_and(where)
+            semi_nodes = [c for c in conjs if isinstance(c, A.InSubquery)]
+            if semi_nodes:
+                rest = [c for c in conjs
+                        if not isinstance(c, A.InSubquery)]
+                where = None
+                for c in rest:
+                    where = c if where is None else A.And(where, c)
+        if where is not None:
             frame = Frame(
-                frame.ds.map_batches(FilterBatch(sel.where, env),
+                frame.ds.map_batches(FilterBatch(where, env),
                                      batch_format="pyarrow"),
                 frame.columns, frame.aliases)
+        for k, node in enumerate(semi_nodes):
+            frame = self._apply_in_semijoin(frame, node, k, env)
 
         # window functions: computed after WHERE, before projection/agg;
         # WindowCall nodes are replaced by their materialized __w columns
@@ -938,6 +953,35 @@ class Compiler:
                 frame.ds.map_batches(DropColumns(drop_cols), batch_format="pyarrow"),
                 [c for c in frame.columns if c not in drop_cols])
         return frame
+
+    def _apply_in_semijoin(self, frame: Frame, node, k: int, env) -> Frame:
+        """WHERE <expr> [NOT] IN (SELECT …) with a key set too large to
+        broadcast: hash left_semi/left_anti join of the stream against the
+        subquery's first column. Null operands never match (engine's
+        documented non-null IN semantics — NOT IN also drops them)."""
+        key = f"__sj{k}"
+        sub = self.compile_query(self.session._prepare(node.query))
+
+        def first_col(t: pa.Table, _key=key) -> pa.Table:
+            return t.select([t.column_names[0]]).rename_columns([_key])
+
+        right = sub.map_batches(first_col, batch_format="pyarrow") \
+            .map_batches(HarmonizeJoinKeys([key]), batch_format="pyarrow") \
+            .materialize()  # known-schema join input (empty-partition safety)
+        left = frame.ds.map_batches(AddSortKeys([node.operand], [key], env),
+                                    batch_format="pyarrow")
+        left = left.map_batches(HarmonizeJoinKeys([key]),
+                                batch_format="pyarrow")
+        if node.negated:
+            left = left.map_batches(
+                lambda t, _k=key: t.filter(pc.is_valid(t.column(_k))),
+                batch_format="pyarrow")
+        num_cpus = int(ray.cluster_resources().get("CPU", 8))
+        out = left.join(right,
+                        join_type="left_anti" if node.negated else "left_semi",
+                        num_partitions=max(num_cpus * 2, 16), on=(key,))
+        out = out.map_batches(DropColumns([key]), batch_format="pyarrow")
+        return Frame(out, frame.columns, frame.aliases)
 
     def _resolve_positional_refs(self, sel: A.Select) -> A.Select:
         """GROUP BY 1 / ORDER BY 2 → the corresponding SELECT item."""

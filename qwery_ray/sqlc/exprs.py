@@ -752,4 +752,7 @@ def collect_column_refs(expr, out: set | None = None) -> set:
         collect_column_refs(expr.operand, out)
         for v in expr.values:
             collect_column_refs(v, out)
+    elif isinstance(expr, A.InSubquery):
+        # only the OUTER operand's columns; the subquery reads its own table
+        collect_column_refs(expr.operand, out)
     return out

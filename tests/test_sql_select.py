@@ -257,3 +257,47 @@ class TestSetOpsExceptIntersect:
                  "UNION ALL SELECT n_name AS x FROM nation)",
                  "SELECT COUNT(*) AS n FROM (SELECT r_name AS x FROM region "
                  "UNION ALL SELECT n_name AS x FROM nation) t")
+
+
+class TestInSubquerySemiJoin:
+    """IN (SELECT ...) key sets above the broadcast cap compile to a hash
+    semi/anti join instead of inlining millions of literals."""
+
+    def test_large_keyset_semi_join(self, ray_session, duck, monkeypatch):
+        from qwery_ray import QweryEngine
+        from qwery_ray.engine.session import QweryEngine as Sess
+
+        monkeypatch.setattr(Sess, "IN_BROADCAST_LIMIT", 2)  # force join path
+        eng = QweryEngine(table_root="/root/testdata/sf0.001")
+        sql = ("SELECT s_suppkey, s_name FROM supplier WHERE s_nationkey IN "
+               "(SELECT n_nationkey FROM nation WHERE n_regionkey = 2)")
+        mine = eng.sql(sql).to_pandas()
+        oracle = duck.execute(sql).fetch_df()
+        assert sorted(mine["s_suppkey"]) == sorted(oracle["s_suppkey"])
+
+    def test_large_keyset_not_in_anti_join(self, ray_session, duck,
+                                           monkeypatch):
+        from qwery_ray.engine.session import QweryEngine as Sess
+
+        monkeypatch.setattr(Sess, "IN_BROADCAST_LIMIT", 2)
+        from qwery_ray import QweryEngine
+
+        eng = QweryEngine(table_root="/root/testdata/sf0.001")
+        sql = ("SELECT s_suppkey FROM supplier WHERE s_nationkey NOT IN "
+               "(SELECT n_nationkey FROM nation WHERE n_regionkey = 2)")
+        mine = eng.sql(sql).to_pandas()
+        oracle = duck.execute(sql).fetch_df()
+        assert sorted(mine["s_suppkey"]) == sorted(oracle["s_suppkey"])
+
+    def test_semi_join_with_extra_where(self, ray_session, duck, monkeypatch):
+        from qwery_ray.engine.session import QweryEngine as Sess
+
+        monkeypatch.setattr(Sess, "IN_BROADCAST_LIMIT", 2)
+        from qwery_ray import QweryEngine
+
+        eng = QweryEngine(table_root="/root/testdata/sf0.001")
+        sql = ("SELECT s_suppkey FROM supplier WHERE s_acctbal > 0 AND "
+               "s_nationkey IN (SELECT n_nationkey FROM nation)")
+        mine = eng.sql(sql).to_pandas()
+        oracle = duck.execute(sql).fetch_df()
+        assert sorted(mine["s_suppkey"]) == sorted(oracle["s_suppkey"])
