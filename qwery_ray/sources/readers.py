@@ -276,3 +276,38 @@ def read_fixed_width(path: str, hints: dict, **ray_kwargs) -> rd.Dataset:
 
     return rd.read_text(path, **ray_kwargs).map_batches(
         slice_batch, batch_format="pyarrow")
+
+
+def _sqlite_factory(path: str, hints: dict, *, columns=None, **ray_kwargs):
+    """Built-in registry entry: ``sqlite:///abs/path.db?table=t`` (optional
+    ``&partition_col=c&num_partitions=N`` for the parallel read) — the SQL
+    surface of the DBAPI/JDBC parity layer (see sources/dbapi.py)."""
+    import sqlite3
+    from urllib.parse import parse_qs, urlsplit
+
+    from .dbapi import read_sql, read_sql_partitioned
+
+    parts = urlsplit(path)
+    db = parts.path
+    qs = {k: v[0] for k, v in parse_qs(parts.query).items()}
+    table = qs.get("table")
+    if not table:
+        raise ValueError(
+            "sqlite source needs ?table=<name> (optionally "
+            "&partition_col=<col>&num_partitions=<n>)")
+
+    def factory(_db=db):
+        return sqlite3.connect(_db)
+
+    if qs.get("partition_col"):
+        ds = read_sql_partitioned(
+            table, factory, partition_col=qs["partition_col"],
+            num_partitions=int(qs.get("num_partitions", "16")),
+            columns=columns)
+    else:
+        cols = ", ".join(columns) if columns else "*"
+        ds = read_sql(f"SELECT {cols} FROM {table}", factory)
+    return ds
+
+
+register_source("sqlite", _sqlite_factory)

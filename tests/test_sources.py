@@ -233,3 +233,14 @@ class TestDbapi:
         assert len(df) == 11  # 10 original − 1 replaced + 1 new... = 11 rows
         assert df[df["id"] == 5]["sym"].iloc[0] == "NEW"
         assert df[df["id"] == 100]["sym"].iloc[0] == "ADD"
+
+    def test_sqlite_url_in_sql(self, ray_session, tmp_path):
+        from qwery_ray import QweryEngine
+
+        db = str(tmp_path / "u.db")
+        self._make_db(db, n=40)
+        eng = QweryEngine(table_root=str(tmp_path))
+        df = eng.sql(
+            f"SELECT sym, COUNT(*) AS n FROM 'sqlite://{db}?table=trades' "
+            f"GROUP BY sym ORDER BY sym").to_pandas()
+        assert df["n"].sum() == 40
