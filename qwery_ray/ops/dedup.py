@@ -69,18 +69,30 @@ def exact_dedup(ds: rd.Dataset, text_col: str = "text",
         m = df.groupby("content_sha")[id_col].transform("min")
         return df.loc[df[id_col] != m, [id_col]]
 
-    losers = pairs.map_batches(
-        AddBucketCol(["content_sha"], max(32, ncpu * 4), "__db"),
-        batch_format="pyarrow") \
-        .groupby("__db") \
-        .map_groups(losers_in_bucket, batch_format="pandas") \
-        .materialize()
+    # adaptive: small pair sets (narrow sha+id rows) resolve losers right
+    # on the driver — no second pipeline execution; large ones
+    # bucket-shuffle by sha so each sha resolves in one group
+    pairs = pairs.materialize()
+    n_pairs = pairs.count()
+    loser_arr = None
+    if n_pairs <= 2_000_000:
+        df = pairs.to_pandas()
+        m = df.groupby("content_sha")[id_col].transform("min")
+        loser_arr = np.unique(df.loc[df[id_col] != m, id_col].to_numpy())
+        n_losers = len(loser_arr)
+    else:
+        losers = pairs.map_batches(
+            AddBucketCol(["content_sha"], max(32, ncpu * 4), "__db"),
+            batch_format="pyarrow") \
+            .groupby("__db") \
+            .map_groups(losers_in_bucket, batch_format="pandas") \
+            .materialize()
+        n_losers = losers.count()
 
-    n_losers = losers.count()
     if n_losers == 0:
         return ds
     if n_losers <= LOSER_BROADCAST_LIMIT:
-        ref = ray.put(np.unique(
+        ref = ray.put(loser_arr if loser_arr is not None else np.unique(
             losers.to_pandas()[id_col].to_numpy()))
 
         class DropLosers:

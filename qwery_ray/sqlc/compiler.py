@@ -1271,17 +1271,40 @@ class Compiler:
                 (keep_right, rid, left_val_cols)):
             if not keep:
                 continue
-            # the anti-join inputs must be materialized: with lazy inputs
-            # Ray's hash-shuffle join lacks schema for empty partitions and
-            # emits zero-column tables that crash the per-partition pa.join
             cand = lo.map_batches(
                 lambda t, _c=idc: t.filter(pc.is_valid(t.column(_c))),
-                batch_format="pyarrow").materialize()
+                batch_format="pyarrow")
             ok_ids = ok.select_columns([idc]).materialize()
-            bad = cand.join(ok_ids, join_type="left_anti",
-                            num_partitions=nparts, on=(idc,))
-            bad = bad.map_batches(EnforceSchema(lo_schema),
-                                  batch_format="pyarrow")
+            n_ok = ok_ids.count()
+            if n_ok <= 5_000_000:
+                # broadcast anti-filter: the passing-id set is small —
+                # avoids a second hash join (whose empty partitions build
+                # zero-column tables and intermittently crash pa.join)
+                arrs = [b.column(idc).to_numpy(zero_copy_only=False)
+                        for b in ok_ids.iter_batches(batch_size=None,
+                                                     batch_format="pyarrow")]
+                ids = np.unique(np.concatenate(arrs)) if arrs \
+                    else np.array([], dtype=np.int64)
+                ref = ray.put(ids)
+
+                def drop_ok(t: pa.Table, _c=idc, _r=ref) -> pa.Table:
+                    okset = ray.get(_r)
+                    if len(t) == 0 or len(okset) == 0:
+                        return t
+                    v = t.column(_c).to_numpy(zero_copy_only=False)
+                    pos = np.clip(np.searchsorted(okset, v),
+                                  0, len(okset) - 1)
+                    return t.filter(pa.array(okset[pos] != v))
+
+                bad = cand.map_batches(drop_ok, batch_format="pyarrow")
+            else:
+                # scale fallback: hash anti-join (materialized inputs keep
+                # partition schemas intact)
+                bad = cand.materialize().join(
+                    ok_ids, join_type="left_anti",
+                    num_partitions=nparts, on=(idc,))
+                bad = bad.map_batches(EnforceSchema(lo_schema),
+                                      batch_format="pyarrow")
             bad = bad.map_batches(NullColumns(null_cols),
                                   batch_format="pyarrow")
             parts.append(_distinct(bad, names=lo.schema().names)
@@ -1885,12 +1908,29 @@ def _distinct(ds: rd.Dataset, names: Optional[list] = None) -> rd.Dataset:
     def bucket_dedup(t: pa.Table) -> pa.Table:
         return _arrow_distinct(t)
 
-    return (ds.map_batches(local_dedup, batch_format="pyarrow")
-              .map_batches(AddBucketCol(names, nbuckets, "__db"),
-                           batch_format="pyarrow")
-              .groupby("__db")
-              .map_groups(bucket_dedup, batch_format="pyarrow")
-              .map_batches(DropColumns(["__db"]), batch_format="pyarrow"))
+    # adaptive plan (the combiner already ran): small distinct sets finish
+    # driver-side in one Arrow kernel — no second pipeline execution, no
+    # sort-shuffle barrier; large sets take the bucket shuffle. The
+    # materialize is the same barrier the sort would impose, and the
+    # bucket path re-reads the materialized blocks, not the source.
+    combined = ds.map_batches(local_dedup,
+                              batch_format="pyarrow").materialize()
+    if combined.count() <= Compiler.SMALL_PAIRS_LIMIT and \
+            (combined.size_bytes() or 0) <= (256 << 20):
+        tables = [t for t in combined.iter_batches(batch_size=None,
+                                                   batch_format="pyarrow")
+                  if t.num_columns]
+        if not tables:
+            return combined
+        schema = pa.unify_schemas([t.schema for t in tables])
+        merged = pa.concat_tables([t.cast(schema) for t in tables])
+        return rd.from_arrow(_arrow_distinct(merged))
+    return (combined
+            .map_batches(AddBucketCol(names, nbuckets, "__db"),
+                         batch_format="pyarrow")
+            .groupby("__db")
+            .map_groups(bucket_dedup, batch_format="pyarrow")
+            .map_batches(DropColumns(["__db"]), batch_format="pyarrow"))
 
 
 # public name for reuse outside the SQL compiler (ops.dedup etc.)
