@@ -524,13 +524,15 @@ class _WindowGroupFn:
     whole-partition."""
 
     def __init__(self, func: str, arg_col, okeys, odesc, out_name,
-                 pkeys=None):
+                 pkeys=None, lag_offset: int = 1, lag_default=None):
         self.func = func
         self.arg_col = arg_col
         self.okeys = okeys
         self.odesc = odesc
         self.out_name = out_name
         self.pkeys = pkeys or []
+        self.lag_offset = lag_offset
+        self.lag_default = lag_default
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         if self.pkeys:
@@ -577,8 +579,14 @@ class _WindowGroupFn:
             else:
                 out = changed.cumsum().astype("int64")
         elif fn in ("LAG", "LEAD"):
-            shift = 1 if fn == "LAG" else -1
-            out = df[self.arg_col].shift(shift).to_numpy()
+            shift = self.lag_offset if fn == "LAG" else -self.lag_offset
+            # fill_value fills only out-of-partition positions (ANSI: the
+            # default never replaces genuine NULL values that shifted in)
+            if self.lag_default is not None:
+                out = df[self.arg_col].shift(
+                    shift, fill_value=self.lag_default).to_numpy()
+            else:
+                out = df[self.arg_col].shift(shift).to_numpy()
         elif fn in ("SUM", "COUNT", "AVG", "MEAN", "MIN", "MAX"):
             s = df[self.arg_col] if self.arg_col else None
             if self.okeys:  # cumulative frame
@@ -1608,6 +1616,7 @@ class Compiler:
             odesc.append(not o.ascending)
         arg_col = None
         fn = wc.func
+        lag_offset, lag_default = 1, None
         if fn.args:
             arg0 = fn.args[0]
             if isinstance(arg0, A.ColumnRef) and \
@@ -1617,6 +1626,17 @@ class Compiler:
                 arg_col = f"{out_name}_a"
                 prep_exprs.append(arg0)
                 prep_names.append(arg_col)
+            if fn.name in ("LAG", "LEAD") and len(fn.args) > 1:
+                # LAG/LEAD(expr, offset [, default]) — constant args only
+                if not isinstance(fn.args[1], A.Literal):
+                    raise ValueError(
+                        f"{fn.name} offset must be a literal integer")
+                lag_offset = int(fn.args[1].value)
+                if len(fn.args) > 2:
+                    if not isinstance(fn.args[2], A.Literal):
+                        raise ValueError(
+                            f"{fn.name} default must be a literal")
+                    lag_default = fn.args[2].value
 
         ds = frame.ds
         if prep_exprs:
@@ -1652,7 +1672,8 @@ class Compiler:
                                 batch_format="pyarrow")
 
         win = _WindowGroupFn(fn.name, arg_col, okeys, odesc, out_name,
-                             pkeys=pkeys)
+                             pkeys=pkeys, lag_offset=lag_offset,
+                             lag_default=lag_default)
 
         def window_fn(df: pd.DataFrame, _w=win) -> pd.DataFrame:
             return _w(df)

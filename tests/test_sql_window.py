@@ -82,3 +82,16 @@ class TestWindows:
                  "SELECT s, n, RANK() OVER (ORDER BY n DESC) AS r FROM ("
                  "SELECT o_orderstatus AS s, COUNT(*) AS n FROM orders "
                  "GROUP BY o_orderstatus) t")
+
+
+class TestLagLeadArgs:
+    def test_lag_offset_and_default(self, engine, duck):
+        sql = ("SELECT o_orderkey, "
+               "LAG(o_totalprice, 2, 0.0) OVER (ORDER BY o_orderkey) AS p2, "
+               "LEAD(o_totalprice, 3) OVER (ORDER BY o_orderkey) AS n3 "
+               "FROM orders WHERE o_custkey < 20")
+        from conftest import assert_frames_match, to_pandas
+
+        mine = to_pandas(engine.sql(sql))
+        oracle = duck.execute(sql).fetch_df()
+        assert_frames_match(mine, oracle, sort_by=["o_orderkey"])
