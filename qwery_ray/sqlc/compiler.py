@@ -524,7 +524,8 @@ class _WindowGroupFn:
     whole-partition."""
 
     def __init__(self, func: str, arg_col, okeys, odesc, out_name,
-                 pkeys=None, lag_offset: int = 1, lag_default=None):
+                 pkeys=None, lag_offset: int = 1, lag_default=None,
+                 ntile_n: int = 0):
         self.func = func
         self.arg_col = arg_col
         self.okeys = okeys
@@ -533,6 +534,7 @@ class _WindowGroupFn:
         self.pkeys = pkeys or []
         self.lag_offset = lag_offset
         self.lag_default = lag_default
+        self.ntile_n = ntile_n
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         if self.pkeys:
@@ -578,6 +580,36 @@ class _WindowGroupFn:
                     .ffill().astype("int64").to_numpy()
             else:
                 out = changed.cumsum().astype("int64")
+        elif fn == "NTILE":
+            if not self.okeys:
+                raise ValueError("NTILE() requires ORDER BY in OVER()")
+            k = self.ntile_n
+            # ANSI: the first n % k buckets hold ceil(n/k) rows
+            small, rem = divmod(n, k)
+            pos = np.arange(n)
+            big_span = rem * (small + 1)
+            out = np.where(
+                pos < big_span,
+                pos // max(1, small + 1) + 1,
+                rem + (pos - big_span) // max(1, small) + 1
+                if small else rem)
+        elif fn == "FIRST_VALUE":
+            if not self.okeys:
+                raise ValueError("FIRST_VALUE() requires ORDER BY in OVER()")
+            vals = df[self.arg_col].to_numpy()
+            out = np.repeat(vals[:1], n)
+        elif fn == "LAST_VALUE":
+            if not self.okeys:
+                raise ValueError("LAST_VALUE() requires ORDER BY in OVER()")
+            # ANSI default frame ends at the current row's LAST PEER
+            changed = self._order_key_changes(df, n)
+            run_id = changed.cumsum() - 1
+            is_end = np.ones(n, dtype=bool)
+            if n > 1:
+                is_end[:-1] = changed[1:]
+            end_idx = np.flatnonzero(is_end)
+            vals = df[self.arg_col].to_numpy()
+            out = vals[end_idx[run_id]]
         elif fn in ("LAG", "LEAD"):
             shift = self.lag_offset if fn == "LAG" else -self.lag_offset
             # fill_value fills only out-of-partition positions (ANSI: the
@@ -1617,7 +1649,14 @@ class Compiler:
         arg_col = None
         fn = wc.func
         lag_offset, lag_default = 1, None
-        if fn.args:
+        ntile_n = 0
+        if fn.name == "NTILE":
+            if not fn.args or not isinstance(fn.args[0], A.Literal):
+                raise ValueError("NTILE(n) requires a literal bucket count")
+            ntile_n = int(fn.args[0].value)
+            if ntile_n < 1:
+                raise ValueError("NTILE(n) requires n >= 1")
+        elif fn.args:
             arg0 = fn.args[0]
             if isinstance(arg0, A.ColumnRef) and \
                     _try_resolve(arg0.name, frame.columns):
@@ -1673,7 +1712,7 @@ class Compiler:
 
         win = _WindowGroupFn(fn.name, arg_col, okeys, odesc, out_name,
                              pkeys=pkeys, lag_offset=lag_offset,
-                             lag_default=lag_default)
+                             lag_default=lag_default, ntile_n=ntile_n)
 
         def window_fn(df: pd.DataFrame, _w=win) -> pd.DataFrame:
             return _w(df)

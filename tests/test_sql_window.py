@@ -95,3 +95,30 @@ class TestLagLeadArgs:
         mine = to_pandas(engine.sql(sql))
         oracle = duck.execute(sql).fetch_df()
         assert_frames_match(mine, oracle, sort_by=["o_orderkey"])
+
+
+class TestMoreWindowFns:
+    def test_first_last_value(self, engine, duck):
+        from conftest import assert_frames_match, to_pandas
+
+        sql = ("SELECT o_orderkey, "
+               "FIRST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey "
+               "ORDER BY o_orderkey) AS fv, "
+               "LAST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey "
+               "ORDER BY o_orderkey) AS lv "
+               "FROM orders WHERE o_custkey < 30")
+        mine = to_pandas(engine.sql(sql))
+        oracle = duck.execute(sql).fetch_df()
+        assert_frames_match(mine, oracle, sort_by=["o_orderkey"])
+
+    def test_ntile(self, engine, duck):
+        from conftest import assert_frames_match, to_pandas
+
+        sql = ("SELECT o_orderkey, "
+               "CAST(NTILE(4) OVER (PARTITION BY o_orderstatus "
+               "ORDER BY o_orderkey) AS BIGINT) AS q "
+               "FROM orders WHERE o_custkey < 50")
+        mine = to_pandas(engine.sql(sql))
+        mine["q"] = mine["q"].astype("int64")
+        oracle = duck.execute(sql).fetch_df()
+        assert_frames_match(mine, oracle, sort_by=["o_orderkey"])
