@@ -5,8 +5,9 @@ from .dedup import (ContentHash, MinHashSignatures, SimHash, VerifyJaccard,
                     choose_nbits, embedding_dup_pairs, exact_dedup, jaccard,
                     minhash_lsh_candidates, ngram_set, simhash_candidates,
                     verify_jaccard)
-from .multimodal import (DecodeImage, FrameSample, ResizeImage,
-                         image_pipeline, synth_binary_images)
+from .multimodal import (AudioFeatures, DecodeImage, FrameSample,
+                         ResizeImage, image_pipeline, synth_binary_images,
+                         synth_png_images, synth_wav_audio)
 from .similarity import brute_force_topk, ivf_topk
 from .text import (Fingerprint, LangId, QualityScore, TextAnalyzer,
                    TextStats, token_count_table)
@@ -16,8 +17,9 @@ __all__ = [
     "choose_nbits", "embedding_dup_pairs", "exact_dedup", "jaccard",
     "minhash_lsh_candidates", "ngram_set", "simhash_candidates",
     "verify_jaccard",
-    "DecodeImage", "FrameSample", "ResizeImage", "image_pipeline",
-    "synth_binary_images", "brute_force_topk", "ivf_topk",
+    "AudioFeatures", "DecodeImage", "FrameSample", "ResizeImage",
+    "image_pipeline", "synth_binary_images", "synth_png_images",
+    "synth_wav_audio", "brute_force_topk", "ivf_topk",
     "Fingerprint", "LangId", "QualityScore", "TextAnalyzer", "TextStats",
     "token_count_table",
 ]

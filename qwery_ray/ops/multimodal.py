@@ -1,10 +1,11 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns with
 typed metadata, processed by actor-pool map_batches stages.
 
-The container has no image/audio codecs, so the DECODE kernels are stubbed
-(STUB: marked below) behind a deterministic fake — but the Ray-side plumbing
-(schema, batch sizing, actor signature, output layout) is real and tested:
-this is exactly the shape a PIL/ffmpeg-backed stage drops into.
+Decode is REAL for formats stdlib can handle (see ops/imagecodec.py): PNG
+(8-bit gray/RGB/RGBA), BMP (24-bit), PPM/PGM, WAV PCM — plus the FIMG
+deterministic fake used by tests. Compressed formats that need native
+codecs (JPEG, MP4, ...) raise NotImplementedError (STUB: marked below) —
+a PIL/ffmpeg-backed ``_decode`` drops into the same stage shape.
 
 Design notes for 100 TB: binary payloads are wide — these stages use small
 ``batch_size`` (default 64) so batch × concurrency fits worker heaps, keep
@@ -50,24 +51,38 @@ def synth_binary_images(n: int, seed: int = 42) -> pa.Table:
 class DecodeImage:
     """Actor-pool decode stage: binary → fixed-size float feature vector.
 
-    STUB: a real deployment replaces ``_decode`` with PIL/torchvision; the
-    fake parses the FIMG container deterministically so tests exercise real
-    bytes→array→feature flow. Raises on non-FIMG data the way a real decoder
-    would raise on corrupt images (caller chooses skip/fail policy)."""
+    Decodes PNG/BMP/PPM (pure-stdlib codecs) and the FIMG test fake.
+    STUB: compressed formats (JPEG, WebP, ...) need native codecs and raise
+    NotImplementedError — swap ``_decode`` for PIL/torchvision in a real
+    deployment (caller chooses skip/fail policy via ``strict``)."""
 
     def __init__(self, data_col: str = "data", strict: bool = True):
         self.data_col = data_col
         self.strict = strict
 
     def _decode(self, blob: bytes) -> np.ndarray | None:
-        if blob is None or not blob.startswith(MAGIC):
+        from .imagecodec import PNG_MAGIC, decode_bmp, decode_png, decode_ppm
+
+        try:
+            if blob is None:
+                raise ValueError("null payload")
+            if blob.startswith(MAGIC):
+                w, h = struct.unpack("<HH", blob[4:8])
+                return np.frombuffer(blob[8:8 + w * h],
+                                     dtype=np.uint8).reshape(h, w)
+            if blob.startswith(PNG_MAGIC):
+                return decode_png(blob)
+            if blob.startswith(b"BM"):
+                return decode_bmp(blob)
+            if blob[:2] in (b"P5", b"P6"):
+                return decode_ppm(blob)
+            raise NotImplementedError(
+                "compressed image formats (JPEG/WebP/...) need native "
+                "codecs not present in this container")
+        except (NotImplementedError, ValueError):
             if self.strict:
-                raise NotImplementedError(
-                    "real image decode requires PIL/libjpeg (not in this "
-                    "container); only FIMG fakes are decodable")
+                raise
             return None
-        w, h = struct.unpack("<HH", blob[4:8])
-        return np.frombuffer(blob[8:8 + w * h], dtype=np.uint8).reshape(h, w)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = []
@@ -87,27 +102,34 @@ class DecodeImage:
 
 
 class ResizeImage:
-    """STUB resize: nearest-neighbor on the fake container (a real stage
-    swaps in PIL.Image.resize). Demonstrates binary-in/binary-out layout."""
+    """Nearest-neighbor resize over any decodable format. FIMG stays FIMG;
+    real formats re-encode as PNG (binary-in/binary-out layout)."""
 
     def __init__(self, target: tuple[int, int] = (16, 16),
                  data_col: str = "data"):
         self.target = target
         self.data_col = data_col
+        self._dec = DecodeImage(data_col, strict=False)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from .imagecodec import encode_png
+
         tw, th = self.target
         out = []
         for blob in batch.column(self.data_col).to_pylist():
-            if blob is None or not blob.startswith(MAGIC):
+            img = self._dec._decode(blob)
+            if img is None:
                 out.append(None)
                 continue
-            w, h = struct.unpack("<HH", blob[4:8])
-            img = np.frombuffer(blob[8:8 + w * h], dtype=np.uint8).reshape(h, w)
+            h, w = img.shape[:2]
             yi = (np.arange(th) * h // th)[:, None]
             xi = (np.arange(tw) * w // tw)[None, :]
             resized = img[yi, xi]
-            out.append(MAGIC + struct.pack("<HH", tw, th) + resized.tobytes())
+            if blob.startswith(MAGIC):
+                out.append(MAGIC + struct.pack("<HH", tw, th)
+                           + resized.tobytes())
+            else:
+                out.append(encode_png(resized))
         tbl = batch.set_column(
             batch.column_names.index(self.data_col),
             self.data_col, pa.array(out, type=pa.binary()))
@@ -145,6 +167,87 @@ class FrameSample:
             "frame_index": pa.array(frame_idx, type=pa.int64()),
             "data": pa.array(frames, type=pa.binary()),
         })
+
+
+def synth_png_images(n: int, seed: int = 7) -> pa.Table:
+    """Real PNG rows (encoded with the stdlib codec) — gray and RGB mix."""
+    from .imagecodec import encode_png
+
+    rng = np.random.default_rng(seed)
+    blobs, widths, heights, fmts, ids = [], [], [], [], []
+    for i in range(n):
+        w = int(rng.integers(4, 48))
+        h = int(rng.integers(4, 48))
+        if i % 2 == 0:
+            arr = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        else:
+            arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        blobs.append(encode_png(np.asarray(arr)))
+        widths.append(w)
+        heights.append(h)
+        fmts.append("png")
+        ids.append(i)
+    return pa.table({
+        "image_id": pa.array(ids, type=pa.int64()),
+        "data": pa.array(blobs, type=pa.binary()),
+        "width": pa.array(widths, type=pa.int32()),
+        "height": pa.array(heights, type=pa.int32()),
+        "format": pa.array(fmts, type=pa.string()),
+    })
+
+
+def synth_wav_audio(n: int, seed: int = 11, rate: int = 8000) -> pa.Table:
+    """Real PCM WAV rows: seeded sine+noise clips with typed metadata."""
+    from .imagecodec import encode_wav
+
+    rng = np.random.default_rng(seed)
+    blobs, secs, ids = [], [], []
+    for i in range(n):
+        dur = float(rng.uniform(0.1, 0.5))
+        t = np.arange(int(dur * rate)) / rate
+        freq = float(rng.uniform(100, 1500))
+        wave_ = 0.6 * np.sin(2 * np.pi * freq * t) \
+            + 0.05 * rng.standard_normal(len(t))
+        blobs.append(encode_wav(wave_, rate))
+        secs.append(dur)
+        ids.append(i)
+    return pa.table({
+        "audio_id": pa.array(ids, type=pa.int64()),
+        "data": pa.array(blobs, type=pa.binary()),
+        "sample_rate": pa.array([rate] * n, type=pa.int32()),
+        "duration_sec": pa.array(secs, type=pa.float32()),
+    })
+
+
+class AudioFeatures:
+    """Actor-pool audio stage: WAV PCM → (duration, rms, zero-crossing
+    rate, spectral centroid) via numpy rfft — the audio analog of
+    DecodeImage's feature extraction."""
+
+    def __init__(self, data_col: str = "data"):
+        self.data_col = data_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .imagecodec import decode_wav
+
+        feats = []
+        for blob in batch.column(self.data_col).to_pylist():
+            if blob is None:
+                feats.append(None)
+                continue
+            samples, rate = decode_wav(blob)
+            mono = samples.mean(axis=1)
+            dur = len(mono) / rate
+            rms = float(np.sqrt(np.mean(mono ** 2))) if len(mono) else 0.0
+            zcr = float(np.mean(np.abs(np.diff(np.sign(mono))) > 0)) \
+                if len(mono) > 1 else 0.0
+            spec = np.abs(np.fft.rfft(mono))
+            freqs = np.fft.rfftfreq(len(mono), 1.0 / rate)
+            centroid = float((spec * freqs).sum() / spec.sum()) \
+                if spec.sum() else 0.0
+            feats.append([float(dur), rms, zcr, centroid])
+        return batch.append_column(
+            "audio_features", pa.array(feats, type=pa.list_(pa.float32())))
 
 
 def image_pipeline(table: pa.Table, *, concurrency: int = 2,
