@@ -253,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_signatures": dq.simhash_sigs,    # full SQL oracle (md5 bits)
         "ann_topk": dq.ann_topk,
         "embedding_dups": dq.embedding_dups,
+        "events_sliding_window": dq.events_sliding_window,  # SQL oracle
     })
     return out
 
@@ -281,6 +282,9 @@ JOIN (SELECT user_id, event_type, MAX(event_id) AS m
 
     out["text_quality"] = text_quality_oracle()
     out["simhash_signatures"] = simhash_oracle()
+    from qwery_ray.pipelines.driver_queries import sliding_window_oracle
+
+    out["events_sliding_window"] = sliding_window_oracle()
     out["ann_topk"] = """
 WITH q AS (
   SELECT vec_id, embedding FROM embeddings

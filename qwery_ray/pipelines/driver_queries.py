@@ -88,7 +88,8 @@ def token_counts(sf_dir: str):
 
 
 def text_quality(sf_dir: str):
-    """Quality + language scoring (heuristics — rows-only driver check)."""
+    """Quality + language scoring — full SQL oracle (see
+    pipelines/oracles.py text_quality_oracle)."""
     import ray.data as rd
 
     import ray
@@ -238,3 +239,36 @@ def embedding_dups(sf_dir: str, *, threshold: float = 0.99,
                          "id_b": pa.array([], type=pa.int64())})
     return pa.table({"id_a": pa.array(df["id_a"], type=pa.int64()),
                      "id_b": pa.array(df["id_b"], type=pa.int64())})
+
+
+def events_sliding_window(sf_dir: str, *, width_sec: int = 14400,
+                          slide_sec: int = 3600):
+    """Sliding event-time windows (4h window, 1h slide — each event in 4
+    windows): per-window count + exact value sum (integer-cent
+    accumulation; see ops/windows.py). Full SQL oracle."""
+    import ray.data as rd
+
+    from ..ops.windows import sliding_window_agg
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "value"])
+    return sliding_window_agg(ds, ts_col="ts", value_col="value",
+                              width_sec=width_sec, slide_sec=slide_sec)
+
+
+def sliding_window_oracle(width_sec: int = 14400,
+                          slide_sec: int = 3600) -> str:
+    k = width_sec // slide_sec
+    return f"""
+WITH e AS (
+  SELECT unnest(generate_series(
+           (epoch_us(ts) // 1000000) // {slide_sec} - {k - 1},
+           (epoch_us(ts) // 1000000) // {slide_sec})) * {slide_sec} AS w,
+         value
+  FROM events
+)
+SELECT w AS window_start_sec,
+       COUNT(*) AS n_events,
+       ROUND(SUM(COALESCE(value, 0)) * 100, 0) / 100 AS total_value
+FROM e GROUP BY w
+"""
