@@ -275,30 +275,47 @@ class MergePartitionFS:
         out = [self._merge_one(p, reduced.get(p)) for p in pids]
         return pa.concat_tables(out) if out else _empty_metrics()
 
+    REDUCE_FLUSH_FLOOR = 65536  # min pending rows before an LWW flush
+
     def _reduce_shuffle(self, pids: list) -> dict:
+        """Geometric incremental LWW reduce: slices buffer per pid and
+        flush (concat + winner-select) only once the pending rows reach
+        the accumulator's size (floor 64k) — each row takes part in
+        O(log n) merges, total work O(n log n), NOT O(n²/fanin) as a
+        fixed-size-chunk re-merge of the growing accumulator would be.
+        Memory per pid stays ≤ ~2× the partition's distinct keys."""
         index = self._load_index()
         want = set(pids)
         files = sorted(index)
         acc: dict = {p: None for p in pids}
-        for i in range(0, len(files), self.merge_fanin):
-            pending: dict = {p: [] for p in pids}
-            for fname in files[i:i + self.merge_fanin]:
-                hits = [(int(p), rg) for p, rg in index[fname].items()
-                        if int(p) in want]
-                if not hits:
-                    continue
-                pf = pq.ParquetFile(os.path.join(self.shuffle_dir, fname))
-                for p, rg in hits:
-                    pending[p].append(pf.read_row_group(rg))
-            for p in pids:
-                if not pending[p]:
-                    continue
-                tables = pending[p]
-                if acc[p] is not None:
-                    tables = tables + [acc[p]]
-                t = _concat_evolving(tables)
-                acc[p] = t.take(pa.array(
-                    lww_winner_indices(t, self.key_cols)))
+        pending: dict = {p: [] for p in pids}
+        pend_rows: dict = {p: 0 for p in pids}
+
+        def flush(p):
+            if not pending[p]:
+                return
+            tables = pending[p] + ([acc[p]] if acc[p] is not None else [])
+            t = _concat_evolving(tables)
+            acc[p] = t.take(pa.array(lww_winner_indices(t, self.key_cols)))
+            pending[p] = []
+            pend_rows[p] = 0
+
+        for fname in files:
+            hits = [(int(p), rg) for p, rg in index[fname].items()
+                    if int(p) in want]
+            if not hits:
+                continue
+            pf = pq.ParquetFile(os.path.join(self.shuffle_dir, fname))
+            for p, rg in hits:
+                tbl = pf.read_row_group(rg)
+                pending[p].append(tbl)
+                pend_rows[p] += len(tbl)
+                thresh = max(self.REDUCE_FLUSH_FLOOR,
+                             len(acc[p]) if acc[p] is not None else 0)
+                if pend_rows[p] >= thresh:
+                    flush(p)
+        for p in pids:
+            flush(p)
         return acc
 
     def _merge_one(self, pid: int, g: Optional[pa.Table]) -> pa.Table:

@@ -54,8 +54,11 @@ class TextStats:
         words = s.str.lower().str.findall(self.word_re)
         batch["stopword_ratio"] = words.map(
             lambda ws: sum(w in self.stop_en for w in ws) / max(1, len(ws)))
-        batch["mean_word_len"] = words.map(
-            lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0)
+        # mean word length ≡ total letters / word count (words are [A-Za-z]+
+        # runs, so their combined length IS the alpha count) — vectorized
+        batch["mean_word_len"] = np.where(
+            batch["n_words"] > 0,
+            alpha / batch["n_words"].clip(lower=1), 0.0)
         return batch
 
 
