@@ -254,6 +254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": dq.ann_topk,
         "embedding_dups": dq.embedding_dups,
         "events_sliding_window": dq.events_sliding_window,  # SQL oracle
+        "events_sessions": dq.events_sessions,              # SQL oracle
     })
     return out
 
@@ -285,6 +286,9 @@ JOIN (SELECT user_id, event_type, MAX(event_id) AS m
     from qwery_ray.pipelines.driver_queries import sliding_window_oracle
 
     out["events_sliding_window"] = sliding_window_oracle()
+    from qwery_ray.pipelines.driver_queries import session_window_oracle
+
+    out["events_sessions"] = session_window_oracle()
     out["ann_topk"] = """
 WITH q AS (
   SELECT vec_id, embedding FROM embeddings

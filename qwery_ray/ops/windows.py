@@ -70,6 +70,54 @@ class SlidingWindowPartial:
         })
 
 
+def session_window_agg(ds: rd.Dataset, *, key_col: str = "user_id",
+                       ts_col: str = "ts",
+                       gap_sec: int = 1800) -> rd.Dataset:
+    """Gap-based session windows per key: consecutive events closer than
+    ``gap_sec`` belong to one session. Scale shape: keys hash into
+    ~4×cores coarse buckets (a key's events land wholly in one group);
+    sessionization runs vectorized in pandas inside the group — cumsum
+    over gap breaks, one aggregation per (key, session). Session
+    MEMBERSHIP is independent of tie order (equal timestamps have gap 0),
+    so the output is deterministic at any parallelism.
+
+    Emits (key, session_start_sec, session_end_sec, n_events)."""
+    import pandas as pd
+    import ray
+
+    from ..sqlc.compiler import AddBucketCol
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+
+    def to_secs(t: pa.Table) -> pa.Table:
+        secs = np.floor_divide(
+            pc.cast(t.column(ts_col), pa.int64()).to_numpy(
+                zero_copy_only=False), 1_000_000)
+        return pa.table({key_col: t.column(key_col),
+                         "__sec": pa.array(secs, type=pa.int64())})
+
+    def sessionize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, "__sec"], kind="stable")
+        new_key = df[key_col].ne(df[key_col].shift())
+        gap = df["__sec"].diff()
+        brk = (new_key | (gap > gap_sec)).cumsum()
+        g = df.groupby(brk, sort=False)
+        out = pd.DataFrame({
+            key_col: g[key_col].first(),
+            "session_start_sec": g["__sec"].min(),
+            "session_end_sec": g["__sec"].max(),
+            "n_events": g.size(),
+        })
+        return out.reset_index(drop=True).astype({"n_events": "int64"})
+
+    return (ds.map_batches(to_secs, batch_format="pyarrow")
+              .map_batches(AddBucketCol([key_col], max(32, ncpu * 4), "__sb"),
+                           batch_format="pyarrow")
+              .groupby("__sb")
+              .map_groups(sessionize, batch_format="pandas"))
+
+
 def sliding_window_agg(ds: rd.Dataset, *, ts_col: str = "ts",
                        value_col: str = "value", width_sec: int = 3600,
                        slide_sec: int = 3600) -> rd.Dataset:

@@ -272,3 +272,38 @@ SELECT w AS window_start_sec,
        ROUND(SUM(COALESCE(value, 0)) * 100, 0) / 100 AS total_value
 FROM e GROUP BY w
 """
+
+
+def events_sessions(sf_dir: str, *, gap_sec: int = 1800):
+    """Gap-based session windows per user (30 min inactivity gap). Full
+    SQL oracle (lag + break-cumsum sessionization in DuckDB)."""
+    import ray.data as rd
+
+    from ..ops.windows import session_window_agg
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+    return session_window_agg(ds, key_col="user_id", ts_col="ts",
+                              gap_sec=gap_sec)
+
+
+def session_window_oracle(gap_sec: int = 1800) -> str:
+    return f"""
+WITH d AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS sec FROM events
+), o AS (
+  SELECT user_id, sec,
+         CASE WHEN lag(sec) OVER w IS NULL
+                OR sec - lag(sec) OVER w > {gap_sec}
+              THEN 1 ELSE 0 END AS brk
+  FROM d WINDOW w AS (PARTITION BY user_id ORDER BY sec)
+), s AS (
+  SELECT user_id, sec,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY sec
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o
+)
+SELECT user_id, MIN(sec) AS session_start_sec,
+       MAX(sec) AS session_end_sec, COUNT(*) AS n_events
+FROM s GROUP BY user_id, sess
+"""
