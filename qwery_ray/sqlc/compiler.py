@@ -994,6 +994,77 @@ class Compiler:
                 [c for c in frame.columns if c not in drop_cols])
         return frame
 
+    def _compile_approx_count_distinct(self, frame: Frame, key_exprs,
+                                       key_names, aggs, env) -> rd.Dataset:
+        """APPROX_COUNT_DISTINCT(col) [GROUP BY keys] via HyperLogLog:
+        per-batch per-group register folds (constant 2^p bytes per group
+        per batch), merged with an element-wise-max AggregateFn (order-
+        independent ⇒ deterministic at any parallelism), estimate at
+        finalize. Shuffle volume is #groups×#batches sketch blobs — never
+        the values (see ops/sketch.py)."""
+        from ..ops.sketch import DEFAULT_P, estimate, fold_batch
+
+        call, i = aggs[0]
+        prep = PreAggPrep(key_exprs, key_names, aggs, env)
+        ds2 = frame.ds.map_batches(prep, batch_format="pyarrow")
+        arg = f"__a{i}"
+        m = 1 << DEFAULT_P
+
+        def fold(t: pa.Table, _k=tuple(key_names), _a=arg) -> pa.Table:
+            if len(t) == 0:
+                cols = {k: t.column(k) for k in _k}
+                cols["__hll"] = pa.array([], type=pa.binary())
+                return pa.table(cols)
+            if not _k:
+                regs = fold_batch(t.column(_a))
+                return pa.table({"__hll": pa.array([regs.tobytes()],
+                                                   type=pa.binary())})
+            df = t.select(list(_k) + [_a]).to_pandas()
+            rows = {k: [] for k in _k}
+            blobs = []
+            for keys, grp in df.groupby(list(_k), dropna=False, sort=False):
+                if not isinstance(keys, tuple):
+                    keys = (keys,)
+                for k, v in zip(_k, keys):
+                    rows[k].append(v)
+                blobs.append(fold_batch(
+                    pa.Array.from_pandas(grp[_a])).tobytes())
+            arrays = {}
+            for kcol in _k:
+                arr = pa.Array.from_pandas(pd.Series(rows[kcol]))
+                want = t.schema.field(kcol).type
+                if arr.type != want:
+                    try:
+                        arr = arr.cast(want)
+                    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                        pass
+                arrays[kcol] = arr
+            arrays["__hll"] = pa.array(blobs, type=pa.binary())
+            return pa.table(arrays)
+
+        def _acc_block(a, block):
+            vals = block["__hll"]
+            vals = vals.to_pylist() if hasattr(vals, "to_pylist") else list(vals)
+            for blob in vals:
+                if blob is not None:
+                    np.maximum(a, np.frombuffer(blob, dtype=np.uint8),
+                               out=a)
+            return a
+
+        hll_merge = AggregateFn(
+            init=lambda k: np.zeros(m, dtype=np.uint8),
+            merge=lambda a, b: np.maximum(a, b),
+            accumulate_block=_acc_block,
+            finalize=lambda a: int(round(estimate(a))),
+            name=f"__r{i}")
+
+        partials = ds2.map_batches(fold, batch_format="pyarrow")
+        if key_names:
+            return partials.groupby(key_names).aggregate(hll_merge)
+        row = partials.aggregate(hll_merge) or {}
+        return rd.from_arrow(pa.table({
+            f"__r{i}": pa.array([row.get(f"__r{i}", 0)], type=pa.int64())}))
+
     def _apply_in_semijoin(self, frame: Frame, node, k: int, env) -> Frame:
         """WHERE <expr> [NOT] IN (SELECT …) with a key set too large to
         broadcast: hash left_semi/left_anti join of the stream against the
@@ -1489,10 +1560,20 @@ class Compiler:
             if not isinstance(g, A.ColumnRef):
                 order_mapping[g] = A.ColumnRef(key_names[i])
 
+        only_approx_cd = (
+            len(aggs) == 1 and aggs[0][0].name == "APPROX_COUNT_DISTINCT")
+        if any(c.name == "APPROX_COUNT_DISTINCT" for c in agg_calls) \
+                and not only_approx_cd:
+            raise ValueError(
+                "APPROX_COUNT_DISTINCT cannot be mixed with other "
+                "aggregates in one SELECT (wrap in separate subqueries)")
         only_count_distinct = (
             any_distinct and len(aggs) == 1 and key_names
             and aggs[0][0].name == "COUNT" and aggs[0][0].distinct)
-        if only_count_distinct:
+        if only_approx_cd:
+            out = self._compile_approx_count_distinct(
+                frame, key_exprs, key_names, aggs, env)
+        elif only_count_distinct:
             # scalable exact path: dedup (keys, arg) pairs first (per-batch
             # combiner + grouped head-1), then count pairs per key — both
             # shuffles move only DISTINCT pairs, never raw rows

@@ -668,7 +668,8 @@ _SCALAR_FUNCS: dict[str, Callable] = {
     "INSTR": _fn_instr, "STRPOS": _fn_instr,
 }
 
-AGG_FUNC_NAMES = {"AVG", "COUNT", "MIN", "MAX", "SUM", "STDDEV", "MEAN"}
+AGG_FUNC_NAMES = {"AVG", "COUNT", "MIN", "MAX", "SUM", "STDDEV", "MEAN",
+                  "APPROX_COUNT_DISTINCT"}
 
 
 def collect_agg_calls(expr: A.Expr) -> list[A.FuncCall]:

@@ -434,3 +434,39 @@ class TestImageCodec:
             assert abs(f[0] - dur) < 0.01   # duration
             assert 0.2 < f[1] < 0.8         # rms of 0.6 sine
             assert f[3] > 50                # centroid near tone freq
+
+
+class TestHllSketch:
+    """HyperLogLog approximate COUNT DISTINCT: constant-size mergeable
+    partials (the 100 TB alternative to exact pair shuffles)."""
+
+    def test_accuracy_large(self, ray_session):
+        import ray.data as rd
+
+        from qwery_ray.ops.sketch import approx_count_distinct
+
+        n = 200_000
+        est = approx_count_distinct(rd.range(n), "id")
+        assert abs(est - n) / n < 0.05  # ~1.6% σ at p=12
+
+    def test_small_range_linear_counting(self, ray_session):
+        import ray.data as rd
+
+        from qwery_ray.ops.sketch import approx_count_distinct
+
+        ds = rd.from_items([{"v": f"k{i % 100}"} for i in range(5000)])
+        est = approx_count_distinct(ds, "v")
+        assert abs(est - 100) < 3
+
+    def test_merge_is_split_invariant(self):
+        import numpy as np
+
+        from qwery_ray.ops.sketch import estimate, fold_batch
+
+        vals = pa.array([f"item-{i}" for i in range(10_000)])
+        whole = fold_batch(pa.chunked_array([vals]))
+        a = fold_batch(pa.chunked_array([vals.slice(0, 3000)]))
+        b = fold_batch(pa.chunked_array([vals.slice(3000)]))
+        merged = np.maximum(a, b)
+        assert np.array_equal(whole, merged)
+        assert abs(estimate(whole) - 10_000) / 10_000 < 0.05

@@ -301,3 +301,44 @@ class TestInSubquerySemiJoin:
         mine = eng.sql(sql).to_pandas()
         oracle = duck.execute(sql).fetch_df()
         assert sorted(mine["s_suppkey"]) == sorted(oracle["s_suppkey"])
+
+
+class TestApproxCountDistinct:
+    """APPROX_COUNT_DISTINCT via HyperLogLog sketches (constant-size
+    mergeable partials) — checked against the exact count within the
+    sketch's error bound, not hash-compared (DuckDB's own HLL differs)."""
+
+    def test_grouped_within_tolerance(self, ray_session, duck):
+        from qwery_ray import QweryEngine
+
+        eng = QweryEngine(table_root="/root/testdata/sf0.001")
+        mine = eng.sql(
+            "SELECT o_orderstatus, APPROX_COUNT_DISTINCT(o_custkey) AS nc "
+            "FROM orders GROUP BY o_orderstatus").to_pandas()
+        exact = duck.execute(
+            "SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS nc "
+            "FROM orders GROUP BY o_orderstatus").fetch_df()
+        m = mine.set_index("o_orderstatus")["nc"]
+        e = exact.set_index("o_orderstatus")["nc"]
+        assert set(m.index) == set(e.index)
+        for k in e.index:
+            assert abs(m[k] - e[k]) / max(1, e[k]) < 0.06
+
+    def test_global_within_tolerance(self, ray_session, duck):
+        from qwery_ray import QweryEngine
+
+        eng = QweryEngine(table_root="/root/testdata/sf0.001")
+        mine = eng.sql(
+            "SELECT APPROX_COUNT_DISTINCT(o_custkey) AS nc FROM orders"
+        ).to_pandas()
+        exact = duck.execute(
+            "SELECT COUNT(DISTINCT o_custkey) AS nc FROM orders").fetchone()[0]
+        assert abs(int(mine["nc"][0]) - exact) / exact < 0.06
+
+    def test_mixing_with_other_aggs_refused(self, ray_session):
+        from qwery_ray import QweryEngine
+
+        eng = QweryEngine(table_root="/root/testdata/sf0.001")
+        with pytest.raises(ValueError, match="APPROX_COUNT_DISTINCT"):
+            eng.sql("SELECT COUNT(*) AS n, "
+                    "APPROX_COUNT_DISTINCT(o_custkey) AS nc FROM orders")
