@@ -9,8 +9,10 @@ from .multimodal import (AudioFeatures, DecodeImage, FrameSample,
                          ResizeImage, image_pipeline, synth_binary_images,
                          synth_png_images, synth_wav_audio)
 from .similarity import brute_force_topk, ivf_topk
+from .sketch import approx_count_distinct, estimate, fold_batch
 from .text import (Fingerprint, LangId, QualityScore, TextAnalyzer,
                    TextStats, token_count_table)
+from .windows import session_window_agg, sliding_window_agg
 
 __all__ = [
     "ContentHash", "MinHashSignatures", "SimHash", "VerifyJaccard",
@@ -21,5 +23,6 @@ __all__ = [
     "image_pipeline", "synth_binary_images", "synth_png_images",
     "synth_wav_audio", "brute_force_topk", "ivf_topk",
     "Fingerprint", "LangId", "QualityScore", "TextAnalyzer", "TextStats",
-    "token_count_table",
+    "token_count_table", "approx_count_distinct", "estimate", "fold_batch",
+    "session_window_agg", "sliding_window_agg",
 ]
