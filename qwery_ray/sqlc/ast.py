@@ -70,6 +70,10 @@ class WindowCall(Expr):
     func: "FuncCall"
     partition_by: tuple = ()
     order_by: tuple = ()  # of OrderItem
+    # ROWS frame: (lo, hi) — None = unbounded, ints are row offsets
+    # (-n = n PRECEDING, 0 = CURRENT ROW); () = ANSI default (RANGE
+    # unbounded preceding → current row's peers)
+    frame: tuple = ()
 
 
 @dataclass(frozen=True)

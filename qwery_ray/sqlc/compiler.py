@@ -525,7 +525,7 @@ class _WindowGroupFn:
 
     def __init__(self, func: str, arg_col, okeys, odesc, out_name,
                  pkeys=None, lag_offset: int = 1, lag_default=None,
-                 ntile_n: int = 0):
+                 ntile_n: int = 0, frame: tuple = ()):
         self.func = func
         self.arg_col = arg_col
         self.okeys = okeys
@@ -535,6 +535,7 @@ class _WindowGroupFn:
         self.lag_offset = lag_offset
         self.lag_default = lag_default
         self.ntile_n = ntile_n
+        self.frame = frame  # explicit ROWS frame (lo, hi) or () = default
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         if self.pkeys:
@@ -558,6 +559,67 @@ class _WindowGroupFn:
                        ).all(axis=1).to_numpy()
             changed[1:] = ~eq_prev
         return changed
+
+    def _rows_frame(self, df: pd.DataFrame, fn: str, n: int) -> np.ndarray:
+        """Explicit ROWS frame (lo, hi): physical row offsets, no peer
+        adjustment. Supported shapes (the practical set — moving windows,
+        running, reverse-running, whole-partition); others raise."""
+        lo, hi = self.frame
+        s = df[self.arg_col] if self.arg_col else \
+            pd.Series(np.ones(n), index=df.index)
+
+        def agg_roll(r):
+            if fn == "SUM":
+                return r.sum()
+            if fn == "COUNT":
+                return r.count()
+            if fn in ("AVG", "MEAN"):
+                return r.mean()
+            if fn == "MIN":
+                return r.min()
+            return r.max()
+
+        if lo is None and hi is None:          # whole partition
+            if fn == "COUNT":
+                val = s.count()
+            elif fn == "SUM":
+                val = s.sum(min_count=1)
+            elif fn in ("AVG", "MEAN"):
+                val = s.mean()
+            elif fn == "MIN":
+                val = s.min()
+            else:
+                val = s.max()
+            return np.full(n, val)
+        if lo is None and hi == 0:             # running (ROWS, no peers)
+            if fn == "SUM":
+                return s.cumsum().to_numpy()
+            if fn == "COUNT":
+                return s.notna().cumsum().to_numpy()
+            if fn in ("AVG", "MEAN"):
+                return (s.cumsum() / s.notna().cumsum()).to_numpy()
+            if fn == "MIN":
+                return s.cummin().to_numpy()
+            return s.cummax().to_numpy()
+        if lo == 0 and hi is None:             # reverse running
+            r = s.iloc[::-1]
+            if fn == "SUM":
+                out = r.cumsum()
+            elif fn == "COUNT":
+                out = r.notna().cumsum()
+            elif fn in ("AVG", "MEAN"):
+                out = r.cumsum() / r.notna().cumsum()
+            elif fn == "MIN":
+                out = r.cummin()
+            else:
+                out = r.cummax()
+            return out.iloc[::-1].to_numpy()
+        if lo is not None and lo <= 0 and hi == 0:  # trailing window
+            return agg_roll(s.rolling(-lo + 1, min_periods=1)).to_numpy()
+        raise ValueError(
+            f"unsupported ROWS frame ({lo}, {hi}); supported: UNBOUNDED "
+            "PRECEDING/CURRENT ROW combinations and n PRECEDING AND "
+            "CURRENT ROW")
 
     def _one(self, df: pd.DataFrame) -> pd.DataFrame:
         if self.okeys:
@@ -601,6 +663,11 @@ class _WindowGroupFn:
         elif fn == "LAST_VALUE":
             if not self.okeys:
                 raise ValueError("LAST_VALUE() requires ORDER BY in OVER()")
+            if self.frame == (None, None):  # explicit full-partition frame
+                vals = df[self.arg_col].to_numpy()
+                df = df.copy()
+                df[self.out_name] = np.repeat(vals[-1:], n)
+                return df
             # ANSI default frame ends at the current row's LAST PEER
             changed = self._order_key_changes(df, n)
             run_id = changed.cumsum() - 1
@@ -619,6 +686,9 @@ class _WindowGroupFn:
                     shift, fill_value=self.lag_default).to_numpy()
             else:
                 out = df[self.arg_col].shift(shift).to_numpy()
+        elif fn in ("SUM", "COUNT", "AVG", "MEAN", "MIN", "MAX") \
+                and self.frame:
+            out = self._rows_frame(df, fn, n)
         elif fn in ("SUM", "COUNT", "AVG", "MEAN", "MIN", "MAX"):
             s = df[self.arg_col] if self.arg_col else None
             if self.okeys:  # cumulative frame
@@ -1793,7 +1863,8 @@ class Compiler:
 
         win = _WindowGroupFn(fn.name, arg_col, okeys, odesc, out_name,
                              pkeys=pkeys, lag_offset=lag_offset,
-                             lag_default=lag_default, ntile_n=ntile_n)
+                             lag_default=lag_default, ntile_n=ntile_n,
+                             frame=wc.frame)
 
         def window_fn(df: pd.DataFrame, _w=win) -> pd.DataFrame:
             return _w(df)

@@ -59,6 +59,17 @@ def expr_sql(e) -> str:
             parts.append("ORDER BY " + ", ".join(
                 expr_sql(o.expr) + ("" if o.ascending else " DESC")
                 for o in e.order_by))
+        if e.frame:
+            def bound(v, low):
+                if v is None:
+                    return "UNBOUNDED PRECEDING" if low \
+                        else "UNBOUNDED FOLLOWING"
+                if v == 0:
+                    return "CURRENT ROW"
+                return f"{-v} PRECEDING" if v < 0 else f"{v} FOLLOWING"
+
+            parts.append(f"ROWS BETWEEN {bound(e.frame[0], True)} "
+                         f"AND {bound(e.frame[1], False)}")
         return inner + " ".join(parts) + ")"
     if isinstance(e, A.InSubquery):
         op = "NOT IN" if e.negated else "IN"

@@ -746,8 +746,42 @@ class Parser:
             order_by.append(self.parse_order_item())
             while self.accept(","):
                 order_by.append(self.parse_order_item())
+        frame: tuple = ()
+        if self.at("ROWS") or self.at("RANGE"):
+            kind = self.next().upper
+            self.expect("BETWEEN")
+            lo = self._parse_frame_bound(low=True)
+            self.expect("AND")
+            hi = self._parse_frame_bound(low=False)
+            if kind == "RANGE":
+                # only the ANSI-default RANGE frame is supported explicitly
+                if not (lo is None and hi == 0):
+                    raise ParseError(
+                        "RANGE frames support only UNBOUNDED PRECEDING "
+                        "AND CURRENT ROW (the default); use ROWS for "
+                        "offset frames")
+            else:
+                frame = (lo, hi)
         self.expect(")")
-        return A.WindowCall(call, tuple(partition_by), tuple(order_by))
+        return A.WindowCall(call, tuple(partition_by), tuple(order_by),
+                            frame)
+
+    def _parse_frame_bound(self, low: bool):
+        if self.accept("UNBOUNDED"):
+            word = self.next().upper
+            if word not in ("PRECEDING", "FOLLOWING"):
+                raise ParseError(f"expected PRECEDING/FOLLOWING, got {word}")
+            return None
+        if self.accept("CURRENT"):
+            self.expect("ROW")
+            return 0
+        n = int(self.next().text)
+        word = self.next().upper
+        if word == "PRECEDING":
+            return -n
+        if word == "FOLLOWING":
+            return n
+        raise ParseError(f"expected PRECEDING/FOLLOWING, got {word}")
 
     def parse_case(self) -> A.CaseWhen:
         self.expect("CASE")

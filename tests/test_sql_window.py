@@ -122,3 +122,54 @@ class TestMoreWindowFns:
         mine["q"] = mine["q"].astype("int64")
         oracle = duck.execute(sql).fetch_df()
         assert_frames_match(mine, oracle, sort_by=["o_orderkey"])
+
+
+class TestRowsFrames:
+    def test_moving_average(self, engine, duck):
+        from conftest import assert_frames_match, to_pandas
+
+        sql = ("SELECT o_orderkey, "
+               "AVG(o_totalprice) OVER (PARTITION BY o_orderstatus "
+               "ORDER BY o_orderkey "
+               "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS ma "
+               "FROM orders WHERE o_custkey < 40")
+        mine = to_pandas(engine.sql(sql))
+        oracle = duck.execute(sql).fetch_df()
+        assert_frames_match(mine, oracle, sort_by=["o_orderkey"])
+
+    def test_rows_running_no_peer_sharing(self, engine, duck):
+        from conftest import assert_frames_match, to_pandas
+
+        # ROWS running sum: tied order keys do NOT share values
+        sql = ("SELECT o_orderkey, "
+               "SUM(o_totalprice) OVER (ORDER BY o_orderdate, o_orderkey "
+               "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rt "
+               "FROM orders WHERE o_custkey < 10")
+        mine = to_pandas(engine.sql(sql))
+        oracle = duck.execute(sql).fetch_df()
+        assert_frames_match(mine, oracle, sort_by=["o_orderkey"])
+
+    def test_reverse_running_and_full_frame(self, engine, duck):
+        from conftest import assert_frames_match, to_pandas
+
+        sql = ("SELECT o_orderkey, "
+               "COUNT(o_orderkey) OVER (PARTITION BY o_orderstatus "
+               "ORDER BY o_orderkey "
+               "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS rem, "
+               "LAST_VALUE(o_totalprice) OVER (PARTITION BY o_orderstatus "
+               "ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND "
+               "UNBOUNDED FOLLOWING) AS lastp "
+               "FROM orders WHERE o_custkey < 25")
+        mine = to_pandas(engine.sql(sql))
+        mine["rem"] = mine["rem"].astype("int64")
+        oracle = duck.execute(sql).fetch_df()
+        assert_frames_match(mine, oracle, sort_by=["o_orderkey"])
+
+    def test_frame_decompiles(self):
+        from qwery_ray.sqlc.decompiler import to_sql
+        from qwery_ray.sqlc.parser import parse
+
+        sql = ("SELECT SUM(x) OVER (ORDER BY y ROWS BETWEEN 2 PRECEDING "
+               "AND CURRENT ROW) AS s FROM t")
+        stmt = parse(sql)[0]
+        assert to_sql(parse(to_sql(stmt))[0]) == to_sql(stmt)
