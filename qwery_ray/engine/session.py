@@ -350,6 +350,22 @@ class QweryEngine:
             con.close()
 
     # ---------------------------------------------------- introspection
+    def _exec_Explain(self, stmt: A.Explain):
+        """The compiled (lazy, unexecuted) Ray Data operator chain — the
+        Dataset repr shows the logical operator DAG the query lowers to."""
+        inner = self._prepare(stmt.query)
+        result = self.execute(inner) if not isinstance(
+            inner, (A.Select, A.Union, A.SetOp)) else \
+            self.compiler.compile_query(inner)
+        import ray.data as rd
+
+        if not isinstance(result, rd.Dataset):
+            lines = [f"(materialized {type(result).__name__})"]
+        else:
+            lines = [ln.rstrip() for ln in repr(result).splitlines()
+                     if ln.strip()]
+        return pa.table({"plan": pa.array(lines, type=pa.string())})
+
     def _exec_Describe(self, stmt: A.Describe):
         """One-row sample + runtime types (reference Describe.scala:13-25)."""
         frame = self.compiler.compile_source(stmt.source)

@@ -343,6 +343,14 @@ class CodeBlock(Statement):
 
 
 @dataclass(frozen=True)
+class Explain(Statement):
+    """EXPLAIN <query>: the compiled Ray Data operator chain, one row per
+    plan line — makes the Ray-Data-first lowering inspectable."""
+
+    query: Statement
+
+
+@dataclass(frozen=True)
 class Describe(Statement):
     source: Source
     limit: Optional[int] = None

@@ -237,6 +237,8 @@ def to_sql(stmt) -> str:
         return out
     if isinstance(stmt, A.Show):
         return f"SHOW {stmt.entity}"
+    if isinstance(stmt, A.Explain):
+        return f"EXPLAIN {to_sql(stmt.query)}"
     if isinstance(stmt, A.NativeSQL):
         out = f"NATIVE SQL {_string(stmt.query)}"
         if stmt.connection:

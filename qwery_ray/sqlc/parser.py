@@ -116,6 +116,9 @@ class Parser:
             return self.parse_block()
         if word == "DESCRIBE":
             return self.parse_describe()
+        if word == "EXPLAIN":
+            self.next()
+            return A.Explain(self.parse_statement())
         if word == "SHOW":
             self.next()
             ent = self.next().upper

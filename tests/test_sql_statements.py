@@ -261,3 +261,20 @@ class TestExecutableSource:
         sql = "SELECT * FROM (SHOW VIEWS) WHERE name LIKE 'a%'"
         stmt = parse(sql)[0]
         assert to_sql(parse(to_sql(stmt))[0]) == to_sql(stmt)
+
+
+class TestExplain:
+    def test_explain_shows_operator_chain(self, engine):
+        out = engine.sql(
+            "EXPLAIN SELECT o_orderstatus, COUNT(*) AS n FROM orders "
+            "GROUP BY o_orderstatus").to_pandas()
+        text = "\n".join(out["plan"])
+        assert "MapBatches" in text          # the lowered Ray Data chain
+        assert "Aggregate" in text or "Sort" in text
+
+    def test_explain_decompiles(self):
+        from qwery_ray.sqlc.decompiler import to_sql
+        from qwery_ray.sqlc.parser import parse
+
+        stmt = parse("EXPLAIN SELECT a FROM t WHERE a > 1")[0]
+        assert to_sql(stmt).startswith("EXPLAIN SELECT")
