@@ -9,7 +9,8 @@ from .multimodal import (AudioFeatures, DecodeImage, FrameSample,
                          ResizeImage, image_pipeline, synth_binary_images,
                          synth_png_images, synth_wav_audio)
 from .similarity import brute_force_topk, ivf_topk
-from .sketch import approx_count_distinct, estimate, fold_batch
+from .sketch import (approx_count_distinct, approx_top_k, estimate,
+                     fold_batch)
 from .text import (Fingerprint, LangId, QualityScore, TextAnalyzer,
                    TextStats, token_count_table)
 from .windows import session_window_agg, sliding_window_agg
@@ -23,6 +24,7 @@ __all__ = [
     "image_pipeline", "synth_binary_images", "synth_png_images",
     "synth_wav_audio", "brute_force_topk", "ivf_topk",
     "Fingerprint", "LangId", "QualityScore", "TextAnalyzer", "TextStats",
-    "token_count_table", "approx_count_distinct", "estimate", "fold_batch",
+    "token_count_table", "approx_count_distinct", "approx_top_k",
+    "estimate", "fold_batch",
     "session_window_agg", "sliding_window_agg",
 ]

@@ -96,6 +96,59 @@ class HllFold:
         })
 
 
+# ------------------------------------------------------------ heavy hitters
+class TopKFold:
+    """Misra–Gries heavy-hitters partial per batch: exact counts within the
+    batch truncated to the top ``capacity`` entries plus the truncated
+    mass. Merged summaries keep the Misra–Gries guarantee: any value with
+    global frequency > N/capacity survives, and reported counts
+    undercount by at most the merged truncated mass (tracked in
+    ``__mg_dropped`` for an error bound)."""
+
+    def __init__(self, col: str, capacity: int = 1024):
+        self.col = col
+        self.capacity = capacity
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vc = pc.value_counts(pc.cast(t.column(self.col), pa.string()))
+        vals = vc.field("values").to_pylist()
+        counts = np.asarray(vc.field("counts").to_pylist(), dtype=np.int64)
+        order = np.argsort(-counts, kind="stable")[:self.capacity]
+        dropped = int(counts.sum() - counts[order].sum())
+        return pa.table({
+            "__mg_val": pa.array([vals[i] for i in order], type=pa.string()),
+            "__mg_cnt": pa.array(counts[order], type=pa.int64()),
+            "__mg_dropped": pa.array(
+                [dropped] + [0] * (len(order) - 1) if len(order) else [],
+                type=pa.int64()),
+        })
+
+
+def approx_top_k(ds: rd.Dataset, col: str, k: int = 20, *,
+                 capacity: int = 1024) -> "tuple[list, int]":
+    """Approximate top-k values of a column.
+
+    Per-batch truncated count summaries (≤ capacity rows per batch —
+    constant shuffle volume) merge on the driver; returns
+    ``([(value, min_count), ...], max_undercount)`` — true counts lie in
+    [min_count, min_count + max_undercount]. Exact whenever per-batch
+    cardinality ≤ capacity."""
+    partials = ds.map_batches(TopKFold(col, capacity),
+                              batch_format="pyarrow")
+    acc: dict = {}
+    dropped = 0
+    for b in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for v, c in zip(b.column("__mg_val").to_pylist(),
+                        b.column("__mg_cnt").to_pylist()):
+            acc[v] = acc.get(v, 0) + c
+        dropped += int(np.sum(b.column("__mg_dropped").to_numpy(
+            zero_copy_only=False))) if len(b) else 0
+    top = sorted(acc.items(), key=lambda kv: (-kv[1], str(kv[0])))[:k]
+    return top, dropped
+
+
 def approx_count_distinct(ds: rd.Dataset, col: str,
                           p: int = DEFAULT_P) -> float:
     """Streaming approximate COUNT DISTINCT: constant-size partials, one

@@ -470,3 +470,36 @@ class TestHllSketch:
         merged = np.maximum(a, b)
         assert np.array_equal(whole, merged)
         assert abs(estimate(whole) - 10_000) / 10_000 < 0.05
+
+
+class TestTopKSketch:
+    def test_heavy_hitters_found_exactly_when_capacity_suffices(
+            self, ray_session):
+        import ray.data as rd
+
+        from qwery_ray.ops.sketch import approx_top_k
+
+        rows = []
+        for i in range(20_000):
+            rows.append({"v": f"hot-{i % 5}" if i % 2 == 0
+                         else f"cold-{i}"})
+        top, dropped = approx_top_k(rd.from_items(rows), "v", k=5,
+                                    capacity=4096)
+        got = dict(top)
+        for h in range(5):
+            assert got[f"hot-{h}"] == 2000
+        assert dropped == 0  # capacity covered per-batch cardinality
+
+    def test_undercount_bounded_under_truncation(self, ray_session):
+        import ray.data as rd
+
+        from qwery_ray.ops.sketch import approx_top_k
+
+        rows = [{"v": f"hot-{i % 3}" if i % 4 == 0 else f"tail-{i}"}
+                for i in range(40_000)]
+        top, dropped = approx_top_k(rd.from_items(rows), "v", k=3,
+                                    capacity=64)
+        got = dict(top)
+        for h in range(3):
+            lo = got.get(f"hot-{h}", 0)
+            assert lo <= 3334 and lo + dropped >= 3333  # bound holds
