@@ -142,7 +142,9 @@ def run_queries() -> dict[str, float]:
                      ("token_count", dq.token_counts),
                      ("text_quality", dq.text_quality),
                      ("ann_topk", dq.ann_topk),
-                     ("minhash_near_dups", dq.minhash_near_dups)):
+                     ("minhash_near_dups", dq.minhash_near_dups),
+                     ("sliding_window", dq.events_sliding_window),
+                     ("session_window", dq.events_sessions)):
         t0 = time.perf_counter()
         _consume(fn(SF_DIR))
         times[name] = round(time.perf_counter() - t0, 3)
