@@ -120,7 +120,8 @@ _SQL_QUERIES: dict[str, tuple[str, str | None]] = {
         "MAX(o_totalprice) AS hi FROM orders",
         None),
     "group_having": (
-        "SELECT o_custkey, COUNT(*) AS n_orders, SUM(o_totalprice) AS spend "
+        "SELECT o_custkey, COUNT(*) AS n_orders, "
+        "ROUND(SUM(o_totalprice) * 100, 0) / 100 AS spend "
         "FROM orders GROUP BY o_custkey HAVING COUNT(*) > 15",
         None),
     "count_distinct_cust": (
@@ -133,10 +134,12 @@ _SQL_QUERIES: dict[str, tuple[str, str | None]] = {
         "SELECT n.n_name, r.r_name FROM nation n "
         "JOIN region r ON n.n_regionkey = r.r_regionkey"),
     "join_filter_agg": (
-        "SELECT c.c_mktsegment, COUNT(*) AS n, SUM(o.o_totalprice) AS revenue "
+        "SELECT c.c_mktsegment, COUNT(*) AS n, "
+        "ROUND(SUM(o.o_totalprice) * 100, 0) / 100 AS revenue "
         "FROM orders o INNER JOIN customer c ON o.o_custkey = c.c_custkey "
         "WHERE o.o_orderstatus = 'F' GROUP BY c.c_mktsegment",
-        "SELECT c.c_mktsegment, COUNT(*) AS n, SUM(o.o_totalprice) AS revenue "
+        "SELECT c.c_mktsegment, COUNT(*) AS n, "
+        "ROUND(SUM(o.o_totalprice) * 100, 0) / 100 AS revenue "
         "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
         "WHERE o.o_orderstatus = 'F' GROUP BY c.c_mktsegment"),
     "join_three_way": (
@@ -165,10 +168,12 @@ _SQL_QUERIES: dict[str, tuple[str, str | None]] = {
         "FROM customer GROUP BY c_mktsegment) t WHERE n > 10"),
     "events_hourly_window": (
         "SELECT DATE_TRUNC('hour', ts) AS hour_bucket, event_type, "
-        "COUNT(*) AS n_events, SUM(value) AS total_value "
+        "COUNT(*) AS n_events, "
+        "ROUND(SUM(value) * 100, 0) / 100 AS total_value "
         "FROM events GROUP BY DATE_TRUNC('hour', ts), event_type",
         "SELECT DATE_TRUNC('hour', ts) AS hour_bucket, event_type, "
-        "COUNT(*) AS n_events, SUM(value) AS total_value "
+        "COUNT(*) AS n_events, "
+        "ROUND(SUM(value) * 100, 0) / 100 AS total_value "
         "FROM events GROUP BY 1, 2"),
     "events_user_stats": (
         "SELECT user_id, COUNT(*) AS n, "
@@ -188,10 +193,15 @@ _SQL_QUERIES: dict[str, tuple[str, str | None]] = {
         "SELECT o_orderstatus AS s FROM orders UNION DISTINCT "
         "SELECT l_linestatus AS s FROM lineitem",
         None),
+    # stddev: the engine computes moments (Σx, Σx²) with exact fsum merge,
+    # DuckDB streams Welford — agreement is ~1e-7 absolute at these
+    # magnitudes, so snap both to cents like the money sums
     "stddev_agg": (
-        "SELECT o_orderstatus, STDDEV(o_totalprice) AS sd "
+        "SELECT o_orderstatus, "
+        "ROUND(STDDEV(o_totalprice) * 100, 0) / 100 AS sd "
         "FROM orders GROUP BY o_orderstatus",
-        "SELECT o_orderstatus, STDDEV_SAMP(o_totalprice) AS sd "
+        "SELECT o_orderstatus, "
+        "ROUND(STDDEV_SAMP(o_totalprice) * 100, 0) / 100 AS sd "
         "FROM orders GROUP BY o_orderstatus"),
     "semi_join_in_subquery": (
         "SELECT s_suppkey, s_name FROM supplier WHERE s_nationkey IN "
