@@ -49,3 +49,18 @@ def test_query_vs_oracle(name, ray_session, duck):
     assert sorted(result.columns) == sorted(oracle.columns), \
         f"{name}: columns {sorted(result.columns)} vs {sorted(oracle.columns)}"
     assert_frames_match(result, oracle)
+    # the driver hashes EXACT values — float columns must match bit-for-bit
+    import numpy as np
+
+    a = result.reindex(sorted(result.columns), axis=1)
+    e = oracle.reindex(sorted(oracle.columns), axis=1)
+    cols = list(a.columns)
+    a = a.sort_values(cols, ignore_index=True)
+    e = e.sort_values(cols, ignore_index=True)
+    for c in cols:
+        av, ev = a[c].to_numpy(), e[c].to_numpy()
+        if av.dtype.kind == "f" or ev.dtype.kind == "f":
+            av = av.astype(np.float64)
+            ev = ev.astype(np.float64)
+            assert np.array_equal(av, ev, equal_nan=True), \
+                f"{name}: column {c} differs at bit level"
