@@ -642,6 +642,22 @@ class _WindowGroupFn:
                     .ffill().astype("int64").to_numpy()
             else:
                 out = changed.cumsum().astype("int64")
+        elif fn in ("PERCENT_RANK", "CUME_DIST"):
+            if not self.okeys:
+                raise ValueError(f"{fn}() requires ORDER BY in OVER()")
+            changed = self._order_key_changes(df, n)
+            run_id = changed.cumsum() - 1
+            if fn == "PERCENT_RANK":  # (rank-1)/(n-1), rank = first peer pos
+                pos = np.arange(1, n + 1)
+                rank = pd.Series(np.where(changed, pos, np.nan)) \
+                    .ffill().to_numpy()
+                out = (rank - 1) / (n - 1) if n > 1 else np.zeros(n)
+            else:  # CUME_DIST: rows ≤ last peer of current row, over n
+                is_end = np.ones(n, dtype=bool)
+                if n > 1:
+                    is_end[:-1] = changed[1:]
+                end_idx = np.flatnonzero(is_end)
+                out = (end_idx[run_id] + 1) / n
         elif fn == "NTILE":
             if not self.okeys:
                 raise ValueError("NTILE() requires ORDER BY in OVER()")

@@ -173,3 +173,18 @@ class TestRowsFrames:
                "AND CURRENT ROW) AS s FROM t")
         stmt = parse(sql)[0]
         assert to_sql(parse(to_sql(stmt))[0]) == to_sql(stmt)
+
+
+class TestPercentRankCumeDist:
+    def test_parity(self, engine, duck):
+        from conftest import assert_frames_match, to_pandas
+
+        sql = ("SELECT o_orderkey, "
+               "PERCENT_RANK() OVER (PARTITION BY o_orderstatus "
+               "ORDER BY o_totalprice) AS pr, "
+               "CUME_DIST() OVER (PARTITION BY o_orderstatus "
+               "ORDER BY o_totalprice) AS cd "
+               "FROM orders WHERE o_custkey < 40")
+        mine = to_pandas(engine.sql(sql))
+        oracle = duck.execute(sql).fetch_df()
+        assert_frames_match(mine, oracle, sort_by=["o_orderkey"])
