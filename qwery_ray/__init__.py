@@ -18,6 +18,40 @@ import os as _os
 # polars import anywhere in the process.
 _os.environ.setdefault("POLARS_MAX_THREADS", "1")
 
+
+def _stub_fsspec_http() -> None:
+    """Ray's path resolution probes ``fsspec.implementations.http`` on every
+    read; without aiohttp that import fails, and with CONCURRENT driver
+    threads (multi-writer OCC, pipelined map threads) the repeatedly failing
+    import races — a half-initialized module in sys.modules turns the
+    ModuleNotFoundError Ray catches into a bare ImportError it does not.
+    Install a stub module with a sentinel HTTPFileSystem class so the probe
+    succeeds deterministically (nothing is ever an instance of it)."""
+    import sys as _sys
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+        return
+    except ImportError:
+        pass
+    import types as _types
+
+    try:
+        import fsspec.implementations as _fi
+    except ImportError:
+        return
+    mod = _types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:  # sentinel only
+        pass
+
+    mod.HTTPFileSystem = HTTPFileSystem  # type: ignore[attr-defined]
+    _sys.modules["fsspec.implementations.http"] = mod
+    _fi.http = mod  # type: ignore[attr-defined]
+
+
+_stub_fsspec_http()
+
 from .engine.session import QweryEngine
 
 __version__ = "0.1.0"

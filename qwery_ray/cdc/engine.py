@@ -364,10 +364,15 @@ class CDCLakeEngine:
 
     def __init__(self, lake_dir: str, *, num_partitions: int = 16,
                  merge_fanin: int = 16, key_cols=tuple(KEY_COLS)):
+        import uuid
+
         self.lake_dir = lake_dir
         self.num_partitions = num_partitions
         self.merge_fanin = merge_fanin
         self.key_cols = list(key_cols)
+        # writer-private staging namespace: concurrent replayers never
+        # touch each other's shuffle output (OCC losers just discard)
+        self._writer_id = uuid.uuid4().hex[:8]
         os.makedirs(lake_dir, exist_ok=True)
         existing = self.load_manifest()
         if existing.get("key_cols") and existing["key_cols"] != self.key_cols:
@@ -475,7 +480,7 @@ class CDCLakeEngine:
         spans = []
         for lo, hi in chunks:
             txn = f"txn-{lo:012d}-{hi:012d}"
-            sdir = os.path.join(self.lake_dir, "_staging", txn, "shuffle")
+            sdir = self._txn_shuffle_dir(txn)
             shutil.rmtree(sdir, ignore_errors=True)
             os.makedirs(sdir, exist_ok=True)
             spans.append((lo, hi, sdir))
@@ -581,7 +586,7 @@ class CDCLakeEngine:
         if txn in manifest["committed_txns"]:
             return manifest  # exactly-once: committed ranges are no-ops
 
-        shuffle_dir = os.path.join(self.lake_dir, "_staging", txn, "shuffle")
+        shuffle_dir = self._txn_shuffle_dir(txn)
         if not premapped:
             events = rd.read_parquet(
                 events_path,
@@ -619,52 +624,106 @@ class CDCLakeEngine:
                   f"premapped={premapped}", flush=True)
             t_map = _time.perf_counter()
 
-        # ---- reduce side: one merge task per touched partition -------------
+        # ---- reduce + commit with optimistic concurrency -------------------
+        # merge runs against the partition files of a manifest VERSION; the
+        # commit validates under the lake's commit lock that the version is
+        # unchanged (Delta-style OCC). A concurrent writer advancing the
+        # manifest forces a RE-MERGE against the fresh files (the shuffle
+        # output is version-independent, so only the COW phase repeats).
+        touched = self._touched_partitions(shuffle_dir)
+        for attempt in range(4):
+            base = self.load_manifest()
+            if txn in base["committed_txns"]:
+                # a concurrent replayer beat us to this txn: exactly-once
+                shutil.rmtree(self._writer_staging(txn), ignore_errors=True)
+                return base
+            try:
+                metrics = self._run_merge(base, txn, shuffle_dir, touched)
+            except Exception:
+                if attempt == 3:
+                    raise
+                continue  # peer may have committed+GC'd our base mid-merge
+            if trace:
+                print(f"[cdc] {txn} merge={_time.perf_counter()-t_map:.2f}s "
+                      f"touched={len(touched)}", flush=True)
+                t_merge = _time.perf_counter()
+            with self._commit_lock():
+                current = self.load_manifest()
+                if txn in current["committed_txns"]:
+                    shutil.rmtree(self._writer_staging(txn),
+                                  ignore_errors=True)
+                    return current
+                if current["version"] == base["version"]:
+                    out = self._commit_txn(base, txn, lo, hi, metrics,
+                                           t_start)
+                    if trace:
+                        print(f"[cdc] {txn} "
+                              f"commit={_time.perf_counter()-t_merge:.2f}s "
+                              f"total={_time.perf_counter()-t_start:.2f}s",
+                              flush=True)
+                    return out
+            # lost the race on a different txn: re-merge on the new base
+        raise RuntimeError(
+            f"commit conflict on {txn} not resolved after 4 merge attempts")
+
+    def _txn_shuffle_dir(self, txn: str) -> str:
+        return os.path.join(self._writer_staging(txn), "shuffle")
+
+    def _writer_staging(self, txn: str) -> str:
+        """Writer-private staging for a txn: concurrent replayers map and
+        merge in disjoint directories; the OCC loser's output is discarded,
+        never clobbered mid-read."""
+        return os.path.join(self.lake_dir, "_staging", txn,
+                            f"w-{self._writer_id}")
+
+    def _run_merge(self, manifest: dict, txn: str, shuffle_dir: str,
+                   touched: list):
+        """Reduce side: grouped merge tasks COW against the partition files
+        of ``manifest``; returns the metrics frame."""
         partition_files = {
             int(pid): info["file"]
             for pid, info in manifest["partitions"].items()
         }
-        # touched partitions from shuffle-file row-group statistics (footers
-        # only); untouched partitions get no merge task and keep their entry
-        touched = self._touched_partitions(shuffle_dir)
-        if touched:
-            merge = MergePartitionFS(self.lake_dir, txn, partition_files,
-                                     shuffle_dir, self.merge_fanin,
-                                     self.key_cols)
+        if not touched:
+            return _empty_metrics().to_pandas()
+        # staged output goes to the writer-private namespace (OCC isolation)
+        stage_label = os.path.join(txn, f"w-{self._writer_id}")
+        merge = MergePartitionFS(self.lake_dir, stage_label, partition_files,
+                                 shuffle_dir, self.merge_fanin,
+                                 self.key_cols)
 
-            def merge_fn(t: pa.Table, _m=merge) -> pa.Table:
-                return _m(t)
+        def merge_fn(t: pa.Table, _m=merge) -> pa.Table:
+            return _m(t)
 
-            import math
+        import math
 
-            import ray as _ray
+        import ray as _ray
 
-            ncpu = int(_ray.cluster_resources().get("CPU", 8)) \
-                if _ray.is_initialized() else 8
-            # several partitions per merge task: each task parses every
-            # shuffle footer once for its whole group (metadata ops drop
-            # from O(files×partitions) to O(files×tasks)); 2×cores tasks
-            # keep all cores busy under size skew
-            n_tasks = min(len(touched), max(1, ncpu * 2))
-            bsize = math.ceil(len(touched) / n_tasks)
-            pid_ds = rd.from_items([{"pid": p} for p in touched],
-                                   override_num_blocks=n_tasks)
-            metrics = pid_ds.map_batches(
-                merge_fn, batch_format="pyarrow",
-                batch_size=bsize).to_pandas()
-        else:
-            metrics = _empty_metrics().to_pandas()
-        if trace:
-            print(f"[cdc] {txn} merge={_time.perf_counter()-t_map:.2f}s "
-                  f"touched={len(touched)}", flush=True)
-            t_merge = _time.perf_counter()
+        ncpu = int(_ray.cluster_resources().get("CPU", 8)) \
+            if _ray.is_initialized() else 8
+        # several partitions per merge task: each task parses every shuffle
+        # footer once for its whole group (metadata ops drop from
+        # O(files×partitions) to O(files×tasks)); 2×cores tasks keep all
+        # cores busy under size skew
+        n_tasks = min(len(touched), max(1, ncpu * 2))
+        bsize = math.ceil(len(touched) / n_tasks)
+        pid_ds = rd.from_items([{"pid": p} for p in touched],
+                               override_num_blocks=n_tasks)
+        return pid_ds.map_batches(merge_fn, batch_format="pyarrow",
+                                  batch_size=bsize).to_pandas()
 
-        # ---- commit phase (driver): move staged files in, swap manifest ----
+    def _commit_txn(self, manifest: dict, txn: str, lo: int, hi: int,
+                    metrics, t_start: float) -> dict:
+        """Move staged files in and swap the manifest (caller holds the
+        commit lock and has validated the base version)."""
+        import time as _time
+
         part_dir = os.path.join(self.lake_dir, "partitions")
         os.makedirs(part_dir, exist_ok=True)
         for r in metrics.itertuples():
             pid = int(r.partition_id)
-            final_rel = os.path.join("partitions", f"part-{pid:05d}-{txn}.parquet")
+            final_rel = os.path.join("partitions",
+                                     f"part-{pid:05d}-{txn}.parquet")
             os.replace(os.path.join(self.lake_dir, str(r.staged_file)),
                        os.path.join(self.lake_dir, final_rel))
             old = manifest["partitions"].get(str(pid))
@@ -675,7 +734,7 @@ class CDCLakeEngine:
                 "rows": int(r.rows),
                 "lineage": lineage,
             }
-        manifest["watermark_lsn"] = hi
+        manifest["watermark_lsn"] = max(manifest["watermark_lsn"], hi)
         manifest["version"] += 1
         manifest["committed_txns"].append(txn)
         elapsed = _time.perf_counter() - t_start
@@ -698,13 +757,49 @@ class CDCLakeEngine:
             "bytes_written": n_bytes,
         })
         self._commit_manifest(manifest)
-        staged_dir = os.path.join(self.lake_dir, "_staging", txn)
-        shutil.rmtree(staged_dir, ignore_errors=True)
+        shutil.rmtree(os.path.join(self.lake_dir, "_staging", txn),
+                      ignore_errors=True)
         self._gc_superseded(manifest)
-        if trace:
-            print(f"[cdc] {txn} commit={_time.perf_counter()-t_merge:.2f}s "
-                  f"total={_time.perf_counter()-t_start:.2f}s", flush=True)
         return manifest
+
+    def _commit_lock(self, timeout: float = 60.0, stale: float = 120.0):
+        """Exclusive lake commit lock (O_CREAT|O_EXCL lock file; locks older
+        than ``stale`` seconds are broken — crashed writers cannot wedge the
+        lake). Serializes only the commit critical section."""
+        import time as _time
+        from contextlib import contextmanager
+
+        path = os.path.join(self.lake_dir, "_commit.lock")
+
+        @contextmanager
+        def lock():
+            start = _time.time()
+            while True:
+                try:
+                    fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    os.write(fd, str(os.getpid()).encode())
+                    os.close(fd)
+                    break
+                except FileExistsError:
+                    try:
+                        if _time.time() - os.path.getmtime(path) > stale:
+                            os.remove(path)
+                            continue
+                    except FileNotFoundError:
+                        continue
+                    if _time.time() - start > timeout:
+                        raise TimeoutError(
+                            f"commit lock at {path} held > {timeout}s")
+                    _time.sleep(0.05)
+            try:
+                yield
+            finally:
+                try:
+                    os.remove(path)
+                except FileNotFoundError:
+                    pass
+
+        return lock()
 
     @staticmethod
     def _collect_shuffle_index(stats: rd.Dataset) -> None:

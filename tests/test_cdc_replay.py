@@ -226,3 +226,60 @@ class TestWideContent:
         eng.replay(ev, chunk_lsns=200)
         expected = sha256_of_state(naive_replay(ev))
         assert sha256_of_table(eng.table()) == expected
+
+
+class TestMultiWriterOCC:
+    """Optimistic concurrency: two replay drivers racing on the same lake
+    commit each txn exactly once and converge to the single-writer state
+    (Delta-style version check under the commit lock)."""
+
+    def test_concurrent_replayers_converge(self, ray_session, tmp_path):
+        import threading
+
+        from qwery_ray.cdc.engine import CDCLakeEngine
+        from qwery_ray.cdc.oracle import (naive_replay, sha256_of_state,
+                                          sha256_of_table)
+        from qwery_ray.cdc.synth import synth_change_events
+
+        ev = str(tmp_path / "ev")
+        synth_change_events(ev, n_keys=150, n_events=900, seed=11,
+                            n_segments=3)
+        lake = str(tmp_path / "lake")
+        errs = []
+
+        def run():
+            try:
+                eng = CDCLakeEngine(lake, num_partitions=4)
+                eng.replay(ev, chunk_lsns=300, pipelined=False)
+            except Exception as e:  # surfaced below
+                errs.append(e)
+
+        threads = [threading.Thread(target=run) for _ in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs, errs
+        eng = CDCLakeEngine(lake, num_partitions=4)
+        m = eng.load_manifest()
+        assert len(m["committed_txns"]) == len(set(m["committed_txns"])) == 3
+        assert m["watermark_lsn"] == 900
+        assert sha256_of_table(eng.table()) == \
+            sha256_of_state(naive_replay(ev))
+
+    def test_stale_lock_is_broken(self, tmp_path):
+        import time
+
+        from qwery_ray.cdc.engine import CDCLakeEngine
+
+        lake = str(tmp_path / "lake2")
+        eng = CDCLakeEngine(lake, num_partitions=2)
+        lock_path = f"{lake}/_commit.lock"
+        open(lock_path, "w").write("999999")
+        old = time.time() - 1000
+        import os as _os
+
+        _os.utime(lock_path, (old, old))
+        with eng._commit_lock(timeout=5, stale=120):
+            pass  # stale lock must have been broken, not time out
+        assert not _os.path.exists(lock_path)
