@@ -232,6 +232,35 @@ _SQL_QUERIES: dict[str, tuple[str, str | None]] = {
         "SELECT o_custkey FROM orders INTERSECT "
         "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'",
         None),
+    "right_join_parts": (
+        # RIGHT JOIN with a non-equi residual: unmatched right rows must
+        # survive null-extended (the round-1 advisor's outer-join finding)
+        "SELECT p.p_partkey, p.p_name, s.s_acctbal AS supp_bal "
+        "FROM supplier s "
+        "RIGHT JOIN part p ON s.s_suppkey = p.p_partkey AND s.s_acctbal > 0 "
+        "WHERE p.p_partkey < 200",
+        "SELECT p.p_partkey, p.p_name, s.s_acctbal AS supp_bal "
+        "FROM supplier s "
+        "RIGHT JOIN part p ON s.s_suppkey = p.p_partkey AND s.s_acctbal > 0 "
+        "WHERE p.p_partkey < 200"),
+    "full_join_keys": (
+        "SELECT o_custkey AS k, COUNT(*) AS n FROM ("
+        "SELECT o.o_custkey FROM orders o "
+        "FULL JOIN customer c ON o.o_custkey = c.c_custkey"
+        ") GROUP BY o_custkey",
+        "SELECT COALESCE(o.o_custkey, c.c_custkey) AS k, COUNT(*) AS n "
+        "FROM orders o FULL JOIN customer c ON o.o_custkey = c.c_custkey "
+        "GROUP BY COALESCE(o.o_custkey, c.c_custkey)"),
+    # 4-row moving average of 2-decimal prices = quarter-cents exactly, so
+    # snap at 10^4 (integer-valued target; a cent snap would sit ON the
+    # half boundary and ulp noise would flip it per engine)
+    "window_moving_avg": (
+        "SELECT o_orderkey, "
+        "ROUND(AVG(o_totalprice) OVER (PARTITION BY o_orderstatus "
+        "ORDER BY o_orderkey ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) "
+        "* 10000, 0) / 10000 AS ma "
+        "FROM orders WHERE o_custkey < 100",
+        None),
     "between_filter": (
         "SELECT l_orderkey, l_quantity FROM lineitem "
         "WHERE l_quantity BETWEEN 10 AND 12 AND l_returnflag = 'R'",

@@ -1383,7 +1383,15 @@ class Compiler:
                 [mapping.get(c, c) for c in right.columns],
                 right.aliases, right.est_rows)
 
-        out_cols = left.columns + [c for c in right.columns if c not in right_keys]
+        if j.join_type == "RIGHT":
+            # Ray's right_outer emits the RIGHT key columns and drops the
+            # left keys (the preserved side's names survive, mirroring the
+            # left-key convention of every other join type)
+            out_cols = [c for c in left.columns if c not in left_keys] \
+                + right.columns
+        else:
+            out_cols = left.columns + [c for c in right.columns
+                                       if c not in right_keys]
         aliases = dict(left.aliases)
         if ralias:
             aliases[ralias] = True

@@ -515,7 +515,10 @@ def _fn_abs(ev, e, batch):
 
 def _fn_round(ev, e, batch):
     nd = int(ev.eval(e.args[1], batch)) if len(e.args) > 1 else 0
-    return pc.round(_arg(ev, e, batch, 0), ndigits=nd)
+    # half AWAY from zero — SQL/DuckDB ROUND semantics (pyarrow's default
+    # is banker's rounding, which diverges on exact .5 boundaries)
+    return pc.round(_arg(ev, e, batch, 0), ndigits=nd,
+                    round_mode="half_towards_infinity")
 
 
 def _fn_floor(ev, e, batch):
