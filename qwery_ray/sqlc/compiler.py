@@ -593,26 +593,26 @@ class _WindowGroupFn:
             return np.full(n, val)
         if lo is None and hi == 0:             # running (ROWS, no peers)
             if fn == "SUM":
-                return s.cumsum().to_numpy()
+                return s.cumsum().ffill().to_numpy()
             if fn == "COUNT":
                 return s.notna().cumsum().to_numpy()
             if fn in ("AVG", "MEAN"):
-                return (s.cumsum() / s.notna().cumsum()).to_numpy()
+                return (s.cumsum() / s.notna().cumsum()).ffill().to_numpy()
             if fn == "MIN":
-                return s.cummin().to_numpy()
-            return s.cummax().to_numpy()
+                return s.cummin().ffill().to_numpy()
+            return s.cummax().ffill().to_numpy()
         if lo == 0 and hi is None:             # reverse running
             r = s.iloc[::-1]
             if fn == "SUM":
-                out = r.cumsum()
+                out = r.cumsum().ffill()
             elif fn == "COUNT":
                 out = r.notna().cumsum()
             elif fn in ("AVG", "MEAN"):
-                out = r.cumsum() / r.notna().cumsum()
+                out = (r.cumsum() / r.notna().cumsum()).ffill()
             elif fn == "MIN":
-                out = r.cummin()
+                out = r.cummin().ffill()
             else:
-                out = r.cummax()
+                out = r.cummax().ffill()
             return out.iloc[::-1].to_numpy()
         if lo is not None and lo <= 0 and hi == 0:  # trailing window
             return agg_roll(s.rolling(-lo + 1, min_periods=1)).to_numpy()
@@ -708,17 +708,19 @@ class _WindowGroupFn:
         elif fn in ("SUM", "COUNT", "AVG", "MEAN", "MIN", "MAX"):
             s = df[self.arg_col] if self.arg_col else None
             if self.okeys:  # cumulative frame
+                # ffill: a NULL input row carries the running value forward
+                # (ANSI aggregates ignore NULLs; pandas cum* leave NaN)
                 if fn == "SUM":
-                    out = s.cumsum().to_numpy()
+                    out = s.cumsum().ffill().to_numpy()
                 elif fn == "COUNT":
                     out = (s.notna().cumsum() if s is not None
                            else pd.Series(np.arange(1, n + 1))).to_numpy()
                 elif fn in ("AVG", "MEAN"):
-                    out = (s.cumsum() / s.notna().cumsum()).to_numpy()
+                    out = (s.cumsum() / s.notna().cumsum()).ffill().to_numpy()
                 elif fn == "MIN":
-                    out = s.cummin().to_numpy()
+                    out = s.cummin().ffill().to_numpy()
                 else:
-                    out = s.cummax().to_numpy()
+                    out = s.cummax().ffill().to_numpy()
                 # ANSI default frame is RANGE (unbounded preceding → current
                 # ROW's peers): tied order keys share the running value at
                 # the peer group's LAST row

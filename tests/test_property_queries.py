@@ -83,3 +83,57 @@ class TestQueryFuzz:
     @pytest.fixture(autouse=True)
     def _bind(self, fuzz_table):
         type(self)._fixture = fuzz_table
+
+
+@pytest.fixture(scope="module")
+def fuzz_table_rid(ray_session, tmp_path_factory):
+    """Fuzz table with a unique row id (deterministic window ordering)."""
+    rng = np.random.default_rng(321)
+    n = 1500
+    df = pd.DataFrame({
+        "rid": np.arange(n),
+        "k": rng.integers(0, 6, n),
+        "i": rng.integers(-50, 50, n).astype("float64"),
+        "f": np.round(rng.standard_normal(n) * 20, 2),
+    })
+    df.loc[rng.choice(n, 80, replace=False), "i"] = None
+    d = tmp_path_factory.mktemp("wfuzz")
+    path = os.path.join(str(d), "wf.parquet")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
+    return str(d), path
+
+
+WIN_FNS = ["ROW_NUMBER()", "RANK()", "DENSE_RANK()", "SUM(f)", "AVG(f)",
+           "MIN(i)", "MAX(i)", "COUNT(i)", "LAG(f)", "LEAD(f, 2)",
+           "NTILE(3)", "PERCENT_RANK()", "CUME_DIST()"]
+
+
+class TestWindowFuzz:
+    @settings(max_examples=20, deadline=None)
+    @given(st.sampled_from(WIN_FNS), st.booleans(), st.booleans(),
+           st.sampled_from(["rid", "f, rid", "i, rid"]))
+    def test_window_parity(self, fn, partition, desc, okeys):
+        sf_dir, path = self._fixture
+        from qwery_ray import QweryEngine
+
+        eng = QweryEngine(table_root=sf_dir)
+        over = []
+        if partition:
+            over.append("PARTITION BY k")
+        direction = " DESC" if desc else ""
+        ob = ", ".join(c + direction for c in okeys.split(", "))
+        over.append(f"ORDER BY {ob}")
+        sql = (f"SELECT rid, {fn} OVER ({' '.join(over)}) AS w "
+               f"FROM wf")
+        mine = eng.sql(sql).to_pandas()
+        oracle = duckdb.sql(sql.replace("FROM wf", f"FROM '{path}'")).df()
+        mine = mine.sort_values("rid", ignore_index=True)
+        oracle = oracle.sort_values("rid", ignore_index=True)
+        a = mine["w"].to_numpy(dtype="float64", na_value=np.nan)
+        b = oracle["w"].to_numpy(dtype="float64", na_value=np.nan)
+        assert np.allclose(a, b, rtol=1e-9, atol=1e-12, equal_nan=True), \
+            sql
+
+    @pytest.fixture(autouse=True)
+    def _bind_w(self, fuzz_table_rid):
+        type(self)._fixture = fuzz_table_rid
