@@ -1471,8 +1471,14 @@ class Compiler:
         ok = lo.map_batches(FilterBatch(residual, env),
                             batch_format="pyarrow").materialize()
         parts = [ok]
-        right_val_cols = [c for c in right.columns if c not in right_keys]
-        left_val_cols = [c for c in left.columns if c not in left_keys]
+        # null-extension clears the other side's value columns AND its row
+        # id: a preserved row joined to several failing partners otherwise
+        # yields rows distinct only by the partner's id, defeating the
+        # per-preserved-row dedup
+        right_val_cols = [c for c in right.columns if c not in right_keys] \
+            + ([rid] if keep_right else [])
+        left_val_cols = [c for c in left.columns if c not in left_keys] \
+            + ([lid] if keep_left else [])
         for keep, idc, null_cols in (
                 (keep_left, lid, right_val_cols),
                 (keep_right, rid, left_val_cols)):

@@ -137,3 +137,54 @@ class TestWindowFuzz:
     @pytest.fixture(autouse=True)
     def _bind_w(self, fuzz_table_rid):
         type(self)._fixture = fuzz_table_rid
+
+
+@pytest.fixture(scope="module")
+def join_tables(ray_session, tmp_path_factory):
+    rng = np.random.default_rng(77)
+    d = tmp_path_factory.mktemp("jfuzz")
+    lt = pd.DataFrame({
+        "k": rng.choice([1, 2, 3, 4, 5, 6, None], 120,
+                        p=[.2, .2, .15, .15, .1, .1, .1]),
+        "a": rng.integers(0, 100, 120).astype("float64"),
+    })
+    rt = pd.DataFrame({
+        "k": rng.choice([2, 3, 4, 7, 8, None], 90,
+                        p=[.25, .2, .2, .15, .1, .1]),
+        "v": rng.integers(0, 100, 90).astype("float64"),
+    })
+    pq.write_table(pa.Table.from_pandas(lt, preserve_index=False),
+                   os.path.join(str(d), "lt.parquet"))
+    pq.write_table(pa.Table.from_pandas(rt, preserve_index=False),
+                   os.path.join(str(d), "rt.parquet"))
+    return str(d)
+
+
+class TestJoinFuzz:
+    """Randomized join parity vs DuckDB: all join types, NULL keys, and
+    non-equi ON residuals (residual-before-null-extension semantics)."""
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.sampled_from(["INNER", "LEFT", "RIGHT", "FULL"]),
+           st.integers(min_value=0, max_value=90),
+           st.booleans())
+    def test_join_parity(self, jt, cut, with_residual):
+        d = self._fixture
+        from qwery_ray import QweryEngine
+
+        eng = QweryEngine(table_root=d)
+        residual = f" AND r.v > {cut}" if with_residual else ""
+        sql = (f"SELECT l.a, r.v FROM lt l {jt} JOIN rt r "
+               f"ON l.k = r.k{residual}")
+        mine = eng.sql(sql).to_pandas()
+        oracle = duckdb.sql(
+            sql.replace("FROM lt l", f"FROM '{d}/lt.parquet' l")
+               .replace("JOIN rt r", f"JOIN '{d}/rt.parquet' r")).df()
+        assert len(mine) == len(oracle), sql
+        key = lambda df: sorted(  # noqa: E731
+            map(tuple, df.fillna(-9e9).to_numpy().tolist()))
+        assert key(mine) == key(oracle), sql
+
+    @pytest.fixture(autouse=True)
+    def _bind_j(self, join_tables):
+        type(self)._fixture = join_tables
