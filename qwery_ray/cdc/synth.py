@@ -11,7 +11,6 @@ replay tests require.
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 import numpy as np

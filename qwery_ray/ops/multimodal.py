@@ -15,7 +15,6 @@ through pandas), and never ship payloads to the driver.
 
 from __future__ import annotations
 
-import hashlib
 import struct
 
 import numpy as np

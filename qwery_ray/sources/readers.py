@@ -10,7 +10,6 @@ resolver over Ray Data's native readers. Format comes from an explicit hint
 
 from __future__ import annotations
 
-import gzip
 import os
 from typing import Optional
 

@@ -29,8 +29,8 @@ import ray.data as rd
 from ray.data.aggregate import AggregateFn, Max, Min, Sum
 
 from . import ast as A
-from .exprs import AGG_FUNC_NAMES, Evaluator, collect_agg_calls, collect_column_refs
-from .rewrite import substitute_nodes, transform_expr
+from .exprs import Evaluator, collect_agg_calls, collect_column_refs
+from .rewrite import substitute_nodes
 
 BROADCAST_ROW_LIMIT = 500_000  # right sides below this are ray.put-broadcast
 
