@@ -261,6 +261,52 @@ _SQL_QUERIES: dict[str, tuple[str, str | None]] = {
         "* 10000, 0) / 10000 AS ma "
         "FROM orders WHERE o_custkey < 100",
         None),
+    "tpch_q3_shape": (
+        # TPC-H Q3 shape: 3-way join + filter + grouped revenue + top-k
+        "SELECT o.o_orderkey AS l_orderkey, "  # key coalesces to the left name
+        "ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) * 10000, 0) "
+        "/ 10000 AS revenue, o.o_orderdate "
+        "FROM customer c "
+        "INNER JOIN orders o ON c.c_custkey = o.o_custkey "
+        "INNER JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+        "WHERE c.c_mktsegment = 'BUILDING' "
+        "AND o.o_orderdate < DATE_PARSE('1998-01-01', 'yyyy-MM-dd') "
+        "AND l.l_shipdate > DATE_PARSE('1998-01-01', 'yyyy-MM-dd') "
+        "GROUP BY o.o_orderkey, o.o_orderdate "
+        "ORDER BY revenue DESC, l_orderkey LIMIT 10",
+        "SELECT o.o_orderkey AS l_orderkey, "  # key coalesces to the left name
+        "ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) * 10000, 0) "
+        "/ 10000 AS revenue, o.o_orderdate "
+        "FROM customer c "
+        "JOIN orders o ON c.c_custkey = o.o_custkey "
+        "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+        "WHERE c.c_mktsegment = 'BUILDING' "
+        "AND o.o_orderdate < TIMESTAMP '1998-01-01' "
+        "AND l.l_shipdate > TIMESTAMP '1998-01-01' "
+        "GROUP BY o.o_orderkey, o.o_orderdate "
+        "ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+    "tpch_q5_shape": (
+        # TPC-H Q5 shape: 5-way join through region, grouped revenue
+        "SELECT n.n_name, "
+        "ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) * 10000, 0) "
+        "/ 10000 AS revenue "
+        "FROM customer c "
+        "INNER JOIN orders o ON c.c_custkey = o.o_custkey "
+        "INNER JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+        "INNER JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "INNER JOIN region r ON n.n_regionkey = r.r_regionkey "
+        "WHERE r.r_name = 'ASIA' "
+        "GROUP BY n.n_name ORDER BY revenue DESC",
+        "SELECT n.n_name, "
+        "ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) * 10000, 0) "
+        "/ 10000 AS revenue "
+        "FROM customer c "
+        "JOIN orders o ON c.c_custkey = o.o_custkey "
+        "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey "
+        "WHERE r.r_name = 'ASIA' "
+        "GROUP BY n.n_name ORDER BY revenue DESC"),
     "between_filter": (
         "SELECT l_orderkey, l_quantity FROM lineitem "
         "WHERE l_quantity BETWEEN 10 AND 12 AND l_returnflag = 'R'",
