@@ -399,12 +399,43 @@ class CDCLakeEngine:
             "lineage": [],  # per-txn: {txn, lo, hi, partitions, rows, ...}
         }
 
+    # versions kept readable for time travel; older partition files GC
+    TIME_TRAVEL_RETAIN = 8
+
     def _commit_manifest(self, manifest: dict):
-        """Atomic rename — the single visibility point (two-phase commit)."""
+        """Atomic rename — the single visibility point (two-phase commit).
+        Each committed version is also written to ``_versions/v{N}.json``
+        (the Delta-log analog), enabling ``dataset(version=N)`` snapshot
+        reads for the last ``TIME_TRAVEL_RETAIN`` versions."""
+        payload = json.dumps(manifest, indent=1, sort_keys=True)
         tmp = self.manifest_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1, sort_keys=True)
+            f.write(payload)
+        vdir = os.path.join(self.lake_dir, "_versions")
+        os.makedirs(vdir, exist_ok=True)
+        vtmp = os.path.join(vdir, f"v{manifest['version']:08d}.json.tmp")
+        with open(vtmp, "w") as f:
+            f.write(payload)
+        os.replace(vtmp, vtmp[:-4])
         os.replace(tmp, self.manifest_path)
+
+    def load_manifest_version(self, version: int) -> dict:
+        path = os.path.join(self.lake_dir, "_versions",
+                            f"v{version:08d}.json")
+        if not os.path.exists(path):
+            have = self.versions()
+            raise ValueError(
+                f"lake version {version} not available (retained: {have})")
+        with open(path) as f:
+            return json.load(f)
+
+    def versions(self) -> list[int]:
+        """Committed versions still readable for time travel."""
+        vdir = os.path.join(self.lake_dir, "_versions")
+        if not os.path.isdir(vdir):
+            return []
+        return sorted(int(f[1:9]) for f in os.listdir(vdir)
+                      if f.endswith(".json"))
 
     # -------------------------------------------------------------- replay
     def replay(self, events_path: str, *, chunk_lsns: Optional[int] = None,
@@ -833,8 +864,25 @@ class CDCLakeEngine:
         return sorted(pids)
 
     def _gc_superseded(self, manifest: dict):
-        """Remove partition files no longer referenced by the manifest."""
+        """Remove partition files not referenced by any RETAINED manifest
+        version (the last TIME_TRAVEL_RETAIN snapshots stay readable);
+        expired version files are dropped with them."""
+        vdir = os.path.join(self.lake_dir, "_versions")
+        retained = self.versions()
+        expired = retained[:-self.TIME_TRAVEL_RETAIN] \
+            if len(retained) > self.TIME_TRAVEL_RETAIN else []
+        for v in expired:
+            try:
+                os.remove(os.path.join(vdir, f"v{v:08d}.json"))
+            except FileNotFoundError:
+                pass
         live = {info["file"] for info in manifest["partitions"].values()}
+        for v in self.versions():
+            try:
+                m = self.load_manifest_version(v)
+            except ValueError:
+                continue
+            live |= {info["file"] for info in m["partitions"].values()}
         part_dir = os.path.join(self.lake_dir, "partitions")
         if not os.path.isdir(part_dir):
             return
@@ -844,8 +892,11 @@ class CDCLakeEngine:
                 os.remove(os.path.join(part_dir, f))
 
     # ---------------------------------------------------------------- read
-    def dataset(self) -> rd.Dataset:
-        manifest = self.load_manifest()
+    def dataset(self, version: Optional[int] = None) -> rd.Dataset:
+        """The lake as a Dataset; ``version=N`` reads the retained
+        snapshot N (time travel — Delta-style versioned manifests)."""
+        manifest = self.load_manifest() if version is None \
+            else self.load_manifest_version(version)
         files = [os.path.join(self.lake_dir, info["file"])
                  for info in manifest["partitions"].values()
                  if info["rows"] > 0]
@@ -854,9 +905,10 @@ class CDCLakeEngine:
                                            for c in KEY_COLS}))
         return rd.read_parquet(files)
 
-    def table(self) -> pa.Table:
+    def table(self, version: Optional[int] = None) -> pa.Table:
         """Driver-side materialization — tests/small lakes only."""
-        manifest = self.load_manifest()
+        manifest = self.load_manifest() if version is None \
+            else self.load_manifest_version(version)
         tables = []
         for info in manifest["partitions"].values():
             if info["rows"] > 0:
