@@ -380,6 +380,19 @@ class CDCLakeEngine:
                 f"lake at {lake_dir} is keyed on {existing['key_cols']}, "
                 f"got {self.key_cols}")
 
+    @classmethod
+    def open(cls, lake_dir: str) -> "CDCLakeEngine":
+        """Open an EXISTING lake adopting its manifest's key columns and
+        partition count (the read-side constructor)."""
+        mpath = os.path.join(lake_dir, MANIFEST)
+        if not os.path.exists(mpath):
+            raise FileNotFoundError(f"no lake manifest at {mpath}")
+        with open(mpath) as f:
+            m = json.load(f)
+        return cls(lake_dir,
+                   num_partitions=m.get("num_partitions", 16),
+                   key_cols=m.get("key_cols") or KEY_COLS)
+
     # ------------------------------------------------------------ manifest
     @property
     def manifest_path(self) -> str:

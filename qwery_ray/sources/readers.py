@@ -187,6 +187,16 @@ def read_source(path: str, hints: Optional[dict] = None, *,
     JSON keep their native types.
     """
     hints = dict(hints or {})
+    if hints.get("lake"):
+        # FROM '<lake_dir>' WITH LAKE [VERSION n] — committed lake snapshot
+        # through the manifest (never raw partition files mid-commit)
+        from ..cdc.engine import CDCLakeEngine
+
+        ds = CDCLakeEngine.open(path).dataset(
+            version=hints.get("lake_version"))
+        if columns:
+            ds = ds.select_columns(columns)
+        return ds
     fmt = detect_format(path, hints)
     sniff_path = path  # original (possibly URL) path for header sniffing
     # registered custom sources take precedence: by explicit format hint,

@@ -325,6 +325,10 @@ class Parser:
                 hints["headers"] = True
             elif key == "HEADERS":
                 hints["headers"] = True
+            elif key == "LAKE":
+                hints["lake"] = True
+                if self.accept("VERSION"):
+                    hints["lake_version"] = int(self.next().text)
             elif key == "PROPERTIES":
                 hints["properties"] = unquote_string(self.next().text)
             else:
