@@ -52,8 +52,13 @@ class TextStats:
         alpha = s.str.count(r"[A-Za-z]")
         batch["alpha_ratio"] = alpha / batch["n_chars_calc"].clip(lower=1)
         words = s.str.lower().str.findall(self.word_re)
-        batch["stopword_ratio"] = words.map(
-            lambda ws: sum(w in self.stop_en for w in ws) / max(1, len(ws)))
+        # vectorized stopword ratio: explode word lists once, boolean isin,
+        # per-row sum — identical to sum(w in set)/max(1,len) (int/int
+        # division of the same integers ⇒ identical doubles)
+        n_w = words.str.len()
+        hits = words.explode().isin(self.stop_en).groupby(level=0).sum()
+        batch["stopword_ratio"] = (
+            hits.reindex(words.index, fill_value=0) / n_w.clip(lower=1))
         # mean word length ≡ total letters / word count (words are [A-Za-z]+
         # runs, so their combined length IS the alpha count) — vectorized
         batch["mean_word_len"] = np.where(
@@ -90,20 +95,23 @@ class LangId:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         words = batch[self.text_col].fillna("").str.lower().str.findall(self.word_re)
-
-        def classify(ws: list) -> tuple[str, float]:
-            if not ws:
-                return "und", 0.0
-            scores = [sum(w in table for w in ws) / len(ws)
-                      for table in self.tables]
-            best = int(np.argmax(scores))
-            if scores[best] < 0.03:
-                return "und", float(scores[best])
-            return self.langs[best], float(scores[best])
-
-        out = words.map(classify)
-        batch["lang_pred"] = out.map(lambda t: t[0])
-        batch["lang_score"] = out.map(lambda t: t[1])
+        # vectorized: explode words once, one isin pass per language table,
+        # argmax-first across the score matrix (same int/int divisions and
+        # first-max pick as the scalar classify — bit-identical results)
+        n_w = words.str.len().to_numpy()
+        ex = words.explode()
+        scores = np.zeros((len(self.langs), len(batch)))
+        denom = np.maximum(n_w, 1)
+        for li, table in enumerate(self.tables):
+            hits = ex.isin(table).groupby(level=0).sum()                 .reindex(words.index, fill_value=0).to_numpy()
+            scores[li] = hits / denom
+        best = np.argmax(scores, axis=0)  # first max, matching np.argmax
+        best_score = scores[best, np.arange(len(batch))]
+        pred = np.array(self.langs, dtype=object)[best]
+        und = (n_w == 0) | (best_score < 0.03)
+        pred[und] = "und"
+        batch["lang_pred"] = pred
+        batch["lang_score"] = np.where(n_w == 0, 0.0, best_score)
         return batch
 
 
