@@ -967,6 +967,78 @@ class CDCLakeEngine:
         hit = table.filter(mask)
         return hit.to_pylist()[0] if len(hit) else None
 
+    def changes(self, v_from: int, v_to: Optional[int] = None) -> rd.Dataset:
+        """Change data feed between two retained versions: one row per key
+        whose state differs, with ``change`` ∈ {upsert, delete} and the new
+        row's columns (delete rows carry the key + last old lsn).
+
+        Scale shape: the manifest diff identifies the partitions whose FILE
+        changed between the versions (untouched partitions share the same
+        immutable file → skipped entirely); each changed partition diffs
+        independently in one task via a keyed merge — work is proportional
+        to the touched data, never the lake."""
+        m_from = self.load_manifest_version(v_from)
+        m_to = self.load_manifest() if v_to is None \
+            else self.load_manifest_version(v_to)
+        key_cols = list(self.key_cols)
+        pairs = []
+        for pid in set(m_from["partitions"]) | set(m_to["partitions"]):
+            f_old = (m_from["partitions"].get(pid) or {}).get("file")
+            f_new = (m_to["partitions"].get(pid) or {}).get("file")
+            if f_old != f_new:
+                pairs.append({"old": f_old or "", "new": f_new or ""})
+        if not pairs:
+            return rd.from_arrow(pa.table(
+                {"change": pa.array([], type=pa.string())}))
+        lake_dir = self.lake_dir
+
+        def diff_partition(t: pa.Table) -> pa.Table:
+            outs = []
+            for old_rel, new_rel in zip(t.column("old").to_pylist(),
+                                        t.column("new").to_pylist()):
+                old = pq.read_table(os.path.join(lake_dir, old_rel)) \
+                    if old_rel else None
+                new = pq.read_table(os.path.join(lake_dir, new_rel)) \
+                    if new_rel else None
+                odf = old.to_pandas() if old is not None else None
+                ndf = new.to_pandas() if new is not None else None
+                if ndf is not None:
+                    if odf is not None:
+                        merged = ndf.merge(
+                            odf[key_cols + ["lsn"]], on=key_cols,
+                            how="left", suffixes=("", "__old"))
+                        changed = merged[
+                            merged["lsn__old"].isna()
+                            | (merged["lsn"] != merged["lsn__old"])]
+                        changed = changed.drop(columns=["lsn__old"])
+                    else:
+                        changed = ndf
+                    if len(changed):
+                        up = changed.copy()
+                        up.insert(0, "change", "upsert")
+                        outs.append(pa.Table.from_pandas(
+                            up, preserve_index=False))
+                if odf is not None:
+                    if ndf is not None:
+                        gone = odf.merge(ndf[key_cols], on=key_cols,
+                                         how="left", indicator=True)
+                        gone = gone[gone["_merge"] == "left_only"] \
+                            .drop(columns=["_merge"])
+                    else:
+                        gone = odf
+                    if len(gone):
+                        dl = gone[key_cols + ["lsn"]].copy()
+                        dl.insert(0, "change", "delete")
+                        outs.append(pa.Table.from_pandas(
+                            dl, preserve_index=False))
+            if not outs:
+                return pa.table({"change": pa.array([], type=pa.string())})
+            return pa.concat_tables(outs, promote_options="permissive")
+
+        spec = rd.from_items(pairs, override_num_blocks=len(pairs))
+        return spec.map_batches(diff_partition, batch_format="pyarrow",
+                                batch_size=1)
+
     def _append_stats(self, record: dict) -> None:
         with open(os.path.join(self.lake_dir, "_stats.jsonl"), "a") as f:
             f.write(json.dumps(record, sort_keys=True) + "\n")
