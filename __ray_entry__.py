@@ -340,6 +340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dups": dq.embedding_dups,
         "events_sliding_window": dq.events_sliding_window,  # SQL oracle
         "events_sessions": dq.events_sessions,              # SQL oracle
+        "pii_redact": dq.pii_redact,                        # SQL oracle
     })
     return out
 
@@ -374,6 +375,9 @@ JOIN (SELECT user_id, event_type, MAX(event_id) AS m
     from qwery_ray.pipelines.driver_queries import session_window_oracle
 
     out["events_sessions"] = session_window_oracle()
+    from qwery_ray.ops.text import redact_oracle_sql
+
+    out["pii_redact"] = redact_oracle_sql()
     out["ann_topk"] = """
 WITH q AS (
   SELECT vec_id, embedding FROM embeddings

@@ -170,3 +170,45 @@ def token_count_table(batch: pa.Table, text_col: str = "text") -> pa.Table:
     tokens = pc.count_substring_regex(
         pc.cast(batch.column(text_col), pa.string()), r"[A-Za-z]+|\d+|[^\w\s]")
     return batch.append_column("n_tokens", pc.cast(tokens, pa.int64()))
+
+
+class Redact:
+    """PII scrubbing stage: emails, international-ish phone numbers and
+    IPv4 addresses replaced with typed placeholder tags — the standard
+    pre-training redaction pass. Patterns are RE2-compatible so the DuckDB
+    oracle applies the IDENTICAL regexes via regexp_replace (bit-exact
+    gate). Compiled once per actor; applied via vectorized str.replace."""
+
+    EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    PHONE = r"\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}"
+    IPV4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+    def __init__(self, text_col: str = "text", out_col: str = "text_redacted"):
+        self.text_col = text_col
+        self.out_col = out_col
+        self.email_re = re.compile(self.EMAIL)
+        self.phone_re = re.compile(self.PHONE)
+        self.ipv4_re = re.compile(self.IPV4)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[self.text_col].fillna("")
+        s = s.str.replace(self.email_re, "[EMAIL]", regex=True)
+        s = s.str.replace(self.ipv4_re, "[IP]", regex=True)
+        s = s.str.replace(self.phone_re, "[PHONE]", regex=True)
+        batch[self.out_col] = s
+        n = (batch[self.text_col].fillna("").str.len()
+             - batch[self.out_col].str.len())
+        batch["redacted_delta"] = n.astype("int64")
+        return batch
+
+
+def redact_oracle_sql() -> str:
+    """DuckDB oracle applying the same regex chain in the same order."""
+    return f"""
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(COALESCE(text, ''),
+      '{Redact.EMAIL}', '[EMAIL]', 'g'),
+      '{Redact.IPV4}', '[IP]', 'g'),
+      '{Redact.PHONE}', '[PHONE]', 'g') AS text_redacted
+FROM documents
+"""

@@ -307,3 +307,16 @@ SELECT user_id, MIN(sec) AS session_start_sec,
        MAX(sec) AS session_end_sec, COUNT(*) AS n_events
 FROM s GROUP BY user_id, sess
 """
+
+
+def pii_redact(sf_dir: str):
+    """PII redaction (emails / IPv4 / phone-shaped) — full SQL oracle
+    applying the identical regex chain."""
+    import ray.data as rd
+
+    from ..ops.text import Redact
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = ds.map_batches(Redact(), batch_format="pandas", concurrency=2)
+    return out.select_columns(["doc_id", "text_redacted"])
