@@ -503,3 +503,32 @@ class TestTopKSketch:
         for h in range(3):
             lo = got.get(f"hot-{h}", 0)
             assert lo <= 3334 and lo + dropped >= 3333  # bound holds
+
+
+class TestTrainingDataPipeline:
+    """End-to-end composition: redact → quality/lang filter → exact dedup →
+    near-dup removal → token count → partitioned parquet out."""
+
+    def test_pipeline_end_to_end(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq_
+        import ray.data as rd
+
+        from qwery_ray.pipelines.training_data import prepare_training_data
+
+        out = str(tmp_path / "prepared")
+        stats = prepare_training_data(
+            f"{SF_TINY}/documents.parquet", out, min_quality=0.5,
+            keep_langs={"en", "und"})
+        assert stats["rows_in"] == 500
+        assert 0 < stats["rows_out"] <= stats["rows_after_exact_dedup"] \
+            <= stats["rows_after_quality"] <= stats["rows_in"]
+        assert stats["out_files"] >= 1
+        assert stats["total_tokens"] > 0
+
+        df = rd.read_parquet(out).to_pandas()
+        # no exact duplicates survive
+        assert df["text"].nunique() == len(df)
+        # quality floor enforced
+        assert (df["quality_score"] >= 0.5).all()
+        # token counts present and positive for non-empty docs
+        assert (df.loc[df["text"].str.len() > 0, "n_tokens"] > 0).all()
