@@ -980,14 +980,11 @@ class Compiler:
             if sel.group_by or any(
                     collect_agg_calls(it.expr) for it in sel.items
                     if isinstance(it, A.SelectItem)):
-                # ANSI evaluates windows AFTER grouping; this engine computes
-                # them over the pre-aggregation rows — refuse rather than
-                # silently disagree. The subquery form works:
-                #   SELECT *, RANK() OVER (...) FROM (SELECT k, SUM(x) ... )
-                raise ValueError(
-                    "window functions combined with GROUP BY/aggregates in "
-                    "one SELECT are not supported; wrap the aggregation in "
-                    "a subquery and apply the window outside")
+                # ANSI evaluates windows AFTER grouping: mechanically
+                # rewrite into the subquery form the engine already handles
+                # (inner SELECT aggregates; outer applies the windows over
+                # the aggregated rows)
+                return self._select_frame(self._split_agg_windows(sel))
             frame, wmap = self._compile_windows(frame, wcalls, env)
             new_items = tuple(
                 it if isinstance(it, A.Star)
@@ -1181,6 +1178,85 @@ class Compiler:
                         num_partitions=max(num_cpus * 2, 16), on=(key,))
         out = out.map_batches(DropColumns([key]), batch_format="pyarrow")
         return Frame(out, frame.columns, frame.aliases)
+
+    def _split_agg_windows(self, sel: A.Select) -> A.Select:
+        """Rewrite ``SELECT …, fn() OVER (…), AGG(…) … GROUP BY k`` into
+        the ANSI-equivalent two-level form: the inner SELECT performs the
+        aggregation (keys + every aggregate call under generated aliases,
+        WHERE/HAVING stay inside); the outer SELECT applies window
+        functions and scalar expressions over the aggregated rows, with
+        each aggregate call replaced by its inner column."""
+        # every aggregate call reachable from items / order / qualify
+        # (including INSIDE window specs)
+        agg_calls: list[A.FuncCall] = []
+
+        def collect(expr):
+            if expr is None:
+                return
+            for c in collect_agg_calls(expr):
+                if c not in agg_calls:
+                    agg_calls.append(c)
+            if isinstance(expr, A.WindowCall):
+                for a in expr.func.args:
+                    collect(a)
+                for p in expr.partition_by:
+                    collect(p)
+                for o in expr.order_by:
+                    collect(o.expr)
+
+        wnodes: list[A.WindowCall] = []
+        for it in sel.items:
+            if isinstance(it, A.SelectItem):
+                collect(it.expr)
+                _collect_window_calls(it.expr, wnodes)
+        for ob in sel.order_by:
+            collect(ob.expr)
+            _collect_window_calls(ob.expr, wnodes)
+        if sel.qualify is not None:
+            collect(sel.qualify)
+            _collect_window_calls(sel.qualify, wnodes)
+        for w in wnodes:
+            for a in w.func.args:
+                collect(a)
+            for p in w.partition_by:
+                collect(p)
+            for o in w.order_by:
+                collect(o.expr)
+
+        inner_items: list[A.SelectItem] = []
+        mapping: dict = {}
+        for i, g in enumerate(sel.group_by):
+            if isinstance(g, A.ColumnRef):
+                # keep the natural name so outer references resolve as-is
+                inner_items.append(A.SelectItem(g, g.name))
+            else:
+                alias = f"__ik{i}"
+                inner_items.append(A.SelectItem(g, alias))
+                mapping[g] = A.ColumnRef(alias)
+        for j, call in enumerate(agg_calls):
+            alias = f"__ia{j}"
+            inner_items.append(A.SelectItem(call, alias))
+            mapping[call] = A.ColumnRef(alias)
+
+        inner = A.Select(items=tuple(inner_items), source=sel.source,
+                         joins=sel.joins, where=sel.where,
+                         group_by=sel.group_by, having=sel.having)
+
+        def sub(expr):
+            return substitute_nodes(expr, mapping) \
+                if expr is not None else None
+
+        outer_items = tuple(
+            it if isinstance(it, A.Star)
+            else A.SelectItem(sub(it.expr), it.alias)
+            for it in sel.items)
+        order_by = tuple(A.OrderItem(sub(o.expr), o.ascending)
+                         for o in sel.order_by)
+        return A.Select(items=outer_items,
+                        source=A.SubquerySource(inner, None),
+                        where=None, group_by=(), having=None,
+                        order_by=order_by, limit=sel.limit,
+                        distinct=sel.distinct, qualify=sub(sel.qualify))
 
     def _resolve_positional_refs(self, sel: A.Select) -> A.Select:
         """GROUP BY 1 / ORDER BY 2 → the corresponding SELECT item."""

@@ -67,14 +67,17 @@ class TestWindows:
                  "ORDER BY o_totalprice DESC) AS r "
                  "FROM orders WHERE o_custkey < 50 QUALIFY r <= 2")
 
-    def test_window_over_aggregate_refused_but_subquery_works(self, engine, duck):
-        import pytest as _pytest
-
-        with _pytest.raises(Exception, match="subquery"):
-            engine.sql("SELECT o_orderstatus, COUNT(*) AS n, "
-                       "RANK() OVER (ORDER BY COUNT(*)) AS r "
-                       "FROM orders GROUP BY o_orderstatus").to_pandas()
-        # the documented subquery form
+    def test_window_over_aggregate_and_subquery_form_agree(self, engine,
+                                                           duck):
+        # one-SELECT form (internally rewritten to the two-level plan)
+        run_both(engine, duck,
+                 "SELECT o_orderstatus, COUNT(*) AS n, "
+                 "RANK() OVER (ORDER BY COUNT(*)) AS r "
+                 "FROM orders GROUP BY o_orderstatus",
+                 "SELECT o_orderstatus, COUNT(*) AS n, "
+                 "RANK() OVER (ORDER BY COUNT(*)) AS r "
+                 "FROM orders GROUP BY o_orderstatus")
+        # the explicit subquery form
         run_both(engine, duck,
                  "SELECT s, n, RANK() OVER (ORDER BY n DESC) AS r FROM ("
                  "SELECT o_orderstatus AS s, COUNT(*) AS n FROM orders "
@@ -188,3 +191,41 @@ class TestPercentRankCumeDist:
         mine = to_pandas(engine.sql(sql))
         oracle = duck.execute(sql).fetch_df()
         assert_frames_match(mine, oracle, sort_by=["o_orderkey"])
+
+
+class TestWindowsOverAggregates:
+    """Windows combined with GROUP BY in one SELECT (ANSI: windows evaluate
+    AFTER aggregation) — rewritten internally to the two-level form."""
+
+    def test_rank_over_grouped_sum(self, engine, duck):
+        from conftest import assert_frames_match, to_pandas
+
+        sql = ("SELECT o_orderstatus, "
+               "ROUND(SUM(o_totalprice) * 100, 0) / 100 AS spend, "
+               "RANK() OVER (ORDER BY SUM(o_totalprice) DESC) AS r "
+               "FROM orders GROUP BY o_orderstatus")
+        mine = to_pandas(engine.sql(sql))
+        mine["r"] = mine["r"].astype("int64")
+        oracle = duck.execute(sql).fetch_df()
+        assert_frames_match(mine, oracle, sort_by=["o_orderstatus"])
+
+    def test_share_of_total_window(self, engine, duck):
+        from conftest import assert_frames_match, to_pandas
+
+        sql = ("SELECT c_mktsegment, COUNT(*) AS n, "
+               "ROUND(100.0 * COUNT(*) / "
+               "SUM(COUNT(*)) OVER (), 4) AS pct "
+               "FROM customer GROUP BY c_mktsegment")
+        mine = to_pandas(engine.sql(sql))
+        oracle = duck.execute(sql).fetch_df()
+        assert_frames_match(mine, oracle, sort_by=["c_mktsegment"])
+
+    def test_qualify_over_grouped(self, engine, duck):
+        from conftest import assert_frames_match, to_pandas
+
+        sql = ("SELECT o_custkey, COUNT(*) AS n FROM orders "
+               "GROUP BY o_custkey "
+               "QUALIFY RANK() OVER (ORDER BY COUNT(*) DESC) <= 3")
+        mine = to_pandas(engine.sql(sql))
+        oracle = duck.execute(sql).fetch_df()
+        assert_frames_match(mine, oracle, sort_by=["o_custkey"])
