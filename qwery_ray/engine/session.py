@@ -150,6 +150,11 @@ class QweryEngine:
 
     def _resolve_scalar_subquery(self, node):
         if isinstance(node, _ScalarSubquery):
+            if self._is_correlated(node.query):
+                # references an outer column — the compiler decorrelates
+                # it into a grouped join (never executed standalone: the
+                # lenient by-name resolution would silently un-correlate)
+                return node
             ds = self.compiler.compile_query(self._prepare(node.query))
             rows = ds.take(1)
             if not rows:
@@ -157,6 +162,47 @@ class QweryEngine:
             first = rows[0]
             return A.Literal(next(iter(first.values())))
         return node
+
+    def _is_correlated(self, sub: A.Select) -> bool:
+        """True when the subquery references a column outside its own FROM
+        (alias-qualified refs to foreign aliases, or unqualified names its
+        sources cannot resolve)."""
+        if not isinstance(sub, A.Select) or sub.source is None:
+            return False
+        try:
+            inner = self.compiler.compile_source(sub.source)
+        except Exception:
+            return False
+        refs: list[A.ColumnRef] = []
+
+        def walk(expr):
+            from ..sqlc.rewrite import transform_expr
+
+            def coll(n):
+                if isinstance(n, A.ColumnRef):
+                    refs.append(n)
+                return n
+
+            if expr is not None:
+                transform_expr(expr, coll)
+
+        for it in sub.items:
+            if isinstance(it, A.SelectItem):
+                walk(it.expr)
+        walk(sub.where)
+        walk(sub.having)
+        for g in sub.group_by:
+            walk(g)
+        inner_cols = {c.lower() for c in inner.columns} | \
+            {c.lower().split(".")[-1] for c in inner.columns}
+        inner_aliases = set(inner.aliases)
+        for r in refs:
+            if r.table_alias:
+                if r.table_alias.lower() not in inner_aliases:
+                    return True
+            elif r.name.lower() not in inner_cols:
+                return True
+        return False
 
     # ------------------------------------------------------ query handlers
     def _exec_Select(self, stmt: A.Select):

@@ -948,15 +948,20 @@ class Compiler:
             frame = self.compile_join(frame, j, sel, needed=needed)
 
         # top-level IN (SELECT …) conjuncts too large to broadcast compile
-        # to hash semi/anti joins; the rest of WHERE stays a batch filter
+        # to hash semi/anti joins; correlated scalar-subquery comparisons
+        # decorrelate into grouped joins; the rest of WHERE stays a filter
         where = sel.where
         semi_nodes = []
+        corr_nodes = []
         if where is not None:
             conjs = _flatten_and(where)
             semi_nodes = [c for c in conjs if isinstance(c, A.InSubquery)]
-            if semi_nodes:
+            corr_nodes = [c for c in conjs
+                          if _is_correlated_scalar_cmp(c)]
+            if semi_nodes or corr_nodes:
                 rest = [c for c in conjs
-                        if not isinstance(c, A.InSubquery)]
+                        if not isinstance(c, A.InSubquery)
+                        and not _is_correlated_scalar_cmp(c)]
                 where = None
                 for c in rest:
                     where = c if where is None else A.And(where, c)
@@ -967,6 +972,8 @@ class Compiler:
                 frame.columns, frame.aliases)
         for k, node in enumerate(semi_nodes):
             frame = self._apply_in_semijoin(frame, node, k, env)
+        for k, node in enumerate(corr_nodes):
+            frame = self._apply_correlated_scalar(frame, node, k, env)
 
         # window functions: computed after WHERE, before projection/agg;
         # WindowCall nodes are replaced by their materialized __w columns
@@ -1149,6 +1156,108 @@ class Compiler:
         row = partials.aggregate(hll_merge) or {}
         return rd.from_arrow(pa.table({
             f"__r{i}": pa.array([row.get(f"__r{i}", 0)], type=pa.int64())}))
+
+    def _apply_correlated_scalar(self, frame: Frame, node, k: int,
+                                 env) -> Frame:
+        """Decorrelate ``<lhs> CMP (SELECT AGG(…) FROM u WHERE u.c = t.c
+        [AND local…])``: the subquery becomes a derived table grouped by its
+        correlation columns, joined to the stream on those keys, and the
+        comparison applies against the joined aggregate column. ANSI
+        no-row ⇒ NULL ⇒ comparison false ≡ inner join + filter. Classic
+        decorrelation (TPC-H Q17 shape); the join is the compiler's usual
+        broadcast-or-hash equi-join."""
+        from .parser import _ScalarSubquery
+
+        lhs, op, subnode = node.left, node.op, node.right
+        flip = False
+        if isinstance(lhs, _ScalarSubquery):
+            lhs, subnode, flip = subnode, lhs, True
+        sub = subnode.query
+        if sub.joins or sub.group_by or len(sub.items) != 1 or \
+                not isinstance(sub.items[0], A.SelectItem):
+            raise ValueError(
+                "correlated scalar subquery too complex to decorrelate "
+                "(single aggregate item, no joins/GROUP BY supported)")
+        inner_frame = self.compile_source(sub.source)
+        inner_frame_cols = inner_frame.columns
+        inner_aliases = set(inner_frame.aliases)
+
+        def side(ref: A.ColumnRef) -> str:
+            # alias-qualified refs bind by alias; unqualified by the first
+            # scope (inner) that can resolve them — the self-join case
+            # (same table inner and outer) REQUIRES the aliases
+            if ref.table_alias:
+                al = ref.table_alias.lower()
+                if al in inner_aliases:
+                    return "I"
+                if al in frame.aliases:
+                    return "O"
+                return "?"
+            if _try_resolve(ref.name, inner_frame_cols):
+                return "I"
+            if _try_resolve(ref.name, frame.columns):
+                return "O"
+            return "?"
+
+        corr_pairs = []   # (inner_col_name, outer ColumnRef)
+        local = []
+        for c in _flatten_and(sub.where) if sub.where is not None else []:
+            pair = None
+            if isinstance(c, A.Comparison) and c.op == "=" and \
+                    isinstance(c.left, A.ColumnRef) and \
+                    isinstance(c.right, A.ColumnRef):
+                sl, sr = side(c.left), side(c.right)
+                if sl == "I" and sr == "O":
+                    pair = (c.left.name, c.right)
+                elif sr == "I" and sl == "O":
+                    pair = (c.right.name, c.left)
+            if pair:
+                corr_pairs.append(pair)
+            else:
+                local.append(c)
+        if not corr_pairs:
+            raise ValueError(
+                "correlated scalar subquery needs at least one equality "
+                "between an inner and an outer column")
+        local_where = None
+        for c in local:
+            local_where = c if local_where is None else A.And(local_where, c)
+        sv = f"__sv{k}"
+        derived = A.Select(
+            items=tuple(
+                [A.SelectItem(A.ColumnRef(ic), f"__ck{k}_{i}")
+                 for i, (ic, _) in enumerate(corr_pairs)]
+                + [A.SelectItem(sub.items[0].expr, sv)]),
+            source=sub.source, where=local_where,
+            group_by=tuple(A.ColumnRef(ic) for ic, _ in corr_pairs))
+        dframe = self._select_frame(derived)
+        right = dframe.ds.materialize()  # grouped aggregate: bounded keys
+        # equi-join stream → derived on the correlation keys
+        okeys = [_resolve_name(o.name, frame.columns)
+                 for _, o in corr_pairs]
+        dkeys = [f"__ck{k}_{i}" for i in range(len(corr_pairs))]
+        left_ds = frame.ds.map_batches(HarmonizeJoinKeys(okeys),
+                                       batch_format="pyarrow")
+        if right.count() <= BROADCAST_ROW_LIMIT:
+            tbl = _harmonize_keys(_materialize_small(right), dkeys)
+            ref = ray.put(tbl)
+            joined = left_ds.map_batches(
+                BroadcastJoinBatch(ref, okeys, dkeys, "inner", None, env),
+                batch_format="pyarrow")
+        else:
+            num_cpus = int(ray.cluster_resources().get("CPU", 8))
+            joined = left_ds.join(
+                right.map_batches(HarmonizeJoinKeys(dkeys),
+                                  batch_format="pyarrow").materialize(),
+                join_type="inner", num_partitions=max(num_cpus * 2, 16),
+                on=tuple(okeys), right_on=tuple(dkeys))
+        cmp = A.Comparison(op, A.ColumnRef(sv), lhs) if flip \
+            else A.Comparison(op, lhs, A.ColumnRef(sv))
+        out = joined.map_batches(FilterBatch(cmp, env),
+                                 batch_format="pyarrow")
+        out = out.map_batches(DropColumns([sv] + dkeys),
+                              batch_format="pyarrow")
+        return Frame(out, frame.columns, frame.aliases)
 
     def _apply_in_semijoin(self, frame: Frame, node, k: int, env) -> Frame:
         """WHERE <expr> [NOT] IN (SELECT …) with a key set too large to
@@ -2153,6 +2262,16 @@ def _partial_suffixes(kind: str) -> list[str]:
         "MEAN": ["sum", "cnt"], "MIN": ["min"], "MAX": ["max"],
         "STDDEV": ["sum", "cnt", "sq"],
     }[kind]
+
+
+def _is_correlated_scalar_cmp(c) -> bool:
+    """A WHERE conjunct comparing against an UNRESOLVED scalar subquery —
+    only correlated ones survive the session's eager resolution."""
+    from .parser import _ScalarSubquery
+
+    return isinstance(c, A.Comparison) and (
+        isinstance(c.left, _ScalarSubquery)
+        or isinstance(c.right, _ScalarSubquery))
 
 
 def _flatten_and(cond: A.Cond) -> list[A.Cond]:

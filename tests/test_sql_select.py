@@ -342,3 +342,41 @@ class TestApproxCountDistinct:
         with pytest.raises(ValueError, match="APPROX_COUNT_DISTINCT"):
             eng.sql("SELECT COUNT(*) AS n, "
                     "APPROX_COUNT_DISTINCT(o_custkey) AS nc FROM orders")
+
+
+class TestCorrelatedScalarSubquery:
+    """Equality-correlated scalar subqueries decorrelate into a grouped
+    join (TPC-H Q17 shape)."""
+
+    def test_above_per_customer_average(self, ray_session, duck):
+        from qwery_ray import QweryEngine
+
+        eng = QweryEngine(table_root="/root/testdata/sf0.001")
+        sql = ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders o "
+               "WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) * 1.2 "
+               "FROM orders o2 WHERE o2.o_custkey = o.o_custkey)")
+        mine = eng.sql(sql).to_pandas()
+        oracle = duck.execute(sql).fetch_df()
+        assert sorted(mine["o_orderkey"]) == sorted(oracle["o_orderkey"])
+
+    def test_correlated_with_local_filter(self, ray_session, duck):
+        from qwery_ray import QweryEngine
+
+        eng = QweryEngine(table_root="/root/testdata/sf0.001")
+        sql = ("SELECT l_orderkey, l_linenumber FROM lineitem l "
+               "WHERE l_quantity > (SELECT AVG(l2.l_quantity) "
+               "FROM lineitem l2 WHERE l2.l_orderkey = l.l_orderkey "
+               "AND l2.l_returnflag = 'N')")
+        mine = eng.sql(sql).to_pandas()
+        oracle = duck.execute(sql).fetch_df()
+        assert sorted(zip(mine["l_orderkey"], mine["l_linenumber"])) == \
+            sorted(zip(oracle["l_orderkey"], oracle["l_linenumber"]))
+
+    def test_uncorrelated_still_inlines(self, engine, duck):
+        from conftest import assert_frames_match
+
+        sql = ("SELECT o_orderkey FROM orders "
+               "WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)")
+        mine = engine.sql(sql)
+        oracle = duck.execute(sql).fetch_df()
+        assert_frames_match(mine, oracle)
