@@ -759,4 +759,14 @@ def collect_column_refs(expr, out: set | None = None) -> set:
     elif isinstance(expr, A.InSubquery):
         # only the OUTER operand's columns; the subquery reads its own table
         collect_column_refs(expr.operand, out)
+    elif isinstance(getattr(expr, "query", None), A.Select):
+        # unresolved (correlated) scalar subquery: its WHERE may reference
+        # OUTER columns — collect them so read pruning keeps those columns
+        # (the inner table's names are harmless extras for pruning)
+        q = expr.query
+        for it in q.items:
+            if isinstance(it, A.SelectItem):
+                collect_column_refs(it.expr, out)
+        if q.where is not None:
+            collect_column_refs(q.where, out)
     return out

@@ -380,3 +380,16 @@ class TestCorrelatedScalarSubquery:
         mine = engine.sql(sql)
         oracle = duck.execute(sql).fetch_df()
         assert_frames_match(mine, oracle)
+
+    def test_correlated_with_pruned_projection(self, ray_session, duck):
+        # projection does NOT include the correlation key — read pruning
+        # must keep it anyway
+        from qwery_ray import QweryEngine
+
+        eng = QweryEngine(table_root="/root/testdata/sf0.001")
+        sql = ("SELECT COUNT(*) AS n FROM orders o "
+               "WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) * 1.2 "
+               "FROM orders o2 WHERE o2.o_custkey = o.o_custkey)")
+        mine = eng.sql(sql).to_pandas()["n"][0]
+        oracle = duck.execute(sql).fetchone()[0]
+        assert int(mine) == oracle
