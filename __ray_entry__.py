@@ -307,6 +307,15 @@ _SQL_QUERIES: dict[str, tuple[str, str | None]] = {
         "JOIN region r ON n.n_regionkey = r.r_regionkey "
         "WHERE r.r_name = 'ASIA' "
         "GROUP BY n.n_name ORDER BY revenue DESC"),
+    "corr_above_cust_avg": (
+        # equality-correlated scalar subquery (decorrelated to a grouped
+        # join); inner aggregate snapped so both engines compare against
+        # bit-identical thresholds
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders o "
+        "WHERE o_totalprice > (SELECT ROUND(SUM(o2.o_totalprice) * 100, 0) "
+        "/ 100 / COUNT(o2.o_totalprice) * 1.2 FROM orders o2 "
+        "WHERE o2.o_custkey = o.o_custkey)",
+        None),
     "between_filter": (
         "SELECT l_orderkey, l_quantity FROM lineitem "
         "WHERE l_quantity BETWEEN 10 AND 12 AND l_returnflag = 'R'",
