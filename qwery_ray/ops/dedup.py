@@ -95,21 +95,18 @@ def exact_dedup(ds: rd.Dataset, text_col: str = "text",
         ref = ray.put(loser_arr if loser_arr is not None else np.unique(
             losers.to_pandas()[id_col].to_numpy()))
 
-        class DropLosers:
-            def __init__(self):
-                self._ids = None
+        # plain task pool: ray.get of a numpy array from the object store is
+        # a zero-copy shared-memory read per task — no actor-pool startup
+        # cost, and the loser set ships once per node, not once per batch
+        def drop_losers(t: pa.Table) -> pa.Table:
+            sorted_ids = ray.get(ref)  # sorted unique ids, zero-copy
+            ids = t.column(id_col).to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(sorted_ids, ids)
+            pos = np.clip(pos, 0, len(sorted_ids) - 1)
+            keep = sorted_ids[pos] != ids
+            return t.filter(pa.array(keep))
 
-            def __call__(self, t: pa.Table) -> pa.Table:
-                if self._ids is None:
-                    self._ids = ray.get(ref)  # sorted unique ids
-                ids = t.column(id_col).to_numpy(zero_copy_only=False)
-                pos = np.searchsorted(self._ids, ids)
-                pos = np.clip(pos, 0, len(self._ids) - 1)
-                keep = self._ids[pos] != ids
-                return t.filter(pa.array(keep))
-
-        return ds.map_batches(DropLosers, batch_format="pyarrow",
-                              concurrency=(1, 8))
+        return ds.map_batches(drop_losers, batch_format="pyarrow")
     # large duplicate set: one hash-partitioned anti join on the id column
     return ds.join(losers, join_type="left_anti", num_partitions=nparts,
                    on=(id_col,))
@@ -369,21 +366,17 @@ def verify_jaccard(pairs: rd.Dataset, docs: rd.Dataset, *,
     cand_ids = np.unique(id_tbl.column(id_col).to_numpy(zero_copy_only=False))
     ids_ref = ray.put(cand_ids)
 
-    class KeepCandidates:
-        def __init__(self):
-            self._ids = None
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            if self._ids is None:
-                self._ids = ray.get(ids_ref)  # sorted unique
-            ids = t.column(id_col).to_numpy(zero_copy_only=False)
-            pos = np.clip(np.searchsorted(self._ids, ids),
-                          0, len(self._ids) - 1)
-            return t.filter(pa.array(self._ids[pos] == ids))
+    # task pool, not actors: ray.get of the sorted id array is a zero-copy
+    # shared-memory read per task, so there is no state worth an actor
+    def keep_candidates(t: pa.Table) -> pa.Table:
+        sorted_ids = ray.get(ids_ref)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(sorted_ids, ids),
+                      0, len(sorted_ids) - 1)
+        return t.filter(pa.array(sorted_ids[pos] == ids))
 
     touched = docs.select_columns([id_col, text_col]) \
-        .map_batches(KeepCandidates, batch_format="pyarrow",
-                     concurrency=(1, 8)).to_pandas()
+        .map_batches(keep_candidates, batch_format="pyarrow").to_pandas()
     texts_ref = ray.put(dict(zip(touched[id_col], touched[text_col])))
     return pairs.map_batches(VerifyJaccard(texts_ref, threshold, n),
                              batch_format="pandas")
@@ -525,7 +518,7 @@ def embedding_dup_pairs(ds: rd.Dataset, *, vec_col: str = "embedding",
                             % np.int64(max(32, ncpu * 4)))
         return df
 
-    pairs = ds.map_batches(Bucket, batch_format="pandas", concurrency=2) \
+    pairs = ds.map_batches(Bucket(), batch_format="pandas") \
         .map_batches(add_group, batch_format="pandas") \
         .groupby("bucket_grp").map_groups(pairs_in_group,
                                           batch_format="pandas")

@@ -110,47 +110,41 @@ def ivf_topk(ds: rd.Dataset, query_ids, query_matrix: np.ndarray,
             probe.setdefault(int(c), []).append(qi)
     probe_ref = ray.put((list(query_ids), qmat, probe))
 
-    class BatchCellTopK:
+    def batch_cell_topk(df: pd.DataFrame) -> pd.DataFrame:
         """Per-BATCH probe: rows of this batch belonging to a probed cell
         score against that cell's queries; local top-k per query. No cell
         is ever materialized whole — per-task memory is bounded by the
         batch size regardless of cell skew — and the corpus never
         shuffles (the old groupby('cell') moved every vector AND pinned
-        an entire cell into one pandas frame)."""
-
-        def __init__(self):
-            self._p = None
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            if self._p is None:
-                self._p = ray.get(probe_ref)
-            qids, qmat_, probe_ = self._p
-            cells = df["cell"].values
-            ids_all = df[id_col].values
-            vecs_all = _unit(_as_matrix(df[vec_col].values))
-            out_q, out_n, out_s = [], [], []
-            for cell in np.unique(cells):
-                qidx = probe_.get(int(cell), [])
-                if not qidx:
-                    continue
-                m = cells == cell
-                vecs, ids = vecs_all[m], ids_all[m]
-                sim = _unit(qmat_[qidx]) @ vecs.T
-                kk = min(k, sim.shape[1])
-                top = np.argpartition(-sim, kth=kk - 1, axis=1)[:, :kk]
-                out_q.append(np.repeat([qids[i] for i in qidx], kk))
-                out_n.append(ids[top].ravel())
-                out_s.append(np.take_along_axis(sim, top, axis=1).ravel())
-            if not out_q:
-                return pd.DataFrame({
-                    "query_id": pd.Series([], dtype="int64"),
-                    "neighbor_id": pd.Series([], dtype="int64"),
-                    "score": pd.Series([], dtype="float64")})
+        an entire cell into one pandas frame). Task pool: the probe table
+        arrives via a zero-copy ray.get per task, no actor spin-up."""
+        qids, qmat_, probe_ = ray.get(probe_ref)
+        cells = df["cell"].values
+        ids_all = df[id_col].values
+        vecs_all = _unit(_as_matrix(df[vec_col].values))
+        out_q, out_n, out_s = [], [], []
+        for cell in np.unique(cells):
+            qidx = probe_.get(int(cell), [])
+            if not qidx:
+                continue
+            m = cells == cell
+            vecs, ids = vecs_all[m], ids_all[m]
+            sim = _unit(qmat_[qidx]) @ vecs.T
+            kk = min(k, sim.shape[1])
+            top = np.argpartition(-sim, kth=kk - 1, axis=1)[:, :kk]
+            out_q.append(np.repeat([qids[i] for i in qidx], kk))
+            out_n.append(ids[top].ravel())
+            out_s.append(np.take_along_axis(sim, top, axis=1).ravel())
+        if not out_q:
             return pd.DataFrame({
-                "query_id": np.concatenate(out_q),
-                "neighbor_id": np.concatenate(out_n),
-                "score": np.concatenate(out_s),
-            })
+                "query_id": pd.Series([], dtype="int64"),
+                "neighbor_id": pd.Series([], dtype="int64"),
+                "score": pd.Series([], dtype="float64")})
+        return pd.DataFrame({
+            "query_id": np.concatenate(out_q),
+            "neighbor_id": np.concatenate(out_n),
+            "score": np.concatenate(out_s),
+        })
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         out = df.drop_duplicates("neighbor_id") \
@@ -161,6 +155,6 @@ def ivf_topk(ds: rd.Dataset, query_ids, query_matrix: np.ndarray,
         return out
 
     assigned = ds.map_batches(IvfAssign(cref, vec_col), batch_format="pandas")
-    local = assigned.map_batches(BatchCellTopK, batch_format="pandas",
-                                 batch_size=4096, concurrency=(1, 8))
+    local = assigned.map_batches(batch_cell_topk, batch_format="pandas",
+                                 batch_size=4096)
     return local.groupby("query_id").map_groups(merge, batch_format="pandas")

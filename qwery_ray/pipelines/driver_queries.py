@@ -96,13 +96,13 @@ def text_quality(sf_dir: str):
 
     from ..ops.text import TextAnalyzer
 
-    # actor pool sized to ~1/4 of the cluster so read/convert stages keep CPUs
-    ncpu = int(ray.cluster_resources().get("CPU", 8)) \
-        if ray.is_initialized() else 8
-    pool = min(8, max(1, ncpu // 4))
+    # instance on a task pool, not a class on an actor pool: the analyzer's
+    # state is compiled regexes + stopword sets (microseconds to pickle), so
+    # actor spin-up would cost more than the state it amortizes. Real actor
+    # pools are reserved for heavy state (models, indexes — see DecodeImage).
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
-    out = ds.map_batches(TextAnalyzer, batch_format="pandas",
-                         concurrency=pool, batch_size=256)
+    out = ds.map_batches(TextAnalyzer(), batch_format="pandas",
+                         batch_size=256)
     return out.select_columns(
         ["doc_id", "n_tokens", "quality_score", "lang_pred"])
 
@@ -114,7 +114,7 @@ def doc_fingerprints(sf_dir: str):
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"])
-    out = ds.map_batches(Fingerprint, batch_format="pandas", concurrency=2)
+    out = ds.map_batches(Fingerprint(), batch_format="pandas")
     return out.select_columns(["doc_id", "fingerprint"])
 
 
@@ -168,7 +168,7 @@ def simhash_sigs(sf_dir: str):
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"])
-    out = ds.map_batches(SimHash(), batch_format="pandas", concurrency=2)
+    out = ds.map_batches(SimHash(), batch_format="pandas")
 
     def to_hex(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -318,5 +318,5 @@ def pii_redact(sf_dir: str):
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"])
-    out = ds.map_batches(Redact(), batch_format="pandas", concurrency=2)
+    out = ds.map_batches(Redact(), batch_format="pandas")
     return out.select_columns(["doc_id", "text_redacted"])

@@ -44,10 +44,10 @@ def prepare_training_data(src: str, out_dir: str, *,
     ds = rd.read_parquet(src)
     stats["rows_in"] = ds.count()
 
-    # PII scrubbing + quality/language annotation (one fused actor pool
-    # each; pools sized small so read stages keep CPUs)
-    ds = ds.map_batches(Redact, fn_constructor_args=(text_col,),
-                        batch_format="pandas", concurrency=(1, 4))
+    # PII scrubbing + quality/language annotation: instances on task pools —
+    # the per-stage state (compiled regexes, stopword sets) pickles in
+    # microseconds, so actor spin-up would cost more than it amortizes
+    ds = ds.map_batches(Redact(text_col), batch_format="pandas")
 
     def swap_redacted(t: pa.Table) -> pa.Table:
         i = t.column_names.index(text_col)
@@ -55,8 +55,7 @@ def prepare_training_data(src: str, out_dir: str, *,
         return t.drop_columns(["text_redacted", "redacted_delta"])
 
     ds = ds.map_batches(swap_redacted, batch_format="pyarrow")
-    ds = ds.map_batches(TextAnalyzer, fn_constructor_args=(text_col,),
-                        batch_format="pandas", concurrency=(1, 4))
+    ds = ds.map_batches(TextAnalyzer(text_col), batch_format="pandas")
 
     keep_langs = keep_langs or {"en"}
 
