@@ -316,6 +316,19 @@ _SQL_QUERIES: dict[str, tuple[str, str | None]] = {
         "/ 100 / COUNT(o2.o_totalprice) * 1.2 FROM orders o2 "
         "WHERE o2.o_custkey = o.o_custkey)",
         None),
+    "exists_semijoin": (
+        # correlated EXISTS → left_semi join on the correlation key
+        "SELECT c_custkey, c_name FROM customer c WHERE EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+        "AND o.o_totalprice > 200000) ORDER BY c_custkey",
+        None),
+    "not_exists_antijoin": (
+        # correlated NOT EXISTS → left_anti join (null keys never match on
+        # either engine — ANSI EXISTS semantics need no NOT-IN null dance)
+        "SELECT c_custkey, c_acctbal FROM customer c WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+        "AND o.o_totalprice > 300000) ORDER BY c_custkey",
+        None),
     "between_filter": (
         "SELECT l_orderkey, l_quantity FROM lineitem "
         "WHERE l_quantity BETWEEN 10 AND 12 AND l_returnflag = 'R'",

@@ -143,6 +143,17 @@ class InSubquery(Cond):
 
 
 @dataclass(frozen=True)
+class Exists(Cond):
+    """[NOT] EXISTS (SELECT …) — compiled as a semi/anti join when the
+    subquery is equality-correlated with the outer stream (classic
+    decorrelation), or a one-off ``limit(1)`` probe when uncorrelated.
+    Only valid as a top-level AND conjunct of WHERE/HAVING."""
+
+    query: object  # A.Select | A.Union
+    negated: bool = False
+
+
+@dataclass(frozen=True)
 class Between(Cond):
     operand: Expr
     low: Expr

@@ -953,14 +953,17 @@ class Compiler:
         where = sel.where
         semi_nodes = []
         corr_nodes = []
+        exists_nodes = []
         if where is not None:
             conjs = _flatten_and(where)
             semi_nodes = [c for c in conjs if isinstance(c, A.InSubquery)]
             corr_nodes = [c for c in conjs
                           if _is_correlated_scalar_cmp(c)]
-            if semi_nodes or corr_nodes:
+            exists_nodes = [c for c in conjs if isinstance(c, A.Exists)]
+            if semi_nodes or corr_nodes or exists_nodes:
                 rest = [c for c in conjs
                         if not isinstance(c, A.InSubquery)
+                        and not isinstance(c, A.Exists)
                         and not _is_correlated_scalar_cmp(c)]
                 where = None
                 for c in rest:
@@ -974,6 +977,8 @@ class Compiler:
             frame = self._apply_in_semijoin(frame, node, k, env)
         for k, node in enumerate(corr_nodes):
             frame = self._apply_correlated_scalar(frame, node, k, env)
+        for k, node in enumerate(exists_nodes):
+            frame = self._apply_exists(frame, node, k, env)
 
         # window functions: computed after WHERE, before projection/agg;
         # WindowCall nodes are replaced by their materialized __w columns
@@ -1157,35 +1162,19 @@ class Compiler:
         return rd.from_arrow(pa.table({
             f"__r{i}": pa.array([row.get(f"__r{i}", 0)], type=pa.int64())}))
 
-    def _apply_correlated_scalar(self, frame: Frame, node, k: int,
-                                 env) -> Frame:
-        """Decorrelate ``<lhs> CMP (SELECT AGG(…) FROM u WHERE u.c = t.c
-        [AND local…])``: the subquery becomes a derived table grouped by its
-        correlation columns, joined to the stream on those keys, and the
-        comparison applies against the joined aggregate column. ANSI
-        no-row ⇒ NULL ⇒ comparison false ≡ inner join + filter. Classic
-        decorrelation (TPC-H Q17 shape); the join is the compiler's usual
-        broadcast-or-hash equi-join."""
-        from .parser import _ScalarSubquery
-
-        lhs, op, subnode = node.left, node.op, node.right
-        flip = False
-        if isinstance(lhs, _ScalarSubquery):
-            lhs, subnode, flip = subnode, lhs, True
-        sub = subnode.query
-        if sub.joins or sub.group_by or len(sub.items) != 1 or \
-                not isinstance(sub.items[0], A.SelectItem):
-            raise ValueError(
-                "correlated scalar subquery too complex to decorrelate "
-                "(single aggregate item, no joins/GROUP BY supported)")
+    def _split_correlation(self, sub: A.Select, frame: Frame):
+        """Partition a subquery's WHERE conjuncts into equality correlation
+        pairs (inner column = outer column) and purely-local predicates.
+        Alias-qualified refs bind by alias; unqualified refs by the first
+        scope (inner) that can resolve them — the self-join case (same
+        table inner and outer) REQUIRES the aliases. Returns
+        (corr_pairs, local_where) where corr_pairs is a list of
+        (inner_col_name, outer ColumnRef)."""
         inner_frame = self.compile_source(sub.source)
         inner_frame_cols = inner_frame.columns
         inner_aliases = set(inner_frame.aliases)
 
         def side(ref: A.ColumnRef) -> str:
-            # alias-qualified refs bind by alias; unqualified by the first
-            # scope (inner) that can resolve them — the self-join case
-            # (same table inner and outer) REQUIRES the aliases
             if ref.table_alias:
                 al = ref.table_alias.lower()
                 if al in inner_aliases:
@@ -1215,13 +1204,90 @@ class Compiler:
                 corr_pairs.append(pair)
             else:
                 local.append(c)
+        local_where = None
+        for c in local:
+            local_where = c if local_where is None else A.And(local_where, c)
+        return corr_pairs, local_where
+
+    def _apply_exists(self, frame: Frame, node: A.Exists, k: int,
+                      env) -> Frame:
+        """Decorrelate ``[NOT] EXISTS (SELECT … FROM u WHERE u.c = t.c
+        [AND local…])`` into a left_semi/left_anti join of the stream
+        against the DISTINCT correlation keys of the subquery. Join NULL
+        semantics (null keys never match) are exactly ANSI EXISTS
+        semantics on both the positive and negated path — no NOT-IN null
+        dance needed. An uncorrelated EXISTS probes the subquery once
+        with ``limit(1)`` and keeps or empties the stream wholesale."""
+        sub = node.query
+        corr_pairs: list = []
+        local_where = None
+        if isinstance(sub, A.Select) and not sub.joins and not sub.group_by:
+            corr_pairs, local_where = self._split_correlation(sub, frame)
+        if not corr_pairs:
+            # uncorrelated: one driver-side existence probe
+            probe = self.compile_query(self.session._prepare(sub))
+            has = probe.limit(1).count() > 0
+            if has != node.negated:
+                return frame
+            return Frame(
+                frame.ds.map_batches(lambda t: t.slice(0, 0),
+                                     batch_format="pyarrow"),
+                frame.columns, frame.aliases)
+        dkeys = [f"__ek{k}_{i}" for i in range(len(corr_pairs))]
+        derived = A.Select(
+            items=tuple(A.SelectItem(A.ColumnRef(ic), dk)
+                        for (ic, _), dk in zip(corr_pairs, dkeys)),
+            source=sub.source, where=local_where,
+            group_by=tuple(A.ColumnRef(ic) for ic, _ in corr_pairs))
+        right = self._select_frame(derived).ds.materialize()
+        okeys = [_resolve_name(o.name, frame.columns)
+                 for _, o in corr_pairs]
+        left_ds = frame.ds.map_batches(HarmonizeJoinKeys(okeys),
+                                       batch_format="pyarrow")
+        if right.count() <= BROADCAST_ROW_LIMIT:
+            tbl = _harmonize_keys(_materialize_small(right), dkeys)
+            ref = ray.put(tbl)
+            out = left_ds.map_batches(
+                BroadcastJoinBatch(
+                    ref, okeys, dkeys,
+                    "left anti" if node.negated else "left semi", None, env),
+                batch_format="pyarrow")
+        else:
+            num_cpus = int(ray.cluster_resources().get("CPU", 8))
+            out = left_ds.join(
+                right.map_batches(HarmonizeJoinKeys(dkeys),
+                                  batch_format="pyarrow").materialize(),
+                join_type="left_anti" if node.negated else "left_semi",
+                num_partitions=max(num_cpus * 2, 16),
+                on=tuple(okeys), right_on=tuple(dkeys))
+        return Frame(out, frame.columns, frame.aliases)
+
+    def _apply_correlated_scalar(self, frame: Frame, node, k: int,
+                                 env) -> Frame:
+        """Decorrelate ``<lhs> CMP (SELECT AGG(…) FROM u WHERE u.c = t.c
+        [AND local…])``: the subquery becomes a derived table grouped by its
+        correlation columns, joined to the stream on those keys, and the
+        comparison applies against the joined aggregate column. ANSI
+        no-row ⇒ NULL ⇒ comparison false ≡ inner join + filter. Classic
+        decorrelation (TPC-H Q17 shape); the join is the compiler's usual
+        broadcast-or-hash equi-join."""
+        from .parser import _ScalarSubquery
+
+        lhs, op, subnode = node.left, node.op, node.right
+        flip = False
+        if isinstance(lhs, _ScalarSubquery):
+            lhs, subnode, flip = subnode, lhs, True
+        sub = subnode.query
+        if sub.joins or sub.group_by or len(sub.items) != 1 or \
+                not isinstance(sub.items[0], A.SelectItem):
+            raise ValueError(
+                "correlated scalar subquery too complex to decorrelate "
+                "(single aggregate item, no joins/GROUP BY supported)")
+        corr_pairs, local_where = self._split_correlation(sub, frame)
         if not corr_pairs:
             raise ValueError(
                 "correlated scalar subquery needs at least one equality "
                 "between an inner and an outer column")
-        local_where = None
-        for c in local:
-            local_where = c if local_where is None else A.And(local_where, c)
         sv = f"__sv{k}"
         derived = A.Select(
             items=tuple(

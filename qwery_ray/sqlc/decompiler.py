@@ -74,6 +74,9 @@ def expr_sql(e) -> str:
     if isinstance(e, A.InSubquery):
         op = "NOT IN" if e.negated else "IN"
         return f"{expr_sql(e.operand)} {op} ({to_sql(e.query)})"
+    if isinstance(e, A.Exists):
+        kw = "NOT EXISTS" if e.negated else "EXISTS"
+        return f"{kw} ({to_sql(e.query)})"
     if isinstance(e, A.CaseWhen):
         parts = ["CASE"]
         for cond, val in e.branches:

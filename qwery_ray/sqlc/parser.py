@@ -542,10 +542,22 @@ class Parser:
 
     def parse_not(self) -> A.Cond:
         if self.accept("NOT"):
-            return A.Not(self.parse_not())
+            inner = self.parse_not()
+            if isinstance(inner, A.Exists):  # normalize NOT EXISTS
+                return A.Exists(inner.query, not inner.negated)
+            return A.Not(inner)
         return self.parse_predicate()
 
     def parse_predicate(self) -> A.Cond:
+        if self.at("EXISTS"):
+            save = self.i
+            self.next()
+            if self.peek().kind == "OP" and self.peek().text == "(":
+                self.next()
+                sub = self.parse_select_or_union()
+                self.expect(")")
+                return A.Exists(sub, False)
+            self.i = save  # EXISTS used as a plain identifier
         if self.peek().kind == "OP" and self.peek().text == "(":
             # could be parenthesized condition; try it
             save = self.i

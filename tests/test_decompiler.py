@@ -16,6 +16,8 @@ STATEMENTS = [
     "SELECT CAST(x AS DOUBLE) AS d FROM t WHERE y IS NOT NULL",
     "SELECT x FROM t WHERE a LIKE 'A%' AND b MATCHES '\\d+'",
     "SELECT x FROM t WHERE a IN (1, 2, 3) OR b BETWEEN 0 AND 9",
+    "SELECT x FROM t WHERE EXISTS (SELECT 1 FROM u WHERE u.k = t.k)",
+    "SELECT x FROM t WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.k = t.k)",
     "SELECT c.name, o.total FROM orders o INNER JOIN customer c ON o.cid = c.id",
     "SELECT l.k FROM a l LEFT JOIN b r ON l.k = r.k",
     "SELECT x FROM a UNION ALL SELECT y FROM b",
