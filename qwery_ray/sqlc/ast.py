@@ -70,10 +70,12 @@ class WindowCall(Expr):
     func: "FuncCall"
     partition_by: tuple = ()
     order_by: tuple = ()  # of OrderItem
-    # ROWS frame: (lo, hi) — None = unbounded, ints are row offsets
-    # (-n = n PRECEDING, 0 = CURRENT ROW); () = ANSI default (RANGE
-    # unbounded preceding → current row's peers)
+    # explicit frame: (lo, hi) — None = unbounded, 0 = CURRENT ROW,
+    # otherwise ROWS: physical row offsets (-n = n PRECEDING) /
+    # RANGE: value offsets relative to the single numeric ORDER BY key;
+    # () = ANSI default (RANGE unbounded preceding → current row's peers)
     frame: tuple = ()
+    frame_kind: str = "ROWS"  # "ROWS" | "RANGE" (only read when frame != ())
 
 
 @dataclass(frozen=True)

@@ -525,7 +525,8 @@ class _WindowGroupFn:
 
     def __init__(self, func: str, arg_col, okeys, odesc, out_name,
                  pkeys=None, lag_offset: int = 1, lag_default=None,
-                 ntile_n: int = 0, frame: tuple = ()):
+                 ntile_n: int = 0, frame: tuple = (),
+                 frame_kind: str = "ROWS"):
         self.func = func
         self.arg_col = arg_col
         self.okeys = okeys
@@ -535,7 +536,8 @@ class _WindowGroupFn:
         self.lag_offset = lag_offset
         self.lag_default = lag_default
         self.ntile_n = ntile_n
-        self.frame = frame  # explicit ROWS frame (lo, hi) or () = default
+        self.frame = frame  # explicit frame (lo, hi) or () = default
+        self.frame_kind = frame_kind  # "ROWS" | "RANGE"
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         if self.pkeys:
@@ -621,6 +623,77 @@ class _WindowGroupFn:
             "PRECEDING/CURRENT ROW combinations and n PRECEDING AND "
             "CURRENT ROW")
 
+    def _range_frame(self, df: pd.DataFrame, fn: str, n: int) -> np.ndarray:
+        """RANGE offset frame (lo, hi): VALUE offsets relative to the single
+        numeric ORDER BY key — row i's frame is every row whose key lies in
+        [key_i + lo, key_i + hi] (ANSI; CURRENT ROW ⇒ offset 0 includes all
+        peers). Vectorized per partition: frame edges via two searchsorted
+        calls on the sorted keys; SUM/COUNT/AVG read prefix sums; MIN/MAX
+        read an O(n log n) sparse table. NULL order keys form one peer
+        group whose frame is the whole NULL group (DuckDB semantics)."""
+        lo, hi = self.frame
+        if len(self.okeys) != 1:
+            raise ValueError(
+                "RANGE offset frames require exactly ONE ORDER BY key")
+        key = df[self.okeys[0]]
+        if not pd.api.types.is_numeric_dtype(key):
+            key = pd.to_numeric(key, errors="coerce")
+        vals = key.to_numpy(dtype=np.float64)  # df already sorted by key
+        if self.odesc[0]:
+            vals = -vals  # ascending view; [v+lo, v+hi] is direction-free
+        s = df[self.arg_col] if self.arg_col else \
+            pd.Series(np.ones(n), index=df.index)
+        notna = s.notna().to_numpy()  # COUNT counts non-null args of ANY type
+        x = s.to_numpy(dtype=np.float64) if s.dtype.kind in "fiub" else \
+            pd.to_numeric(s, errors="coerce").to_numpy(dtype=np.float64)
+
+        # NULL keys sort LAST (pandas na_position default == DuckDB's
+        # NULLS LAST default for both directions) and form one peer group.
+        # UNBOUNDED bounds are ABSOLUTE (they cross the null/non-null
+        # boundary); value/CURRENT ROW bounds stay within the segment:
+        # a NULL row's value-based frame is exactly its null peer group.
+        m = int(np.count_nonzero(~np.isnan(vals)))
+        v = vals[:m]
+        ls = np.empty(n, dtype=np.int64)
+        rs = np.empty(n, dtype=np.int64)
+        ls[:m] = 0 if lo is None else np.searchsorted(v, v + lo, side="left")
+        rs[:m] = n if hi is None else np.searchsorted(v, v + hi, side="right")
+        ls[m:] = 0 if lo is None else m
+        rs[m:] = n
+
+        ps = np.concatenate([[0.0], np.cumsum(np.where(notna, x, 0.0))])
+        pc_ = np.concatenate([[0], np.cumsum(notna.astype(np.int64))])
+        cnt = pc_[rs] - pc_[ls]
+        if fn == "COUNT":
+            return cnt.astype(np.float64)
+        if fn == "SUM" or fn in ("AVG", "MEAN"):
+            tot = ps[rs] - ps[ls]
+            if fn in ("AVG", "MEAN"):
+                return np.where(cnt > 0, tot / np.maximum(cnt, 1), np.nan)
+            return np.where(cnt > 0, tot, np.nan)
+        # MIN/MAX: sparse table (fmin/fmax skip NaN = NULL args)
+        op = np.fmin if fn == "MIN" else np.fmax
+        arr = np.where(notna, x, np.nan)
+        tables = [arr]
+        j = 1
+        while (1 << j) <= n:
+            prev = tables[-1]
+            half = 1 << (j - 1)
+            tables.append(op(prev[:n - (1 << j) + 1],
+                             prev[half:n - (1 << j) + 1 + half]))
+            j += 1
+        res = np.full(n, np.nan)
+        width = rs - ls
+        valid = width > 0
+        if valid.any():
+            k = np.zeros(n, dtype=np.int64)
+            k[valid] = np.floor(np.log2(width[valid])).astype(np.int64)
+            for kk in np.unique(k[valid]):
+                sel = valid & (k == kk)
+                t = tables[kk]
+                res[sel] = op(t[ls[sel]], t[rs[sel] - (1 << kk)])
+        return res
+
     def _one(self, df: pd.DataFrame) -> pd.DataFrame:
         if self.okeys:
             df = df.sort_values(self.okeys,
@@ -704,7 +777,10 @@ class _WindowGroupFn:
                 out = df[self.arg_col].shift(shift).to_numpy()
         elif fn in ("SUM", "COUNT", "AVG", "MEAN", "MIN", "MAX") \
                 and self.frame:
-            out = self._rows_frame(df, fn, n)
+            if self.frame_kind == "RANGE" and self.frame != (None, None):
+                out = self._range_frame(df, fn, n)
+            else:
+                out = self._rows_frame(df, fn, n)
         elif fn in ("SUM", "COUNT", "AVG", "MEAN", "MIN", "MAX"):
             s = df[self.arg_col] if self.arg_col else None
             if self.okeys:  # cumulative frame
@@ -2147,7 +2223,7 @@ class Compiler:
         win = _WindowGroupFn(fn.name, arg_col, okeys, odesc, out_name,
                              pkeys=pkeys, lag_offset=lag_offset,
                              lag_default=lag_default, ntile_n=ntile_n,
-                             frame=wc.frame)
+                             frame=wc.frame, frame_kind=wc.frame_kind)
 
         def window_fn(df: pd.DataFrame, _w=win) -> pd.DataFrame:
             return _w(df)

@@ -68,7 +68,8 @@ def expr_sql(e) -> str:
                     return "CURRENT ROW"
                 return f"{-v} PRECEDING" if v < 0 else f"{v} FOLLOWING"
 
-            parts.append(f"ROWS BETWEEN {bound(e.frame[0], True)} "
+            kind = getattr(e, "frame_kind", "ROWS") or "ROWS"
+            parts.append(f"{kind} BETWEEN {bound(e.frame[0], True)} "
                          f"AND {bound(e.frame[1], False)}")
         return inner + " ".join(parts) + ")"
     if isinstance(e, A.InSubquery):

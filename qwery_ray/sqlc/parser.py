@@ -766,24 +766,21 @@ class Parser:
             while self.accept(","):
                 order_by.append(self.parse_order_item())
         frame: tuple = ()
+        frame_kind = "ROWS"
         if self.at("ROWS") or self.at("RANGE"):
             kind = self.next().upper
             self.expect("BETWEEN")
             lo = self._parse_frame_bound(low=True)
             self.expect("AND")
             hi = self._parse_frame_bound(low=False)
-            if kind == "RANGE":
-                # only the ANSI-default RANGE frame is supported explicitly
-                if not (lo is None and hi == 0):
-                    raise ParseError(
-                        "RANGE frames support only UNBOUNDED PRECEDING "
-                        "AND CURRENT ROW (the default); use ROWS for "
-                        "offset frames")
+            if kind == "RANGE" and lo is None and hi == 0:
+                pass  # the ANSI default frame — () keeps peer semantics
             else:
                 frame = (lo, hi)
+                frame_kind = kind
         self.expect(")")
         return A.WindowCall(call, tuple(partition_by), tuple(order_by),
-                            frame)
+                            frame, frame_kind)
 
     def _parse_frame_bound(self, low: bool):
         if self.accept("UNBOUNDED"):
@@ -794,7 +791,8 @@ class Parser:
         if self.accept("CURRENT"):
             self.expect("ROW")
             return 0
-        n = int(self.next().text)
+        text = self.next().text
+        n = float(text) if "." in text else int(text)  # RANGE allows values
         word = self.next().upper
         if word == "PRECEDING":
             return -n

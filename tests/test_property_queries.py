@@ -139,6 +139,51 @@ class TestWindowFuzz:
         type(self)._fixture = fuzz_table_rid
 
 
+class TestRangeFrameFuzz:
+    """RANGE offset frames vs DuckDB: random aggregate x bounds x direction
+    over a numeric order key with ties and NULL keys (nulls form one peer
+    group; peers share frames)."""
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.sampled_from(["SUM(f)", "AVG(f)", "MIN(f)", "MAX(f)",
+                            "COUNT(f)"]),
+           st.booleans(),
+           st.sampled_from([(-3, 0), (-5, 5), (0, None), (None, 2),
+                            (-2, -1), (1, 4)]),
+           st.booleans())
+    def test_range_frame_parity(self, fn, partition, bounds, desc):
+        sf_dir, path = self._fixture
+        from qwery_ray import QweryEngine
+
+        eng = QweryEngine(table_root=sf_dir)
+        lo, hi = bounds
+
+        def b(v, low):
+            if v is None:
+                return "UNBOUNDED PRECEDING" if low else \
+                    "UNBOUNDED FOLLOWING"
+            if v == 0:
+                return "CURRENT ROW"
+            return f"{-v} PRECEDING" if v < 0 else f"{v} FOLLOWING"
+
+        over = (["PARTITION BY k"] if partition else []) + [
+            f"ORDER BY i{' DESC' if desc else ''}",
+            f"RANGE BETWEEN {b(lo, True)} AND {b(hi, False)}"]
+        sql = (f"SELECT rid, {fn} OVER ({' '.join(over)}) AS w FROM wf")
+        mine = eng.sql(sql).to_pandas()
+        oracle = duckdb.sql(sql.replace("FROM wf", f"FROM '{path}'")).df()
+        mine = mine.sort_values("rid", ignore_index=True)
+        oracle = oracle.sort_values("rid", ignore_index=True)
+        a = mine["w"].to_numpy(dtype="float64", na_value=np.nan)
+        b_ = oracle["w"].to_numpy(dtype="float64", na_value=np.nan)
+        assert np.allclose(a, b_, rtol=1e-9, atol=1e-12, equal_nan=True), \
+            sql
+
+    @pytest.fixture(autouse=True)
+    def _bind_rf(self, fuzz_table_rid):
+        type(self)._fixture = fuzz_table_rid
+
+
 @pytest.fixture(scope="module")
 def join_tables(ray_session, tmp_path_factory):
     rng = np.random.default_rng(77)

@@ -229,3 +229,91 @@ class TestWindowsOverAggregates:
         mine = to_pandas(engine.sql(sql))
         oracle = duck.execute(sql).fetch_df()
         assert_frames_match(mine, oracle, sort_by=["o_custkey"])
+
+
+class TestRangeFrames:
+    """RANGE offset frames: VALUE offsets on the single numeric ORDER BY
+    key — frame = rows with key in [key_i + lo, key_i + hi] (peers always
+    share frames). Vectorized: searchsorted frame edges + prefix sums
+    (SUM/COUNT/AVG) or an O(n log n) sparse table (MIN/MAX)."""
+
+    def test_range_trailing_sum(self, engine, duck):
+        from conftest import assert_frames_match, to_pandas
+
+        sql = ("SELECT l_orderkey, l_linenumber, "
+               "SUM(l_quantity) OVER (PARTITION BY l_orderkey "
+               "ORDER BY l_quantity "
+               "RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS s "
+               "FROM lineitem WHERE l_orderkey < 200")
+        mine = to_pandas(engine.sql(sql))
+        oracle = duck.execute(sql).fetch_df()
+        assert_frames_match(mine, oracle,
+                            sort_by=["l_orderkey", "l_linenumber"])
+
+    def test_range_symmetric_count_and_avg(self, engine, duck):
+        from conftest import assert_frames_match, to_pandas
+
+        sql = ("SELECT l_orderkey, l_linenumber, "
+               "COUNT(l_quantity) OVER (PARTITION BY l_orderkey "
+               "ORDER BY l_quantity "
+               "RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS c, "
+               "AVG(l_quantity) OVER (PARTITION BY l_orderkey "
+               "ORDER BY l_quantity "
+               "RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS a "
+               "FROM lineitem WHERE l_orderkey < 200")
+        mine = to_pandas(engine.sql(sql))
+        mine["c"] = mine["c"].astype("int64")
+        oracle = duck.execute(sql).fetch_df()
+        assert_frames_match(mine, oracle,
+                            sort_by=["l_orderkey", "l_linenumber"])
+
+    def test_range_min_max_desc(self, engine, duck):
+        from conftest import assert_frames_match, to_pandas
+
+        sql = ("SELECT l_orderkey, l_linenumber, "
+               "MIN(l_extendedprice) OVER (PARTITION BY l_orderkey "
+               "ORDER BY l_quantity "
+               "RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS mn, "
+               "MAX(l_quantity) OVER (PARTITION BY l_orderkey "
+               "ORDER BY l_quantity DESC "
+               "RANGE BETWEEN 4 PRECEDING AND CURRENT ROW) AS mx "
+               "FROM lineitem WHERE l_orderkey < 200")
+        mine = to_pandas(engine.sql(sql))
+        oracle = duck.execute(sql).fetch_df()
+        assert_frames_match(mine, oracle,
+                            sort_by=["l_orderkey", "l_linenumber"])
+
+    def test_range_unbounded_following(self, engine, duck):
+        from conftest import assert_frames_match, to_pandas
+
+        sql = ("SELECT l_orderkey, l_linenumber, "
+               "SUM(l_quantity) OVER (PARTITION BY l_orderkey "
+               "ORDER BY l_quantity "
+               "RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS s "
+               "FROM lineitem WHERE l_orderkey < 200")
+        mine = to_pandas(engine.sql(sql))
+        oracle = duck.execute(sql).fetch_df()
+        assert_frames_match(mine, oracle,
+                            sort_by=["l_orderkey", "l_linenumber"])
+
+    def test_range_default_frame_still_default(self, engine, duck):
+        from conftest import assert_frames_match, to_pandas
+
+        # explicit ANSI-default RANGE frame == no frame clause at all
+        sql = ("SELECT o_orderkey, "
+               "SUM(o_totalprice) OVER (ORDER BY o_orderdate "
+               "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rt "
+               "FROM orders WHERE o_custkey < 10")
+        mine = to_pandas(engine.sql(sql))
+        oracle = duck.execute(sql).fetch_df()
+        assert_frames_match(mine, oracle, sort_by=["o_orderkey"])
+
+    def test_range_frame_decompiles(self):
+        from qwery_ray.sqlc.decompiler import to_sql
+        from qwery_ray.sqlc.parser import parse
+
+        sql = ("SELECT SUM(x) OVER (ORDER BY y RANGE BETWEEN 2 PRECEDING "
+               "AND 2 FOLLOWING) AS s FROM t")
+        stmt = parse(sql)[0]
+        assert "RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING" in to_sql(stmt)
+        assert to_sql(parse(to_sql(stmt))[0]) == to_sql(stmt)
