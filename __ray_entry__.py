@@ -316,6 +316,15 @@ _SQL_QUERIES: dict[str, tuple[str, str | None]] = {
         "/ 100 / COUNT(o2.o_totalprice) * 1.2 FROM orders o2 "
         "WHERE o2.o_custkey = o.o_custkey)",
         None),
+    "window_range_frame": (
+        # RANGE value-offset frame; l_quantity is integer-valued so the
+        # windowed sums are exact doubles on both engines, and RANGE peer
+        # semantics make the result independent of tie order
+        "SELECT l_orderkey, l_linenumber, l_quantity, "
+        "SUM(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_quantity "
+        "RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS qty_range_sum "
+        "FROM lineitem WHERE l_orderkey < 3000",
+        None),
     "exists_semijoin": (
         # correlated EXISTS → left_semi join on the correlation key
         "SELECT c_custkey, c_name FROM customer c WHERE EXISTS "
