@@ -285,6 +285,20 @@ _SQL_QUERIES: dict[str, tuple[str, str | None]] = {
         "AND l.l_shipdate > TIMESTAMP '1998-01-01' "
         "GROUP BY o.o_orderkey, o.o_orderdate "
         "ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+    "tpch_q4_shape": (
+        # TPC-H Q4 shape: date-filtered orders counted by priority, gated
+        # on a correlated EXISTS against lineitem (decorrelated semi-join);
+        # COUNT(*) is integer-exact on both engines
+        "SELECT o.o_orderpriority, COUNT(*) AS order_count FROM orders o "
+        "WHERE o.o_orderdate >= DATE_PARSE('1997-01-01', 'yyyy-MM-dd') "
+        "AND EXISTS (SELECT 1 FROM lineitem l "
+        "WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R') "
+        "GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority",
+        "SELECT o.o_orderpriority, COUNT(*) AS order_count FROM orders o "
+        "WHERE o.o_orderdate >= TIMESTAMP '1997-01-01' "
+        "AND EXISTS (SELECT 1 FROM lineitem l "
+        "WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R') "
+        "GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority"),
     "tpch_q5_shape": (
         # TPC-H Q5 shape: 5-way join through region, grouped revenue
         "SELECT n.n_name, "
