@@ -636,9 +636,20 @@ class _WindowGroupFn:
             raise ValueError(
                 "RANGE offset frames require exactly ONE ORDER BY key")
         key = df[self.okeys[0]]
-        if not pd.api.types.is_numeric_dtype(key):
-            key = pd.to_numeric(key, errors="coerce")
-        vals = key.to_numpy(dtype=np.float64)  # df already sorted by key
+        if pd.api.types.is_datetime64_any_dtype(key):
+            # timestamp key: bounds arrive normalized to SECONDS (INTERVAL
+            # literals); scale them to the key's physical resolution
+            arr = key.to_numpy()
+            unit, _ = np.datetime_data(arr.dtype)
+            scale = {"s": 1e0, "ms": 1e3, "us": 1e6, "ns": 1e9}[unit]
+            vals = arr.astype("int64").astype(np.float64)
+            vals[pd.isna(arr)] = np.nan  # NaT encodes as INT64_MIN otherwise
+            lo = None if lo is None else lo * scale
+            hi = None if hi is None else hi * scale
+        else:
+            if not pd.api.types.is_numeric_dtype(key):
+                key = pd.to_numeric(key, errors="coerce")
+            vals = key.to_numpy(dtype=np.float64)  # df already sorted
         if self.odesc[0]:
             vals = -vals  # ascending view; [v+lo, v+hi] is direction-free
         s = df[self.arg_col] if self.arg_col else \

@@ -791,6 +791,25 @@ class Parser:
         if self.accept("CURRENT"):
             self.expect("ROW")
             return 0
+        if self.accept("INTERVAL"):
+            # time offset for RANGE frames over timestamp ORDER BY keys;
+            # normalized to SECONDS (the compiler scales to the key's
+            # physical resolution)
+            tok = self.next()
+            qty = float(unquote_string(tok.text)) if tok.kind == "STR" \
+                else float(tok.text)
+            unit = self.next().upper.rstrip("S")
+            mult = {"SECOND": 1.0, "MINUTE": 60.0, "HOUR": 3600.0,
+                    "DAY": 86400.0}.get(unit)
+            if mult is None:
+                raise ParseError(f"unsupported INTERVAL unit {unit}")
+            n = qty * mult
+            word = self.next().upper
+            if word == "PRECEDING":
+                return -n
+            if word == "FOLLOWING":
+                return n
+            raise ParseError(f"expected PRECEDING/FOLLOWING, got {word}")
         text = self.next().text
         n = float(text) if "." in text else int(text)  # RANGE allows values
         word = self.next().upper

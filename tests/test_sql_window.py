@@ -308,6 +308,36 @@ class TestRangeFrames:
         oracle = duck.execute(sql).fetch_df()
         assert_frames_match(mine, oracle, sort_by=["o_orderkey"])
 
+    def test_range_interval_trailing_hour(self, engine, duck):
+        from conftest import assert_frames_match, to_pandas
+
+        # INTERVAL offsets over a timestamp ORDER BY key (DuckDB accepts
+        # the same syntax, so the oracle runs the identical string)
+        sql = ("SELECT event_id, "
+               "SUM(value) OVER (PARTITION BY user_id ORDER BY ts "
+               "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) "
+               "AS s, "
+               "COUNT(*) OVER (PARTITION BY user_id ORDER BY ts "
+               "RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING "
+               "AND INTERVAL 30 MINUTE FOLLOWING) AS c "
+               "FROM events WHERE user_id < 40")
+        mine = to_pandas(engine.sql(sql))
+        mine["c"] = mine["c"].astype("int64")
+        oracle = duck.execute(sql).fetch_df()
+        assert_frames_match(mine, oracle, sort_by=["event_id"])
+
+    def test_range_interval_day_minmax(self, engine, duck):
+        from conftest import assert_frames_match, to_pandas
+
+        sql = ("SELECT event_id, "
+               "MAX(value) OVER (PARTITION BY user_id ORDER BY ts "
+               "RANGE BETWEEN INTERVAL 2 DAY PRECEDING AND CURRENT ROW) "
+               "AS mx "
+               "FROM events WHERE user_id < 40")
+        mine = to_pandas(engine.sql(sql))
+        oracle = duck.execute(sql).fetch_df()
+        assert_frames_match(mine, oracle, sort_by=["event_id"])
+
     def test_range_frame_decompiles(self):
         from qwery_ray.sqlc.decompiler import to_sql
         from qwery_ray.sqlc.parser import parse
