@@ -339,6 +339,20 @@ _SQL_QUERIES: dict[str, tuple[str, str | None]] = {
         "RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS qty_range_sum "
         "FROM lineitem WHERE l_orderkey < 3000",
         None),
+    "window_time_range": (
+        # time-based RANGE frames (INTERVAL offsets on a timestamp ORDER BY
+        # key). COUNT is integer-exact; the windowed SUM over 2-decimal
+        # values is snapped to integer cents so both engines compare
+        # bit-identical doubles. RANGE peer semantics ⇒ tie-order free.
+        "SELECT event_id, "
+        "COUNT(*) OVER (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING "
+        "AND INTERVAL 30 MINUTE FOLLOWING) AS n_near, "
+        "ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) "
+        "* 100, 0) / 100 AS s_trailing_hr "
+        "FROM events",
+        None),
     "exists_semijoin": (
         # correlated EXISTS → left_semi join on the correlation key
         "SELECT c_custkey, c_name FROM customer c WHERE EXISTS "

@@ -676,7 +676,7 @@ class _WindowGroupFn:
         pc_ = np.concatenate([[0], np.cumsum(notna.astype(np.int64))])
         cnt = pc_[rs] - pc_[ls]
         if fn == "COUNT":
-            return cnt.astype(np.float64)
+            return cnt
         if fn == "SUM" or fn in ("AVG", "MEAN"):
             tot = ps[rs] - ps[ls]
             if fn in ("AVG", "MEAN"):
@@ -832,6 +832,10 @@ class _WindowGroupFn:
                 out = np.full(n, val)
         else:
             raise ValueError(f"unsupported window function {fn}")
+        if fn == "COUNT":
+            # ANSI: COUNT is BIGINT and never NULL (some paths above compute
+            # it as float via rolling/prefix machinery)
+            out = np.asarray(out).astype(np.int64)
         df = df.copy()
         df[self.out_name] = out
         return df

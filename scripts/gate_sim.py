@@ -3,7 +3,7 @@ with its oracle_sql() at sf0.01 (the driver's gate scale) and compares
 rows, schema and float columns BIT-FOR-BIT (the driver hashes exact
 values; rtol comparisons hide last-ulp drift).
 
-Usage:  python scripts/gate_sim.py  [sf_dir]
+Usage:  python scripts/gate_sim.py  [sf_dir]  [--only name1,name2,...]
 """
 import sys, os
 sys.path.insert(0, "/root/repo")
@@ -13,7 +13,13 @@ ray.init(address="local", num_cpus=32, include_dashboard=False,
 import __ray_entry__ as em
 import duckdb, numpy as np, pandas as pd
 
-sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+argv = list(sys.argv[1:])
+only = None
+if "--only" in argv:
+    i = argv.index("--only")
+    only = set(argv[i + 1].split(","))
+    del argv[i:i + 2]
+sf = argv[0] if argv else "/root/testdata/sf0.01"
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
@@ -24,6 +30,8 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
 qs, osql = em.queries(), em.oracle_sql()
 fails = []
 for name in sorted(qs):
+    if only and name not in only:
+        continue
     try:
         res = qs[name](sf)
         df = res.to_pandas() if hasattr(res, "to_pandas") else (

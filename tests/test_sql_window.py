@@ -262,7 +262,6 @@ class TestRangeFrames:
                "RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS a "
                "FROM lineitem WHERE l_orderkey < 200")
         mine = to_pandas(engine.sql(sql))
-        mine["c"] = mine["c"].astype("int64")
         oracle = duck.execute(sql).fetch_df()
         assert_frames_match(mine, oracle,
                             sort_by=["l_orderkey", "l_linenumber"])
@@ -322,7 +321,6 @@ class TestRangeFrames:
                "AND INTERVAL 30 MINUTE FOLLOWING) AS c "
                "FROM events WHERE user_id < 40")
         mine = to_pandas(engine.sql(sql))
-        mine["c"] = mine["c"].astype("int64")
         oracle = duck.execute(sql).fetch_df()
         assert_frames_match(mine, oracle, sort_by=["event_id"])
 
