@@ -339,6 +339,16 @@ _SQL_QUERIES: dict[str, tuple[str, str | None]] = {
         "RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS qty_range_sum "
         "FROM lineitem WHERE l_orderkey < 3000",
         None),
+    "rollup_pricing": (
+        # ROLLUP subtotals + GROUPING() masks; one input shuffle, coarser
+        # levels re-aggregate the finest partials. Sums snapped to integer
+        # cents for cross-engine bit-stability.
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+        "ROUND(SUM(l_quantity) * 100, 0) / 100 AS sum_qty, "
+        "ROUND(SUM(l_extendedprice) * 100, 0) / 100 AS sum_price, "
+        "GROUPING(l_returnflag) AS g1, GROUPING(l_linestatus) AS g2 "
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)",
+        None),
     "window_time_range": (
         # time-based RANGE frames (INTERVAL offsets on a timestamp ORDER BY
         # key). COUNT is integer-exact; the windowed SUM over 2-decimal

@@ -9,6 +9,7 @@ vectorized Arrow kernels so no per-row scope exists at run time.
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import re
 from typing import Any, Callable, Optional
@@ -478,7 +479,8 @@ def _map_statement_exprs(stmt, fix: Callable):
             A.JoinClause(j.join_type,
                          _map_source(j.right, fix), fix(j.on))
             for j in stmt.joins)
-        return A.Select(
+        return dataclasses.replace(
+            stmt,
             items=items,
             source=_map_source(stmt.source, fix),
             joins=joins,
@@ -487,7 +489,6 @@ def _map_statement_exprs(stmt, fix: Callable):
             having=fix(stmt.having),
             order_by=tuple(A.OrderItem(fix(o.expr), o.ascending)
                            for o in stmt.order_by),
-            limit=stmt.limit, distinct=stmt.distinct,
             qualify=fix(stmt.qualify))
     if isinstance(stmt, A.Union):
         return A.Union(_map_statement_exprs(stmt.left, fix),

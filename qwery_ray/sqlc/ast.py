@@ -251,6 +251,9 @@ class Select(Statement, Source):
     limit: Optional[int] = None
     distinct: bool = False
     qualify: Optional[Cond] = None  # window-aware post-filter (DuckDB-style)
+    # ROLLUP/CUBE/GROUPING SETS: tuple of grouping sets, each a tuple of
+    # indexes into group_by (the distinct key list). None → plain GROUP BY.
+    grouping_sets: Optional[tuple] = None
 
 
 @dataclass(frozen=True)

@@ -17,7 +17,7 @@ after aggregation, multi-key GROUP BY.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace as dc_replace
 from typing import Any, Optional
 
 import numpy as np
@@ -898,6 +898,79 @@ class NullSafeSortKeys:
         return t
 
 
+def _collect_grouping_calls(expr) -> list:
+    """All GROUPING(...) FuncCall nodes in an expression tree (generic
+    frozen-dataclass walk; GROUPING is not an aggregate, so
+    collect_agg_calls never sees it)."""
+    out = []
+
+    def walk(node):
+        if isinstance(node, A.FuncCall) and node.name == "GROUPING":
+            out.append(node)
+            return
+        if isinstance(node, tuple):
+            for x in node:
+                walk(x)
+        elif hasattr(node, "__dataclass_fields__"):
+            for f in node.__dataclass_fields__:
+                walk(getattr(node, f))
+
+    walk(expr)
+    return out
+
+
+class _AlignGroupingSet:
+    """Normalize one grouping-set piece to the canonical rollup schema:
+    all key columns (typed NULL where the key is aggregated away), the
+    partial columns in canonical order, and a __gm{j} int64 constant per
+    key (1 = key absent from this set) backing GROUPING(key)."""
+
+    def __init__(self, key_names, types, partial_names, present):
+        self.key_names = list(key_names)
+        self.types = types
+        self.partial_names = list(partial_names)
+        self.present = present  # frozenset of key indexes in this set
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = len(t)
+        cols = {}
+        for j, k in enumerate(self.key_names):
+            if j in self.present:
+                cols[k] = t.column(k)
+            else:
+                cols[k] = pa.nulls(n, type=self.types.get(k))
+        for name in self.partial_names:
+            cols[name] = t.column(name)
+        for j in range(len(self.key_names)):
+            cols[f"__gm{j}"] = pa.array(
+                np.full(n, 0 if j in self.present else 1, dtype=np.int64))
+        return pa.table(cols)
+
+
+class _DecodeNullSafeKeys:
+    """Inverse of NullSafeSortKeys after a groupby: rebuild each key column
+    as NULL where __nf{i}=1 else __nk{i}, and drop the helper columns."""
+
+    def __init__(self, key_names):
+        self.key_names = list(key_names)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        cols = {}
+        for i, k in enumerate(self.key_names):
+            nf = t.column(f"__nf{i}")
+            nk = t.column(f"__nk{i}")
+            if isinstance(nk, pa.ChunkedArray):
+                nk = nk.combine_chunks()
+            cols[k] = pc.if_else(pc.equal(nf, 1),
+                                 pa.scalar(None, nk.type), nk)
+        helper = {f"__nf{i}" for i in range(len(self.key_names))} | \
+                 {f"__nk{i}" for i in range(len(self.key_names))}
+        for c in t.column_names:
+            if c not in helper:
+                cols[c] = t.column(c)
+        return pa.table(cols)
+
+
 class _PositionalUnionRename:
     """Re-label the right UNION arm positionally to the left arm's names."""
 
@@ -1097,11 +1170,8 @@ class Compiler:
                                          o.ascending) for o in sel.order_by)
             qualify = substitute_nodes(sel.qualify, wmap) \
                 if sel.qualify is not None else None
-            sel = A.Select(items=new_items, source=sel.source,
-                           joins=sel.joins, where=None,
-                           group_by=sel.group_by, having=sel.having,
-                           order_by=order_by, limit=sel.limit,
-                           distinct=sel.distinct, qualify=qualify)
+            sel = dc_replace(sel, items=new_items, where=None,
+                             order_by=order_by, qualify=qualify)
 
         if sel.qualify is not None:
             # QUALIFY filters on window results / select aliases BEFORE the
@@ -1118,11 +1188,7 @@ class Compiler:
                 frame.ds.map_batches(FilterBatch(q, env),
                                      batch_format="pyarrow"),
                 frame.columns, frame.aliases)
-            sel = A.Select(items=sel.items, source=sel.source,
-                           joins=sel.joins, where=sel.where,
-                           group_by=sel.group_by, having=sel.having,
-                           order_by=sel.order_by, limit=sel.limit,
-                           distinct=sel.distinct, qualify=None)
+            sel = dc_replace(sel, qualify=None)
 
         has_agg = bool(sel.group_by) or any(
             collect_agg_calls(it.expr)
@@ -1506,7 +1572,8 @@ class Compiler:
 
         inner = A.Select(items=tuple(inner_items), source=sel.source,
                          joins=sel.joins, where=sel.where,
-                         group_by=sel.group_by, having=sel.having)
+                         group_by=sel.group_by, having=sel.having,
+                         grouping_sets=sel.grouping_sets)
 
         def sub(expr):
             return substitute_nodes(expr, mapping) \
@@ -1547,10 +1614,7 @@ class Compiler:
             for o in sel.order_by)
         if group_by == sel.group_by and order_by == sel.order_by:
             return sel
-        return A.Select(items=sel.items, source=sel.source, joins=sel.joins,
-                        where=sel.where, group_by=group_by, having=sel.having,
-                        order_by=order_by, limit=sel.limit,
-                        distinct=sel.distinct, qualify=sel.qualify)
+        return dc_replace(sel, group_by=group_by, order_by=order_by)
 
     def _output_name(self, item: A.SelectItem, idx: int) -> str:
         if item.alias:
@@ -1957,12 +2021,8 @@ class Compiler:
         if sel.having is not None and alias_exprs:
             from .rewrite import substitute_columns
 
-            sel = A.Select(items=sel.items, source=sel.source,
-                           joins=sel.joins, where=sel.where,
-                           group_by=sel.group_by,
-                           having=substitute_columns(sel.having, alias_exprs),
-                           order_by=sel.order_by, limit=sel.limit,
-                           distinct=sel.distinct, qualify=sel.qualify)
+            sel = dc_replace(
+                sel, having=substitute_columns(sel.having, alias_exprs))
 
         agg_calls: list[A.FuncCall] = []
         for it in items:
@@ -1979,9 +2039,45 @@ class Compiler:
                     agg_calls.append(call)
         aggs = [(c, i) for i, c in enumerate(agg_calls)]
         any_distinct = any(c.distinct for c in agg_calls)
+        if sel.grouping_sets is not None and (
+                any_distinct or
+                any(c.name == "APPROX_COUNT_DISTINCT" for c in agg_calls)):
+            raise ValueError(
+                "DISTINCT / approximate aggregates are not supported with "
+                "ROLLUP / CUBE / GROUPING SETS (wrap in a subquery)")
 
         # rewrite items/having with agg calls → result column refs
         mapping = {c: A.ColumnRef(f"__r{i}") for c, i in aggs}
+        # GROUPING(key) → the per-set constant mask column __gm{j}
+        # (plain GROUP BY: always 0)
+        for src in ([it.expr for it in items]
+                    + ([sel.having] if sel.having is not None else [])
+                    + [ob.expr for ob in sel.order_by]):
+            for call in _collect_grouping_calls(src):
+                if call in mapping:
+                    continue
+                if len(call.args) != 1:
+                    raise ValueError("GROUPING() takes exactly one argument")
+                if sel.grouping_sets is None:
+                    mapping[call] = A.Literal(0)
+                    continue
+                # the argument may be a raw key expr, a SELECT alias of one,
+                # or the pre-alias-resolution GROUP BY spelling
+                arg = call.args[0]
+                cands = [arg]
+                if isinstance(arg, A.ColumnRef) and \
+                        arg.name.lower() in alias_exprs:
+                    cands.append(alias_exprs[arg.name.lower()])
+                j = next((i for i, k in enumerate(key_exprs)
+                          for c in cands if k == c), None)
+                if j is None:
+                    j = next((i for i, k in enumerate(sel.group_by)
+                              for c in cands if k == c), None)
+                if j is None:
+                    raise ValueError(
+                        "GROUPING() argument must be a GROUP BY key "
+                        f"(got {arg!r})")
+                mapping[call] = A.ColumnRef(f"__gm{j}")
         for i, g in enumerate(key_exprs):
             if not isinstance(g, A.ColumnRef):
                 mapping[g] = A.ColumnRef(key_names[i])
@@ -2111,8 +2207,11 @@ class Compiler:
                                         ignore_nulls=True))
             ray_aggs.append(Sum("__pcnt_star", alias_name="__pcnt_star",
                                 ignore_nulls=True))
-            if key_names:
-                out = ds2.groupby(key_names).aggregate(*ray_aggs)
+            if sel.grouping_sets is not None and key_names:
+                out = self._compile_grouping_sets(
+                    ds2, sel.grouping_sets, key_names, ray_aggs)
+            elif key_names:
+                out = self._null_safe_groupby_agg(ds2, key_names, ray_aggs)
             else:
                 row = ds2.aggregate(*ray_aggs) or {}
                 alias_names = ([f"__p{i}_{suf}" for call, i in aggs
@@ -2136,6 +2235,65 @@ class Compiler:
         frame2._agg_mapping = order_mapping  # type: ignore[attr-defined]
         frame2._drop_cols = extra_names  # type: ignore[attr-defined]
         return frame2
+
+    def _null_safe_groupby_agg(self, ds: rd.Dataset, key_names, ray_aggs
+                               ) -> rd.Dataset:
+        """groupby(keys).aggregate(*aggs), robust to NULL key values.
+
+        Ray's sort-based groupby shuffle raises TypeError when a boundary
+        sample compares None to a value, so group on (is-null flag,
+        null-filled copy) pairs and rebuild the real keys afterwards
+        (NULL forms its own group, matching DuckDB / pandas dropna=False)."""
+        enc = NullSafeSortKeys(list(key_names))
+        enc_keys = [c for i in range(len(key_names))
+                    for c in (f"__nf{i}", f"__nk{i}")]
+        ds2 = ds.map_batches(enc, batch_format="pyarrow") \
+                .map_batches(DropColumns(list(key_names)),
+                             batch_format="pyarrow")
+        out = ds2.groupby(enc_keys).aggregate(*ray_aggs)
+        return out.map_batches(_DecodeNullSafeKeys(key_names),
+                               batch_format="pyarrow")
+
+    def _compile_grouping_sets(self, ds2: rd.Dataset, grouping_sets,
+                               key_names, ray_aggs) -> rd.Dataset:
+        """ROLLUP / CUBE / GROUPING SETS in ONE input shuffle.
+
+        The input is aggregated once at the finest grouping (all keys);
+        every coarser set is then derived by re-aggregating the finest
+        PARTIALS (sums/counts/moments/min/max merge exactly — the alias
+        names equal the input names, so the same AggregateFn list applies).
+        The finest result is post-aggregation small, so the extra groupbys
+        shuffle negligible data; the raw input is read exactly once. Each
+        piece is aligned to one canonical schema (missing keys → typed
+        NULLs) plus __gm{j} mask columns backing GROUPING(key)."""
+        finest = self._null_safe_groupby_agg(ds2, key_names, ray_aggs) \
+            .materialize()
+        schema = finest.schema()
+        types = dict(zip(schema.names, schema.types))
+        partial_names = [n for n in schema.names if n not in key_names]
+        full = frozenset(range(len(key_names)))
+        pieces = []
+        for gs in grouping_sets:
+            subset = [key_names[i] for i in gs]
+            if frozenset(gs) == full:
+                piece = finest
+            elif subset:
+                piece = self._null_safe_groupby_agg(finest, subset, ray_aggs)
+            else:
+                row = finest.aggregate(*ray_aggs) or {}
+                cols = {}
+                for name in partial_names:
+                    v = row.get(name)
+                    cols[name] = pa.array([v], type=types.get(name))
+                piece = rd.from_arrow(pa.table(cols))
+            pieces.append(piece.map_batches(
+                _AlignGroupingSet(key_names, types, partial_names,
+                                  frozenset(gs)),
+                batch_format="pyarrow"))
+        out = pieces[0]
+        if len(pieces) > 1:
+            out = out.union(*pieces[1:])
+        return out
 
     # --------------------------------------------------------------- window
     def _compile_windows(self, frame: Frame, wcalls, env):

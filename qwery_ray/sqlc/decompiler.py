@@ -161,7 +161,12 @@ def to_sql(stmt) -> str:
                              f"ON {expr_sql(j.on)}")
         if stmt.where is not None:
             parts.append("WHERE " + expr_sql(stmt.where))
-        if stmt.group_by:
+        if stmt.group_by and stmt.grouping_sets is not None:
+            sets_sql = ", ".join(
+                "(" + ", ".join(expr_sql(stmt.group_by[i]) for i in gs) + ")"
+                for gs in stmt.grouping_sets)
+            parts.append(f"GROUP BY GROUPING SETS ({sets_sql})")
+        elif stmt.group_by:
             parts.append("GROUP BY " + ", ".join(expr_sql(g)
                                                  for g in stmt.group_by))
         if stmt.having is not None:

@@ -175,11 +175,15 @@ class Parser:
         where = self.parse_cond() if self.accept("WHERE") else None
 
         group_by: list[A.Expr] = []
+        grouping_sets = None
         if self.accept("GROUP"):
             self.expect("BY")
-            group_by.append(self.parse_expr())
-            while self.accept(","):
+            if self.at("ROLLUP", "CUBE") or self.at("GROUPING"):
+                group_by, grouping_sets = self.parse_grouping_spec()
+            else:
                 group_by.append(self.parse_expr())
+                while self.accept(","):
+                    group_by.append(self.parse_expr())
 
         having = self.parse_cond() if self.accept("HAVING") else None
         qualify = self.parse_cond() if self.accept("QUALIFY") else None
@@ -198,6 +202,7 @@ class Parser:
             items=tuple(items), source=source, joins=tuple(joins), where=where,
             group_by=tuple(group_by), having=having, order_by=tuple(order_by),
             limit=limit, distinct=distinct, qualify=qualify,
+            grouping_sets=grouping_sets,
         )
 
         # SELECT ... INTO 'target' sugar → Insert (SQLLanguageParser.scala:839-853)
@@ -206,6 +211,59 @@ class Parser:
             hints = self.parse_hints()
             return A.Insert(target=target, columns=(), source=select, hints=hints)
         return select
+
+    def parse_grouping_spec(self):
+        """GROUP BY ROLLUP(...)/CUBE(...)/GROUPING SETS(...) → (keys, sets).
+
+        keys = distinct grouping expressions in first-appearance order;
+        sets = tuple of grouping sets, each a tuple of indexes into keys.
+        Supersets of the reference (no grouping sets there at all)."""
+        def key_index(keys, e):
+            for i, k in enumerate(keys):
+                if k == e:
+                    return i
+            keys.append(e)
+            return len(keys) - 1
+
+        if self.accept("ROLLUP"):
+            self.expect("(")
+            keys = [self.parse_expr()]
+            while self.accept(","):
+                keys.append(self.parse_expr())
+            self.expect(")")
+            sets = tuple(tuple(range(k)) for k in range(len(keys), -1, -1))
+            return keys, sets
+        if self.accept("CUBE"):
+            self.expect("(")
+            keys = [self.parse_expr()]
+            while self.accept(","):
+                keys.append(self.parse_expr())
+            self.expect(")")
+            n = len(keys)
+            sets = tuple(
+                tuple(i for i in range(n) if mask & (1 << i))
+                for mask in range((1 << n) - 1, -1, -1))
+            return keys, sets
+        self.expect("GROUPING")
+        self.expect("SETS")
+        self.expect("(")
+        keys: list = []
+        sets = []
+        while True:
+            if self.accept("("):
+                idxs = []
+                if not self.at(")"):
+                    idxs.append(key_index(keys, self.parse_expr()))
+                    while self.accept(","):
+                        idxs.append(key_index(keys, self.parse_expr()))
+                self.expect(")")
+                sets.append(tuple(idxs))
+            else:
+                sets.append((key_index(keys, self.parse_expr()),))
+            if not self.accept(","):
+                break
+        self.expect(")")
+        return keys, tuple(sets)
 
     def parse_select_item(self):
         tok = self.peek()

@@ -393,3 +393,60 @@ class TestCorrelatedScalarSubquery:
         mine = eng.sql(sql).to_pandas()["n"][0]
         oracle = duck.execute(sql).fetchone()[0]
         assert int(mine) == oracle
+
+
+class TestGroupingSets:
+    """ROLLUP / CUBE / GROUPING SETS — single-input-shuffle design: the
+    finest grouping aggregates once, coarser sets re-aggregate its partials
+    (sums/counts/moments/min/max merge exactly). GROUPING(key) is a per-set
+    constant mask column. Superset of the reference (SURVEY.md §2.5 confirms
+    no grouping sets there)."""
+
+    def test_rollup_with_grouping_fn(self, engine, duck):
+        sql = ("SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+               "SUM(l_quantity) AS sq, GROUPING(l_returnflag) AS g1, "
+               "GROUPING(l_linestatus) AS g2 FROM lineitem "
+               "GROUP BY ROLLUP(l_returnflag, l_linestatus)")
+        run_both(engine, duck, sql,
+                 sort_by=["g1", "g2", "l_returnflag", "l_linestatus"])
+
+    def test_cube_all_agg_kinds(self, engine, duck):
+        sql = ("SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+               "AVG(l_discount) AS ad, MIN(l_quantity) AS mq, "
+               "MAX(l_quantity) AS xq, STDDEV(l_tax) AS st "
+               "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)")
+        run_both(engine, duck, sql,
+                 sort_by=["l_returnflag", "l_linestatus", "n"])
+
+    def test_grouping_sets_explicit_with_empty(self, engine, duck):
+        sql = ("SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n "
+               "FROM orders GROUP BY GROUPING SETS "
+               "((o_orderstatus, o_orderpriority), (o_orderpriority), ())")
+        run_both(engine, duck, sql,
+                 sort_by=["o_orderstatus", "o_orderpriority", "n"])
+
+    def test_rollup_with_having(self, engine, duck):
+        sql = ("SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n "
+               "FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) "
+               "HAVING COUNT(*) > 50")
+        run_both(engine, duck, sql,
+                 sort_by=["o_orderstatus", "o_orderpriority", "n"])
+
+    def test_group_by_null_keys(self, engine, duck):
+        # NULL group keys form their own group (Ray's sort-based groupby
+        # shuffle would TypeError on None boundaries without the null-safe
+        # key encoding)
+        sql = ("SELECT CASE WHEN o_orderstatus = 'O' THEN NULL "
+               "ELSE o_orderstatus END AS st, COUNT(*) AS n, "
+               "SUM(o_totalprice) AS sp FROM orders GROUP BY st")
+        mine = to_pandas(engine.sql(sql))
+        oracle = duck.execute(sql).fetch_df()
+        assert_frames_match(mine, oracle, sort_by=["n", "sp"])
+
+    def test_rollup_null_keys_distinct_from_subtotals(self, engine, duck):
+        # data-NULL finest rows AND generated subtotal rows must both
+        # appear; GROUPING() disambiguates them
+        sql = ("SELECT CASE WHEN n_regionkey = 0 THEN NULL "
+               "ELSE n_name END AS nm, COUNT(*) AS n, "
+               "GROUPING(nm) AS g FROM nation GROUP BY ROLLUP(nm)")
+        run_both(engine, duck, sql, sort_by=["g", "nm", "n"])
