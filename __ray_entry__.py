@@ -339,6 +339,16 @@ _SQL_QUERIES: dict[str, tuple[str, str | None]] = {
         "RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS qty_range_sum "
         "FROM lineitem WHERE l_orderkey < 3000",
         None),
+    "tpch_q6_shape": (
+        # TPC-H Q6 shape: date-window via DATE literal + INTERVAL
+        # arithmetic, BETWEEN on discount, global sum. Discount×price
+        # products are quarter-cent-granular → snap at 1e4 scale.
+        "SELECT ROUND(SUM(l_extendedprice * l_discount) * 10000, 0) "
+        "/ 10000 AS revenue FROM lineitem "
+        "WHERE l_shipdate >= DATE '1995-01-01' "
+        "AND l_shipdate < DATE '1995-01-01' + INTERVAL 1 YEAR "
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24",
+        None),
     "rollup_pricing": (
         # ROLLUP subtotals + GROUPING() masks; one input shuffle, coarser
         # levels re-aggregate the finest partials. Sums snapped to integer

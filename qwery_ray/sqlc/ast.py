@@ -28,6 +28,16 @@ class Literal(Expr):
 
 
 @dataclass(frozen=True)
+class IntervalLit(Expr):
+    """INTERVAL n UNIT — calendar months and/or fixed seconds. Exactly one
+    of the two is nonzero for parsed literals (YEAR/QUARTER/MONTH → months;
+    WEEK/DAY/HOUR/MINUTE/SECOND → seconds)."""
+
+    months: int = 0
+    seconds: float = 0.0
+
+
+@dataclass(frozen=True)
 class ColumnRef(Expr):
     name: str
     table_alias: Optional[str] = None  # reference: JoinField (core/ops/Field.scala:87-96)

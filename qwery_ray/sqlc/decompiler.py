@@ -31,7 +31,23 @@ def expr_sql(e) -> str:
             return "TRUE" if v else "FALSE"
         if isinstance(v, str):
             return _string(v)
+        import datetime as _dt
+
+        if isinstance(v, _dt.datetime):
+            if v.time() == _dt.time(0):
+                return f"DATE '{v.date().isoformat()}'"
+            return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
         return repr(v)
+    if isinstance(e, A.IntervalLit):
+        if e.months:
+            if e.months % 12 == 0:
+                return f"INTERVAL {e.months // 12} YEAR"
+            return f"INTERVAL {e.months} MONTH"
+        s = e.seconds
+        for unit, div in (("DAY", 86400), ("HOUR", 3600), ("MINUTE", 60)):
+            if s and s % div == 0:
+                return f"INTERVAL {int(s // div)} {unit}"
+        return f"INTERVAL {s:g} SECOND"
     if isinstance(e, A.ColumnRef):
         if e.table_alias:
             return f"{e.table_alias}.{_ident(e.name)}"

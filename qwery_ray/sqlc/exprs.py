@@ -54,6 +54,47 @@ def _is_scalar(val) -> bool:
     return not isinstance(val, (pa.Array, pa.ChunkedArray))
 
 
+def _add_interval(val, iv: "A.IntervalLit", sign: int):
+    """temporal + INTERVAL: calendar-correct month shifts (Jan 31 + 1 MONTH
+    = Feb 28/29, matching DuckDB/ANSI) and exact second offsets."""
+    import calendar
+    import datetime as _dt
+
+    months = sign * iv.months
+    secs = sign * iv.seconds
+    if _is_scalar(val):
+        if val is None:
+            return None
+        if isinstance(val, _dt.date) and not isinstance(val, _dt.datetime):
+            val = _dt.datetime(val.year, val.month, val.day)
+        if months:
+            y = val.year + (val.month - 1 + months) // 12
+            mo = (val.month - 1 + months) % 12 + 1
+            day = min(val.day, calendar.monthrange(y, mo)[1])
+            val = val.replace(year=y, month=mo, day=day)
+        if secs:
+            val = val + _dt.timedelta(seconds=secs)
+        return val
+    arr = val
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_date(arr.type):
+        arr = pc.cast(arr, pa.timestamp("us"))
+    if not pa.types.is_timestamp(arr.type):
+        raise EvalError(
+            f"INTERVAL arithmetic needs a timestamp/date operand, "
+            f"got {arr.type}")
+    if months:
+        import pandas as pd
+
+        s = pd.Series(arr.to_pandas()) + pd.DateOffset(months=months)
+        arr = pa.Array.from_pandas(s).cast(arr.type)
+    if secs:
+        arr = pc.add(arr, pa.scalar(int(round(secs * 1e6)),
+                                    pa.duration("us")))
+    return arr
+
+
 def _to_float(val):
     if _is_scalar(val):
         return None if val is None else float(val)
@@ -195,6 +236,11 @@ class Evaluator:
     def _eval_ColumnRef(self, e: A.ColumnRef, batch):
         return self.resolve_column(batch, e)
 
+    def _eval_IntervalLit(self, e: A.IntervalLit, batch):
+        raise EvalError(
+            "INTERVAL literals are only valid in +/- arithmetic with a "
+            "timestamp/date expression")
+
     def _eval_VarRef(self, e: A.VarRef, batch):
         if e.name not in self.variables:
             raise EvalError(f"undeclared variable @{e.name}")
@@ -208,6 +254,13 @@ class Evaluator:
         return val
 
     def _eval_BinaryOp(self, e: A.BinaryOp, batch):
+        # temporal ± INTERVAL (calendar months via pandas DateOffset,
+        # fixed seconds via an arrow duration scalar)
+        if isinstance(e.right, A.IntervalLit) and e.op in ("+", "-"):
+            return _add_interval(self.eval(e.left, batch), e.right,
+                                 -1 if e.op == "-" else 1)
+        if isinstance(e.left, A.IntervalLit) and e.op == "+":
+            return _add_interval(self.eval(e.right, batch), e.left, 1)
         left = self.eval(e.left, batch)
         right = self.eval(e.right, batch)
         op = e.op

@@ -758,6 +758,30 @@ class Parser:
                         self.next()
                 self.expect(")")
                 return A.Cast(operand, type_name)
+            if word == "INTERVAL" and self.peek(1).kind in ("NUM", "STR"):
+                self.next()
+                t2 = self.next()
+                qty = float(unquote_string(t2.text)) if t2.kind == "STR" \
+                    else float(t2.text)
+                unit = self.next().upper.rstrip("S")
+                months = {"YEAR": 12, "QUARTER": 3, "MONTH": 1}.get(unit)
+                if months is not None:
+                    return A.IntervalLit(months=int(qty * months))
+                secs = {"WEEK": 604800.0, "DAY": 86400.0, "HOUR": 3600.0,
+                        "MINUTE": 60.0, "SECOND": 1.0,
+                        "MILLISECOND": 1e-3}.get(unit)
+                if secs is None:
+                    self.error(f"unsupported INTERVAL unit {unit}")
+                return A.IntervalLit(seconds=qty * secs)
+            if word in ("DATE", "TIMESTAMP") and self.peek(1).kind == "STR":
+                import datetime as _dt
+
+                self.next()
+                s = unquote_string(self.next().text)
+                if word == "DATE":
+                    d = _dt.date.fromisoformat(s)
+                    return A.Literal(_dt.datetime(d.year, d.month, d.day))
+                return A.Literal(_dt.datetime.fromisoformat(s))
             if word == "NULL":
                 self.next()
                 return A.Literal(None)

@@ -450,3 +450,39 @@ class TestGroupingSets:
                "ELSE n_name END AS nm, COUNT(*) AS n, "
                "GROUPING(nm) AS g FROM nation GROUP BY ROLLUP(nm)")
         run_both(engine, duck, sql, sort_by=["g", "nm", "n"])
+
+
+class TestDateIntervalArithmetic:
+    """DATE/TIMESTAMP literals and ± INTERVAL arithmetic (TPC-H phrasing);
+    calendar-correct month shifts via pandas DateOffset, second offsets via
+    arrow duration scalars. Reference has neither (SURVEY.md §2.2 — only
+    DATE_FORMAT/DATE_PARSE); superset with DuckDB as the oracle."""
+
+    def test_date_window_filter(self, engine, duck):
+        sql = ("SELECT COUNT(*) AS n FROM orders "
+               "WHERE o_orderdate >= DATE '1995-01-01' "
+               "AND o_orderdate < DATE '1995-01-01' + INTERVAL 1 YEAR")
+        run_both(engine, duck, sql)
+
+    def test_projected_month_and_day_offsets(self, engine, duck):
+        sql = ("SELECT o_orderkey, o_orderdate + INTERVAL 1 MONTH AS nxt, "
+               "o_orderdate - INTERVAL 90 DAY AS back, "
+               "o_orderdate + INTERVAL 36 HOUR AS hrs "
+               "FROM orders WHERE o_custkey < 50")
+        run_both(engine, duck, sql, sort_by=["o_orderkey"])
+
+    def test_month_end_clamping(self, engine, duck):
+        # Jan 31 + 1 MONTH clamps to Feb 28/29 (calendar semantics)
+        sql = ("SELECT TIMESTAMP '2024-01-31 12:30:00' + INTERVAL 1 MONTH "
+               "AS clamped, DATE '2023-01-31' + INTERVAL 1 MONTH AS c2")
+        run_both(engine, duck, sql)
+
+    def test_interval_roundtrip_decompile(self):
+        from qwery_ray.sqlc.decompiler import to_sql
+        from qwery_ray.sqlc.parser import parse
+
+        s = ("SELECT o_orderdate + INTERVAL 3 MONTH AS m FROM orders "
+             "WHERE o_orderdate < DATE '1997-06-01' - INTERVAL 45 DAY")
+        one = to_sql(parse(s)[0])
+        assert to_sql(parse(one)[0]) == one
+        assert "INTERVAL 3 MONTH" in one and "INTERVAL 45 DAY" in one
