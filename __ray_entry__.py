@@ -339,6 +339,16 @@ _SQL_QUERIES: dict[str, tuple[str, str | None]] = {
         "RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS qty_range_sum "
         "FROM lineitem WHERE l_orderkey < 3000",
         None),
+    "quantified_all_any": (
+        # op ALL / ANY quantified subqueries (reduced to one aggregate pass
+        # + literal-bound comparison); integer-exact COUNT outputs
+        "SELECT COUNT(*) AS n_above_all, "
+        "(SELECT COUNT(*) FROM customer WHERE c_acctbal < ANY "
+        "(SELECT o_totalprice / 100 FROM orders WHERE o_orderstatus = 'P')) "
+        "AS n_below_any "
+        "FROM orders WHERE o_totalprice > ALL "
+        "(SELECT c_acctbal FROM customer)",
+        None),
     "tpch_q6_shape": (
         # TPC-H Q6 shape: date-window via DATE literal + INTERVAL
         # arithmetic, BETWEEN on discount, global sum. Discount×price

@@ -104,6 +104,7 @@ class QweryEngine:
                 return None
             expr = transform_expr(expr, self._expand_sql_udf)
             expr = transform_expr(expr, self._resolve_scalar_subquery)
+            expr = transform_expr(expr, self._resolve_quantified)
             expr = transform_expr(expr, self._resolve_in_subquery)
             return expr
 
@@ -148,6 +149,61 @@ class QweryEngine:
                             tuple(A.Literal(v) for v in sorted(vals)),
                             node.negated)
         return node
+
+    def _resolve_quantified(self, node):
+        """x op ANY/ALL (SELECT …): reduce the subquery to one aggregate
+        pass (count / non-null count / min / max) and rewrite to a plain
+        comparison against the literal bound. = ANY and <> ALL become
+        IN / NOT IN and ride the broadcast/semi-join path. WHERE semantics
+        (UNKNOWN ≡ FALSE); uncorrelated subqueries only."""
+        if not isinstance(node, A.QuantifiedComparison):
+            return node
+        if self._is_correlated(node.query):
+            raise ValueError(
+                "correlated ANY/ALL subqueries are not supported "
+                "(rewrite as EXISTS / a join)")
+        if node.op == "=" and node.quant == "ANY":
+            return A.InSubquery(node.left, node.query, False)
+        if node.op == "!=" and node.quant == "ALL":
+            return A.InSubquery(node.left, node.query, True)
+        from ray.data.aggregate import Count, Max, Min
+
+        ds = self.compiler.compile_query(self._prepare(node.query))
+        schema = ds.schema(fetch_if_missing=True)
+        if schema is None or not schema.names:  # empty result, no schema
+            return A.Literal(node.quant == "ALL")
+        name = schema.names[0]
+        row = ds.aggregate(
+            Count(name, ignore_nulls=False, alias_name="ca"),
+            Count(name, ignore_nulls=True, alias_name="cn"),
+            Min(name, ignore_nulls=True, alias_name="mn"),
+            Max(name, ignore_nulls=True, alias_name="mx")) or {}
+        ca, cn = row.get("ca") or 0, row.get("cn") or 0
+        mn, mx = row.get("mn"), row.get("mx")
+        L, op = node.left, node.op
+        if node.quant == "ALL":
+            if ca == 0:
+                return A.Literal(True)
+            if cn < ca:  # NULL in the set → never TRUE
+                return A.Literal(False)
+            if op in (">", ">="):
+                return A.Comparison(op, L, A.Literal(mx))
+            if op in ("<", "<="):
+                return A.Comparison(op, L, A.Literal(mn))
+            # op == "=": only satisfiable when the set has one distinct value
+            return A.Comparison("=", L, A.Literal(mn)) if mn == mx \
+                else A.Literal(False)
+        # ANY: an empty or all-NULL set can never make it TRUE
+        if cn == 0:
+            return A.Literal(False)
+        if op in (">", ">="):
+            return A.Comparison(op, L, A.Literal(mn))
+        if op in ("<", "<="):
+            return A.Comparison(op, L, A.Literal(mx))
+        # op == "!=": with ≥2 distinct values every non-NULL x differs
+        # from at least one of them
+        return A.IsNull(L, True) if mn != mx \
+            else A.Comparison("!=", L, A.Literal(mn))
 
     def _resolve_scalar_subquery(self, node):
         if isinstance(node, _ScalarSubquery):

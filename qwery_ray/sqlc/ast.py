@@ -143,6 +143,19 @@ class InList(Cond):
 
 
 @dataclass(frozen=True)
+class QuantifiedComparison(Cond):
+    """expr op ANY/ALL (SELECT …) — uncorrelated only; the session reduces
+    the subquery to min/max/count aggregates and rewrites to a plain
+    comparison (= ANY → IN, <> ALL → NOT IN reuse the semi-join path).
+    WHERE semantics: UNKNOWN collapses to FALSE."""
+
+    op: str
+    left: Expr
+    query: Any
+    quant: str  # "ANY" | "ALL"
+
+
+@dataclass(frozen=True)
 class InSubquery(Cond):
     """expr IN (SELECT …) — compiled as a broadcast semi-join: the subquery's
     first column is collected once (``ray.put``) and membership is a

@@ -91,6 +91,10 @@ def expr_sql(e) -> str:
     if isinstance(e, A.InSubquery):
         op = "NOT IN" if e.negated else "IN"
         return f"{expr_sql(e.operand)} {op} ({to_sql(e.query)})"
+    if isinstance(e, A.QuantifiedComparison):
+        op = "<>" if e.op == "!=" else e.op
+        return (f"{expr_sql(e.left)} {op} {e.quant} "
+                f"({to_sql(e.query)})")
     if isinstance(e, A.Exists):
         kw = "NOT EXISTS" if e.negated else "EXISTS"
         return f"{kw} ({to_sql(e.query)})"

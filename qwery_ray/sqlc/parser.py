@@ -672,6 +672,13 @@ class Parser:
         if tok.kind == "OP" and tok.text in ("=", "!=", "<>", ">", ">=", "<", "<="):
             self.next()
             op = "=" if tok.text == "=" else ("!=" if tok.text in ("!=", "<>") else tok.text)
+            if self.at("ANY", "SOME", "ALL"):
+                quant = self.next().upper
+                quant = "ANY" if quant == "SOME" else quant
+                self.expect("(")
+                sub = self.parse_select_or_union()
+                self.expect(")")
+                return A.QuantifiedComparison(op, left, sub, quant)
             right = self.parse_expr()
             return A.Comparison(op, left, right)
         # no predicate operator follows: return the bare expression — when it

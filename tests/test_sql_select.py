@@ -486,3 +486,56 @@ class TestDateIntervalArithmetic:
         one = to_sql(parse(s)[0])
         assert to_sql(parse(one)[0]) == one
         assert "INTERVAL 3 MONTH" in one and "INTERVAL 45 DAY" in one
+
+
+class TestQuantifiedComparisons:
+    """op ANY / SOME / ALL (SELECT …): the session reduces the subquery to
+    one min/max/count aggregate pass and rewrites to a plain comparison
+    (= ANY → IN, <> ALL → NOT IN ride the semi-join path). WHERE
+    semantics — UNKNOWN collapses to FALSE, empty set: ALL→TRUE, ANY→FALSE."""
+
+    def test_gt_all(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT o_orderkey FROM orders WHERE o_totalprice > ALL "
+                 "(SELECT c_acctbal FROM customer)",
+                 sort_by=["o_orderkey"])
+
+    def test_lt_any_and_some(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT o_orderkey FROM orders WHERE o_totalprice < ANY "
+                 "(SELECT c_acctbal FROM customer WHERE c_acctbal > 9000)",
+                 sort_by=["o_orderkey"])
+        run_both(engine, duck,
+                 "SELECT o_orderkey FROM orders WHERE o_totalprice >= SOME "
+                 "(SELECT o_totalprice FROM orders WHERE o_orderstatus = 'P')",
+                 sort_by=["o_orderkey"])
+
+    def test_eq_any_is_in(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT c_custkey FROM customer WHERE c_nationkey = ANY "
+                 "(SELECT n_nationkey FROM nation WHERE n_regionkey = 2)",
+                 sort_by=["c_custkey"])
+
+    def test_ne_all_is_not_in(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT c_custkey FROM customer WHERE c_nationkey <> ALL "
+                 "(SELECT n_nationkey FROM nation WHERE n_regionkey = 2)",
+                 sort_by=["c_custkey"])
+
+    def test_empty_set_all_true_any_false(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT COUNT(*) AS n FROM orders WHERE o_totalprice > ALL "
+                 "(SELECT c_acctbal FROM customer WHERE c_acctbal > 1e9)")
+        run_both(engine, duck,
+                 "SELECT COUNT(*) AS n FROM orders WHERE o_totalprice > ANY "
+                 "(SELECT c_acctbal FROM customer WHERE c_acctbal > 1e9)")
+
+    def test_quantified_decompiles(self):
+        from qwery_ray.sqlc.decompiler import to_sql
+        from qwery_ray.sqlc.parser import parse
+
+        s = ("SELECT x FROM t WHERE x > ALL (SELECT y FROM u) "
+             "AND x = ANY (SELECT z FROM v)")
+        one = to_sql(parse(s)[0])
+        assert to_sql(parse(one)[0]) == one
+        assert "> ALL (" in one and "= ANY (" in one
