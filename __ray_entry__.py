@@ -400,6 +400,144 @@ _SQL_QUERIES: dict[str, tuple[str, str | None]] = {
         "SELECT l_orderkey, l_quantity FROM lineitem "
         "WHERE l_quantity BETWEEN 10 AND 12 AND l_returnflag = 'R'",
         None),
+    "tpch_q13_shape": (
+        # TPC-H Q13 shape: order-count distribution — LEFT JOIN with a
+        # non-equi/LIKE residual (unmatched customers count 0), grouped
+        # twice; all-integer outputs
+        "SELECT c_count, COUNT(*) AS custdist FROM ("
+        "SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count "
+        "FROM customer c LEFT JOIN orders o "
+        "ON c.c_custkey = o.o_custkey AND o.o_orderpriority LIKE '1%' "
+        "GROUP BY c.c_custkey"
+        ") GROUP BY c_count ORDER BY custdist DESC, c_count DESC",
+        "SELECT c_count, COUNT(*) AS custdist FROM ("
+        "SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count "
+        "FROM customer c LEFT JOIN orders o "
+        "ON c.c_custkey = o.o_custkey AND o.o_orderpriority LIKE '1%' "
+        "GROUP BY c.c_custkey"
+        ") t GROUP BY c_count ORDER BY custdist DESC, c_count DESC"),
+    "tpch_q14_shape": (
+        # TPC-H Q14 shape: promo revenue ratio — conditional SUM over a
+        # join, date window. Numerator and denominator are snapped to
+        # integer-valued doubles separately, so the quotient divides
+        # bit-identical operands on both engines
+        "SELECT ROUND(SUM(CASE WHEN p.p_type = 'PROMO' "
+        "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END) * 10000, 0) "
+        "/ ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) * 10000, 0) "
+        "AS promo_frac "
+        "FROM lineitem l INNER JOIN part p ON l.l_partkey = p.p_partkey "
+        "WHERE l.l_shipdate >= DATE '1997-01-01' "
+        "AND l.l_shipdate < DATE '1997-01-01' + INTERVAL 3 MONTH",
+        "SELECT ROUND(SUM(CASE WHEN p.p_type = 'PROMO' "
+        "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END) * 10000, 0) "
+        "/ ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) * 10000, 0) "
+        "AS promo_frac "
+        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+        "WHERE l.l_shipdate >= TIMESTAMP '1997-01-01' "
+        "AND l.l_shipdate < TIMESTAMP '1997-04-01'"),
+    "tpch_q17_shape": (
+        # TPC-H Q17 shape: small-quantity orders — correlated scalar AVG
+        # per part, decorrelated to a grouped join. l_quantity is
+        # integer-valued so AVG = exact-sum / count is bit-stable
+        "SELECT ROUND(SUM(l.l_extendedprice) * 100, 0) / 100 AS total_price "
+        "FROM lineitem l INNER JOIN part p ON p.p_partkey = l.l_partkey "
+        "WHERE p.p_brand = 'Brand#23' "
+        "AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2 "
+        "WHERE l2.l_partkey = l.l_partkey)",
+        "SELECT ROUND(SUM(l.l_extendedprice) * 100, 0) / 100 AS total_price "
+        "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+        "WHERE p.p_brand = 'Brand#23' "
+        "AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2 "
+        "WHERE l2.l_partkey = l.l_partkey)"),
+    "tpch_q18_shape": (
+        # TPC-H Q18 shape: large-volume orders — IN over a grouped HAVING
+        # subquery (semi-join), topped and limited; SUM(int-valued) exact
+        "SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice "
+        "FROM customer c INNER JOIN orders o ON c.c_custkey = o.o_custkey "
+        "WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem "
+        "GROUP BY l_orderkey HAVING SUM(l_quantity) > 150) "
+        "ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100",
+        "SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice "
+        "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+        "WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem "
+        "GROUP BY l_orderkey HAVING SUM(l_quantity) > 150) "
+        "ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100"),
+    "tpch_q19_shape": (
+        # TPC-H Q19 shape: disjunctive brand/quantity/size predicates over
+        # a join (no p_container in the test schema; brand+size stand in)
+        "SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) * 10000, 0)"
+        " / 10000 AS revenue "
+        "FROM lineitem l INNER JOIN part p ON p.p_partkey = l.l_partkey "
+        "WHERE (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1 AND 11 "
+        "AND p.p_size BETWEEN 1 AND 5) "
+        "OR (p.p_brand = 'Brand#23' AND l.l_quantity BETWEEN 10 AND 20 "
+        "AND p.p_size BETWEEN 1 AND 10) "
+        "OR (p.p_brand = 'Brand#34' AND l.l_quantity BETWEEN 20 AND 30 "
+        "AND p.p_size BETWEEN 1 AND 15)",
+        "SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) * 10000, 0)"
+        " / 10000 AS revenue "
+        "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+        "WHERE (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1 AND 11 "
+        "AND p.p_size BETWEEN 1 AND 5) "
+        "OR (p.p_brand = 'Brand#23' AND l.l_quantity BETWEEN 10 AND 20 "
+        "AND p.p_size BETWEEN 1 AND 10) "
+        "OR (p.p_brand = 'Brand#34' AND l.l_quantity BETWEEN 20 AND 30 "
+        "AND p.p_size BETWEEN 1 AND 15)"),
+    "tpch_q21_shape": (
+        # TPC-H Q21 shape: suppliers on returned multi-supplier orders —
+        # correlated EXISTS with a NON-EQUI residual (l2.l_suppkey <>
+        # l1.l_suppkey) decorrelated to a residual-filtered semi-join
+        "SELECT s.s_name, COUNT(*) AS numwait "
+        "FROM supplier s INNER JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey "
+        "WHERE l1.l_returnflag = 'R' "
+        "AND EXISTS (SELECT 1 FROM lineitem l2 "
+        "WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey != l1.l_suppkey) "
+        "GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 20",
+        "SELECT s.s_name, COUNT(*) AS numwait "
+        "FROM supplier s JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey "
+        "WHERE l1.l_returnflag = 'R' "
+        "AND EXISTS (SELECT 1 FROM lineitem l2 "
+        "WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) "
+        "GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 20"),
+    "tpch_q22_shape": (
+        # TPC-H Q22 shape: country-code aggregate over customers above the
+        # (snapped) mean balance with no big orders — scalar subquery +
+        # correlated NOT EXISTS in one WHERE, SUBSTR-derived group key
+        "SELECT cntrycode, COUNT(*) AS numcust, "
+        "ROUND(SUM(acctbal) * 100, 0) / 100 AS totacctbal "
+        "FROM (SELECT RIGHT(c.c_name, 2) AS cntrycode, c.c_acctbal AS acctbal "
+        "FROM customer c "
+        "WHERE c.c_acctbal > (SELECT ROUND(SUM(c2.c_acctbal) * 100, 0) / 100 "
+        "/ COUNT(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0) "
+        "AND NOT EXISTS (SELECT 1 FROM orders o "
+        "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)) "
+        "GROUP BY cntrycode ORDER BY cntrycode",
+        "SELECT cntrycode, COUNT(*) AS numcust, "
+        "ROUND(SUM(acctbal) * 100, 0) / 100 AS totacctbal "
+        "FROM (SELECT RIGHT(c.c_name, 2) AS cntrycode, c.c_acctbal AS acctbal "
+        "FROM customer c "
+        "WHERE c.c_acctbal > (SELECT ROUND(SUM(c2.c_acctbal) * 100, 0) / 100 "
+        "/ COUNT(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0) "
+        "AND NOT EXISTS (SELECT 1 FROM orders o "
+        "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)) t "
+        "GROUP BY cntrycode ORDER BY cntrycode"),
+    "tpch_q11_shape": (
+        # TPC-H Q11 shape: group sums filtered by a fraction of the global
+        # sum — scalar subquery inside HAVING; both sides snapped
+        "SELECT s_nationkey, ROUND(SUM(s_acctbal) * 100, 0) / 100 AS bal "
+        "FROM supplier GROUP BY s_nationkey "
+        "HAVING ROUND(SUM(s_acctbal) * 100, 0) / 100 > "
+        "(SELECT ROUND(SUM(s2.s_acctbal) * 100, 0) / 100 * 0.04 "
+        "FROM supplier s2) ORDER BY bal DESC",
+        None),
+    "corr_max_per_nation": (
+        # TPC-H Q2 shape (no partsupp in the test schema): row = the
+        # groupwise MAX via an equality-correlated scalar subquery; MAX
+        # picks an existing double so = compares bit-identical values
+        "SELECT s.s_suppkey, s.s_name, s.s_acctbal FROM supplier s "
+        "WHERE s.s_acctbal = (SELECT MAX(s2.s_acctbal) FROM supplier s2 "
+        "WHERE s2.s_nationkey = s.s_nationkey) ORDER BY s.s_suppkey",
+        None),
 }
 
 

@@ -52,6 +52,48 @@ def _stub_fsspec_http() -> None:
 
 _stub_fsspec_http()
 
+
+def _patch_empty_to_pandas() -> None:
+    """Ray 2.49's ``Dataset.to_pandas()`` returns a ZERO-COLUMN DataFrame
+    when every block is empty (the pandas block builder never sees a
+    batch), silently discarding the result schema. A legitimately empty
+    query result must still carry its columns — downstream schema checks
+    (and any user writing ``df[colname]``) break otherwise. Wrap the
+    method: on an empty, column-less result, rebuild the typed empty
+    frame from the dataset's known Arrow schema."""
+    import ray.data as _rd
+
+    if getattr(_rd.Dataset.to_pandas, "__qwery_patched__", False):
+        return
+    _orig = _rd.Dataset.to_pandas
+
+    def to_pandas(self, limit=None):
+        df = _orig(self, limit) if limit is not None else _orig(self)
+        if len(df.columns) == 0:
+            import pandas as _pd
+            import pyarrow as _pa
+
+            # the compiler tags its declared output names — the ONLY
+            # trustworthy source for an empty result (Ray bypasses UDFs
+            # on empty blocks, so block schemas are pre-projection)
+            names = getattr(self, "_qwery_columns", None)
+            if names:
+                return _pd.DataFrame({n: [] for n in names})
+            try:
+                sch = self.schema(fetch_if_missing=True)
+                base = getattr(sch, "base_schema", None)
+            except Exception:
+                base = None
+            if isinstance(base, _pa.Schema) and base.names:
+                return base.empty_table().to_pandas()
+        return df
+
+    to_pandas.__qwery_patched__ = True  # type: ignore[attr-defined]
+    _rd.Dataset.to_pandas = to_pandas
+
+
+_patch_empty_to_pandas()
+
 from .engine.session import QweryEngine
 
 __version__ = "0.1.0"

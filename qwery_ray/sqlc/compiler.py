@@ -30,7 +30,7 @@ from ray.data.aggregate import AggregateFn, Max, Min, Sum
 
 from . import ast as A
 from .exprs import Evaluator, collect_agg_calls, collect_column_refs
-from .rewrite import substitute_nodes
+from .rewrite import substitute_nodes, transform_expr
 
 BROADCAST_ROW_LIMIT = 500_000  # right sides below this are ray.put-broadcast
 
@@ -181,6 +181,32 @@ class BroadcastJoinBatch:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         right = self._table()
+        if self.residual is not None and \
+                self.join_type in ("left semi", "left anti"):
+            # [NOT] EXISTS with a non-equi correlated residual: pair each
+            # left row with its key-matching candidates (all rows when the
+            # correlation is purely non-equi), apply the residual, and
+            # keep/drop left rows by whether any candidate survived
+            rid = "__lrid"
+            b = batch.append_column(rid, pa.array(np.arange(len(batch))))
+            if self.left_keys:
+                inner = b.join(right, keys=self.left_keys,
+                               right_keys=self.right_keys, join_type="inner")
+            else:  # cartesian: constant key on both sides
+                ck = "__xk1"
+                inner = b.append_column(ck, pa.nulls(len(b), pa.int8()).fill_null(1)).join(
+                    right.append_column(ck, pa.nulls(len(right), pa.int8()).fill_null(1)),
+                    keys=[ck], join_type="inner").drop_columns([ck])
+            if len(inner):
+                ev = make_evaluator(self.env)
+                inner = inner.filter(ev.eval_mask(self.residual, inner))
+            keep = np.zeros(len(batch), dtype=bool)
+            if len(inner):
+                ids = inner.column(rid).to_numpy(zero_copy_only=False)
+                keep[ids.astype(np.int64)] = True
+            if self.join_type == "left anti":
+                keep = ~keep
+            return batch.filter(pa.array(keep))
         if self.residual is not None and self.join_type == "left outer":
             # LEFT + non-equi residual: the residual must be applied BEFORE
             # null-extension (a left row is null-extended iff NO right row
@@ -991,6 +1017,24 @@ class DropColumns:
         return batch.drop_columns([c for c in self.names if c in batch.column_names])
 
 
+class RestoreKeyNames:
+    """After an equi-INNER join the non-surviving side's key columns vanish
+    (pa/Ray coalesce both keys under the left name), so later references to
+    the right-hand key name (``WHERE u.k = 5`` after ``ON t.k = u.k``) fail.
+    Re-expose each dropped key name as a zero-copy duplicate of its
+    surviving partner — valid ONLY for inner joins, where the pair is equal
+    by definition (outer joins null-extend the missing side)."""
+
+    def __init__(self, pairs):
+        self.pairs = pairs  # (surviving_name, dropped_name)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        for src, dst in self.pairs:
+            if dst not in batch.column_names and src in batch.column_names:
+                batch = batch.append_column(dst, batch.column(src))
+        return batch
+
+
 # ------------------------------------------------------------------ compiler
 class Compiler:
     def __init__(self, session):
@@ -1019,7 +1063,7 @@ class Compiler:
             out = left_f.ds.union(right_ds)
             if stmt.distinct:
                 out = _distinct(out)
-            return out
+            return _tag_columns(out, left_f.columns)
         if isinstance(stmt, A.SetOp):
             left_f = self._query_frame(stmt.left)
             right_f = self._query_frame(stmt.right)
@@ -1081,7 +1125,8 @@ class Compiler:
 
     # --------------------------------------------------------------- select
     def compile_select(self, sel: A.Select) -> rd.Dataset:
-        return self._select_frame(sel).ds
+        frame = self._select_frame(sel)
+        return _tag_columns(frame.ds, frame.columns)
 
     def _select_frame(self, sel: A.Select) -> Frame:
         env = _env(self.session)
@@ -1321,12 +1366,16 @@ class Compiler:
 
     def _split_correlation(self, sub: A.Select, frame: Frame):
         """Partition a subquery's WHERE conjuncts into equality correlation
-        pairs (inner column = outer column) and purely-local predicates.
+        pairs (inner column = outer column), purely-local predicates, and
+        mixed-scope RESIDUAL conjuncts (reference both scopes but are not
+        plain equalities, e.g. ``u.k <> t.k`` — TPC-H Q21 shape).
         Alias-qualified refs bind by alias; unqualified refs by the first
         scope (inner) that can resolve them — the self-join case (same
         table inner and outer) REQUIRES the aliases. Returns
-        (corr_pairs, local_where) where corr_pairs is a list of
-        (inner_col_name, outer ColumnRef)."""
+        (corr_pairs, local_where, residuals) where corr_pairs is a list of
+        (inner_col_name, outer ColumnRef) and residuals is a list of
+        (conjunct, inner_ref_nodes) — outer-only conjuncts also land in
+        residuals (constant per outer row; evaluated on the joined pair)."""
         inner_frame = self.compile_source(sub.source)
         inner_frame_cols = inner_frame.columns
         inner_aliases = set(inner_frame.aliases)
@@ -1345,8 +1394,20 @@ class Compiler:
                 return "O"
             return "?"
 
+        def ref_nodes(expr) -> list:
+            out: list = []
+
+            def visit(node):
+                if isinstance(node, A.ColumnRef):
+                    out.append(node)
+                return node
+
+            transform_expr(expr, visit)
+            return out
+
         corr_pairs = []   # (inner_col_name, outer ColumnRef)
         local = []
+        residuals = []    # (conjunct, [inner ColumnRef nodes])
         for c in _flatten_and(sub.where) if sub.where is not None else []:
             pair = None
             if isinstance(c, A.Comparison) and c.op == "=" and \
@@ -1359,12 +1420,18 @@ class Compiler:
                     pair = (c.right.name, c.left)
             if pair:
                 corr_pairs.append(pair)
+                continue
+            refs = ref_nodes(c)
+            sides = {side(r) for r in refs}
+            if "O" in sides and "?" not in sides:
+                residuals.append(
+                    (c, [r for r in refs if side(r) == "I"]))
             else:
                 local.append(c)
         local_where = None
         for c in local:
             local_where = c if local_where is None else A.And(local_where, c)
-        return corr_pairs, local_where
+        return corr_pairs, local_where, residuals
 
     def _apply_exists(self, frame: Frame, node: A.Exists, k: int,
                       env) -> Frame:
@@ -1378,9 +1445,11 @@ class Compiler:
         sub = node.query
         corr_pairs: list = []
         local_where = None
+        residuals: list = []
         if isinstance(sub, A.Select) and not sub.joins and not sub.group_by:
-            corr_pairs, local_where = self._split_correlation(sub, frame)
-        if not corr_pairs:
+            corr_pairs, local_where, residuals = \
+                self._split_correlation(sub, frame)
+        if not corr_pairs and not residuals:
             # uncorrelated: one driver-side existence probe
             probe = self.compile_query(self.session._prepare(sub))
             has = probe.limit(1).count() > 0
@@ -1390,26 +1459,53 @@ class Compiler:
                 frame.ds.map_batches(lambda t: t.slice(0, 0),
                                      batch_format="pyarrow"),
                 frame.columns, frame.aliases)
+        # residual conjuncts (non-equi correlation, TPC-H Q21 shape):
+        # project the inner columns they touch into the derived distinct
+        # table under collision-free names and rewrite the predicate to
+        # evaluate on the joined (outer row × inner candidate) pair
+        res_cols: list = []          # inner (alias, name) in first-seen order
+        res_map: dict = {}           # (alias, name) -> fresh projected name
+        for _, irefs in residuals:
+            for r in irefs:
+                key = ((r.table_alias or "").lower(), r.name.lower())
+                if key not in res_map:
+                    res_map[key] = f"__er{k}_{len(res_cols)}"
+                    res_cols.append((key, r))
+        residual_cond = None
+        for conj, _ in residuals:
+            conj = transform_expr(
+                conj,
+                lambda n: A.ColumnRef(res_map[((n.table_alias or "").lower(),
+                                               n.name.lower())])
+                if isinstance(n, A.ColumnRef)
+                and ((n.table_alias or "").lower(), n.name.lower()) in res_map
+                else n)
+            residual_cond = conj if residual_cond is None \
+                else A.And(residual_cond, conj)
         dkeys = [f"__ek{k}_{i}" for i in range(len(corr_pairs))]
+        rkeys = [res_map[key] for key, _ in res_cols]
+        key_exprs = [A.ColumnRef(ic) for ic, _ in corr_pairs] + \
+                    [A.ColumnRef(r.name, r.table_alias) for _, r in res_cols]
         derived = A.Select(
-            items=tuple(A.SelectItem(A.ColumnRef(ic), dk)
-                        for (ic, _), dk in zip(corr_pairs, dkeys)),
+            items=tuple(A.SelectItem(e, nm)
+                        for e, nm in zip(key_exprs, dkeys + rkeys)),
             source=sub.source, where=local_where,
-            group_by=tuple(A.ColumnRef(ic) for ic, _ in corr_pairs))
+            group_by=tuple(key_exprs))
         right = self._select_frame(derived).ds.materialize()
         okeys = [_resolve_name(o.name, frame.columns)
                  for _, o in corr_pairs]
         left_ds = frame.ds.map_batches(HarmonizeJoinKeys(okeys),
-                                       batch_format="pyarrow")
+                                       batch_format="pyarrow") if okeys \
+            else frame.ds
+        jt = "left anti" if node.negated else "left semi"
         if right.count() <= BROADCAST_ROW_LIMIT:
             tbl = _harmonize_keys(_materialize_small(right), dkeys)
             ref = ray.put(tbl)
             out = left_ds.map_batches(
-                BroadcastJoinBatch(
-                    ref, okeys, dkeys,
-                    "left anti" if node.negated else "left semi", None, env),
+                BroadcastJoinBatch(ref, okeys, dkeys, jt,
+                                   residual_cond, env),
                 batch_format="pyarrow")
-        else:
+        elif not residuals:
             num_cpus = int(ray.cluster_resources().get("CPU", 8))
             out = left_ds.join(
                 right.map_batches(HarmonizeJoinKeys(dkeys),
@@ -1417,6 +1513,35 @@ class Compiler:
                 join_type="left_anti" if node.negated else "left_semi",
                 num_partitions=max(num_cpus * 2, 16),
                 on=tuple(okeys), right_on=tuple(dkeys))
+        else:
+            if not okeys:
+                raise ValueError(
+                    "EXISTS with only non-equi correlation needs a "
+                    "broadcast-sized subquery (add an equality conjunct)")
+            # shuffle fallback: tag stream rows, inner-join candidates on
+            # the equality keys, apply the residual, then semi/anti the
+            # tagged stream against the surviving row ids
+            rid = "__xrid"
+            num_cpus = int(ray.cluster_resources().get("CPU", 8))
+            tagged = left_ds.map_batches(AddRandomRowId(rid),
+                                         batch_format="pyarrow").materialize()
+            matched = tagged.join(
+                right.map_batches(HarmonizeJoinKeys(dkeys),
+                                  batch_format="pyarrow").materialize(),
+                join_type="inner",
+                num_partitions=max(num_cpus * 2, 16),
+                on=tuple(okeys), right_on=tuple(dkeys))
+            matched = matched.map_batches(
+                FilterBatch(residual_cond, env), batch_format="pyarrow")
+            winners = _distinct(
+                matched.select_columns([rid]), [rid]).materialize()
+            out = tagged.join(
+                winners, join_type="left_anti" if node.negated
+                else "left_semi",
+                num_partitions=max(num_cpus * 2, 16),
+                on=(rid,), right_on=(rid,))
+            out = out.map_batches(DropColumns([rid]),
+                                  batch_format="pyarrow")
         return Frame(out, frame.columns, frame.aliases)
 
     def _apply_correlated_scalar(self, frame: Frame, node, k: int,
@@ -1440,7 +1565,13 @@ class Compiler:
             raise ValueError(
                 "correlated scalar subquery too complex to decorrelate "
                 "(single aggregate item, no joins/GROUP BY supported)")
-        corr_pairs, local_where = self._split_correlation(sub, frame)
+        corr_pairs, local_where, residuals = \
+            self._split_correlation(sub, frame)
+        if residuals:
+            raise ValueError(
+                "correlated scalar subquery with non-equality correlation "
+                "is not supported (only equality predicates decorrelate "
+                "to a grouped join)")
         if not corr_pairs:
             raise ValueError(
                 "correlated scalar subquery needs at least one equality "
@@ -1804,6 +1935,14 @@ class Compiler:
         if ralias:
             aliases[ralias] = True
 
+        # inner joins coalesce keys under the left name; keep the right
+        # key name addressable (zero-copy) for later predicates/subqueries
+        restore = [(lk, rk) for lk, rk in zip(left_keys, right_keys)
+                   if lk != rk and rk not in out_cols] \
+            if j.join_type == "INNER" else []
+        if restore:
+            out_cols = out_cols + [rk for _, rk in restore]
+
         small = right.est_rows is not None and right.est_rows <= BROADCAST_ROW_LIMIT
         if small and j.join_type in ("INNER", "LEFT"):
             pa_type = {"INNER": "inner", "LEFT": "left outer"}[j.join_type]
@@ -1815,6 +1954,9 @@ class Compiler:
                 BroadcastJoinBatch(right_ref, left_keys, right_keys,
                                    pa_type, residual, env),
                 batch_format="pyarrow")
+            if restore:
+                ds = ds.map_batches(RestoreKeyNames(restore),
+                                    batch_format="pyarrow")
             return Frame(ds, out_cols, aliases)
 
         ray_type = {"INNER": "inner", "LEFT": "left_outer",
@@ -1833,6 +1975,9 @@ class Compiler:
             right_ds, join_type=ray_type,
             num_partitions=max(num_cpus * 2, 16),
             on=tuple(left_keys), right_on=tuple(right_keys))
+        if restore:
+            ds = ds.map_batches(RestoreKeyNames(restore),
+                                batch_format="pyarrow")
         if residual is not None:
             ds = ds.map_batches(FilterBatch(residual, env), batch_format="pyarrow")
         return Frame(ds, out_cols, aliases)
@@ -2593,6 +2738,19 @@ def _flatten_and(cond: A.Cond) -> list[A.Cond]:
     if isinstance(cond, A.And):
         return _flatten_and(cond.left) + _flatten_and(cond.right)
     return [cond]
+
+
+def _tag_columns(ds: rd.Dataset, columns) -> rd.Dataset:
+    """Record the compiler's declared output column names on the Dataset.
+    Ray bypasses UDFs on empty blocks, so an empty RESULT carries stale
+    pre-projection (or no) schema — the qwery to_pandas patch uses this
+    tag to rebuild the correct empty frame (see qwery_ray.__init__)."""
+    if columns:
+        try:
+            ds._qwery_columns = [c.split(".")[-1] for c in columns]
+        except Exception:
+            pass
+    return ds
 
 
 def _resolve_name(name: str, columns: list[str]) -> str:

@@ -77,3 +77,66 @@ class TestExists:
         assert "NOT EXISTS (" in text
         # re-parse of the decompiled text yields the same AST
         assert parse_one(text) == stmt
+
+
+class TestExistsResidual:
+    """EXISTS with NON-EQUI correlated conjuncts (TPC-H Q21 shape): the
+    residual cannot become a join key — it is applied per candidate pair
+    before the semi/anti decision."""
+
+    def test_exists_nonequi_residual(self, engine, duck):
+        # another lineitem of the SAME order from a DIFFERENT supplier
+        sql = ("SELECT l1.l_orderkey, l1.l_linenumber FROM lineitem l1 "
+               "WHERE l1.l_orderkey < 300 AND EXISTS "
+               "(SELECT 1 FROM lineitem l2 WHERE "
+               "l2.l_orderkey = l1.l_orderkey AND "
+               "l2.l_suppkey != l1.l_suppkey) "
+               "ORDER BY l1.l_orderkey, l1.l_linenumber")
+        mine, oracle = _run(engine, duck, sql)
+        assert mine["l_orderkey"].tolist() == oracle["l_orderkey"].tolist()
+        assert mine["l_linenumber"].tolist() == oracle["l_linenumber"].tolist()
+        assert len(mine) > 0
+
+    def test_not_exists_nonequi_residual(self, engine, duck):
+        sql = ("SELECT l1.l_orderkey, l1.l_linenumber FROM lineitem l1 "
+               "WHERE l1.l_orderkey < 300 AND NOT EXISTS "
+               "(SELECT 1 FROM lineitem l2 WHERE "
+               "l2.l_orderkey = l1.l_orderkey AND "
+               "l2.l_quantity > l1.l_quantity) "
+               "ORDER BY l1.l_orderkey, l1.l_linenumber")
+        mine, oracle = _run(engine, duck, sql)
+        assert mine["l_linenumber"].tolist() == oracle["l_linenumber"].tolist()
+        assert len(mine) > 0
+
+    def test_exists_outer_only_predicate_hoists(self, engine, duck):
+        # conjunct referencing ONLY outer columns is constant per outer
+        # row — must behave like a hoisted AND
+        sql = ("SELECT c_custkey FROM customer c WHERE EXISTS "
+               "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+               "AND c.c_acctbal > 5000) ORDER BY c_custkey")
+        mine, oracle = _run(engine, duck, sql)
+        assert mine["c_custkey"].tolist() == oracle["c_custkey"].tolist()
+
+    def test_exists_pure_nonequi_cartesian(self, engine, duck):
+        # no equality correlation at all: candidate set is the whole
+        # (broadcast-sized) subquery per outer row
+        sql = ("SELECT n_nationkey FROM nation n WHERE EXISTS "
+               "(SELECT 1 FROM region r WHERE r.r_regionkey > n.n_nationkey) "
+               "ORDER BY n_nationkey")
+        mine, oracle = _run(engine, duck, sql)
+        assert mine["n_nationkey"].tolist() == oracle["n_nationkey"].tolist()
+
+
+class TestEmptyResultSchema:
+    def test_filtered_to_empty_keeps_columns(self, engine):
+        df = engine.sql("SELECT c_custkey, c_name FROM customer "
+                        "WHERE c_acctbal > 1e18").to_pandas()
+        assert len(df) == 0
+        assert list(df.columns) == ["c_custkey", "c_name"]
+
+    def test_empty_aggregate_keeps_columns(self, engine):
+        df = engine.sql(
+            "SELECT c_mktsegment, COUNT(*) AS n FROM customer "
+            "WHERE c_acctbal > 1e18 GROUP BY c_mktsegment").to_pandas()
+        assert len(df) == 0
+        assert sorted(df.columns) == ["c_mktsegment", "n"]

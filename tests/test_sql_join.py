@@ -79,3 +79,31 @@ class TestJoins:
                  "SELECT n.n_name, x.cnt FROM nation n JOIN "
                  "(SELECT s_nationkey, COUNT(*) AS cnt FROM supplier "
                  "GROUP BY s_nationkey) x ON n.n_nationkey = x.s_nationkey")
+
+
+class TestJoinKeyNamesSurvive:
+    """Equi-INNER joins coalesce both keys under the left name; the right
+    key name must stay addressable for later predicates (DuckDB parity)."""
+
+    def test_right_key_name_in_where(self, engine, duck):
+        sql = ("SELECT COUNT(*) AS n FROM supplier s INNER JOIN lineitem l "
+               "ON s.s_suppkey = l.l_suppkey WHERE l.l_suppkey = 3")
+        mine = engine.sql(sql).to_pandas()
+        oracle = duck.execute(
+            "SELECT COUNT(*) AS n FROM supplier s JOIN lineitem l "
+            "ON s.s_suppkey = l.l_suppkey WHERE l.l_suppkey = 3").fetch_df()
+        assert mine["n"].tolist() == oracle["n"].tolist()
+        assert mine["n"].iloc[0] > 0
+
+    def test_right_key_name_projected(self, engine, duck):
+        sql = ("SELECT n.n_nationkey, COUNT(*) AS n_cust "
+               "FROM customer c INNER JOIN nation n "
+               "ON c.c_nationkey = n.n_nationkey "
+               "GROUP BY n.n_nationkey ORDER BY n.n_nationkey")
+        mine = engine.sql(sql).to_pandas()
+        oracle = duck.execute(
+            "SELECT n.n_nationkey, COUNT(*) AS n_cust "
+            "FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "GROUP BY n.n_nationkey ORDER BY n.n_nationkey").fetch_df()
+        assert mine["n_nationkey"].tolist() == oracle["n_nationkey"].tolist()
+        assert mine["n_cust"].tolist() == oracle["n_cust"].tolist()
