@@ -9,9 +9,14 @@ meets in practice without native codecs:
 - BMP (24-bit uncompressed, bottom-up rows, 4-byte row padding).
 - PPM/PGM (binary P6/P5).
 - WAV PCM via the stdlib ``wave`` module.
+- JPEG baseline sequential (SOF0/1): full marker parse, huffman entropy
+  decode, dequantize + IDCT, 1–2× chroma subsampling, restart markers;
+  plus a 4:4:4 encoder for fixtures/round-trip tests (see module docs at
+  the JPEG section below).
 
-JPEG/MP4 and friends still require native codecs — ``decode_image`` raises
-``NotImplementedError`` for them (the caller's skip/fail policy applies).
+Progressive JPEG / WebP / MP4 and friends still require native codecs —
+decoders raise ``NotImplementedError`` for them (the caller's skip/fail
+policy applies).
 """
 
 from __future__ import annotations
@@ -211,3 +216,442 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
         wf.setframerate(rate)
         wf.writeframes(pcm.tobytes())
     return buf.getvalue()
+
+
+# --------------------------------------------------------------------- JPEG
+# Baseline sequential JFIF (SOF0), pure numpy: marker parse → canonical
+# huffman entropy decode → dequantize → 8×8 IDCT (orthonormal DCT basis
+# matmul) → chroma upsample → YCbCr→RGB. Supports gray + 3-component,
+# sampling factors 1–2 (4:4:4 / 4:2:2 / 4:4:0 / 4:2:0), restart markers.
+# Progressive (SOF2) / arithmetic / 12-bit raise NotImplementedError.
+# The encoder emits 4:4:4 with uniform-length canonical huffman tables
+# (legal incomplete trees — table choice is in-stream, so any decoder
+# reads it); it exists to make fixtures and lossy round-trip tests
+# possible without PIL/libjpeg. Python-loop entropy decode: fine for
+# test-scale assets; swap for libjpeg bindings in production pipelines.
+
+JPEG_MAGIC = b"\xff\xd8"
+
+_ZZ = None  # zigzag order: sequence index -> flat (row*8+col) position
+
+
+def _zigzag() -> np.ndarray:
+    global _ZZ
+    if _ZZ is None:
+        cells = sorted(
+            ((r, c) for r in range(8) for c in range(8)),
+            key=lambda rc: (rc[0] + rc[1],
+                            rc[0] if (rc[0] + rc[1]) % 2 else -rc[0]))
+        _ZZ = np.array([r * 8 + c for r, c in cells], dtype=np.int64)
+    return _ZZ
+
+
+def _dct_basis() -> np.ndarray:
+    k = np.arange(8)[:, None]
+    n = np.arange(8)[None, :]
+    c = np.cos((2 * n + 1) * k * np.pi / 16) * np.sqrt(2 / 8)
+    c[0] /= np.sqrt(2)
+    return c
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with 0xFF00 unstuffing;
+    stops at any non-stuffed marker (caller handles RSTn/EOI)."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker = None
+
+    def _fill(self) -> bool:
+        b = self.buf[self.pos]
+        if b == 0xFF:
+            nxt = self.buf[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:  # a real marker: entropy segment ends here
+                self.marker = nxt
+                return False
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+        return True
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if not self._fill():
+                # pad with zero bits past the marker (spec: segment is
+                # 1-padded, trailing garbage bits are never consumed)
+                self.acc <<= 8
+                self.nbits += 8
+        self.nbits -= n
+        val = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return val
+
+    def align(self) -> None:
+        self.acc = 0
+        self.nbits = 0
+
+    def next_marker(self) -> int | None:
+        """Consume an aligned FF xx marker at the current byte position."""
+        while self.buf[self.pos] != 0xFF:
+            self.pos += 1
+        while self.buf[self.pos + 1] == 0xFF:
+            self.pos += 1
+        m = self.buf[self.pos + 1]
+        self.pos += 2
+        return m
+
+
+def _huff_decode_map(bits: list[int], vals: bytes) -> dict:
+    """Canonical JPEG huffman: {(length, code) -> symbol}."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _read_symbol(br: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read(1)
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid huffman code in entropy stream")
+
+
+def _extend(v: int, t: int) -> int:
+    """DC/AC magnitude category decode (spec F.12)."""
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(blob: bytes) -> np.ndarray:
+    if not blob.startswith(JPEG_MAGIC):
+        raise ValueError("not a JPEG")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> map
+    comps: list[dict] = []
+    width = height = 0
+    restart = 0
+    pos = 2
+    while True:
+        if blob[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = blob[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI before SOS
+            raise ValueError("no scan data")
+        (seglen,) = struct.unpack(">H", blob[pos:pos + 2])
+        seg = blob[pos + 2:pos + seglen]
+        if marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc_th = seg[p]
+                bits = list(seg[p + 1:p + 17])
+                n = sum(bits)
+                vals = seg[p + 17:p + 17 + n]
+                huff[(tc_th >> 4, tc_th & 15)] = _huff_decode_map(bits, vals)
+                p += 17 + n
+        elif marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq_tq = seg[p]
+                if pq_tq >> 4:
+                    raise NotImplementedError("16-bit quant tables")
+                tbl = np.zeros(64, dtype=np.float64)
+                tbl[_zigzag()] = np.frombuffer(
+                    seg[p + 1:p + 65], dtype=np.uint8)
+                qt[pq_tq & 15] = tbl.reshape(8, 8)
+                p += 65
+        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+            _prec, height, width, nc = struct.unpack(">BHHB", seg[:6])
+            if _prec != 8:
+                raise NotImplementedError("12-bit JPEG")
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
+                              "tq": tq})
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential JPEG (SOF0/1) is supported")
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            for i in range(ns):
+                cs, td_ta = seg[1 + 2 * i:3 + 2 * i]
+                for c in comps:
+                    if c["id"] == cs:
+                        c["dc"] = huff[(0, td_ta >> 4)]
+                        c["ac"] = huff[(1, td_ta & 15)]
+            pos += seglen
+            break
+        pos += seglen
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    basis = _dct_basis()
+    zz = _zigzag()
+    planes = [np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8))
+              for c in comps]
+    pred = [0] * len(comps)
+    br = _BitReader(blob, pos)
+    coeffs = np.zeros(64, dtype=np.float64)
+    for m in range(mcux * mcuy):
+        if restart and m and m % restart == 0:
+            br.align()
+            mk = br.next_marker()
+            if mk is None or not (0xD0 <= mk <= 0xD7):
+                raise ValueError("expected restart marker")
+            pred = [0] * len(comps)
+            br.marker = None
+        my, mx = divmod(m, mcux)
+        for ci, c in enumerate(comps):
+            q = qt[c["tq"]]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    coeffs[:] = 0
+                    t = _read_symbol(br, c["dc"])
+                    if t:
+                        pred[ci] += _extend(br.read(t), t)
+                    coeffs[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _read_symbol(br, c["ac"])
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC index out of range")
+                        coeffs[zz[k]] = _extend(br.read(s), s)
+                        k += 1
+                    block = basis.T @ (coeffs.reshape(8, 8) * q) @ basis
+                    y0 = (my * c["v"] + by) * 8
+                    x0 = (mx * c["h"] + bx) * 8
+                    planes[ci][y0:y0 + 8, x0:x0 + 8] = block + 128.0
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                      hmax // c["h"], axis=1)
+        full.append(p[:height, :width])
+    if len(full) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# JPEG Annex K.1/K.2 reference quantization tables (public spec constants)
+_Q_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.float64).reshape(8, 8)
+_Q_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.float64).reshape(8, 8)
+
+
+def _scaled_q(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    scale = 5000 / quality if quality < 50 else 200 - 2 * quality
+    return np.clip(np.floor((base * scale + 50) / 100), 1, 255)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, val: int, n: int) -> None:
+        self.acc = (self.acc << n) | (val & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+
+def _uniform_huff(symbols: set[int]) -> tuple[list[int], bytes, dict]:
+    """All used symbols at one code length L with 2^L-1 >= k (the all-ones
+    slot stays free, keeping the canonical tree incomplete — legal and
+    what Annex K's own tables do). Returns (BITS, HUFFVAL, sym->(code,L))."""
+    syms = sorted(symbols) or [0]
+    k = len(syms)
+    L = 1
+    while (1 << L) - 1 < k:
+        L += 1
+    bits = [0] * 16
+    bits[L - 1] = k
+    codes = {s: (i, L) for i, s in enumerate(syms)}
+    return bits, bytes(syms), codes
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
+    """8-bit gray (H,W) or RGB (H,W,3) → baseline 4:4:4 JFIF JPEG."""
+    arr = np.asarray(arr, dtype=np.float64)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if gray:
+        planes = [arr - 128.0]
+    else:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [y - 128.0, cb, cr]
+    qts = [_scaled_q(_Q_LUMA, quality)] + \
+        ([] if gray else [_scaled_q(_Q_CHROMA, quality)])
+    basis = _dct_basis()
+    zz = _zigzag()
+    bh, bw = -(-h // 8), -(-w // 8)
+    # pass 1: quantized coefficients per component block
+    all_blocks: list[list[np.ndarray]] = []
+    for ci, p in enumerate(planes):
+        q = qts[min(ci, len(qts) - 1)]
+        padded = np.pad(p, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+        blocks = []
+        for by in range(bh):
+            for bx in range(bw):
+                blk = padded[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                f = basis @ blk @ basis.T
+                blocks.append(np.round(f / q).astype(np.int64))
+        all_blocks.append(blocks)
+    # pass 2: collect symbols, build uniform-length tables per class
+    dc_syms: list[set[int]] = [set(), set()]
+    ac_syms: list[set[int]] = [set(), set()]
+    seqs: list[list[tuple]] = []  # per component: [(dcsym,bits),(acsym,bits)…]
+    for ci, blocks in enumerate(all_blocks):
+        tcls = 0 if ci == 0 else 1
+        pred = 0
+        seq: list[tuple] = []
+        for blk in blocks:
+            flat = blk.reshape(64)[zz]
+            diff = int(flat[0]) - pred
+            pred = int(flat[0])
+            t = _category(diff)
+            dc_syms[tcls].add(t)
+            seq.append(("dc", t, diff))
+            run = 0
+            nz = np.nonzero(flat[1:])[0]
+            last = nz[-1] + 1 if len(nz) else 0
+            for k in range(1, last + 1):
+                v = int(flat[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ac_syms[tcls].add(0xF0)
+                    seq.append(("ac", 0xF0, 0))
+                    run -= 16
+                s = _category(v)
+                sym = (run << 4) | s
+                ac_syms[tcls].add(sym)
+                seq.append(("ac", sym, v))
+                run = 0
+            if last < 63:
+                ac_syms[tcls].add(0x00)
+                seq.append(("ac", 0x00, 0))
+        seqs.append(seq)
+    tables = []
+    for tcls in range(2 if not gray else 1):
+        dc_bits, dc_vals, dc_codes = _uniform_huff(dc_syms[tcls])
+        ac_bits, ac_vals, ac_codes = _uniform_huff(ac_syms[tcls])
+        tables.append((dc_bits, dc_vals, dc_codes, ac_bits, ac_vals, ac_codes))
+    # pass 3: serialize
+    out = bytearray(JPEG_MAGIC)
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    for ti, q in enumerate(qts):
+        z = np.zeros(64, dtype=np.uint8)
+        z[:] = q.reshape(64)[zz].astype(np.uint8)
+        out += b"\xff\xdb" + struct.pack(">HB", 67, ti) + z.tobytes()
+    nc = 1 if gray else 3
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for ci in range(nc):
+        out += bytes([ci + 1, 0x11, min(ci, len(qts) - 1)])
+    for tcls, (dcb, dcv, _dc, acb, acv, _ac) in enumerate(tables):
+        out += b"\xff\xc4" + struct.pack(
+            ">HB", 19 + len(dcv), tcls) + bytes(dcb) + dcv
+        out += b"\xff\xc4" + struct.pack(
+            ">HB", 19 + len(acv), 0x10 | tcls) + bytes(acb) + acv
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for ci in range(nc):
+        tcls = 0 if ci == 0 else 1
+        out += bytes([ci + 1, (tcls << 4) | tcls])
+    out += b"\x00\x3f\x00"
+    bw_ = _BitWriter()
+    # interleave blocks MCU-wise: 4:4:4 ⇒ one block per component per MCU
+    nblocks = bh * bw
+    per_block: list[list[list[tuple]]] = []
+    for ci, seq in enumerate(seqs):
+        blocks, cur = [], []
+        for item in seq:
+            if item[0] == "dc" and cur:
+                blocks.append(cur)
+                cur = []
+            cur.append(item)
+        blocks.append(cur)
+        per_block.append(blocks)
+    for bi in range(nblocks):
+        for ci in range(nc):
+            tcls = 0 if ci == 0 else 1
+            _dcb, _dcv, dc_codes, _acb, _acv, ac_codes = tables[tcls]
+            for kind, sym, v in per_block[ci][bi]:
+                code, L = (dc_codes if kind == "dc" else ac_codes)[sym]
+                bw_.write(code, L)
+                s = sym & 15 if kind == "ac" else sym
+                if s:
+                    bw_.write(v if v >= 0 else v + (1 << s) - 1, s)
+    bw_.flush()
+    out += bw_.out
+    out += b"\xff\xd9"
+    return bytes(out)

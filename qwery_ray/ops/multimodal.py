@@ -50,17 +50,19 @@ def synth_binary_images(n: int, seed: int = 42) -> pa.Table:
 class DecodeImage:
     """Actor-pool decode stage: binary → fixed-size float feature vector.
 
-    Decodes PNG/BMP/PPM (pure-stdlib codecs) and the FIMG test fake.
-    STUB: compressed formats (JPEG, WebP, ...) need native codecs and raise
-    NotImplementedError — swap ``_decode`` for PIL/torchvision in a real
-    deployment (caller chooses skip/fail policy via ``strict``)."""
+    Decodes PNG/BMP/PPM/baseline-JPEG (pure numpy codecs, see
+    ops.imagecodec) and the FIMG test fake.
+    STUB: progressive JPEG, WebP, AVIF, ... still need native codecs and
+    raise NotImplementedError — swap ``_decode`` for PIL/torchvision in a
+    real deployment (caller chooses skip/fail policy via ``strict``)."""
 
     def __init__(self, data_col: str = "data", strict: bool = True):
         self.data_col = data_col
         self.strict = strict
 
     def _decode(self, blob: bytes) -> np.ndarray | None:
-        from .imagecodec import PNG_MAGIC, decode_bmp, decode_png, decode_ppm
+        from .imagecodec import (JPEG_MAGIC, PNG_MAGIC, decode_bmp,
+                                 decode_jpeg, decode_png, decode_ppm)
 
         try:
             if blob is None:
@@ -71,14 +73,17 @@ class DecodeImage:
                                      dtype=np.uint8).reshape(h, w)
             if blob.startswith(PNG_MAGIC):
                 return decode_png(blob)
+            if blob.startswith(JPEG_MAGIC):
+                return decode_jpeg(blob)
             if blob.startswith(b"BM"):
                 return decode_bmp(blob)
             if blob[:2] in (b"P5", b"P6"):
                 return decode_ppm(blob)
             raise NotImplementedError(
-                "compressed image formats (JPEG/WebP/...) need native "
+                "compressed image formats (WebP/AVIF/...) need native "
                 "codecs not present in this container")
-        except (NotImplementedError, ValueError):
+        except (NotImplementedError, ValueError, IndexError, KeyError,
+                struct.error):  # malformed/truncated payloads included
             if self.strict:
                 raise
             return None
