@@ -144,18 +144,41 @@ class ResizeImage:
 
 
 class FrameSample:
-    """STUB video frame-sampler: treats the payload as concatenated FIMG
-    frames, emits every nth frame as its own row (flat-map shape)."""
+    """Video frame-sampler (flat-map shape): every nth frame becomes its
+    own row. Two payload kinds:
 
-    def __init__(self, every_n: int = 2, data_col: str = "data"):
+    - REAL MP4/ISO-BMFF (``ftyp`` at offset 4): the container's sample
+      tables map each encoded frame to a byte range — extraction needs no
+      video decoder (see ops.mp4). Emitted payloads are the opaque
+      encoded frames with their decode timestamps and keyframe flags.
+    - the FIMG test fake: concatenated raw frames.
+
+    Decoding the extracted H.264/H.265/AV1 payloads to pixels still needs
+    native codecs and is out of scope here."""
+
+    def __init__(self, every_n: int = 2, data_col: str = "data",
+                 keyframes_only: bool = False):
         self.every_n = every_n
         self.data_col = data_col
+        self.keyframes_only = keyframes_only
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, frames, frame_idx = [], [], []
+        from .mp4 import extract_samples, looks_like_mp4
+
+        ids, frames, frame_idx, tss, keys = [], [], [], [], []
         for vid, blob in zip(batch.column("image_id").to_pylist(),
                              batch.column(self.data_col).to_pylist()):
             if blob is None:
+                continue
+            if looks_like_mp4(blob):
+                for idx, dts, key, payload in extract_samples(
+                        blob, every_n=self.every_n,
+                        keyframes_only=self.keyframes_only):
+                    ids.append(vid)
+                    frames.append(payload)
+                    frame_idx.append(idx)
+                    tss.append(dts)
+                    keys.append(key)
                 continue
             off, i = 0, 0
             while off + 8 <= len(blob) and blob[off:off + 4] == MAGIC:
@@ -165,10 +188,14 @@ class FrameSample:
                     ids.append(vid)
                     frames.append(blob[off:end])
                     frame_idx.append(i)
+                    tss.append(float(i))
+                    keys.append(True)
                 off, i = end, i + 1
         return pa.table({
             "image_id": pa.array(ids, type=pa.int64()),
             "frame_index": pa.array(frame_idx, type=pa.int64()),
+            "dts_sec": pa.array(tss, type=pa.float64()),
+            "keyframe": pa.array(keys, type=pa.bool_()),
             "data": pa.array(frames, type=pa.binary()),
         })
 

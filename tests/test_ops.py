@@ -302,6 +302,42 @@ class TestMultimodal:
             FrameSample(every_n=2), batch_format="pyarrow").to_pandas()
         assert out["frame_index"].tolist() == [0, 2, 4]
 
+    def test_mp4_mux_parse_round_trip(self):
+        """ISO-BMFF sample tables: mux N opaque payloads, re-derive every
+        sample's byte range / timestamp / keyframe flag from stbl alone."""
+        from qwery_ray.ops.mp4 import mux_mp4, parse_samples
+
+        samples = [bytes([i]) * (10 + 7 * i) for i in range(11)]
+        blob = mux_mp4(samples, timescale=600, sample_delta=25,
+                       sync_every=4, samples_per_chunk=3)
+        parsed = parse_samples(blob)
+        assert len(parsed) == 11
+        for i, s in enumerate(parsed):
+            assert blob[s.offset:s.offset + s.size] == samples[i]
+            assert abs(s.dts - i * 25 / 600) < 1e-12
+            assert s.keyframe == (i % 4 == 0)
+
+    def test_frame_sample_real_mp4(self, ray_session):
+        import ray.data as rd
+        from qwery_ray.ops.mp4 import mux_mp4
+        from qwery_ray.ops.multimodal import FrameSample
+
+        payloads = [b"frame%02d" % i for i in range(9)]
+        blob = mux_mp4(payloads, sync_every=3)
+        vid = pa.table({
+            "image_id": pa.array([7], type=pa.int64()),
+            "data": pa.array([blob], type=pa.binary()),
+        })
+        out = rd.from_arrow(vid).map_batches(
+            FrameSample(every_n=2), batch_format="pyarrow").to_pandas()
+        assert out["frame_index"].tolist() == [0, 2, 4, 6, 8]
+        assert out["data"].tolist() == [payloads[i] for i in (0, 2, 4, 6, 8)]
+        kf = rd.from_arrow(vid).map_batches(
+            FrameSample(every_n=1, keyframes_only=True),
+            batch_format="pyarrow").to_pandas()
+        assert kf["frame_index"].tolist() == [0, 3, 6]
+        assert kf["keyframe"].all()
+
 
 class TestImageCodec:
     """Pure-stdlib codecs: PNG/BMP/PPM/WAV round-trips and cross-decoding
