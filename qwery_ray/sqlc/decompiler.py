@@ -98,6 +98,8 @@ def expr_sql(e) -> str:
     if isinstance(e, A.Exists):
         kw = "NOT EXISTS" if e.negated else "EXISTS"
         return f"{kw} ({to_sql(e.query)})"
+    if type(e).__name__ == "_ScalarSubquery":  # parser-internal Expr node
+        return f"({to_sql(e.query)})"
     if isinstance(e, A.CaseWhen):
         parts = ["CASE"]
         for cond, val in e.branches:

