@@ -33,6 +33,8 @@ from .exprs import Evaluator, collect_agg_calls, collect_column_refs
 from .rewrite import substitute_nodes, transform_expr
 
 BROADCAST_ROW_LIMIT = 500_000  # right sides below this are ray.put-broadcast
+BROADCAST_BYTE_LIMIT = 96 * 1024 * 1024  # …or below this pruned-column size
+BROADCAST_ROW_HARD_CAP = 8_000_000  # …but never beyond this many rows
 
 
 @dataclass
@@ -44,6 +46,7 @@ class Frame:
     columns: list[str]
     aliases: dict = field(default_factory=dict)  # alias(lower) → True (side marker)
     est_rows: Optional[int] = None  # known row count (parquet metadata) or None
+    est_bytes: Optional[int] = None  # uncompressed bytes of the PRUNED columns
 
 
 def _env(session):
@@ -158,12 +161,22 @@ def _harmonize_keys(table: pa.Table, keys) -> pa.Table:
     return table
 
 
+_BCAST_JOIN_CACHE: dict = {}  # per-worker: ref.hex → table / sorted key index
+
+
 class BroadcastJoinBatch:
-    """Per-batch hash join against a ray.put-broadcast right table.
+    """Per-batch join against a ray.put-broadcast right table.
 
     The small side ships to the object store ONCE; every task reads it
     zero-copy. Replaces the reference's O(n·m) nested loop with re-read
-    per left row (core/ops/sql/Join.scala:22-36)."""
+    per left row (core/ops/sql/Join.scala:22-36).
+
+    Single-integer-key inner/left/semi/anti joins take a vectorized
+    lookup path: the right side's key column is argsorted ONCE PER WORKER
+    (module cache — pa.Table.join would rebuild its hash table for every
+    batch) and each batch resolves matches with two searchsorted calls +
+    take. Composite keys, non-integer keys, and residual predicates fall
+    back to Acero ``pa.Table.join`` per batch."""
 
     def __init__(self, right_ref, left_keys, right_keys, join_type, residual, env):
         self.right_ref = right_ref
@@ -176,10 +189,81 @@ class BroadcastJoinBatch:
 
     def _table(self) -> pa.Table:
         if self._right is None:
-            self._right = ray.get(self.right_ref)
+            key = self.right_ref.hex()
+            tbl = _BCAST_JOIN_CACHE.get(key)
+            if tbl is None:
+                tbl = ray.get(self.right_ref)
+                _BCAST_JOIN_CACHE[key] = tbl
+            self._right = tbl
         return self._right
 
+    def _index(self, right: pa.Table, rkey: str):
+        """(right_nonnull, sorted_keys, argsort_order) — cached per worker."""
+        ck = (self.right_ref.hex(), rkey)
+        entry = _BCAST_JOIN_CACHE.get(ck)
+        if entry is None:
+            col = right.column(rkey)
+            if col.null_count:
+                right = right.filter(pc.is_valid(col))  # null keys never match
+                col = right.column(rkey)
+            ks = col.to_numpy(zero_copy_only=False)
+            order = np.argsort(ks, kind="stable").astype(np.int64)
+            entry = (right, ks[order], order)
+            _BCAST_JOIN_CACHE[ck] = entry
+        return entry
+
+    def _fast_single_key(self, batch: pa.Table):
+        """Vectorized lookup join; returns None when ineligible."""
+        if self.residual is not None or len(self.left_keys) != 1 or \
+                self.join_type not in ("inner", "left outer",
+                                       "left semi", "left anti"):
+            return None
+        lkey, rkey = self.left_keys[0], self.right_keys[0]
+        right = self._table()
+        if lkey not in batch.column_names or rkey not in right.column_names:
+            return None
+        bcol = batch.column(lkey)
+        if not (pa.types.is_integer(bcol.type)
+                and pa.types.is_integer(right.column(rkey).type)):
+            return None
+        if bcol.null_count:  # rare: keep exact NULL semantics via Acero
+            return None
+        right_nn, sk, order = self._index(right, rkey)
+        bk = bcol.to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(sk, bk, "left")
+        hi = np.searchsorted(sk, bk, "right")
+        counts = hi - lo
+        if self.join_type == "left semi":
+            return batch.filter(pa.array(counts > 0))
+        if self.join_type == "left anti":
+            return batch.filter(pa.array(counts == 0))
+        rcols = [c for c in right_nn.column_names if c != rkey]
+        if self.join_type == "inner":
+            total = int(counts.sum())
+            left_idx = np.repeat(np.arange(len(batch)), counts)
+            starts = np.cumsum(counts) - counts
+            pos = np.arange(total) - np.repeat(starts, counts) \
+                + np.repeat(lo, counts)
+            right_idx = pa.array(order[pos], type=pa.int64())
+        else:  # left outer: unmatched rows appear once, null-extended
+            eff = np.maximum(counts, 1)
+            total = int(eff.sum())
+            left_idx = np.repeat(np.arange(len(batch)), eff)
+            starts = np.cumsum(eff) - eff
+            pos = np.arange(total) - np.repeat(starts, eff) \
+                + np.repeat(lo, eff)
+            matched = np.repeat(counts > 0, eff)
+            right_idx = pa.array(order[np.where(matched, pos, 0)],
+                                 mask=~matched, type=pa.int64())
+        out = batch.take(pa.array(left_idx, type=pa.int64()))
+        for name in rcols:
+            out = out.append_column(name, right_nn.column(name).take(right_idx))
+        return out
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        fast = self._fast_single_key(batch)
+        if fast is not None:
+            return fast
         right = self._table()
         if self.residual is not None and \
                 self.join_type in ("left semi", "left anti"):
@@ -472,6 +556,97 @@ class FSum(AggregateFn):
                 math.fsum(a)),
             name=alias_name,
         )
+
+
+class MergePartialsTask:
+    """Single-task finish for a SMALL set of pre-aggregated partials.
+
+    Ray's sort-based groupby shuffle costs ~1-2 s of fixed barrier time
+    even when the map-side combiner left only a few thousand partial rows
+    — for small partial sets one sort + segmented reduce in ONE task
+    replaces the whole exchange. Semantics mirror the AggregateFn path
+    exactly: FSum columns finalize with math.fsum (exactly-rounded ⇒
+    bit-identical to any merge order), integer sums stay exact integers,
+    all-null groups yield null. Guarded by SMALL_PARTIALS_LIMIT upstream,
+    so the single task is bounded."""
+
+    def __init__(self, keys: list, spec: list):
+        self.keys = keys          # null-safe-encoded key column names
+        self.spec = spec          # [(column, 'fsum'|'sum'|'min'|'max')]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import math
+
+        want = self.keys + [name for name, _ in self.spec]
+        if len(t) == 0:
+            return t.select([c for c in want if c in t.column_names])
+        t = t.sort_by([(k, "ascending") for k in self.keys])
+        n = len(t)
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        for k in self.keys:
+            col = t.column(k).combine_chunks()
+            neq = pc.not_equal(col.slice(1), col.slice(0, n - 1))
+            change[1:] |= pc.fill_null(neq, True).to_numpy(
+                zero_copy_only=False)
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.append(starts, n))
+        gidx = pa.array(starts, type=pa.int64())
+        out = {k: t.column(k).take(gidx) for k in self.keys}
+        for name, kind in self.spec:
+            col = t.column(name).combine_chunks()
+            valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+            vcnt = np.add.reduceat(valid.astype(np.int64), starts)
+            none_mask = vcnt == 0
+            typ = col.type
+            if kind in ("sum", "fsum") and pa.types.is_integer(typ):
+                vals = col.fill_null(0).to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                out[name] = pa.array(np.add.reduceat(vals, starts),
+                                     type=pa.int64(), mask=none_mask)
+            elif kind == "fsum":
+                vals = col.to_numpy(zero_copy_only=False).astype(np.float64)
+                res = np.where(valid[starts], vals[starts], np.nan)
+                for gi in np.flatnonzero((counts > 1) | ~valid[starts]):
+                    seg = vals[starts[gi]:starts[gi] + counts[gi]]
+                    seg = seg[valid[starts[gi]:starts[gi] + counts[gi]]]
+                    res[gi] = math.fsum(seg) if len(seg) else np.nan
+                out[name] = pa.array(res, type=pa.float64(), mask=none_mask)
+            elif kind == "sum":
+                vals = np.nan_to_num(
+                    col.to_numpy(zero_copy_only=False).astype(np.float64))
+                vals[~valid] = 0.0
+                out[name] = pa.array(np.add.reduceat(vals, starts),
+                                     mask=none_mask)
+            elif kind in ("min", "max") and (
+                    pa.types.is_integer(typ) or pa.types.is_floating(typ)
+                    or pa.types.is_temporal(typ)):
+                raw = col.to_numpy(zero_copy_only=False)
+                if pa.types.is_temporal(typ):
+                    raw = raw.view("i8")
+                    lim = np.iinfo(np.int64)
+                    fill = lim.max if kind == "min" else lim.min
+                else:
+                    raw = raw.astype(np.float64)
+                    fill = np.inf if kind == "min" else -np.inf
+                raw = raw.copy()
+                raw[~valid] = fill
+                red = (np.minimum if kind == "min"
+                       else np.maximum).reduceat(raw, starts)
+                if pa.types.is_temporal(typ):
+                    out[name] = pa.array(red, type=pa.int64(),
+                                         mask=none_mask).cast(typ)
+                else:
+                    arr = pa.array(red, mask=none_mask)
+                    out[name] = arr.cast(typ) if pa.types.is_integer(typ) \
+                        else arr
+            else:  # min/max over strings & friends: pandas C path
+                gid = np.repeat(np.arange(len(starts)), counts)
+                s = pd.Series(col.to_pandas().values).groupby(gid)
+                red = (s.min() if kind == "min" else s.max())
+                red[pd.Series(none_mask)] = None
+                out[name] = pa.array(red.to_numpy(), type=typ)
+        return pa.table(out)
 
 
 def _sum_type(t: pa.DataType) -> pa.DataType:
@@ -1856,7 +2031,9 @@ class Compiler:
                 f"unknown table or path {name!r}; registered tables: {known}")
 
         est_rows = None
+        est_bytes = None
         cols = None
+        meta = None
         if "://" not in path and detect_format(path, ref.hints) == "parquet":
             import pyarrow.parquet as pq
 
@@ -1869,19 +2046,35 @@ class Compiler:
                 meta_schema = pq.read_schema(frag)
                 cols = list(meta_schema.names)
                 try:
-                    est_rows = pq.read_metadata(path).num_rows if os.path.isfile(path) else None
+                    meta = pq.read_metadata(path) if os.path.isfile(path) else None
+                    est_rows = meta.num_rows if meta else None
                 except Exception:
-                    est_rows = None
+                    meta = est_rows = None
         prune = None
         if columns is not None and cols is not None:
             prune = [c for c in cols if c.lower() in columns]
             if not prune:
                 prune = None
+        if meta is not None:
+            # uncompressed footprint of only the columns we will read —
+            # the honest broadcast-size signal (row counts alone mis-gate:
+            # many narrow rows broadcast fine, few wide rows do not)
+            try:
+                keep = {c.lower() for c in (prune or cols)}
+                est_bytes = sum(
+                    meta.row_group(g).column(i).total_uncompressed_size
+                    for g in range(meta.num_row_groups)
+                    for i in range(meta.num_columns)
+                    if meta.row_group(g).column(i).path_in_schema
+                    .split(".")[0].lower() in keep)
+            except Exception:
+                est_bytes = None
         extra = {}
         if pushdown is not None and cols is not None:
             extra["filter"] = pushdown
         ds = read_source(path, ref.hints, columns=prune, **extra)
-        frame = Frame(ds, prune or cols or ds.schema().names, est_rows=est_rows)
+        frame = Frame(ds, prune or cols or ds.schema().names,
+                      est_rows=est_rows, est_bytes=est_bytes)
         alias = (ref.alias or name).lower()
         frame.aliases[alias] = True
         return frame
@@ -1914,13 +2107,13 @@ class Compiler:
             right = Frame(
                 right.ds.map_batches(RenameBatch(mapping), batch_format="pyarrow"),
                 [mapping.get(c, c) for c in right.columns],
-                right.aliases, right.est_rows)
+                right.aliases, right.est_rows, right.est_bytes)
         elif collide:
             mapping = {c: f"r.{c}" for c in collide}
             right = Frame(
                 right.ds.map_batches(RenameBatch(mapping), batch_format="pyarrow"),
                 [mapping.get(c, c) for c in right.columns],
-                right.aliases, right.est_rows)
+                right.aliases, right.est_rows, right.est_bytes)
 
         if j.join_type == "RIGHT":
             # Ray's right_outer emits the RIGHT key columns and drops the
@@ -1943,7 +2136,16 @@ class Compiler:
         if restore:
             out_cols = out_cols + [rk for _, rk in restore]
 
-        small = right.est_rows is not None and right.est_rows <= BROADCAST_ROW_LIMIT
+        # broadcast gate: small row count, or small BYTE footprint of the
+        # pruned columns (parquet footer) under a hard row cap — a narrow
+        # 1.5M-row dim table is a ~25 MB ray.put, far cheaper than hash-
+        # shuffling the fact side; a wide 400k-row table is not
+        small = (right.est_rows is not None
+                 and right.est_rows <= BROADCAST_ROW_LIMIT) or \
+                (right.est_bytes is not None
+                 and right.est_rows is not None
+                 and right.est_bytes <= BROADCAST_BYTE_LIMIT
+                 and right.est_rows <= BROADCAST_ROW_HARD_CAP)
         if small and j.join_type in ("INNER", "LEFT"):
             pa_type = {"INNER": "inner", "LEFT": "left outer"}[j.join_type]
             right_tbl = _harmonize_keys(_materialize_small(right.ds), right_keys)
@@ -2381,6 +2583,8 @@ class Compiler:
         frame2._drop_cols = extra_names  # type: ignore[attr-defined]
         return frame2
 
+    SMALL_PARTIALS_LIMIT = 2_000_000
+
     def _null_safe_groupby_agg(self, ds: rd.Dataset, key_names, ray_aggs
                                ) -> rd.Dataset:
         """groupby(keys).aggregate(*aggs), robust to NULL key values.
@@ -2388,14 +2592,29 @@ class Compiler:
         Ray's sort-based groupby shuffle raises TypeError when a boundary
         sample compares None to a value, so group on (is-null flag,
         null-filled copy) pairs and rebuild the real keys afterwards
-        (NULL forms its own group, matching DuckDB / pandas dropna=False)."""
+        (NULL forms its own group, matching DuckDB / pandas dropna=False).
+
+        ADAPTIVE: the map-side combiner usually leaves few partial rows
+        (blocks × groups). When that count is ≤ SMALL_PARTIALS_LIMIT, one
+        task merges them (MergePartialsTask — same math, bit-identical
+        results) instead of paying the 1-2 s sort-shuffle barrier; at 100 TB
+        a high-cardinality GROUP BY exceeds the limit and takes the real
+        exchange as before."""
         enc = NullSafeSortKeys(list(key_names))
         enc_keys = [c for i in range(len(key_names))
                     for c in (f"__nf{i}", f"__nk{i}")]
         ds2 = ds.map_batches(enc, batch_format="pyarrow") \
                 .map_batches(DropColumns(list(key_names)),
                              batch_format="pyarrow")
-        out = ds2.groupby(enc_keys).aggregate(*ray_aggs)
+        ds2 = ds2.materialize()  # the shuffle barrier would materialize too
+        if ds2.count() <= self.SMALL_PARTIALS_LIMIT:
+            kind_of = {FSum: "fsum", Sum: "sum", Min: "min", Max: "max"}
+            spec = [(a.name, kind_of[type(a)]) for a in ray_aggs]
+            out = ds2.repartition(1).map_batches(
+                MergePartialsTask(enc_keys, spec),
+                batch_format="pyarrow", batch_size=None)
+        else:
+            out = ds2.groupby(enc_keys).aggregate(*ray_aggs)
         return out.map_batches(_DecodeNullSafeKeys(key_names),
                                batch_format="pyarrow")
 

@@ -539,3 +539,43 @@ class TestQuantifiedComparisons:
         one = to_sql(parse(s)[0])
         assert to_sql(parse(one)[0]) == one
         assert "> ALL (" in one and "= ANY (" in one
+
+
+class TestAdaptiveAggregateFinish:
+    """The single-task small-partials finish must be BIT-identical to the
+    sort-shuffle AggregateFn path (same partials, same fsum merge)."""
+
+    def test_paths_bit_identical(self, engine):
+        from qwery_ray.sqlc.compiler import Compiler
+
+        sql = ("SELECT o_orderstatus, COUNT(*) AS n, "
+               "SUM(o_totalprice) AS s, MIN(o_totalprice) AS lo, "
+               "MAX(o_totalprice) AS hi, AVG(o_totalprice) AS m "
+               "FROM orders GROUP BY o_orderstatus")
+        small = engine.sql(sql).to_pandas().sort_values(
+            "o_orderstatus", ignore_index=True)
+        orig = Compiler.SMALL_PARTIALS_LIMIT
+        Compiler.SMALL_PARTIALS_LIMIT = 0  # force the shuffle path
+        try:
+            big = engine.sql(sql).to_pandas().sort_values(
+                "o_orderstatus", ignore_index=True)
+        finally:
+            Compiler.SMALL_PARTIALS_LIMIT = orig
+        assert list(small.columns) == list(big.columns)
+        for c in small.columns:
+            a, b = small[c].to_numpy(), big[c].to_numpy()
+            if a.dtype.kind == "f":
+                import numpy as np
+
+                assert np.array_equal(a, b)  # exact bits, no tolerance
+            else:
+                assert a.tolist() == b.tolist()
+
+    def test_string_min_max_and_nulls(self, engine, duck):
+        sql = ("SELECT o_orderstatus, MIN(o_orderpriority) AS lo, "
+               "MAX(o_orderpriority) AS hi FROM orders "
+               "GROUP BY o_orderstatus ORDER BY o_orderstatus")
+        mine = engine.sql(sql).to_pandas()
+        oracle = duck.execute(sql).fetch_df()
+        assert mine["lo"].tolist() == oracle["lo"].tolist()
+        assert mine["hi"].tolist() == oracle["hi"].tolist()

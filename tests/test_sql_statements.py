@@ -270,7 +270,9 @@ class TestExplain:
             "GROUP BY o_orderstatus").to_pandas()
         text = "\n".join(out["plan"])
         assert "MapBatches" in text          # the lowered Ray Data chain
-        assert "Aggregate" in text or "Sort" in text
+        # small partial sets finish in one merge task instead of a shuffle
+        assert "Aggregate" in text or "Sort" in text \
+            or "MergePartialsTask" in text
 
     def test_explain_decompiles(self):
         from qwery_ray.sqlc.decompiler import to_sql
