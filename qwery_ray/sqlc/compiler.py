@@ -740,14 +740,205 @@ class _WindowGroupFn:
         self.frame = frame  # explicit frame (lo, hi) or () = default
         self.frame_kind = frame_kind  # "ROWS" | "RANGE"
 
+    _VEC_FUNCS = frozenset({
+        "ROW_NUMBER", "RANK", "DENSE_RANK", "PERCENT_RANK", "CUME_DIST",
+        "NTILE", "FIRST_VALUE", "LAST_VALUE", "LAG", "LEAD",
+        "SUM", "COUNT", "AVG", "MEAN", "MIN", "MAX"})
+    _VEC_AGGS = frozenset({"SUM", "COUNT", "AVG", "MEAN", "MIN", "MAX"})
+
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         if self.pkeys:
+            # ranking/navigation funcs: one joint sort + segmented numpy
+            # over the WHOLE bucket (a per-key pandas dispatch at 150k
+            # keys costs ~50× the actual window math)
+            fast = self._vectorized_bucket(df)
+            if fast is not None:
+                return fast
             # coarse group contains many partition keys: compute per key
             return pd.concat(
                 [self._one(g) for _, g in
                  df.groupby(self.pkeys, sort=False, dropna=False)],
                 ignore_index=True)
         return self._one(df)
+
+    def _changes(self, df: pd.DataFrame, cols: list, n: int) -> np.ndarray:
+        """Row i differs from row i-1 on cols (NULLs compare equal)."""
+        sub = df[cols].reset_index(drop=True)
+        ch = np.ones(n, dtype=bool)
+        if n > 1:
+            eq = (sub.iloc[1:].reset_index(drop=True)
+                  .eq(sub.iloc[:-1].reset_index(drop=True))
+                  | (sub.iloc[1:].isna().reset_index(drop=True)
+                     & sub.iloc[:-1].isna().reset_index(drop=True))
+                  ).all(axis=1).to_numpy()
+            ch[1:] = ~eq
+        return ch
+
+    def _vectorized_bucket(self, df: pd.DataFrame):
+        """Whole-bucket vectorized path; None when the shape needs _one.
+
+        Semantics mirror _one exactly: same sort (stable, NULLS LAST),
+        same peer-group rules, same LAG/LEAD fill typing."""
+        fn = self.func
+        if fn not in self._VEC_FUNCS:
+            return None
+        if fn in self._VEC_AGGS:
+            if self.frame:  # explicit ROWS/RANGE frames go through _one
+                return None
+            if fn in ("MIN", "MAX") and self.arg_col is not None:
+                dt = df[self.arg_col].dtype
+                if not (pd.api.types.is_numeric_dtype(dt)
+                        or pd.api.types.is_datetime64_any_dtype(dt)):
+                    return None  # object cummin/cummax: keep _one's path
+        elif not self.okeys:
+            return None
+        elif fn == "LAST_VALUE":
+            if self.frame not in ((), (None, None)):
+                return None
+        elif self.frame:
+            return None
+        df = df.sort_values(
+            self.pkeys + self.okeys,
+            ascending=[True] * len(self.pkeys)
+            + [not d for d in self.odesc],
+            kind="stable").reset_index(drop=True)
+        n = len(df)
+        if n == 0:
+            df[self.out_name] = np.array([])
+            return df
+        idx = np.arange(n)
+        gch = self._changes(df, self.pkeys, n)
+        gstart = np.maximum.accumulate(np.where(gch, idx, 0))
+        gstarts = np.flatnonzero(gch)
+        gends_per = np.append(gstarts[1:], n) - 1
+        gid = np.cumsum(gch) - 1
+        gend = gends_per[gid]
+        size = gend - gstart + 1
+        pos = idx - gstart  # 0-based position within the partition
+
+        if fn == "ROW_NUMBER":
+            out = pos + 1
+        elif fn in ("RANK", "DENSE_RANK", "PERCENT_RANK", "CUME_DIST",
+                    "LAST_VALUE"):
+            pch = gch | self._changes(df, self.okeys, n)
+            if fn == "RANK":
+                pstart = np.maximum.accumulate(np.where(pch, idx, 0))
+                out = pstart - gstart + 1
+            elif fn == "DENSE_RANK":
+                pcum = np.cumsum(pch)
+                out = pcum - pcum[gstart] + 1
+            elif fn == "PERCENT_RANK":
+                pstart = np.maximum.accumulate(np.where(pch, idx, 0))
+                rank = pstart - gstart + 1
+                out = np.where(size > 1, (rank - 1) / np.maximum(size - 1, 1),
+                               0.0)
+            else:
+                pstarts = np.flatnonzero(pch)
+                pends = np.append(pstarts[1:], n) - 1
+                pid = np.cumsum(pch) - 1
+                if fn == "CUME_DIST":
+                    out = (pends[pid] - gstart + 1) / size
+                else:  # LAST_VALUE
+                    vals = df[self.arg_col].to_numpy()
+                    src = gend if self.frame == (None, None) else pends[pid]
+                    out = vals[src]
+        elif fn == "NTILE":
+            k = self.ntile_n
+            small, rem = size // k, size % k
+            big_span = rem * (small + 1)
+            out = np.where(pos < big_span,
+                           pos // (small + 1) + 1,
+                           rem + (pos - big_span) // np.maximum(small, 1) + 1)
+        elif fn == "FIRST_VALUE":
+            out = df[self.arg_col].to_numpy()[gstart]
+        elif fn in self._VEC_AGGS:
+            s = df[self.arg_col].reset_index(drop=True) \
+                if self.arg_col else None
+            if self.okeys:
+                # cumulative default frame. SUM/AVG use SEQUENTIAL
+                # per-group np.cumsum (pandas groupby.cumsum is
+                # Kahan-compensated and drifts a last ulp from the
+                # sequential accumulation DuckDB and _one produce);
+                # adding 0.0 at NULL positions is bit-exact carry
+                if fn in ("SUM", "AVG", "MEAN"):
+                    x = s.to_numpy()
+                    if x.dtype.kind not in "fiub":
+                        return None
+                    valid = s.notna().to_numpy()
+                    filled = np.where(valid, x, 0)
+                    cs = np.empty(n, dtype=filled.dtype)
+                    bounds = np.append(gstarts, n)
+                    for st, en in zip(bounds[:-1], bounds[1:]):
+                        cs[st:en] = np.cumsum(filled[st:en])
+                    vc = pd.Series(valid).groupby(gid).cumsum().to_numpy()
+                    if fn == "SUM":
+                        out = pd.Series(
+                            cs if (x.dtype.kind in "iub" and valid.all())
+                            else np.where(vc > 0, cs.astype(np.float64),
+                                          np.nan))
+                    else:
+                        out = pd.Series(
+                            np.where(vc > 0,
+                                     cs.astype(np.float64)
+                                     / np.maximum(vc, 1), np.nan))
+                elif fn == "COUNT":
+                    out = (s.notna().groupby(gid).cumsum()
+                           if s is not None else pd.Series(pos + 1))
+                elif fn == "MIN":
+                    out = s.groupby(gid).cummin().groupby(gid).ffill()
+                else:
+                    out = s.groupby(gid).cummax().groupby(gid).ffill()
+                # ANSI default frame = RANGE: peers share the value at the
+                # peer group's last row
+                pch = gch | self._changes(df, self.okeys, n)
+                pstarts = np.flatnonzero(pch)
+                pends = np.append(pstarts[1:], n) - 1
+                pid = np.cumsum(pch) - 1
+                out = out.to_numpy()[pends[pid]]
+            else:  # whole-partition value broadcast to every row
+                if s is None:
+                    out = size  # COUNT(*)
+                else:
+                    gb = s.groupby(gid)
+                    cntv = gb.transform("count").to_numpy()
+                    if fn == "COUNT":
+                        out = cntv
+                    elif fn == "SUM":
+                        tot = gb.transform("sum").to_numpy()
+                        # min_count=1: all-NULL partitions yield NULL
+                        out = tot if (cntv > 0).all() else \
+                            np.where(cntv > 0, tot.astype(np.float64),
+                                     np.nan)
+                    elif fn in ("AVG", "MEAN"):
+                        out = gb.transform("mean").to_numpy()
+                    elif fn == "MIN":
+                        out = gb.transform("min").to_numpy()
+                    else:
+                        out = gb.transform("max").to_numpy()
+            if fn == "COUNT":
+                out = np.asarray(out).astype(np.int64)
+        else:  # LAG / LEAD
+            off = self.lag_offset
+            vals = df[self.arg_col].to_numpy()
+            if fn == "LAG":
+                src = idx - off
+                valid = src >= gstart
+            else:
+                src = idx + off
+                valid = src <= gend
+            src = np.clip(src, 0, n - 1)
+            if self.lag_default is not None:
+                out = np.where(valid, vals[src], self.lag_default)
+            elif vals.dtype.kind in "iub":  # pandas shift: int → float+NaN
+                out = np.where(valid, vals.astype(np.float64)[src], np.nan)
+            elif vals.dtype.kind == "f":
+                out = np.where(valid, vals[src], np.nan)
+            elif vals.dtype.kind in "mM":
+                out = np.where(valid, vals[src], np.datetime64("NaT"))
+            else:
+                out = np.where(valid, vals[src], None)
+        df[self.out_name] = out
+        return df
 
     def _order_key_changes(self, df: pd.DataFrame, n: int) -> np.ndarray:
         """Boolean mask: row i starts a new peer group (order keys differ
@@ -2765,7 +2956,24 @@ class Compiler:
         def window_fn(df: pd.DataFrame, _w=win) -> pd.DataFrame:
             return _w(df)
 
-        ds = ds.groupby([grp_col]).map_groups(window_fn, batch_format="pandas")
+        # ADAPTIVE: below the small limit one task computes every window
+        # (the vectorized bucket path sorts once and segments — ~0.1 s for
+        # 1.5M rows) instead of paying the groupby shuffle barrier; larger
+        # inputs — and non-vectorizable funcs over many keys, which would
+        # serialize the per-key pandas loop — co-locate partition keys via
+        # the coarse bucket shuffle
+        vec_ok = fn.name in _WindowGroupFn._VEC_FUNCS and okeys and (
+            wc.frame in ((), (None, None)) if fn.name == "LAST_VALUE"
+            else not wc.frame)
+        ds = ds.materialize()
+        nrows = ds.count()
+        if nrows <= Compiler.SMALL_PARTIALS_LIMIT and (
+                vec_ok or not pkeys or nrows <= 200_000):
+            ds = ds.repartition(1).map_batches(
+                window_fn, batch_format="pandas", batch_size=None)
+        else:
+            ds = ds.groupby([grp_col]).map_groups(
+                window_fn, batch_format="pandas")
         helper = prep_names + [grp_col]
         ds = ds.map_batches(DropColumns(helper), batch_format="pyarrow")
         return Frame(ds, frame.columns + [out_name], frame.aliases)
