@@ -218,8 +218,16 @@ def minhash_lsh_candidates(ds: rd.Dataset, *, text_col: str = "text",
         return pd.DataFrame({"id_a": out_a, "id_b": out_b}).drop_duplicates() \
             .astype({"id_a": "int64", "id_b": "int64"})
 
-    pairs = bands.map_batches(add_group, batch_format="pandas") \
-        .groupby("bucket_grp").map_groups(emit_pairs, batch_format="pandas")
+    bands = bands.materialize()
+    if bands.count() <= 2_000_000:
+        # small band table: one task groups the (band, bucket) space
+        # directly — no shuffle barrier (emit_pairs buckets internally)
+        pairs = bands.repartition(1).map_batches(
+            emit_pairs, batch_format="pandas", batch_size=None)
+    else:
+        pairs = bands.map_batches(add_group, batch_format="pandas") \
+            .groupby("bucket_grp").map_groups(emit_pairs,
+                                              batch_format="pandas")
 
     # distinct pairs (same pair can fire in several bands/groups):
     # bucketed distinct — O(#buckets) dispatches, not one per pair

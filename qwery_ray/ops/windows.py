@@ -21,6 +21,10 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Sum
 
+# inputs/partials at or below this row count skip the shuffle barrier and
+# finish in one task (mirrors the SQL compiler's adaptive aggregate path)
+SMALL_INPUT_LIMIT = 2_000_000
+
 
 class SlidingWindowPartial:
     """Per-batch combiner: event → its W/S window ids → partial
@@ -111,11 +115,17 @@ def session_window_agg(ds: rd.Dataset, *, key_col: str = "user_id",
         })
         return out.reset_index(drop=True).astype({"n_events": "int64"})
 
-    return (ds.map_batches(to_secs, batch_format="pyarrow")
-              .map_batches(AddBucketCol([key_col], max(32, ncpu * 4), "__sb"),
-                           batch_format="pyarrow")
-              .groupby("__sb")
-              .map_groups(sessionize, batch_format="pandas"))
+    secs = ds.map_batches(to_secs, batch_format="pyarrow").materialize()
+    if secs.count() <= SMALL_INPUT_LIMIT:
+        # small input: sessionize everything in one task — skips the
+        # bucket shuffle barrier (sessionize sorts by key anyway)
+        return secs.repartition(1).map_batches(
+            sessionize, batch_format="pandas", batch_size=None)
+    return (secs.map_batches(AddBucketCol([key_col], max(32, ncpu * 4),
+                                          "__sb"),
+                             batch_format="pyarrow")
+            .groupby("__sb")
+            .map_groups(sessionize, batch_format="pandas"))
 
 
 def sliding_window_agg(ds: rd.Dataset, *, ts_col: str = "ts",
@@ -124,10 +134,25 @@ def sliding_window_agg(ds: rd.Dataset, *, ts_col: str = "ts",
     """Per-window (count, exact value sum): combiner → tiny Sum merge."""
     partial = ds.map_batches(
         SlidingWindowPartial(ts_col, value_col, width_sec, slide_sec),
-        batch_format="pyarrow")
-    merged = partial.groupby("window_start_sec").aggregate(
-        Sum(on="__pc", alias_name="n_events", ignore_nulls=True),
-        Sum(on="__ps", alias_name="__cents", ignore_nulls=True))
+        batch_format="pyarrow").materialize()
+    if partial.count() <= SMALL_INPUT_LIMIT:
+        # integer partials (counts + cent sums): one arrow group_by task
+        # merges them exactly, no shuffle barrier
+        def merge_small(t: pa.Table) -> pa.Table:
+            out = t.group_by(["window_start_sec"], use_threads=False) \
+                .aggregate([("__pc", "sum"), ("__ps", "sum")])
+            return pa.table({
+                "window_start_sec": out.column("window_start_sec"),
+                "n_events": out.column("__pc_sum"),
+                "__cents": out.column("__ps_sum"),
+            })
+
+        merged = partial.repartition(1).map_batches(
+            merge_small, batch_format="pyarrow", batch_size=None)
+    else:
+        merged = partial.groupby("window_start_sec").aggregate(
+            Sum(on="__pc", alias_name="n_events", ignore_nulls=True),
+            Sum(on="__ps", alias_name="__cents", ignore_nulls=True))
 
     def finish(t: pa.Table) -> pa.Table:
         total = pc.divide(
