@@ -530,6 +530,24 @@ _SQL_QUERIES: dict[str, tuple[str, str | None]] = {
         "(SELECT ROUND(SUM(s2.s_acctbal) * 100, 0) / 100 * 0.04 "
         "FROM supplier s2) ORDER BY bal DESC",
         None),
+    "tpch_q15_shape": (
+        # TPC-H Q15 shape: WITH revenue CTE (grouped snapped sums), join
+        # to supplier, filter to the CTE's MAX via an uncorrelated scalar
+        # subquery OVER THE CTE — exercises statement-scoped views
+        "WITH revenue AS (SELECT l_suppkey, "
+        "ROUND(SUM(l_extendedprice * (1 - l_discount)) * 10000, 0) / 10000 "
+        "AS total_rev FROM lineitem GROUP BY l_suppkey) "
+        "SELECT s.s_suppkey, s.s_name, r.total_rev FROM supplier s "
+        "INNER JOIN revenue r ON s.s_suppkey = r.l_suppkey "
+        "WHERE r.total_rev = (SELECT MAX(r2.total_rev) FROM revenue r2) "
+        "ORDER BY s.s_suppkey",
+        "WITH revenue AS (SELECT l_suppkey, "
+        "ROUND(SUM(l_extendedprice * (1 - l_discount)) * 10000, 0) / 10000 "
+        "AS total_rev FROM lineitem GROUP BY l_suppkey) "
+        "SELECT s.s_suppkey, s.s_name, r.total_rev FROM supplier s "
+        "JOIN revenue r ON s.s_suppkey = r.l_suppkey "
+        "WHERE r.total_rev = (SELECT MAX(r2.total_rev) FROM revenue r2) "
+        "ORDER BY s.s_suppkey"),
     "corr_max_per_nation": (
         # TPC-H Q2 shape (no partsupp in the test schema): row = the
         # groupwise MAX via an equality-correlated scalar subquery; MAX

@@ -389,6 +389,26 @@ class QweryEngine:
         self.views[stmt.name.lower()] = stmt.query
         return None
 
+    def _exec_WithCtes(self, stmt: A.WithCtes):
+        """CTEs = statement-scoped views: register, run the body (plans
+        lower during execute — lazy Datasets keep working after the scope
+        closes), restore any shadowed names."""
+        saved: dict[str, A.Statement] = {}
+        added: list[str] = []
+        try:
+            for name, query in stmt.ctes:
+                key = name.lower()
+                if key in self.views:
+                    saved[key] = self.views[key]
+                else:
+                    added.append(key)
+                self.views[key] = query
+            return self.execute(stmt.body)
+        finally:
+            for key in added:
+                self.views.pop(key, None)
+            self.views.update(saved)
+
     def _exec_CreateFunction(self, stmt: A.CreateFunction):
         self.sql_functions[stmt.name.upper()] = stmt
         return None

@@ -390,6 +390,19 @@ class Explain(Statement):
 
 
 @dataclass(frozen=True)
+class WithCtes(Statement):
+    """WITH name AS (query) [, ...] <body>: common table expressions.
+
+    Executed as scoped session views (the compiler's view inlining
+    resolves each reference lazily, so a CTE used twice compiles twice —
+    Datasets are lazy, nothing materializes eagerly). Later CTEs may
+    reference earlier ones. WITH RECURSIVE is rejected at parse."""
+
+    ctes: tuple  # ((name, Statement), ...)
+    body: Statement
+
+
+@dataclass(frozen=True)
 class Describe(Statement):
     source: Source
     limit: Optional[int] = None

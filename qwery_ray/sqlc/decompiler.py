@@ -159,6 +159,10 @@ def _source_sql(src) -> str:
 
 
 def to_sql(stmt) -> str:
+    if isinstance(stmt, A.WithCtes):
+        parts = ", ".join(f"{name} AS ({to_sql(q)})"
+                          for name, q in stmt.ctes)
+        return f"WITH {parts} {to_sql(stmt.body)}"
     if isinstance(stmt, A.Select):
         parts = ["SELECT"]
         if stmt.distinct:

@@ -77,6 +77,8 @@ class Parser:
     def parse_statement(self) -> A.Statement:
         tok = self.peek()
         word = tok.upper if tok.kind == "IDENT" else None
+        if word == "WITH":
+            return self.parse_with_ctes()
         if word == "SELECT":
             return self.parse_select_or_union()
         if word == "INSERT":
@@ -138,6 +140,25 @@ class Parser:
         return A.CodeBlock(tuple(stmts))
 
     # ------------------------------------------------------------- SELECT
+    def parse_with_ctes(self) -> A.Statement:
+        """WITH name AS (query) [, ...] SELECT ... — CTEs become scoped
+        session views for the duration of the statement."""
+        self.expect("WITH")
+        if self.at("RECURSIVE"):
+            self.error("WITH RECURSIVE is not supported")
+        ctes = []
+        while True:
+            name = self.next().text
+            self.expect("AS")
+            self.expect("(")
+            query = self.parse_select_or_union()
+            self.expect(")")
+            ctes.append((name, query))
+            if not self.accept(","):
+                break
+        body = self.parse_statement()
+        return A.WithCtes(tuple(ctes), body)
+
     def parse_select_or_union(self) -> A.Statement:
         left = self.parse_select()
         while self.at("UNION", "EXCEPT", "INTERSECT"):

@@ -280,3 +280,67 @@ class TestExplain:
 
         stmt = parse("EXPLAIN SELECT a FROM t WHERE a > 1")[0]
         assert to_sql(stmt).startswith("EXPLAIN SELECT")
+
+
+class TestWithCtes:
+    """WITH ... AS (...) common table expressions — statement-scoped views."""
+
+    def test_single_cte(self, engine, duck):
+        sql = ("WITH big AS (SELECT o_custkey, COUNT(*) AS n FROM orders "
+               "GROUP BY o_custkey) SELECT COUNT(*) AS m FROM big "
+               "WHERE n > 10")
+        mine = engine.sql(sql).to_pandas()
+        oracle = duck.execute(sql).fetch_df()
+        assert mine["m"].tolist() == oracle["m"].tolist()
+
+    def test_chained_ctes_and_join(self, engine, duck):
+        sql = ("WITH co AS (SELECT o_custkey AS k, COUNT(*) AS n "
+               "FROM orders GROUP BY o_custkey), "
+               "top AS (SELECT k FROM co WHERE n > 12) "
+               "SELECT c.c_mktsegment, COUNT(*) AS nc FROM customer c "
+               "INNER JOIN top t ON c.c_custkey = t.k "
+               "GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment")
+        mine = engine.sql(sql).to_pandas()
+        oracle = duck.execute(sql.replace("INNER JOIN", "JOIN")).fetch_df()
+        assert mine["c_mktsegment"].tolist() == oracle["c_mktsegment"].tolist()
+        assert mine["nc"].tolist() == oracle["nc"].tolist()
+
+    def test_scalar_subquery_over_cte(self, engine, duck):
+        # TPC-H Q15 shape
+        sql = ("WITH revenue AS (SELECT l_suppkey, "
+               "ROUND(SUM(l_extendedprice * (1 - l_discount)) * 10000, 0) "
+               "/ 10000 AS tr FROM lineitem GROUP BY l_suppkey) "
+               "SELECT s.s_suppkey FROM supplier s "
+               "INNER JOIN revenue r ON s.s_suppkey = r.l_suppkey "
+               "WHERE r.tr = (SELECT MAX(r2.tr) FROM revenue r2)")
+        mine = engine.sql(sql).to_pandas()
+        oracle = duck.execute(sql.replace("INNER JOIN", "JOIN")).fetch_df()
+        assert sorted(mine["s_suppkey"]) == sorted(oracle["s_suppkey"])
+
+    def test_cte_shadows_and_restores_view(self, engine):
+        engine.sql("CREATE VIEW shadowed AS SELECT 1 AS one")
+        df = engine.sql(
+            "WITH shadowed AS (SELECT 2 AS two) SELECT * FROM shadowed"
+        ).to_pandas()
+        assert list(df.columns) == ["two"]
+        df2 = engine.sql("SELECT * FROM shadowed").to_pandas()
+        assert list(df2.columns) == ["one"]
+
+    def test_with_recursive_rejected(self, engine):
+        import pytest
+
+        from qwery_ray.sqlc.parser import ParseError
+
+        with pytest.raises(ParseError):
+            engine.sql("WITH RECURSIVE r AS (SELECT 1 AS x) "
+                       "SELECT * FROM r")
+
+    def test_decompile_round_trip(self):
+        from qwery_ray.sqlc.decompiler import to_sql
+        from qwery_ray.sqlc.parser import parse_one
+
+        sql = ("WITH a AS (SELECT x FROM t), b AS (SELECT y FROM u) "
+               "SELECT a.x FROM a INNER JOIN b ON a.x = b.y")
+        ast1 = parse_one(sql)
+        rendered = to_sql(ast1)
+        assert parse_one(rendered) == ast1
