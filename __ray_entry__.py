@@ -104,6 +104,13 @@ _SQL_QUERIES: dict[str, tuple[str, str | None]] = {
         "SELECT o_orderkey, o_totalprice FROM orders "
         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20",
         None),
+    "sort_limit_offset": (
+        # LIMIT + OFFSET pagination with explicit NULLS placement (fully
+        # tie-broken ⇒ deterministic page on both engines)
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC NULLS LAST, o_orderkey "
+        "LIMIT 15 OFFSET 5",
+        None),
     "union_all_names": (
         "SELECT r_name AS name FROM region UNION ALL "
         "SELECT n_name AS name FROM nation",

@@ -563,7 +563,8 @@ def _map_statement_exprs(stmt, fix: Callable):
             where=fix(stmt.where),
             group_by=tuple(fix(g) for g in stmt.group_by),
             having=fix(stmt.having),
-            order_by=tuple(A.OrderItem(fix(o.expr), o.ascending)
+            order_by=tuple(A.OrderItem(fix(o.expr), o.ascending,
+                                       o.nulls_first)
                            for o in stmt.order_by),
             qualify=fix(stmt.qualify))
     if isinstance(stmt, A.Union):
@@ -571,7 +572,7 @@ def _map_statement_exprs(stmt, fix: Callable):
                        _map_statement_exprs(stmt.right, fix), stmt.distinct)
     if isinstance(stmt, A.SetOp):
         return A.SetOp(stmt.op, _map_statement_exprs(stmt.left, fix),
-                       _map_statement_exprs(stmt.right, fix))
+                       _map_statement_exprs(stmt.right, fix), stmt.all)
     if isinstance(stmt, A.Insert):
         return A.Insert(stmt.target, stmt.columns,
                         _map_statement_exprs(stmt.source, fix),

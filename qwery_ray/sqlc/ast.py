@@ -256,6 +256,7 @@ class JoinClause:
 class OrderItem:
     expr: Expr
     ascending: bool = True
+    nulls_first: Optional[bool] = None  # None → engine default (NULLS LAST)
 
 
 class Statement:
@@ -277,6 +278,7 @@ class Select(Statement, Source):
     # ROLLUP/CUBE/GROUPING SETS: tuple of grouping sets, each a tuple of
     # indexes into group_by (the distinct key list). None → plain GROUP BY.
     grouping_sets: Optional[tuple] = None
+    offset: Optional[int] = None  # LIMIT n OFFSET m / standalone OFFSET
 
 
 @dataclass(frozen=True)
@@ -295,6 +297,7 @@ class SetOp(Statement, Source):
     op: str  # EXCEPT | INTERSECT
     left: Statement
     right: Statement
+    all: bool = False  # EXCEPT ALL / INTERSECT ALL: bag (multiset) semantics
 
 
 @dataclass(frozen=True)

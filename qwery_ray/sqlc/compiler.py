@@ -1459,6 +1459,61 @@ class Compiler:
                 enc, batch_format="pyarrow").materialize()
             right_enc = right_ds.map_batches(
                 enc, batch_format="pyarrow").materialize()
+            if stmt.all:
+                # EXCEPT ALL / INTERSECT ALL: bag semantics — per-row-value
+                # multiplicities on each side; a row appears max(l-r, 0)
+                # (EXCEPT) or min(l, r) (INTERSECT) times. Per-batch
+                # combiners reduce each side to (key, count) partials, the
+                # sides union with a side tag, and ONE key-bucket shuffle
+                # co-locates a key's partials (Dataset.join is avoided:
+                # its hash shuffle crashes on sparse empty partitions).
+                ekeys = list(enc_keys)
+
+                def count_side(side: int):
+                    def fn(t: pa.Table, _s=side) -> pa.Table:
+                        g = t.select(ekeys).group_by(
+                            ekeys, use_threads=False).aggregate(
+                            [([], "count_all")])
+                        cnt = g.column("count_all")
+                        g = g.drop_columns(["count_all"])
+                        g = g.append_column(
+                            "__cnt", pc.cast(cnt, pa.int64()))
+                        return g.append_column(
+                            "__side", pa.nulls(len(g), pa.int8())
+                            .fill_null(_s))
+                    return fn
+
+                both = left_enc.map_batches(
+                    count_side(0), batch_format="pyarrow").union(
+                    right_enc.map_batches(count_side(1),
+                                          batch_format="pyarrow"))
+                both = both.materialize()
+
+                def merge(df: pd.DataFrame, _op=stmt.op) -> pd.DataFrame:
+                    df["__l"] = np.where(df["__side"] == 0, df["__cnt"], 0)
+                    df["__r"] = np.where(df["__side"] == 1, df["__cnt"], 0)
+                    agg = df.groupby(ekeys, sort=False, as_index=False)[
+                        ["__l", "__r"]].sum()
+                    k = np.maximum(agg["__l"] - agg["__r"], 0) \
+                        if _op == "EXCEPT" \
+                        else np.minimum(agg["__l"], agg["__r"])
+                    rep = agg.loc[np.repeat(agg.index, k.to_numpy()), ekeys]
+                    return rep.reset_index(drop=True)
+
+                if both.count() <= self.SMALL_PARTIALS_LIMIT:
+                    out = both.repartition(1).map_batches(
+                        merge, batch_format="pandas", batch_size=None)
+                else:
+                    nb = max(32, num_cpus * 4)
+                    out = both.map_batches(
+                        AddBucketCol(ekeys, nb, "__sb"),
+                        batch_format="pyarrow").groupby("__sb").map_groups(
+                        merge, batch_format="pandas")
+                    out = out.map_batches(DropColumns(["__sb"]),
+                                          batch_format="pyarrow")
+                out = out.map_batches(_DecodeNullSafeKeys(list(keys)),
+                                      batch_format="pyarrow")
+                return _tag_columns(out, list(keys))
             out = left_enc.join(right_enc, join_type=join_type,
                                 num_partitions=max(num_cpus * 2, 16),
                                 on=enc_keys)
@@ -1578,7 +1633,8 @@ class Compiler:
                 else A.SelectItem(substitute_nodes(it.expr, wmap), it.alias)
                 for it in sel.items)
             order_by = tuple(A.OrderItem(substitute_nodes(o.expr, wmap),
-                                         o.ascending) for o in sel.order_by)
+                                         o.ascending, o.nulls_first)
+                             for o in sel.order_by)
             qualify = substitute_nodes(sel.qualify, wmap) \
                 if sel.qualify is not None else None
             sel = dc_replace(sel, items=new_items, where=None,
@@ -1648,11 +1704,18 @@ class Compiler:
                 frame = Frame(_distinct(frame.ds), frame.columns)
 
         drop_cols = getattr(frame, "_drop_cols", None)
+        fetch = None if sel.limit is None else sel.limit + (sel.offset or 0)
         if sel.order_by:
             frame = self._compile_order(frame, sel.order_by, env,
-                                        limit=sel.limit)
-        if sel.limit is not None:
-            frame = Frame(frame.ds.limit(sel.limit), frame.columns)
+                                        limit=fetch)
+        if fetch is not None:
+            frame = Frame(frame.ds.limit(fetch), frame.columns)
+        if sel.offset:
+            # split_at_indices preserves row order: slice [offset:] is the
+            # ANSI OFFSET result (order-deterministic only under ORDER BY,
+            # same as any engine)
+            frame = Frame(frame.ds.split_at_indices([sel.offset])[1],
+                          frame.columns)
         if drop_cols:
             frame = Frame(
                 frame.ds.map_batches(DropColumns(drop_cols), batch_format="pyarrow"),
@@ -2080,13 +2143,14 @@ class Compiler:
             it if isinstance(it, A.Star)
             else A.SelectItem(sub(it.expr), it.alias)
             for it in sel.items)
-        order_by = tuple(A.OrderItem(sub(o.expr), o.ascending)
+        order_by = tuple(A.OrderItem(sub(o.expr), o.ascending, o.nulls_first)
                          for o in sel.order_by)
         return A.Select(items=outer_items,
                         source=A.SubquerySource(inner, None),
                         where=None, group_by=(), having=None,
                         order_by=order_by, limit=sel.limit,
-                        distinct=sel.distinct, qualify=sub(sel.qualify))
+                        distinct=sel.distinct, qualify=sub(sel.qualify),
+                        offset=sel.offset)
 
     def _resolve_positional_refs(self, sel: A.Select) -> A.Select:
         """GROUP BY 1 / ORDER BY 2 → the corresponding SELECT item."""
@@ -3002,25 +3066,29 @@ class Compiler:
                 temp_names.append(name)
                 sort_cols.append(name)
             descending.append(not ob.ascending)
+        nulls_first = [bool(ob.nulls_first) for ob in order_by]
         ds = frame.ds
         if temp_exprs:
             ds = ds.map_batches(AddSortKeys(temp_exprs, temp_names, env),
                                 batch_format="pyarrow")
-        if limit is not None and limit <= self.TOPK_PUSHDOWN_LIMIT:
+        if limit is not None and limit <= self.TOPK_PUSHDOWN_LIMIT \
+                and not any(nulls_first):
             # top-k pushdown: each batch keeps only its local top-`limit`
             # rows before the global range shuffle — the global answer is a
             # subset of the union of per-batch top-k, so the sort input
-            # shrinks from |rows| to ≤ limit × #batches
+            # shrinks from |rows| to ≤ limit × #batches (LocalTopK places
+            # nulls at_end, so NULLS FIRST keys skip the pushdown)
             ds = ds.map_batches(LocalTopK(sort_cols, descending, limit),
                                 batch_format="pyarrow")
-        # null-safe sort: (flag ASC, filled DIR) per key — nulls last (the
-        # DuckDB default null order) and no None ever reaches Ray's sort
+        # null-safe sort: (flag DIR, filled DIR) per key — the flag orders
+        # null placement (default NULLS LAST, DuckDB's default; NULLS FIRST
+        # flips the flag direction) and no None ever reaches Ray's sort
         # boundary partitioner (TypeError on None < str otherwise)
         ds = ds.map_batches(NullSafeSortKeys(sort_cols), batch_format="pyarrow")
         ns_cols, ns_desc = [], []
         for i, d in enumerate(descending):
             ns_cols += [f"__nf{i}", f"__nk{i}"]
-            ns_desc += [False, d]
+            ns_desc += [nulls_first[i], d]
         ds = ds.sort(ns_cols, descending=ns_desc)
         ds = ds.map_batches(DropColumns(ns_cols + temp_names),
                             batch_format="pyarrow")

@@ -202,16 +202,21 @@ def to_sql(stmt) -> str:
         if stmt.order_by:
             obs = ", ".join(
                 expr_sql(o.expr) + ("" if o.ascending else " DESC")
+                + ("" if o.nulls_first is None else
+                   (" NULLS FIRST" if o.nulls_first else " NULLS LAST"))
                 for o in stmt.order_by)
             parts.append("ORDER BY " + obs)
         if stmt.limit is not None:
             parts.append(f"LIMIT {stmt.limit}")
+        if stmt.offset is not None:
+            parts.append(f"OFFSET {stmt.offset}")
         return " ".join(parts)
     if isinstance(stmt, A.Union):
         op = "UNION DISTINCT" if stmt.distinct else "UNION ALL"
         return f"{to_sql(stmt.left)} {op} {to_sql(stmt.right)}"
     if isinstance(stmt, A.SetOp):
-        return f"{to_sql(stmt.left)} {stmt.op} {to_sql(stmt.right)}"
+        op = f"{stmt.op} ALL" if stmt.all else stmt.op
+        return f"{to_sql(stmt.left)} {op} {to_sql(stmt.right)}"
     if isinstance(stmt, A.Insert):
         verb = "INSERT OVERWRITE" if stmt.overwrite else "INSERT INTO"
         cols = f" ({', '.join(_ident(c) for c in stmt.columns)})" \

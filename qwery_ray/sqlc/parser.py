@@ -172,8 +172,10 @@ class Parser:
                 # NOTE: reference UNION is UNION ALL (ops/sql/Union.scala)
                 left = A.Union(left, self.parse_select(), distinct=distinct)
             else:
-                self.accept("DISTINCT")
-                left = A.SetOp(word, left, self.parse_select())
+                all_ = bool(self.accept("ALL"))
+                if not all_:
+                    self.accept("DISTINCT")
+                left = A.SetOp(word, left, self.parse_select(), all=all_)
         return left
 
     def parse_select(self) -> A.Statement:
@@ -218,12 +220,15 @@ class Parser:
 
         if self.accept("LIMIT"):
             limit = int(self.next().text)
+        offset = None
+        if self.accept("OFFSET"):
+            offset = int(self.next().text)
 
         select = A.Select(
             items=tuple(items), source=source, joins=tuple(joins), where=where,
             group_by=tuple(group_by), having=having, order_by=tuple(order_by),
             limit=limit, distinct=distinct, qualify=qualify,
-            grouping_sets=grouping_sets,
+            grouping_sets=grouping_sets, offset=offset,
         )
 
         # SELECT ... INTO 'target' sugar → Insert (SQLLanguageParser.scala:839-853)
@@ -336,7 +341,16 @@ class Parser:
             asc = False
         else:
             self.accept("ASC")
-        return A.OrderItem(expr, asc)
+        nulls_first = None
+        if self.accept("NULLS"):
+            word = self.next().upper
+            if word == "FIRST":
+                nulls_first = True
+            elif word == "LAST":
+                nulls_first = False
+            else:
+                self.error("expected FIRST or LAST after NULLS")
+        return A.OrderItem(expr, asc, nulls_first)
 
     # ------------------------------------------------------------- sources
     def parse_source(self) -> A.Source:

@@ -40,7 +40,8 @@ def _transform_field(val, fn):
     if isinstance(val, A.OrderItem):
         # OrderItem is not an Expr but carries one (WindowCall.order_by)
         new = transform_expr(val.expr, fn)
-        return A.OrderItem(new, val.ascending) if new is not val.expr else val
+        return A.OrderItem(new, val.ascending, val.nulls_first) \
+            if new is not val.expr else val
     if isinstance(val, tuple):
         new = tuple(_transform_field(v, fn) for v in val)
         return new if any(a is not b for a, b in zip(new, val)) else val

@@ -579,3 +579,66 @@ class TestAdaptiveAggregateFinish:
         oracle = duck.execute(sql).fetch_df()
         assert mine["lo"].tolist() == oracle["lo"].tolist()
         assert mine["hi"].tolist() == oracle["hi"].tolist()
+
+
+class TestOffsetNullsOrderSetOpsAll:
+    def test_limit_offset(self, engine, duck):
+        sql = ("SELECT o_orderkey FROM orders ORDER BY o_orderkey "
+               "LIMIT 5 OFFSET 10")
+        mine = engine.sql(sql).to_pandas()
+        oracle = duck.execute(sql).fetch_df()
+        assert mine["o_orderkey"].tolist() == oracle["o_orderkey"].tolist()
+
+    def test_offset_without_limit(self, engine, duck):
+        sql = ("SELECT COUNT(*) AS n FROM (SELECT o_orderkey FROM orders "
+               "ORDER BY o_orderkey OFFSET 100)")
+        mine = engine.sql(sql).to_pandas()
+        oracle = duck.execute(
+            "SELECT COUNT(*) AS n FROM (SELECT o_orderkey FROM orders "
+            "ORDER BY o_orderkey OFFSET 100) t").fetch_df()
+        assert mine["n"].tolist() == oracle["n"].tolist()
+
+    def test_nulls_first_last(self, engine, duck, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        p = str(tmp_path / "nt.parquet")
+        pq.write_table(pa.table({"v": [3, None, 1, None, 2]}), p)
+        for suffix in ("ASC NULLS FIRST", "DESC NULLS FIRST",
+                       "ASC NULLS LAST", "DESC NULLS LAST"):
+            sql = f"SELECT v FROM '{p}' ORDER BY v {suffix}"
+            mine = engine.sql(sql).to_pandas()["v"].tolist()
+            oracle = duck.execute(
+                f"SELECT v FROM read_parquet('{p}') ORDER BY v {suffix}"
+            ).fetch_df()["v"].tolist()
+            norm = lambda xs: [None if x != x else x for x in xs]
+            assert norm(mine) == norm(oracle), suffix
+
+    def test_except_all_multiplicities(self, engine, duck):
+        sql = ("SELECT l_orderkey FROM lineitem WHERE l_orderkey < 30 "
+               "EXCEPT ALL SELECT o_orderkey FROM orders "
+               "WHERE o_orderkey < 20")
+        mine = sorted(engine.sql(sql).to_pandas()["l_orderkey"])
+        oracle = sorted(duck.execute(sql).fetch_df()["l_orderkey"])
+        assert mine == oracle and len(mine) > 0
+
+    def test_intersect_all_multiplicities(self, engine, duck):
+        sql = ("SELECT l_returnflag, l_linestatus FROM lineitem "
+               "WHERE l_orderkey < 50 INTERSECT ALL "
+               "SELECT l_returnflag, l_linestatus FROM lineitem "
+               "WHERE l_orderkey < 25")
+        mine = sorted(map(tuple, engine.sql(sql).to_pandas().values.tolist()))
+        oracle = sorted(map(tuple, duck.execute(sql).df().values.tolist()))
+        assert mine == oracle and len(mine) > 0
+
+    def test_decompile_round_trips(self):
+        from qwery_ray.sqlc.decompiler import to_sql
+        from qwery_ray.sqlc.parser import parse_one
+
+        for sql in [
+            "SELECT a FROM t ORDER BY a DESC NULLS FIRST LIMIT 3 OFFSET 7",
+            "SELECT a FROM t EXCEPT ALL SELECT b FROM u",
+            "SELECT a FROM t INTERSECT ALL SELECT b FROM u",
+        ]:
+            ast1 = parse_one(sql)
+            assert parse_one(to_sql(ast1)) == ast1, sql
