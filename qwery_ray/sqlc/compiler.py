@@ -35,6 +35,9 @@ from .rewrite import substitute_nodes, transform_expr
 BROADCAST_ROW_LIMIT = 500_000  # right sides below this are ray.put-broadcast
 BROADCAST_BYTE_LIMIT = 96 * 1024 * 1024  # …or below this pruned-column size
 BROADCAST_ROW_HARD_CAP = 8_000_000  # …but never beyond this many rows
+# the moments family shares (sum, cnt, sq) partials; finalize differs
+MOMENT_AGGS = ("STDDEV", "STDDEV_SAMP", "STDDEV_POP",
+               "VARIANCE", "VAR_SAMP", "VAR_POP")
 
 
 @dataclass
@@ -473,7 +476,7 @@ class PreAgg:
                     elif suf in ("sq",):
                         t = pa.float64()
                     elif suf == "sum":
-                        t = pa.float64() if call.name == "STDDEV" else _sum_type(arg_types[i])
+                        t = pa.float64() if call.name in MOMENT_AGGS else _sum_type(arg_types[i])
                     else:  # min / max keep the arg type
                         t = arg_types[i]
                     cols[f"__p{i}_{suf}"] = pa.array([], type=t)
@@ -495,13 +498,13 @@ class PreAgg:
                 continue
             col = gb[arg_cols[i]]
             at = arg_types[i]
-            if kind in ("SUM", "AVG", "MEAN", "STDDEV"):
+            if kind in ("SUM", "AVG", "MEAN") or kind in MOMENT_AGGS:
                 out[f"__p{i}_sum"] = col.sum(min_count=1)
-                partial_types[f"__p{i}_sum"] = pa.float64() if kind == "STDDEV" else _sum_type(at)
-            if kind in ("AVG", "MEAN", "COUNT", "STDDEV"):
+                partial_types[f"__p{i}_sum"] = pa.float64() if kind in MOMENT_AGGS else _sum_type(at)
+            if kind in ("AVG", "MEAN", "COUNT") or kind in MOMENT_AGGS:
                 out[f"__p{i}_cnt"] = col.count()
                 partial_types[f"__p{i}_cnt"] = pa.int64()
-            if kind == "STDDEV":
+            if kind in MOMENT_AGGS:
                 out[f"__p{i}_sq"] = gb[arg_cols[i]].agg(
                     lambda s: (s.astype(float) ** 2).sum(min_count=1))
                 partial_types[f"__p{i}_sq"] = pa.float64()
@@ -687,8 +690,25 @@ class GroupAggPandas:
                 row[res] = [s.min()]
             elif kind == "MAX":
                 row[res] = [s.max()]
-            elif kind == "STDDEV":
+            elif kind in ("STDDEV", "STDDEV_SAMP"):
                 row[res] = [s.dropna().astype(float).std(ddof=1)]
+            elif kind == "STDDEV_POP":
+                row[res] = [s.dropna().astype(float).std(ddof=0)]
+            elif kind in ("VARIANCE", "VAR_SAMP"):
+                row[res] = [s.dropna().astype(float).var(ddof=1)]
+            elif kind == "VAR_POP":
+                row[res] = [s.dropna().astype(float).var(ddof=0)]
+            elif kind == "MEDIAN":
+                v = s.dropna()
+                row[res] = [v.astype(float).median() if len(v) else None]
+            elif kind == "STRING_AGG":
+                sep = ","
+                if len(call.args) > 1 and isinstance(call.args[1], A.Literal):
+                    sep = str(call.args[1].value)
+                v = s.dropna().astype(str)
+                row[res] = [sep.join(v) if len(v) else None]
+            elif kind == "ARRAY_AGG":
+                row[res] = [list(s.dropna())]
         return pd.DataFrame(row)
 
 
@@ -2640,13 +2660,17 @@ class Compiler:
                 if call not in agg_calls:
                     agg_calls.append(call)
         aggs = [(c, i) for i, c in enumerate(agg_calls)]
+        from .exprs import HOLISTIC_AGG_NAMES
+
         any_distinct = any(c.distinct for c in agg_calls)
+        any_holistic = any(c.name in HOLISTIC_AGG_NAMES for c in agg_calls)
         if sel.grouping_sets is not None and (
-                any_distinct or
+                any_distinct or any_holistic or
                 any(c.name == "APPROX_COUNT_DISTINCT" for c in agg_calls)):
             raise ValueError(
-                "DISTINCT / approximate aggregates are not supported with "
-                "ROLLUP / CUBE / GROUPING SETS (wrap in a subquery)")
+                "DISTINCT / holistic / approximate aggregates are not "
+                "supported with ROLLUP / CUBE / GROUPING SETS (wrap in a "
+                "subquery)")
 
         # rewrite items/having with agg calls → result column refs
         mapping = {c: A.ColumnRef(f"__r{i}") for c, i in aggs}
@@ -2750,7 +2774,7 @@ class Compiler:
                     batch_format="pyarrow")
                 out = deduped.groupby("__db") \
                     .map_groups(count_in_bucket, batch_format="pyarrow")
-        elif any_distinct:
+        elif any_distinct or any_holistic:
             # exact path: ship key+arg columns, aggregate per group in pandas
             prep = PreAggPrep(key_exprs, key_names, aggs, env)
             ds2 = frame.ds.map_batches(prep, batch_format="pyarrow")
@@ -2792,14 +2816,14 @@ class Compiler:
                 kind = call.name
                 if call.is_star:
                     continue
-                if kind in ("SUM", "AVG", "MEAN", "STDDEV"):
+                if kind in ("SUM", "AVG", "MEAN") or kind in MOMENT_AGGS:
                     # exact order-independent merge: float sums are
                     # bit-deterministic regardless of shuffle merge order
                     ray_aggs.append(FSum(f"__p{i}_sum", alias_name=f"__p{i}_sum"))
-                if kind in ("AVG", "MEAN", "COUNT", "STDDEV"):
+                if kind in ("AVG", "MEAN", "COUNT") or kind in MOMENT_AGGS:
                     ray_aggs.append(Sum(f"__p{i}_cnt", alias_name=f"__p{i}_cnt",
                                         ignore_nulls=True))
-                if kind == "STDDEV":
+                if kind in MOMENT_AGGS:
                     ray_aggs.append(FSum(f"__p{i}_sq", alias_name=f"__p{i}_sq"))
                 if kind == "MIN":
                     ray_aggs.append(Min(f"__p{i}_min", alias_name=f"__p{i}_min",
@@ -3154,16 +3178,19 @@ class CombinePartials:
                 cols[f"__r{i}"] = batch.column(f"__p{i}_min")
             elif kind == "MAX":
                 cols[f"__r{i}"] = batch.column(f"__p{i}_max")
-            elif kind == "STDDEV":
+            elif kind in MOMENT_AGGS:
                 s = pc.cast(batch.column(f"__p{i}_sum"), pa.float64())
                 sq = pc.cast(batch.column(f"__p{i}_sq"), pa.float64())
                 c = pc.cast(batch.column(f"__p{i}_cnt"), pa.float64())
-                nm1 = pc.subtract(c, 1.0)
-                nm1 = pc.if_else(pc.less_equal(nm1, 0.0),
-                                 pa.scalar(None, pa.float64()), nm1)
-                var = pc.divide(pc.subtract(sq, pc.divide(pc.multiply(s, s), c)), nm1)
+                pop = kind in ("STDDEV_POP", "VAR_POP")
+                denom = c if pop else pc.subtract(c, 1.0)
+                denom = pc.if_else(pc.less_equal(denom, 0.0),
+                                   pa.scalar(None, pa.float64()), denom)
+                var = pc.divide(
+                    pc.subtract(sq, pc.divide(pc.multiply(s, s), c)), denom)
                 var = pc.max_element_wise(var, 0.0)
-                cols[f"__r{i}"] = pc.sqrt(var)
+                cols[f"__r{i}"] = var if kind in (
+                    "VARIANCE", "VAR_SAMP", "VAR_POP") else pc.sqrt(var)
         return pa.table(cols)
 
 
@@ -3216,6 +3243,7 @@ def _partial_suffixes(kind: str) -> list[str]:
         "SUM": ["sum"], "COUNT": ["cnt"], "AVG": ["sum", "cnt"],
         "MEAN": ["sum", "cnt"], "MIN": ["min"], "MAX": ["max"],
         "STDDEV": ["sum", "cnt", "sq"],
+        **{m: ["sum", "cnt", "sq"] for m in MOMENT_AGGS},
     }[kind]
 
 

@@ -701,6 +701,70 @@ def _fn_instr(ev, e, batch):
     return pc.add(pc.find_substring(s, sub), 1)  # 1-based; 0 = not found
 
 
+def _fn_greatest(ev, e, batch):
+    args = [_arg(ev, e, batch, i) for i in range(len(e.args))]
+    return pc.max_element_wise(*args)
+
+
+def _fn_least(ev, e, batch):
+    args = [_arg(ev, e, batch, i) for i in range(len(e.args))]
+    return pc.min_element_wise(*args)
+
+
+def _fn_power(ev, e, batch):
+    base = _arg(ev, e, batch, 0)
+    return pc.power(pc.cast(base, pa.float64()), _arg(ev, e, batch, 1))
+
+
+def _fn_mod(ev, e, batch):
+    # SQL MOD: truncated division remainder (sign follows the dividend,
+    # DuckDB/ANSI) — a - trunc(a/b)*b, vectorized via numpy fmod
+    a = _arg(ev, e, batch, 0)
+    b = _arg(ev, e, batch, 1)
+    if pa.types.is_integer(a.type) and pa.types.is_integer(b.type):
+        av = a.to_numpy(zero_copy_only=False)
+        bv = b.to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.fmod(av, bv)
+        return pa.array(out, type=pa.int64())
+    av = pc.cast(a, pa.float64()).to_numpy(zero_copy_only=False)
+    bv = pc.cast(b, pa.float64()).to_numpy(zero_copy_only=False)
+    return pa.array(np.fmod(av, bv))
+
+
+def _fn_exp(ev, e, batch):
+    return pc.exp(pc.cast(_arg(ev, e, batch, 0), pa.float64()))
+
+
+def _fn_ln(ev, e, batch):
+    return pc.ln(pc.cast(_arg(ev, e, batch, 0), pa.float64()))
+
+
+def _fn_log(ev, e, batch):
+    # LOG(x) = log10 (DuckDB); LOG(b, x) = log base b
+    if len(e.args) == 1:
+        return pc.log10(pc.cast(_arg(ev, e, batch, 0), pa.float64()))
+    b = pc.cast(_arg(ev, e, batch, 0), pa.float64())
+    x = pc.cast(_arg(ev, e, batch, 1), pa.float64())
+    return pc.logb(x, b)
+
+
+def _fn_log2(ev, e, batch):
+    return pc.log2(pc.cast(_arg(ev, e, batch, 0), pa.float64()))
+
+
+def _fn_log10(ev, e, batch):
+    return pc.log10(pc.cast(_arg(ev, e, batch, 0), pa.float64()))
+
+
+def _fn_reverse(ev, e, batch):
+    return pc.utf8_reverse(_str_arg(ev, e, batch, 0))
+
+
+def _fn_initcap(ev, e, batch):
+    return pc.utf8_title(_str_arg(ev, e, batch, 0))
+
+
 _SCALAR_FUNCS: dict[str, Callable] = {
     "LEN": _fn_len, "LENGTH": _fn_len,
     "TRIM": _fn_trim,
@@ -722,10 +786,22 @@ _SCALAR_FUNCS: dict[str, Callable] = {
     "DATE_TRUNC": _fn_date_trunc,
     "MD5": _fn_md5, "SHA256": _fn_sha256,
     "INSTR": _fn_instr, "STRPOS": _fn_instr,
+    "GREATEST": _fn_greatest, "LEAST": _fn_least,
+    "POWER": _fn_power, "POW": _fn_power, "MOD": _fn_mod,
+    "EXP": _fn_exp, "LN": _fn_ln, "LOG": _fn_log,
+    "LOG2": _fn_log2, "LOG10": _fn_log10,
+    "REVERSE": _fn_reverse, "INITCAP": _fn_initcap,
 }
 
 AGG_FUNC_NAMES = {"AVG", "COUNT", "MIN", "MAX", "SUM", "STDDEV", "MEAN",
-                  "APPROX_COUNT_DISTINCT"}
+                  "APPROX_COUNT_DISTINCT", "STDDEV_POP", "STDDEV_SAMP",
+                  "VARIANCE", "VAR_POP", "VAR_SAMP",
+                  "MEDIAN", "STRING_AGG", "ARRAY_AGG"}
+
+# holistic aggregates need every value of the group co-located (no
+# mergeable fixed-size partial exists) — they route through the exact
+# per-group pandas path, like DISTINCT aggregates
+HOLISTIC_AGG_NAMES = {"MEDIAN", "STRING_AGG", "ARRAY_AGG"}
 
 
 def collect_agg_calls(expr: A.Expr) -> list[A.FuncCall]:

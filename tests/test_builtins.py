@@ -134,3 +134,59 @@ class TestDeterminismPolicy:
         assert ev("MD5('abc')") == "900150983cd24fb0d6963f7d28e17f72"
         assert ev("SHA256('abc')") == (
             "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+
+
+class TestMathStringAdditions:
+    """GREATEST/LEAST, POWER/MOD/EXP/LN/LOG*, REVERSE/INITCAP."""
+
+    def test_math_funcs(self, engine, duck):
+        sql = ("SELECT GREATEST(1, 2, 3) AS g, LEAST(4, 2, 9) AS l, "
+               "POWER(2, 10) AS p, MOD(10, 3) AS m, MOD(-10, 3) AS m2, "
+               "EXP(1.0) AS e, LN(2.0) AS ln2, LOG(100) AS lg, "
+               "LOG2(8) AS l2, LOG10(1000) AS l10")
+        mine = engine.sql(sql).to_pandas()
+        oracle = duck.execute(sql).fetch_df()
+        for c in oracle.columns:
+            assert mine[c].tolist() == oracle[c].tolist(), c
+
+    def test_string_funcs(self, engine):
+        df = engine.sql(
+            "SELECT REVERSE('abc') AS r, INITCAP('hello world') AS i"
+        ).to_pandas()
+        assert df["r"][0] == "cba"
+        assert df["i"][0] == "Hello World"
+
+
+class TestMomentAndHolisticAggregates:
+    def test_moment_variants(self, engine, duck):
+        sql = ("SELECT o_orderstatus, "
+               "ROUND(STDDEV_POP(o_totalprice) * 100, 0) / 100 AS sp, "
+               "ROUND(STDDEV_SAMP(o_totalprice) * 100, 0) / 100 AS ss, "
+               "ROUND(VAR_POP(o_totalprice), 0) AS vp, "
+               "ROUND(VAR_SAMP(o_totalprice), 0) AS vs "
+               "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")
+        mine = engine.sql(sql).to_pandas()
+        oracle = duck.execute(sql).fetch_df()
+        for c in ("sp", "ss", "vp", "vs"):
+            assert mine[c].tolist() == oracle[c].tolist(), c
+
+    def test_median(self, engine, duck):
+        sql = ("SELECT o_orderstatus, MEDIAN(o_totalprice) AS md "
+               "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")
+        mine = engine.sql(sql).to_pandas()
+        oracle = duck.execute(sql).fetch_df()
+        assert mine["md"].tolist() == oracle["md"].tolist()
+
+    def test_string_agg_and_array_agg(self, engine, duck):
+        sql = ("SELECT o_orderstatus, "
+               "STRING_AGG(CAST(o_orderkey AS STRING), '|') AS sa "
+               "FROM orders WHERE o_orderkey < 10 "
+               "GROUP BY o_orderstatus ORDER BY o_orderstatus")
+        mine = engine.sql(sql).to_pandas()
+        oracle = duck.execute(sql.replace("AS STRING", "AS VARCHAR")).df()
+        # aggregation order is engine-defined: compare as multisets
+        for a, b in zip(mine["sa"], oracle["sa"]):
+            assert sorted(a.split("|")) == sorted(b.split("|"))
+        arr = engine.sql("SELECT ARRAY_AGG(o_orderkey) AS aa FROM orders "
+                         "WHERE o_orderkey < 4").to_pandas()
+        assert sorted(arr["aa"][0]) == [0, 1, 2, 3]
