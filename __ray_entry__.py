@@ -537,6 +537,70 @@ _SQL_QUERIES: dict[str, tuple[str, str | None]] = {
         "(SELECT ROUND(SUM(s2.s_acctbal) * 100, 0) / 100 * 0.04 "
         "FROM supplier s2) ORDER BY bal DESC",
         None),
+    "tpch_q7_shape": (
+        # TPC-H Q7 shape: bilateral nation trade volume — nation joined
+        # TWICE under different aliases (supplier's and customer's side),
+        # disjunctive pair filter, YEAR() bucket, snapped revenue
+        "SELECT supp_nation, cust_nation, l_year, "
+        "ROUND(SUM(volume) * 10000, 0) / 10000 AS revenue FROM ("
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+        "YEAR(l.l_shipdate) AS l_year, "
+        "l.l_extendedprice * (1 - l.l_discount) AS volume "
+        "FROM supplier s "
+        "INNER JOIN lineitem l ON s.s_suppkey = l.l_suppkey "
+        "INNER JOIN orders o ON o.o_orderkey = l.l_orderkey "
+        "INNER JOIN customer c ON c.c_custkey = o.o_custkey "
+        "INNER JOIN nation n1 ON s.s_nationkey = n1.n_nationkey "
+        "INNER JOIN nation n2 ON c.c_nationkey = n2.n_nationkey "
+        "WHERE (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10') "
+        "OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9')"
+        ") GROUP BY supp_nation, cust_nation, l_year "
+        "ORDER BY supp_nation, cust_nation, l_year",
+        "SELECT supp_nation, cust_nation, l_year, "
+        "ROUND(SUM(volume) * 10000, 0) / 10000 AS revenue FROM ("
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+        "year(l.l_shipdate) AS l_year, "
+        "l.l_extendedprice * (1 - l.l_discount) AS volume "
+        "FROM supplier s "
+        "JOIN lineitem l ON s.s_suppkey = l.l_suppkey "
+        "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+        "JOIN customer c ON c.c_custkey = o.o_custkey "
+        "JOIN nation n1 ON s.s_nationkey = n1.n_nationkey "
+        "JOIN nation n2 ON c.c_nationkey = n2.n_nationkey "
+        "WHERE (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10') "
+        "OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9')"
+        ") t GROUP BY supp_nation, cust_nation, l_year "
+        "ORDER BY supp_nation, cust_nation, l_year"),
+    "tpch_q8_shape": (
+        # TPC-H Q8 shape: market share = conditional-SUM ratio per year;
+        # numerator and denominator snapped separately so the quotient
+        # divides bit-identical integer-valued doubles
+        "SELECT l_year, "
+        "ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) "
+        "* 10000, 0) / ROUND(SUM(volume) * 10000, 0) AS mkt_share FROM ("
+        "SELECT YEAR(o.o_orderdate) AS l_year, "
+        "l.l_extendedprice * (1 - l.l_discount) AS volume, "
+        "n1.n_name AS nation "
+        "FROM part p "
+        "INNER JOIN lineitem l ON p.p_partkey = l.l_partkey "
+        "INNER JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+        "INNER JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "INNER JOIN nation n1 ON s.s_nationkey = n1.n_nationkey "
+        "WHERE p.p_type = 'PROMO'"
+        ") GROUP BY l_year ORDER BY l_year",
+        "SELECT l_year, "
+        "ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) "
+        "* 10000, 0) / ROUND(SUM(volume) * 10000, 0) AS mkt_share FROM ("
+        "SELECT year(o.o_orderdate) AS l_year, "
+        "l.l_extendedprice * (1 - l.l_discount) AS volume, "
+        "n1.n_name AS nation "
+        "FROM part p "
+        "JOIN lineitem l ON p.p_partkey = l.l_partkey "
+        "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN nation n1 ON s.s_nationkey = n1.n_nationkey "
+        "WHERE p.p_type = 'PROMO'"
+        ") t GROUP BY l_year ORDER BY l_year"),
     "tpch_q15_shape": (
         # TPC-H Q15 shape: WITH revenue CTE (grouped snapped sums), join
         # to supplier, filter to the CTE's MAX via an uncorrelated scalar
