@@ -376,6 +376,16 @@ _SQL_QUERIES: dict[str, tuple[str, str | None]] = {
         "GROUPING(l_returnflag) AS g1, GROUPING(l_linestatus) AS g2 "
         "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)",
         None),
+    "window_centered_frame": (
+        # general ROWS frame (PRECEDING AND FOLLOWING): centered moving
+        # sum over integer-valued quantities with fully tie-broken order
+        # (ROWS under ties is order-nondeterministic on any engine)
+        "SELECT l_orderkey, l_linenumber, l_extendedprice, "
+        "SUM(l_quantity) OVER (PARTITION BY l_orderkey "
+        "ORDER BY l_linenumber, l_extendedprice, l_quantity "
+        "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS ctr_sum "
+        "FROM lineitem WHERE l_orderkey < 3000",
+        None),
     "window_time_range": (
         # time-based RANGE frames (INTERVAL offsets on a timestamp ORDER BY
         # key). COUNT is integer-exact; the windowed SUM over 2-decimal

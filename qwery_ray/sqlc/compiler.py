@@ -1030,10 +1030,18 @@ class _WindowGroupFn:
             return out.iloc[::-1].to_numpy()
         if lo is not None and lo <= 0 and hi == 0:  # trailing window
             return agg_roll(s.rolling(-lo + 1, min_periods=1)).to_numpy()
-        raise ValueError(
-            f"unsupported ROWS frame ({lo}, {hi}); supported: UNBOUNDED "
-            "PRECEDING/CURRENT ROW combinations and n PRECEDING AND "
-            "CURRENT ROW")
+        # general ROWS frame (any PRECEDING/FOLLOWING combination):
+        # direct index arithmetic over the shared range-aggregate core
+        notna = s.notna().to_numpy()
+        x = s.to_numpy(dtype=np.float64) if s.dtype.kind in "fiub" else \
+            pd.to_numeric(s, errors="coerce").to_numpy(dtype=np.float64)
+        idx = np.arange(n)
+        ls = np.zeros(n, dtype=np.int64) if lo is None else \
+            np.clip(idx + lo, 0, n)
+        rs = np.full(n, n, dtype=np.int64) if hi is None else \
+            np.clip(idx + hi + 1, 0, n)
+        rs = np.maximum(rs, ls)  # inverted frames (lo > hi) are empty
+        return self._agg_ranges(x, notna, ls, rs, fn, n)
 
     def _range_frame(self, df: pd.DataFrame, fn: str, n: int) -> np.ndarray:
         """RANGE offset frame (lo, hi): VALUE offsets relative to the single
@@ -1084,6 +1092,15 @@ class _WindowGroupFn:
         ls[m:] = 0 if lo is None else m
         rs[m:] = n
 
+        return self._agg_ranges(x, notna, ls, rs, fn, n)
+
+    @staticmethod
+    def _agg_ranges(x: np.ndarray, notna: np.ndarray, ls: np.ndarray,
+                    rs: np.ndarray, fn: str, n: int) -> np.ndarray:
+        """Aggregate x over per-row index ranges [ls, rs): SUM/COUNT/AVG
+        via prefix sums, MIN/MAX via an O(n log n) sparse table (fmin/fmax
+        skip NaN = NULL args). Shared by RANGE offset frames and general
+        ROWS frames."""
         ps = np.concatenate([[0.0], np.cumsum(np.where(notna, x, 0.0))])
         pc_ = np.concatenate([[0], np.cumsum(notna.astype(np.int64))])
         cnt = pc_[rs] - pc_[ls]

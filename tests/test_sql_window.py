@@ -345,3 +345,38 @@ class TestRangeFrames:
         stmt = parse(sql)[0]
         assert "RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING" in to_sql(stmt)
         assert to_sql(parse(to_sql(stmt))[0]) == to_sql(stmt)
+
+
+class TestGeneralRowsFrames:
+    """Arbitrary ROWS frame bounds (any PRECEDING/FOLLOWING combination)
+    via the shared range-aggregate core; ties fully broken in ORDER BY
+    (ROWS framing under ties is order-nondeterministic on any engine)."""
+
+    FRAMES = [
+        "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING",
+        "ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING",
+        "ROWS BETWEEN 4 PRECEDING AND 2 PRECEDING",
+        "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING",
+        "ROWS BETWEEN 2 FOLLOWING AND 1 FOLLOWING",  # inverted → empty
+    ]
+
+    def test_all_shapes_vs_duckdb(self, engine, duck):
+        import numpy as np
+
+        over = ("PARTITION BY l_orderkey ORDER BY l_linenumber, "
+                "l_extendedprice, l_quantity")
+        keys = ["l_orderkey", "l_linenumber", "l_extendedprice"]
+        for frame in self.FRAMES:
+            sql = (f"SELECT l_orderkey, l_linenumber, l_extendedprice, "
+                   f"SUM(l_quantity) OVER ({over} {frame}) AS w, "
+                   f"COUNT(l_quantity) OVER ({over} {frame}) AS c, "
+                   f"MIN(l_quantity) OVER ({over} {frame}) AS mn "
+                   f"FROM lineitem WHERE l_orderkey < 60")
+            mine = engine.sql(sql).to_pandas().sort_values(
+                keys, ignore_index=True)
+            oracle = duck.execute(sql).fetch_df().sort_values(
+                keys, ignore_index=True)
+            for c in ("w", "c", "mn"):
+                a = mine[c].to_numpy().astype(float)
+                b = oracle[c].to_numpy().astype(float)
+                assert np.array_equal(a, b, equal_nan=True), (frame, c)
