@@ -1270,6 +1270,21 @@ class _WindowGroupFn:
         return df
 
 
+class SortSlice:
+    """Single-task final top-k: sort one (already locally-top-k-pruned)
+    batch by the null-safe keys and keep the first k rows — replaces the
+    global range-shuffle sort when the result is small."""
+
+    def __init__(self, sort_cols, descending, k):
+        self.sort_keys = [(c, "descending" if d else "ascending")
+                          for c, d in zip(sort_cols, descending)]
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(batch, sort_keys=self.sort_keys)
+        return batch.take(idx.slice(0, self.k))
+
+
 class LocalTopK:
     """Keep a batch's top-k rows under the sort ordering (nulls last,
     matching Ray's sort placement)."""
@@ -3085,6 +3100,10 @@ class Compiler:
 
     # ---------------------------------------------------------------- order
     TOPK_PUSHDOWN_LIMIT = 100_000
+    # limits at or below this finish in ONE sort task (survivors after
+    # per-batch pruning are limit × #batches — tiny) instead of the
+    # global range-shuffle sort
+    TOPK_SINGLE_TASK_LIMIT = 10_000
     # distinct (key, arg) pair sets below this resolve in one task instead
     # of a bucket shuffle (pairs are narrow: key + one value column)
     SMALL_PAIRS_LIMIT = 2_000_000
@@ -3130,7 +3149,16 @@ class Compiler:
         for i, d in enumerate(descending):
             ns_cols += [f"__nf{i}", f"__nk{i}"]
             ns_desc += [nulls_first[i], d]
-        ds = ds.sort(ns_cols, descending=ns_desc)
+        if limit is not None and limit <= self.TOPK_SINGLE_TASK_LIMIT \
+                and not any(nulls_first):
+            # small top-k: after per-batch pruning the survivors are
+            # ≤ limit × #batches rows — one task sorts them, skipping the
+            # global range-shuffle barrier entirely
+            ds = ds.materialize().repartition(1).map_batches(
+                SortSlice(ns_cols, ns_desc, limit),
+                batch_format="pyarrow", batch_size=None)
+        else:
+            ds = ds.sort(ns_cols, descending=ns_desc)
         ds = ds.map_batches(DropColumns(ns_cols + temp_names),
                             batch_format="pyarrow")
         return Frame(ds, frame.columns, frame.aliases)
