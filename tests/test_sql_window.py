@@ -380,3 +380,32 @@ class TestGeneralRowsFrames:
                 a = mine[c].to_numpy().astype(float)
                 b = oracle[c].to_numpy().astype(float)
                 assert np.array_equal(a, b, equal_nan=True), (frame, c)
+
+
+class TestWindowPathEquivalence:
+    """The no-shuffle small path and the coarse-bucket shuffle path must
+    produce identical window results (same function, different plan)."""
+
+    def test_paths_identical(self, engine):
+        from qwery_ray.sqlc.compiler import Compiler
+
+        sql = ("SELECT o_custkey, o_orderkey, "
+               "ROW_NUMBER() OVER (PARTITION BY o_custkey "
+               "ORDER BY o_orderdate DESC, o_orderkey) AS rn, "
+               "SUM(o_totalprice) OVER (PARTITION BY o_custkey "
+               "ORDER BY o_orderkey) AS rt "
+               "FROM orders WHERE o_custkey < 200")
+        keys = ["o_custkey", "o_orderkey"]
+        small = engine.sql(sql).to_pandas().sort_values(
+            keys, ignore_index=True)
+        orig = Compiler.SMALL_PARTIALS_LIMIT
+        Compiler.SMALL_PARTIALS_LIMIT = 0  # force the bucket shuffle
+        try:
+            big = engine.sql(sql).to_pandas().sort_values(
+                keys, ignore_index=True)
+        finally:
+            Compiler.SMALL_PARTIALS_LIMIT = orig
+        import numpy as np
+
+        assert small["rn"].tolist() == big["rn"].tolist()
+        assert np.array_equal(small["rt"].to_numpy(), big["rt"].to_numpy())
