@@ -757,6 +757,99 @@ def _fn_log10(ev, e, batch):
     return pc.log10(pc.cast(_arg(ev, e, batch, 0), pa.float64()))
 
 
+def _fn_minute(ev, e, batch):
+    return pc.cast(pc.minute(_arg(ev, e, batch, 0)), pa.int64())
+
+
+def _fn_second(ev, e, batch):
+    return pc.cast(pc.second(_arg(ev, e, batch, 0)), pa.int64())
+
+
+def _fn_dayofweek(ev, e, batch):
+    # DuckDB dayofweek: Sunday = 0 … Saturday = 6
+    return pc.cast(pc.day_of_week(_arg(ev, e, batch, 0),
+                                  count_from_zero=True, week_start=7),
+                   pa.int64())
+
+
+def _fn_last_day(ev, e, batch):
+    import pandas as pd
+
+    s = pd.Series(_arg(ev, e, batch, 0).to_pandas())
+    out = (s + pd.offsets.MonthEnd(0)).dt.normalize()
+    # a date already on month-end stays (MonthEnd(0) is idempotent there)
+    return pa.Array.from_pandas(out)
+
+
+def _fn_datediff(ev, e, batch):
+    """DATEDIFF('part', start, end): boundary-crossing count (DuckDB)."""
+    part = e.args[0].value.lower() if isinstance(e.args[0], A.Literal) \
+        else str(ev.eval(e.args[0], batch)).lower()
+    a = _arg(ev, e, batch, 1)
+    b = _arg(ev, e, batch, 2)
+    if part in ("year", "month"):
+        ya, yb = pc.year(a), pc.year(b)
+        if part == "year":
+            return pc.cast(pc.subtract(yb, ya), pa.int64())
+        ma, mb = pc.month(a), pc.month(b)
+        return pc.cast(
+            pc.add(pc.multiply(pc.subtract(yb, ya), 12),
+                   pc.subtract(mb, ma)), pa.int64())
+    unit = {"day": 86_400_000_000, "week": 7 * 86_400_000_000,
+            "hour": 3_600_000_000, "minute": 60_000_000,
+            "second": 1_000_000}.get(part)
+    if unit is None:
+        raise EvalError(f"unsupported DATEDIFF part {part!r}")
+    av = pc.cast(pc.cast(a, pa.timestamp("us")), pa.int64())
+    bv = pc.cast(pc.cast(b, pa.timestamp("us")), pa.int64())
+    # boundary count = floor-div of each side to the unit, then subtract
+    unit_arr = pa.scalar(unit, pa.int64())
+    fa = pc.floor(pc.divide(pc.cast(av, pa.float64()), float(unit)))
+    fb = pc.floor(pc.divide(pc.cast(bv, pa.float64()), float(unit)))
+    return pc.cast(pc.subtract(fb, fa), pa.int64())
+
+
+def _fn_date_add(ev, e, batch):
+    """DATE_ADD(ts, n): add n DAYS (reference-style integer day offset)."""
+    a = _arg(ev, e, batch, 0)
+    n = ev.eval(e.args[1], batch)
+    if isinstance(n, (pa.Array, pa.ChunkedArray)):
+        days = pc.cast(n, pa.int64())
+        us = pc.multiply(days, pa.scalar(86_400_000_000, pa.int64()))
+    else:
+        us = pa.scalar(int(n) * 86_400_000_000, pa.int64())
+    base = pc.cast(pc.cast(a, pa.timestamp("us")), pa.int64())
+    return pc.cast(pc.add(base, us), pa.timestamp("us"))
+
+
+def _fn_ascii(ev, e, batch):
+    s = _str_arg(ev, e, batch, 0)
+    return pa.array([None if v is None or not v else ord(v[0])
+                     for v in s.to_pylist()], type=pa.int64())
+
+
+def _fn_chr(ev, e, batch):
+    n = _arg(ev, e, batch, 0)
+    return pa.array([None if v is None else chr(int(v))
+                     for v in n.to_pylist()], type=pa.string())
+
+
+def _fn_repeat(ev, e, batch):
+    s = _str_arg(ev, e, batch, 0)
+    n = ev.eval(e.args[1], batch)
+    if not isinstance(n, (pa.Array, pa.ChunkedArray)):
+        return pc.binary_repeat(s, int(n))
+    return pa.array([None if v is None or k is None else v * int(k)
+                     for v, k in zip(s.to_pylist(), n.to_pylist())],
+                    type=pa.string())
+
+
+def _fn_contains(ev, e, batch):
+    s = _str_arg(ev, e, batch, 0)
+    sub = ev.eval(e.args[1], batch)
+    return pc.match_substring(s, sub)
+
+
 def _fn_reverse(ev, e, batch):
     return pc.utf8_reverse(_str_arg(ev, e, batch, 0))
 
@@ -791,6 +884,12 @@ _SCALAR_FUNCS: dict[str, Callable] = {
     "EXP": _fn_exp, "LN": _fn_ln, "LOG": _fn_log,
     "LOG2": _fn_log2, "LOG10": _fn_log10,
     "REVERSE": _fn_reverse, "INITCAP": _fn_initcap,
+    "MINUTE": _fn_minute, "SECOND": _fn_second,
+    "DAYOFWEEK": _fn_dayofweek, "LAST_DAY": _fn_last_day,
+    "DATEDIFF": _fn_datediff, "DATE_DIFF": _fn_datediff,
+    "DATE_ADD": _fn_date_add,
+    "ASCII": _fn_ascii, "CHR": _fn_chr, "REPEAT": _fn_repeat,
+    "CONTAINS": _fn_contains,
 }
 
 AGG_FUNC_NAMES = {"AVG", "COUNT", "MIN", "MAX", "SUM", "STDDEV", "MEAN",

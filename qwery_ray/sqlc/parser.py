@@ -840,6 +840,13 @@ class Parser:
             if self.peek(1).kind == "OP" and self.peek(1).text == "(":
                 name = self.next().text
                 self.expect("(")
+                if name.upper() == "EXTRACT":
+                    # EXTRACT(part FROM expr) → part(expr)
+                    part = self.next().upper
+                    self.expect("FROM")
+                    inner = self.parse_expr()
+                    self.expect(")")
+                    return A.FuncCall(part, (inner,))
                 if self.accept(")"):
                     call = A.FuncCall(name.upper(), ())
                     if self.at("OVER"):

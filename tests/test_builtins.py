@@ -190,3 +190,33 @@ class TestMomentAndHolisticAggregates:
         arr = engine.sql("SELECT ARRAY_AGG(o_orderkey) AS aa FROM orders "
                          "WHERE o_orderkey < 4").to_pandas()
         assert sorted(arr["aa"][0]) == [0, 1, 2, 3]
+
+
+class TestDateStringAdditions:
+    """EXTRACT, MINUTE/SECOND/DAYOFWEEK/LAST_DAY, DATEDIFF/DATE_ADD,
+    ASCII/CHR/REPEAT/CONTAINS."""
+
+    def test_scalar_goldens(self, engine, duck):
+        sql = ("SELECT DATEDIFF('day', DATE '2020-01-01', "
+               "DATE '2020-03-01') AS dd, "
+               "DATEDIFF('month', DATE '2020-01-31', DATE '2020-02-01') "
+               "AS dm, "
+               "EXTRACT(YEAR FROM DATE '2020-05-01') AS y, "
+               "MINUTE(TIMESTAMP '2020-01-01 10:30:45') AS mi, "
+               "SECOND(TIMESTAMP '2020-01-01 10:30:45') AS se, "
+               "DAYOFWEEK(DATE '2020-01-05') AS dw, "
+               "LAST_DAY(DATE '2020-02-10') AS ld, "
+               "ASCII('A') AS a, CHR(66) AS c, REPEAT('ab', 3) AS r, "
+               "CONTAINS('hello', 'ell') AS ct")
+        mine = engine.sql(sql).to_pandas()
+        oracle = duck.execute(sql).fetch_df()
+        for c in oracle.columns:
+            assert str(mine[c][0]) == str(oracle[c][0]), c
+
+    def test_datediff_over_column(self, engine, duck):
+        sql = ("SELECT o_orderkey, "
+               "DATEDIFF('day', DATE '1995-01-01', o_orderdate) AS age "
+               "FROM orders WHERE o_orderkey < 50 ORDER BY o_orderkey")
+        mine = engine.sql(sql).to_pandas()
+        oracle = duck.execute(sql).fetch_df()
+        assert mine["age"].tolist() == oracle["age"].tolist()
