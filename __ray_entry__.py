@@ -611,6 +611,31 @@ _SQL_QUERIES: dict[str, tuple[str, str | None]] = {
         "JOIN nation n1 ON s.s_nationkey = n1.n_nationkey "
         "WHERE p.p_type = 'PROMO'"
         ") t GROUP BY l_year ORDER BY l_year"),
+    "tpch_q10_shape": (
+        # TPC-H Q10 shape: returned-item revenue per customer over a date
+        # window — 4-way join, grouped snapped revenue, top-k
+        "SELECT c.c_custkey, c.c_name, "
+        "ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) * 10000, 0) "
+        "/ 10000 AS revenue, n.n_name "
+        "FROM customer c "
+        "INNER JOIN orders o ON c.c_custkey = o.o_custkey "
+        "INNER JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+        "INNER JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "WHERE o.o_orderdate >= DATE '1996-01-01' "
+        "AND o.o_orderdate < DATE '1996-04-01' AND l.l_returnflag = 'R' "
+        "GROUP BY c.c_custkey, c.c_name, n.n_name "
+        "ORDER BY revenue DESC, c.c_custkey LIMIT 20",
+        "SELECT c.c_custkey, c.c_name, "
+        "ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) * 10000, 0) "
+        "/ 10000 AS revenue, n.n_name "
+        "FROM customer c "
+        "JOIN orders o ON c.c_custkey = o.o_custkey "
+        "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "WHERE o.o_orderdate >= DATE '1996-01-01' "
+        "AND o.o_orderdate < DATE '1996-04-01' AND l.l_returnflag = 'R' "
+        "GROUP BY c.c_custkey, c.c_name, n.n_name "
+        "ORDER BY revenue DESC, c.c_custkey LIMIT 20"),
     "tpch_q15_shape": (
         # TPC-H Q15 shape: WITH revenue CTE (grouped snapped sums), join
         # to supplier, filter to the CTE's MAX via an uncorrelated scalar
