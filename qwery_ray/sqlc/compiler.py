@@ -1462,6 +1462,10 @@ class Compiler:
     def compile_query(self, stmt) -> rd.Dataset:
         if isinstance(stmt, A.Select):
             return self.compile_select(stmt)
+        if isinstance(stmt, A.WithCtes):
+            # nested WITH (subquery source / CTE body): the session scopes
+            # the views around the body's compilation
+            return self.session._exec_WithCtes(stmt)
         if isinstance(stmt, A.Union):
             left_f = self._query_frame(stmt.left)
             right_f = self._query_frame(stmt.right)
@@ -1581,7 +1585,7 @@ class Compiler:
         if isinstance(stmt, A.Select):
             return self._select_frame(stmt)
         ds = self.compile_query(stmt)
-        return Frame(ds, [])
+        return Frame(ds, list(getattr(ds, "_qwery_columns", None) or []))
 
     def compile_values(self, stmt: A.Values, columns: tuple[str, ...]) -> rd.Dataset:
         ev = make_evaluator(_env(self.session))
@@ -2272,9 +2276,11 @@ class Compiler:
                 frame.aliases[src.alias.lower()] = True
             return frame
         if isinstance(src, A.SubquerySource):
-            if isinstance(src.query, (A.Union, A.SetOp)):
+            if isinstance(src.query, (A.Union, A.SetOp, A.WithCtes)):
                 ds = self.compile_query(src.query)
-                inner = Frame(ds, ds.schema().names)
+                cols = list(getattr(ds, "_qwery_columns", None) or []) \
+                    or ds.schema().names
+                inner = Frame(ds, cols)
             else:
                 inner = self._select_frame(src.query)
             if src.alias:

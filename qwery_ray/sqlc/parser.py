@@ -151,7 +151,8 @@ class Parser:
             name = self.next().text
             self.expect("AS")
             self.expect("(")
-            query = self.parse_select_or_union()
+            query = self.parse_with_ctes() if self.at("WITH") \
+                else self.parse_select_or_union()
             self.expect(")")
             ctes.append((name, query))
             if not self.accept(","):
@@ -373,7 +374,8 @@ class Parser:
                         not self._is_clause_keyword(self.peek()):
                     alias = self._ident_name()
                 return A.ExecutableSource(inner_stmt, alias)
-            inner = self.parse_select_or_union()
+            inner = self.parse_with_ctes() if self.at("WITH") \
+                else self.parse_select_or_union()
             self.expect(")")
             alias = None
             if self.accept("AS"):

@@ -344,3 +344,31 @@ class TestWithCtes:
         ast1 = parse_one(sql)
         rendered = to_sql(ast1)
         assert parse_one(rendered) == ast1
+
+
+class TestNestedCtes:
+    def test_with_in_subquery_source(self, engine, duck):
+        sql = ("SELECT COUNT(*) AS n FROM (WITH a AS "
+               "(SELECT o_custkey FROM orders WHERE o_totalprice > 300000) "
+               "SELECT * FROM a)")
+        mine = engine.sql(sql).to_pandas()
+        oracle = duck.execute(sql + " t").fetch_df()
+        assert mine["n"].tolist() == oracle["n"].tolist()
+
+    def test_with_inside_cte_body(self, engine, duck):
+        sql = ("WITH outerx AS (WITH inner1 AS "
+               "(SELECT o_custkey AS k FROM orders) "
+               "SELECT k, COUNT(*) AS n FROM inner1 GROUP BY k) "
+               "SELECT COUNT(*) AS m FROM outerx")
+        mine = engine.sql(sql).to_pandas()
+        oracle = duck.execute(sql).fetch_df()
+        assert mine["m"].tolist() == oracle["m"].tolist()
+
+    def test_with_as_join_source(self, engine, duck):
+        sql = ("SELECT COUNT(*) AS n FROM orders o INNER JOIN "
+               "(WITH t AS (SELECT o_custkey AS k FROM orders "
+               "WHERE o_totalprice > 400000) SELECT DISTINCT k FROM t) d "
+               "ON o.o_custkey = d.k")
+        mine = engine.sql(sql).to_pandas()
+        oracle = duck.execute(sql.replace("INNER JOIN", "JOIN")).fetch_df()
+        assert mine["n"].tolist() == oracle["n"].tolist()
