@@ -159,3 +159,71 @@ def approx_count_distinct(ds: rd.Dataset, col: str,
         for blob in b.column("__hll").to_pylist():
             np.maximum(acc, np.frombuffer(blob, dtype=np.uint8), out=acc)
     return estimate(acc)
+
+
+# ------------------------------------------------- quantile summary sketch
+QSKETCH_K = 512  # grid points per partial summary (4 KB of float64)
+
+
+def quantile_fold(col) -> bytes:
+    """Per-batch mergeable quantile summary: ``<count><k order statistics>``.
+
+    The k points are order statistics at evenly spaced ranks, so each
+    point stands for ≤ n/k rows — rank error of the summary is ≤ n/k.
+    Partials concatenate under merge (exact until finalize), so the
+    combined estimate's rank error is ≤ N/k (~0.2% at k=512) regardless
+    of how many partials merge or in what order (deterministic)."""
+    import struct
+
+    x = np.asarray(col.to_numpy(zero_copy_only=False), dtype=np.float64)
+    x = x[~np.isnan(x)]
+    n = len(x)
+    if n == 0:
+        return struct.pack("<q", 0)
+    x = np.sort(x)
+    if n > QSKETCH_K:
+        idx = np.round(np.linspace(0, n - 1, QSKETCH_K)).astype(np.int64)
+        x = x[idx]
+    return struct.pack("<q", n) + x.tobytes()
+
+
+def quantile_estimate(blobs: list[bytes], p: float) -> float | None:
+    """Weighted quantile over concatenated summaries: each summary's
+    points carry weight n_i/k_i; the p-quantile is the first point whose
+    cumulative weight reaches p·N."""
+    import struct
+
+    vals, wts = [], []
+    total = 0
+    for blob in blobs:
+        if blob is None:
+            continue
+        (n,) = struct.unpack_from("<q", blob, 0)
+        if n == 0:
+            continue
+        pts = np.frombuffer(blob, dtype=np.float64, offset=8)
+        vals.append(pts)
+        wts.append(np.full(len(pts), n / len(pts)))
+        total += n
+    if total == 0:
+        return None
+    v = np.concatenate(vals)
+    w = np.concatenate(wts)
+    order = np.argsort(v, kind="stable")
+    cum = np.cumsum(w[order])
+    j = int(np.searchsorted(cum, p * total, side="left"))
+    return float(v[order][min(j, len(v) - 1)])
+
+
+def approx_quantile(ds: rd.Dataset, col: str, p: float) -> float | None:
+    """Standalone approximate quantile of a Dataset column: per-batch
+    summaries (4 KB each) → driver-side weighted estimate. Shuffle-free;
+    at 100 TB the driver folds #batches × 4 KB, never the values."""
+    partials = ds.map_batches(
+        lambda t, _c=col: pa.table({"__qs": pa.array(
+            [quantile_fold(t.column(_c))], type=pa.binary())}),
+        batch_format="pyarrow")
+    blobs = []
+    for b in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
+        blobs.extend(b.column("__qs").to_pylist())
+    return quantile_estimate(blobs, p)

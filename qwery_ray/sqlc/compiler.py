@@ -709,6 +709,25 @@ class GroupAggPandas:
                 row[res] = [sep.join(v) if len(v) else None]
             elif kind == "ARRAY_AGG":
                 row[res] = [list(s.dropna())]
+            elif kind in ("QUANTILE_CONT", "PERCENTILE_CONT",
+                          "QUANTILE_DISC", "PERCENTILE_DISC"):
+                if len(call.args) < 2 or not isinstance(
+                        call.args[1], A.Literal):
+                    raise ValueError(
+                        f"{kind}(expr, p) requires a literal quantile")
+                p = float(call.args[1].value)
+                v = s.dropna().astype(float)
+                if not len(v):
+                    row[res] = [None]
+                elif kind.endswith("CONT"):
+                    row[res] = [v.quantile(p, interpolation="linear")]
+                else:
+                    # DISC: the element at rank ceil(p·n) (DuckDB)
+                    v = v.sort_values(ignore_index=True)
+                    import math as _math
+
+                    r = max(0, _math.ceil(p * len(v)) - 1)
+                    row[res] = [v.iloc[r]]
         return pd.DataFrame(row)
 
 
@@ -1849,6 +1868,74 @@ class Compiler:
         return rd.from_arrow(pa.table({
             f"__r{i}": pa.array([row.get(f"__r{i}", 0)], type=pa.int64())}))
 
+    def _compile_approx_quantile(self, frame: Frame, key_exprs,
+                                 key_names, aggs, env) -> rd.Dataset:
+        """APPROX_QUANTILE(col, p) [GROUP BY keys] via mergeable quantile
+        summaries (ops/sketch.py): per-batch per-group 4 KB order-statistic
+        grids; the merge concatenates blobs (exact) and finalize computes
+        the weighted quantile — rank error ≤ N/512 at any parallelism.
+        Shuffle volume is #groups×#batches summaries, never the values."""
+        from ..ops.sketch import quantile_estimate, quantile_fold
+
+        call, i = aggs[0]
+        if len(call.args) < 2 or not isinstance(call.args[1], A.Literal):
+            raise ValueError(
+                "APPROX_QUANTILE(expr, p) requires a literal quantile")
+        p = float(call.args[1].value)
+        prep = PreAggPrep(key_exprs, key_names, aggs, env)
+        ds2 = frame.ds.map_batches(prep, batch_format="pyarrow")
+        arg = f"__a{i}"
+
+        def fold(t: pa.Table, _k=tuple(key_names), _a=arg) -> pa.Table:
+            if len(t) == 0:
+                cols = {k: t.column(k) for k in _k}
+                cols["__qs"] = pa.array([], type=pa.binary())
+                return pa.table(cols)
+            if not _k:
+                return pa.table({"__qs": pa.array(
+                    [quantile_fold(t.column(_a))], type=pa.binary())})
+            df = t.select(list(_k) + [_a]).to_pandas()
+            rows = {k: [] for k in _k}
+            blobs = []
+            for keys, grp in df.groupby(list(_k), dropna=False, sort=False):
+                if not isinstance(keys, tuple):
+                    keys = (keys,)
+                for k, v in zip(_k, keys):
+                    rows[k].append(v)
+                blobs.append(quantile_fold(pa.Array.from_pandas(grp[_a])))
+            arrays = {}
+            for kcol in _k:
+                arr = pa.Array.from_pandas(pd.Series(rows[kcol]))
+                want = t.schema.field(kcol).type
+                if arr.type != want:
+                    try:
+                        arr = arr.cast(want)
+                    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                        pass
+                arrays[kcol] = arr
+            arrays["__qs"] = pa.array(blobs, type=pa.binary())
+            return pa.table(arrays)
+
+        def _acc_block(a, block):
+            vals = block["__qs"]
+            vals = vals.to_pylist() if hasattr(vals, "to_pylist") \
+                else list(vals)
+            return a + [b for b in vals if b is not None]
+
+        q_merge = AggregateFn(
+            init=lambda k: [],
+            merge=lambda a, b: a + b,
+            accumulate_block=_acc_block,
+            finalize=lambda a, _p=p: quantile_estimate(a, _p),
+            name=f"__r{i}")
+
+        partials = ds2.map_batches(fold, batch_format="pyarrow")
+        if key_names:
+            return partials.groupby(key_names).aggregate(q_merge)
+        row = partials.aggregate(q_merge) or {}
+        return rd.from_arrow(pa.table({
+            f"__r{i}": pa.array([row.get(f"__r{i}")], type=pa.float64())}))
+
     def _split_correlation(self, sub: A.Select, frame: Frame):
         """Partition a subquery's WHERE conjuncts into equality correlation
         pairs (inner column = outer column), purely-local predicates, and
@@ -2766,16 +2853,21 @@ class Compiler:
 
         only_approx_cd = (
             len(aggs) == 1 and aggs[0][0].name == "APPROX_COUNT_DISTINCT")
-        if any(c.name == "APPROX_COUNT_DISTINCT" for c in agg_calls) \
-                and not only_approx_cd:
+        only_approx_q = (
+            len(aggs) == 1 and aggs[0][0].name == "APPROX_QUANTILE")
+        if any(c.name in ("APPROX_COUNT_DISTINCT", "APPROX_QUANTILE")
+               for c in agg_calls) and not (only_approx_cd or only_approx_q):
             raise ValueError(
-                "APPROX_COUNT_DISTINCT cannot be mixed with other "
+                "approximate aggregates cannot be mixed with other "
                 "aggregates in one SELECT (wrap in separate subqueries)")
         only_count_distinct = (
             any_distinct and len(aggs) == 1 and key_names
             and aggs[0][0].name == "COUNT" and aggs[0][0].distinct)
         if only_approx_cd:
             out = self._compile_approx_count_distinct(
+                frame, key_exprs, key_names, aggs, env)
+        elif only_approx_q:
+            out = self._compile_approx_quantile(
                 frame, key_exprs, key_names, aggs, env)
         elif only_count_distinct:
             # scalable exact path: dedup (keys, arg) pairs first (per-batch

@@ -895,12 +895,16 @@ _SCALAR_FUNCS: dict[str, Callable] = {
 AGG_FUNC_NAMES = {"AVG", "COUNT", "MIN", "MAX", "SUM", "STDDEV", "MEAN",
                   "APPROX_COUNT_DISTINCT", "STDDEV_POP", "STDDEV_SAMP",
                   "VARIANCE", "VAR_POP", "VAR_SAMP",
-                  "MEDIAN", "STRING_AGG", "ARRAY_AGG"}
+                  "MEDIAN", "STRING_AGG", "ARRAY_AGG",
+                  "QUANTILE_CONT", "QUANTILE_DISC",
+                  "PERCENTILE_CONT", "PERCENTILE_DISC", "APPROX_QUANTILE"}
 
 # holistic aggregates need every value of the group co-located (no
 # mergeable fixed-size partial exists) — they route through the exact
 # per-group pandas path, like DISTINCT aggregates
-HOLISTIC_AGG_NAMES = {"MEDIAN", "STRING_AGG", "ARRAY_AGG"}
+HOLISTIC_AGG_NAMES = {"MEDIAN", "STRING_AGG", "ARRAY_AGG",
+                      "QUANTILE_CONT", "QUANTILE_DISC",
+                      "PERCENTILE_CONT", "PERCENTILE_DISC"}
 
 
 def collect_agg_calls(expr: A.Expr) -> list[A.FuncCall]:

@@ -617,3 +617,56 @@ class TestTrainingDataPipeline:
         assert (df["quality_score"] >= 0.5).all()
         # token counts present and positive for non-empty docs
         assert (df.loc[df["text"].str.len() > 0, "n_tokens"] > 0).all()
+
+
+class TestQuantileSketch:
+    """Mergeable quantile summaries: rank error ≤ N/k, deterministic at
+    any split of the input."""
+
+    def test_rank_error_bound(self):
+        import pyarrow as pa
+
+        from qwery_ray.ops.sketch import (QSKETCH_K, quantile_estimate,
+                                          quantile_fold)
+
+        rng = np.random.default_rng(3)
+        x = rng.lognormal(3, 1.5, 200_000)
+        # split into 40 uneven batches, fold each, estimate
+        cuts = np.sort(rng.choice(len(x), 39, replace=False))
+        blobs = [quantile_fold(pa.array(part))
+                 for part in np.split(x, cuts)]
+        xs = np.sort(x)
+        for p in (0.1, 0.5, 0.9, 0.99):
+            est = quantile_estimate(blobs, p)
+            # rank of the estimate must be within N/k + one batch-grid step
+            rank = np.searchsorted(xs, est) / len(xs)
+            assert abs(rank - p) < 2.5 / QSKETCH_K * 40 + 0.01, (p, rank)
+
+    def test_split_invariant(self):
+        import pyarrow as pa
+
+        from qwery_ray.ops.sketch import quantile_estimate, quantile_fold
+
+        rng = np.random.default_rng(4)
+        x = rng.normal(0, 1, 50_000)
+        a = quantile_estimate([quantile_fold(pa.array(x))], 0.5)
+        parts = np.split(x, [10_000, 25_000, 40_000])
+        b = quantile_estimate([quantile_fold(pa.array(p)) for p in parts],
+                              0.5)
+        # both within sketch error of the exact median
+        exact = float(np.median(x))
+        assert abs(a - exact) < 0.02 and abs(b - exact) < 0.02
+
+    def test_sql_aggregate(self, ray_session, duck):
+        from qwery_ray import QweryEngine
+
+        eng = QweryEngine(table_root="/root/testdata/sf0.001")
+        mine = eng.sql(
+            "SELECT o_orderstatus, APPROX_QUANTILE(o_totalprice, 0.5) AS q "
+            "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
+        ).to_pandas()
+        exact = duck.execute(
+            "SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS q "
+            "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus").df()
+        for a, e in zip(mine["q"], exact["q"]):
+            assert abs(a - e) / e < 0.02
