@@ -203,6 +203,21 @@ _SQL_QUERIES: dict[str, tuple[str, str | None]] = {
     # stddev: the engine computes moments (Σx, Σx²) with exact fsum merge,
     # DuckDB streams Welford — agreement is ~1e-7 absolute at these
     # magnitudes, so snap both to cents like the money sums
+    "quantile_pricing": (
+        # exact holistic quantiles (QUANTILE_CONT linear / MEDIAN): the
+        # 0.25/0.75 interpolation of 2-decimal prices lands on quarter
+        # cents — snap at 1e4 (interpolation formulas differ in the last
+        # ulp between engines; the snapped integer-valued double doesn't)
+        "SELECT o_orderstatus, "
+        "ROUND(QUANTILE_CONT(o_totalprice, 0.25) * 10000, 0) / 10000 AS q1, "
+        "ROUND(QUANTILE_CONT(o_totalprice, 0.75) * 10000, 0) / 10000 AS q3, "
+        "ROUND(MEDIAN(o_totalprice) * 10000, 0) / 10000 AS med "
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+        "SELECT o_orderstatus, "
+        "ROUND(quantile_cont(o_totalprice, 0.25) * 10000, 0) / 10000 AS q1, "
+        "ROUND(quantile_cont(o_totalprice, 0.75) * 10000, 0) / 10000 AS q3, "
+        "ROUND(median(o_totalprice) * 10000, 0) / 10000 AS med "
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "stddev_agg": (
         "SELECT o_orderstatus, "
         "ROUND(STDDEV(o_totalprice) * 100, 0) / 100 AS sd "
