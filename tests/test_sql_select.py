@@ -339,7 +339,7 @@ class TestApproxCountDistinct:
         from qwery_ray import QweryEngine
 
         eng = QweryEngine(table_root="/root/testdata/sf0.001")
-        with pytest.raises(ValueError, match="APPROX_COUNT_DISTINCT"):
+        with pytest.raises(ValueError, match="approximate aggregates"):
             eng.sql("SELECT COUNT(*) AS n, "
                     "APPROX_COUNT_DISTINCT(o_custkey) AS nc FROM orders")
 
