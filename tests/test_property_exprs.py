@@ -94,3 +94,37 @@ class TestArithmeticParity:
         expr = (f"CASE WHEN {x} > {t} THEN 'gt' WHEN {x} = {t} THEN 'eq' "
                 f"ELSE 'lt' END")
         assert eval_mine(expr) == eval_duck(expr)
+
+
+class TestNewFunctionParity:
+    @settings(max_examples=80, deadline=None)
+    @given(_INTS, _INTS)
+    def test_greatest_least_mod(self, a, b):
+        for fn in (f"GREATEST({a}, {b})", f"LEAST({a}, {b})"):
+            assert eval_mine(fn) == eval_duck(fn)
+        if b != 0:
+            expr = f"MOD({a}, {b})"
+            assert eval_mine(expr) == eval_duck(expr)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(min_value=1, max_value=40),
+           st.integers(min_value=0, max_value=6))
+    def test_power_logs(self, x, p):
+        expr = f"POWER({x}, {p})"
+        assert abs(eval_mine(expr) - eval_duck(expr)) < 1e-9
+        for fn in (f"LN({x})", f"LOG({x})", f"LOG2({x})"):
+            assert abs(eval_mine(fn) - eval_duck(fn)) < 1e-12
+
+    @settings(max_examples=60, deadline=None)
+    @given(_STRINGS)
+    def test_reverse_repeat(self, s):
+        for fn in (f"REVERSE({_lit(s)})", f"REPEAT({_lit(s)}, 3)"):
+            assert eval_mine(fn) == eval_duck(fn)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(min_value=0, max_value=3000),
+           st.integers(min_value=0, max_value=3000))
+    def test_datediff_days(self, d1, d2):
+        expr = (f"DATEDIFF('day', DATE '1995-01-01' + INTERVAL {d1} DAY, "
+                f"DATE '1995-01-01' + INTERVAL {d2} DAY)")
+        assert eval_mine(expr) == eval_duck(expr)
