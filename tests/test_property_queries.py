@@ -233,3 +233,49 @@ class TestJoinFuzz:
     @pytest.fixture(autouse=True)
     def _bind_j(self, join_tables):
         type(self)._fixture = join_tables
+
+
+class TestRowsFrameFuzz:
+    """General ROWS frames vs DuckDB: random aggregate x arbitrary
+    PRECEDING/FOLLOWING bounds x direction, ordered by the unique rid
+    (ROWS framing under ties is engine-order-dependent, so the order key
+    must be unique)."""
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.sampled_from(["SUM(f)", "AVG(f)", "MIN(i)", "MAX(i)",
+                            "COUNT(i)"]),
+           st.booleans(),
+           st.sampled_from([(-2, 2), (1, 3), (-4, -2), (1, None),
+                            (None, -1), (2, 1), (0, 2), (-3, 0)]),
+           st.booleans())
+    def test_rows_frame_parity(self, fn, partition, bounds, desc):
+        sf_dir, path = self._fixture
+        from qwery_ray import QweryEngine
+
+        eng = QweryEngine(table_root=sf_dir)
+        lo, hi = bounds
+
+        def b(v, low):
+            if v is None:
+                return "UNBOUNDED PRECEDING" if low else \
+                    "UNBOUNDED FOLLOWING"
+            if v == 0:
+                return "CURRENT ROW"
+            return f"{-v} PRECEDING" if v < 0 else f"{v} FOLLOWING"
+
+        over = (["PARTITION BY k"] if partition else []) + [
+            f"ORDER BY rid{' DESC' if desc else ''}",
+            f"ROWS BETWEEN {b(lo, True)} AND {b(hi, False)}"]
+        sql = (f"SELECT rid, {fn} OVER ({' '.join(over)}) AS w FROM wf")
+        mine = eng.sql(sql).to_pandas()
+        oracle = duckdb.sql(sql.replace("FROM wf", f"FROM '{path}'")).df()
+        mine = mine.sort_values("rid", ignore_index=True)
+        oracle = oracle.sort_values("rid", ignore_index=True)
+        a = mine["w"].to_numpy(dtype="float64", na_value=np.nan)
+        b_ = oracle["w"].to_numpy(dtype="float64", na_value=np.nan)
+        assert np.allclose(a, b_, rtol=1e-9, atol=1e-12, equal_nan=True), \
+            sql
+
+    @pytest.fixture(autouse=True)
+    def _bind_rf(self, fuzz_table_rid):
+        type(self)._fixture = fuzz_table_rid
