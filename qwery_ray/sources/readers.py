@@ -105,6 +105,14 @@ def detect_format(path: str, hints: dict) -> str:
         return "csv"
     base, _ = _strip_gz(path)
     ext = os.path.splitext(base)[1].lower()
+    if not ext and "://" not in path and os.path.isdir(path):
+        # extension-less directory: sniff the first data file anywhere
+        # below (hive-partitioned layouts nest files one level per key)
+        for dirpath, _dirs, files in os.walk(path):
+            for name in sorted(files):
+                fext = os.path.splitext(_strip_gz(name)[0])[1].lower()
+                if fext in _EXT_FORMAT:
+                    return _EXT_FORMAT[fext]
     return _EXT_FORMAT.get(ext, "csv")
 
 

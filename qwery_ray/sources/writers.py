@@ -33,18 +33,32 @@ def write_sink(ds: rd.Dataset, path: str, hints: Optional[dict] = None, *,
     hints = dict(hints or {})
     fmt = detect_output_format(path, hints)
     if fmt == "parquet" and (os.path.isdir(path) or not os.path.splitext(path)[1]):
-        # directory parquet sink — the scale path
+        # directory parquet sink — the scale path; WITH PARTITION (cols)
+        # writes hive-partitioned subdirectories (resumable output: a
+        # rerun can skip finished partitions)
         if overwrite and os.path.isdir(path):
             import shutil
             shutil.rmtree(path)
-        before = set(os.listdir(path)) if os.path.isdir(path) else set()
-        ds.write_parquet(path)
+
+        def _walk_parquet(root):
+            out = set()
+            for dirpath, _dirs, files in os.walk(root):
+                for name in files:
+                    if name.endswith(".parquet"):
+                        out.add(os.path.join(dirpath, name))
+            return out
+
+        before = _walk_parquet(path) if os.path.isdir(path) else set()
+        pcols = hints.get("partition_cols")
+        if pcols:
+            ds.write_parquet(path, partition_cols=list(pcols))
+        else:
+            ds.write_parquet(path)
         # count the new files' rows from parquet footers only (no re-read)
         import pyarrow.parquet as pq
         count = 0
-        for name in os.listdir(path):
-            if name not in before and name.endswith(".parquet"):
-                count += pq.read_metadata(os.path.join(path, name)).num_rows
+        for fp in _walk_parquet(path) - before:
+            count += pq.read_metadata(fp).num_rows
         return count
     if fmt == "parquet":
         return _write_single_parquet(ds, path, overwrite)

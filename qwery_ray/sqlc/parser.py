@@ -424,6 +424,15 @@ class Parser:
                 hints["lake"] = True
                 if self.accept("VERSION"):
                     hints["lake_version"] = int(self.next().text)
+            elif key == "PARTITION":
+                # WITH PARTITION (col [, col]): hive-partitioned parquet
+                # output — one directory level per column value
+                self.expect("(")
+                cols = [self._ident_name()]
+                while self.accept(","):
+                    cols.append(self._ident_name())
+                self.expect(")")
+                hints["partition_cols"] = cols
             elif key == "PROPERTIES":
                 hints["properties"] = unquote_string(self.next().text)
             else:

@@ -372,3 +372,19 @@ class TestNestedCtes:
         mine = engine.sql(sql).to_pandas()
         oracle = duck.execute(sql.replace("INNER JOIN", "JOIN")).fetch_df()
         assert mine["n"].tolist() == oracle["n"].tolist()
+
+
+class TestPartitionedInsert:
+    def test_hive_partitioned_parquet(self, tmp_engine, tmp_path):
+        out = os.path.join(str(tmp_path), "part_lake")
+        res = tmp_engine.sql(
+            f"INSERT INTO '{out}' (o_orderstatus, o_orderkey, o_totalprice) "
+            f"WITH PARTITION (o_orderstatus) "
+            f"SELECT o_orderstatus, o_orderkey, o_totalprice FROM orders")
+        assert to_pandas(res)["ROWS_INSERTED"][0] == 1500
+        dirs = sorted(os.listdir(out))
+        assert dirs == ["o_orderstatus=F", "o_orderstatus=O",
+                        "o_orderstatus=P"]
+        back = to_pandas(tmp_engine.sql(
+            f"SELECT COUNT(*) AS n FROM '{out}'"))
+        assert back["n"][0] == 1500
