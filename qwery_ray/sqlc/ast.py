@@ -121,6 +121,7 @@ class Like(Cond):
     operand: Expr
     pattern: Expr
     negated: bool = False
+    case_insensitive: bool = False  # ILIKE
 
 
 @dataclass(frozen=True)

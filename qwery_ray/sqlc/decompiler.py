@@ -113,7 +113,8 @@ def expr_sql(e) -> str:
     if isinstance(e, A.Comparison):
         return f"{expr_sql(e.left)} {e.op} {expr_sql(e.right)}"
     if isinstance(e, A.Like):
-        op = "NOT LIKE" if e.negated else "LIKE"
+        kw = "ILIKE" if e.case_insensitive else "LIKE"
+        op = f"NOT {kw}" if e.negated else kw
         return f"{expr_sql(e.operand)} {op} {expr_sql(e.pattern)}"
     if isinstance(e, A.Matches):
         return f"{expr_sql(e.operand)} MATCHES {expr_sql(e.pattern)}"

@@ -373,7 +373,8 @@ class Evaluator:
         if not isinstance(pattern, str):
             raise EvalError("LIKE pattern must be a string literal")
         val = _as_array(val, len(batch)) if _is_scalar(val) else val
-        out = pc.match_like(val, pattern)
+        out = pc.match_like(val, pattern,
+                            ignore_case=getattr(e, "case_insensitive", False))
         return pc.invert(out) if e.negated else out
 
     def _eval_Matches(self, e: A.Matches, batch):

@@ -688,6 +688,9 @@ class Parser:
         negated = bool(self.accept("NOT"))
         if self.accept("LIKE"):
             return A.Like(left, self.parse_expr(), negated)
+        if self.accept("ILIKE"):
+            return A.Like(left, self.parse_expr(), negated,
+                          case_insensitive=True)
         if self.accept("MATCHES"):
             m = A.Matches(left, self.parse_expr())
             return A.Not(m) if negated else m

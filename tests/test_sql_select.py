@@ -642,3 +642,19 @@ class TestOffsetNullsOrderSetOpsAll:
         ]:
             ast1 = parse_one(sql)
             assert parse_one(to_sql(ast1)) == ast1, sql
+
+
+class TestIlike:
+    def test_ilike_parity(self, engine, duck):
+        for q in [
+            "SELECT COUNT(*) AS n FROM part WHERE p_name ILIKE '%AR%'",
+            "SELECT COUNT(*) AS n FROM part WHERE p_name NOT ILIKE '%a%'",
+            "SELECT COUNT(*) AS n FROM customer WHERE c_mktsegment "
+            "ILIKE 'bui%'",
+        ]:
+            mine = engine.sql(q).to_pandas()["n"][0]
+            oracle = duck.execute(q).fetch_df()["n"][0]
+            assert int(mine) == int(oracle), q
+        assert int(engine.sql(
+            "SELECT COUNT(*) AS n FROM customer WHERE c_mktsegment "
+            "ILIKE 'bui%'").to_pandas()["n"][0]) > 0
