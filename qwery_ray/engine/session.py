@@ -389,6 +389,19 @@ class QweryEngine:
         self.views[stmt.name.lower()] = stmt.query
         return None
 
+    def _exec_Drop(self, stmt: A.Drop):
+        reg, key = {
+            "VIEW": (self.views, stmt.name.lower()),
+            "FUNCTION": (self.sql_functions, stmt.name.upper()),
+            "PROCEDURE": (self.procedures, stmt.name.lower()),
+        }[stmt.kind]
+        if key not in reg:
+            if stmt.if_exists:
+                return None
+            raise ValueError(f"{stmt.kind.lower()} {stmt.name!r} does not exist")
+        del reg[key]
+        return None
+
     def _exec_WithCtes(self, stmt: A.WithCtes):
         """CTEs = statement-scoped views: register, run the body (plans
         lower during execute — lazy Datasets keep working after the scope

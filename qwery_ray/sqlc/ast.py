@@ -418,6 +418,16 @@ class Show(Statement):
 
 
 @dataclass(frozen=True)
+class Drop(Statement):
+    """DROP VIEW|FUNCTION|PROCEDURE [IF EXISTS] name — session-registry
+    removal (superset; the reference has no DROP at all)."""
+
+    kind: str  # VIEW | FUNCTION | PROCEDURE
+    name: str
+    if_exists: bool = False
+
+
+@dataclass(frozen=True)
 class NativeSQL(Statement):
     """NATIVE SQL 'query' [FROM 'duckdb:file.db'] — raw passthrough to an
     embedded engine (reference ops/sql/NativeSQL.scala sends to JDBC; the

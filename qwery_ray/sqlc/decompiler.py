@@ -278,6 +278,9 @@ def to_sql(stmt) -> str:
         return out
     if isinstance(stmt, A.Show):
         return f"SHOW {stmt.entity}"
+    if isinstance(stmt, A.Drop):
+        ie = "IF EXISTS " if stmt.if_exists else ""
+        return f"DROP {stmt.kind} {ie}{_ident(stmt.name)}"
     if isinstance(stmt, A.Explain):
         return f"EXPLAIN {to_sql(stmt.query)}"
     if isinstance(stmt, A.NativeSQL):

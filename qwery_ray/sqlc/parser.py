@@ -93,6 +93,16 @@ class Parser:
             return self.parse_set()
         if word == "CREATE":
             return self.parse_create()
+        if word == "DROP":
+            self.next()
+            kind = self.next().upper
+            if kind not in ("VIEW", "FUNCTION", "PROCEDURE"):
+                self.error(f"cannot DROP {kind}")
+            if_exists = False
+            if self.accept("IF"):
+                self.expect("EXISTS")
+                if_exists = True
+            return A.Drop(kind, self._ident_name(), if_exists)
         if word == "CALL":
             return self.parse_call()
         if word == "RETURN":

@@ -388,3 +388,29 @@ class TestPartitionedInsert:
         back = to_pandas(tmp_engine.sql(
             f"SELECT COUNT(*) AS n FROM '{out}'"))
         assert back["n"][0] == 1500
+
+
+class TestDrop:
+    def test_drop_view(self, tmp_engine):
+        tmp_engine.sql("CREATE VIEW dv AS SELECT 1 AS x")
+        assert "dv" in tmp_engine.views
+        tmp_engine.sql("DROP VIEW dv")
+        assert "dv" not in tmp_engine.views
+        with pytest.raises(ValueError, match="does not exist"):
+            tmp_engine.sql("DROP VIEW dv")
+        tmp_engine.sql("DROP VIEW IF EXISTS dv")  # no-op
+
+    def test_drop_function_and_procedure(self, tmp_engine):
+        tmp_engine.sql("CREATE FUNCTION df(a) AS RETURN (a + 1)")
+        tmp_engine.sql("DROP FUNCTION df")
+        assert "DF" not in tmp_engine.sql_functions
+        tmp_engine.sql("CREATE PROCEDURE dp() AS BEGIN SELECT 1 AS x END")
+        tmp_engine.sql("DROP PROCEDURE IF EXISTS dp")
+        assert "dp" not in tmp_engine.procedures
+
+    def test_decompile(self):
+        from qwery_ray.sqlc.decompiler import to_sql
+        from qwery_ray.sqlc.parser import parse_one
+
+        for sql in ["DROP VIEW v", "DROP FUNCTION IF EXISTS f"]:
+            assert parse_one(to_sql(parse_one(sql))) == parse_one(sql)
