@@ -851,6 +851,26 @@ def _fn_contains(ev, e, batch):
     return pc.match_substring(s, sub)
 
 
+def _fn_hash(ev, e, batch):
+    """HASH(a [, b ...]): value-stable 64-bit xxhash (polars, fixed seed)
+    of the stringified arguments — deterministic across processes, runs
+    and arrays (unlike Python hash() or pandas hash_array), so
+    ``MOD(HASH(id), 100) < k`` is a reproducible k% sample/shard at any
+    parallelism. Engine-specific values (no cross-engine oracle)."""
+    cols = [pc.cast(_arg(ev, e, batch, i), pa.string())
+            for i in range(len(e.args))]
+    joined = cols[0] if len(cols) == 1 else \
+        pc.binary_join_element_wise(*cols, "\x00")
+    arr = joined.combine_chunks() if isinstance(joined, pa.ChunkedArray) \
+        else joined
+    import polars as pl
+
+    hashed = pl.from_arrow(arr).hash(seed=42).to_numpy()
+    # expose as non-negative int64 (mask off the sign bit)
+    return pa.array((hashed & np.uint64(0x7FFFFFFFFFFFFFFF))
+                    .astype(np.int64))
+
+
 def _fn_reverse(ev, e, batch):
     return pc.utf8_reverse(_str_arg(ev, e, batch, 0))
 
@@ -890,7 +910,7 @@ _SCALAR_FUNCS: dict[str, Callable] = {
     "DATEDIFF": _fn_datediff, "DATE_DIFF": _fn_datediff,
     "DATE_ADD": _fn_date_add,
     "ASCII": _fn_ascii, "CHR": _fn_chr, "REPEAT": _fn_repeat,
-    "CONTAINS": _fn_contains,
+    "CONTAINS": _fn_contains, "HASH": _fn_hash,
 }
 
 AGG_FUNC_NAMES = {"AVG", "COUNT", "MIN", "MAX", "SUM", "STDDEV", "MEAN",

@@ -220,3 +220,31 @@ class TestDateStringAdditions:
         mine = engine.sql(sql).to_pandas()
         oracle = duck.execute(sql).fetch_df()
         assert mine["age"].tolist() == oracle["age"].tolist()
+
+
+class TestHashFunction:
+    """HASH(...): value-stable xxhash — reproducible sampling/sharding."""
+
+    def test_deterministic_across_runs(self, engine):
+        q = ("SELECT o_orderkey, HASH(o_orderkey) AS h FROM orders "
+             "WHERE o_orderkey < 20 ORDER BY o_orderkey")
+        a = engine.sql(q).to_pandas()
+        b = engine.sql(q).to_pandas()
+        assert a["h"].tolist() == b["h"].tolist()
+        assert (a["h"] >= 0).all()
+        assert a["h"].nunique() == len(a)  # 64-bit: no collisions at n=20
+
+    def test_sampling_fraction(self, engine):
+        out = engine.sql(
+            "SELECT COUNT(*) AS n FROM orders "
+            "WHERE MOD(HASH(o_orderkey), 100) < 10").to_pandas()
+        total = engine.sql(
+            "SELECT COUNT(*) AS n FROM orders").to_pandas()["n"][0]
+        frac = out["n"][0] / total
+        assert 0.05 < frac < 0.16  # ~10% ± sampling noise at n=1500
+
+    def test_multi_arg(self, engine):
+        df = engine.sql(
+            "SELECT HASH(o_orderkey, o_orderstatus) AS h2, "
+            "HASH(o_orderkey) AS h1 FROM orders LIMIT 5").to_pandas()
+        assert (df["h1"] != df["h2"]).any()
