@@ -500,6 +500,12 @@ class QweryEngine:
         else:
             lines = [ln.rstrip() for ln in repr(result).splitlines()
                      if ln.strip()]
+            if stmt.analyze:
+                # execute and append Ray's per-operator stage statistics
+                mat = result.materialize()
+                lines.append("--- ANALYZE ---")
+                lines.extend(ln.rstrip() for ln in mat.stats().splitlines()
+                             if ln.strip())
         return pa.table({"plan": pa.array(lines, type=pa.string())})
 
     def _exec_Describe(self, stmt: A.Describe):

@@ -387,10 +387,12 @@ class CodeBlock(Statement):
 
 @dataclass(frozen=True)
 class Explain(Statement):
-    """EXPLAIN <query>: the compiled Ray Data operator chain, one row per
-    plan line — makes the Ray-Data-first lowering inspectable."""
+    """EXPLAIN [ANALYZE] <query>: the compiled Ray Data operator chain,
+    one row per plan line — ANALYZE also executes and appends Ray's
+    per-operator stage statistics (wall time, blocks, rows)."""
 
     query: Statement
+    analyze: bool = False
 
 
 @dataclass(frozen=True)

@@ -282,7 +282,8 @@ def to_sql(stmt) -> str:
         ie = "IF EXISTS " if stmt.if_exists else ""
         return f"DROP {stmt.kind} {ie}{_ident(stmt.name)}"
     if isinstance(stmt, A.Explain):
-        return f"EXPLAIN {to_sql(stmt.query)}"
+        kw = "EXPLAIN ANALYZE" if stmt.analyze else "EXPLAIN"
+        return f"{kw} {to_sql(stmt.query)}"
     if isinstance(stmt, A.NativeSQL):
         out = f"NATIVE SQL {_string(stmt.query)}"
         if stmt.connection:

@@ -130,7 +130,8 @@ class Parser:
             return self.parse_describe()
         if word == "EXPLAIN":
             self.next()
-            return A.Explain(self.parse_statement())
+            analyze = bool(self.accept("ANALYZE"))
+            return A.Explain(self.parse_statement(), analyze)
         if word == "SHOW":
             self.next()
             ent = self.next().upper

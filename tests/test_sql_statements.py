@@ -414,3 +414,20 @@ class TestDrop:
 
         for sql in ["DROP VIEW v", "DROP FUNCTION IF EXISTS f"]:
             assert parse_one(to_sql(parse_one(sql))) == parse_one(sql)
+
+
+class TestExplainAnalyze:
+    def test_analyze_appends_stage_stats(self, tmp_engine):
+        out = to_pandas(tmp_engine.sql(
+            "EXPLAIN ANALYZE SELECT o_orderstatus, COUNT(*) AS n "
+            "FROM orders GROUP BY o_orderstatus"))
+        text = "\n".join(out["plan"])
+        assert "--- ANALYZE ---" in text
+        assert "Operator" in text  # Ray stage stats present
+
+    def test_decompile(self):
+        from qwery_ray.sqlc.decompiler import to_sql
+        from qwery_ray.sqlc.parser import parse_one
+
+        sql = "EXPLAIN ANALYZE SELECT a FROM t"
+        assert parse_one(to_sql(parse_one(sql))) == parse_one(sql)
