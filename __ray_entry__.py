@@ -680,6 +680,42 @@ _SQL_QUERIES: dict[str, tuple[str, str | None]] = {
 }
 
 
+# The driver's CORRECTNESS file records only the FIRST 50 queries() entries
+# (insertion order). Round 2 left the 13 ops entries and 9 late TPC-H shapes
+# outside that window with no driver-verified row. This list pins the checked
+# window: the flagship CDC replay + every training-data op first, then the
+# never-yet-driver-verified SQL shapes, then one representative per SQL
+# operator family. Entries past position 50 all have green CORRECTNESS_r02
+# rows (they were inside round 2's window).
+_DRIVER_WINDOW_PRIORITY = [
+    # training-data / CDC ops (never driver-verified in r2)
+    "cdc_replay", "events_lake_lww", "exact_dedup", "token_count",
+    "text_quality", "doc_fingerprint", "minhash_near_dups",
+    "simhash_signatures", "ann_topk", "embedding_dups",
+    "events_sliding_window", "events_sessions", "pii_redact",
+    # SQL shapes added after round 2's window closed (never driver-verified)
+    "tpch_q19_shape", "tpch_q21_shape", "tpch_q22_shape", "tpch_q11_shape",
+    "tpch_q7_shape", "tpch_q8_shape", "tpch_q10_shape", "tpch_q15_shape",
+    "corr_max_per_nation",
+    # representative r2-green entries, one per operator family (28 slots)
+    "q1_pricing_summary", "filter_project", "case_cast", "string_funcs",
+    "sort_limit_offset", "union_all_names", "distinct_status",
+    "global_aggregates", "group_having", "count_distinct_cust",
+    "join_filter_agg", "join_three_way", "left_join_counts",
+    "right_join_parts", "full_join_keys", "scalar_subquery_filter",
+    "semi_join_in_subquery", "exists_semijoin", "not_exists_antijoin",
+    "corr_above_cust_avg", "quantified_all_any", "events_hourly_window",
+    "quantile_pricing", "stddev_agg", "rollup_pricing",
+    "window_latest_per_customer", "window_range_frame", "window_time_range",
+]
+
+
+def _window_order(d: dict) -> dict:
+    out = {n: d[n] for n in _DRIVER_WINDOW_PRIORITY if n in d}
+    out.update({n: v for n, v in d.items() if n not in out})
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from qwery_ray.pipelines import driver_queries as dq
 
@@ -708,7 +744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": dq.events_sessions,              # SQL oracle
         "pii_redact": dq.pii_redact,                        # SQL oracle
     })
-    return out
+    return _window_order(out)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -766,4 +802,4 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE a.vec_id < 1000 AND b.vec_id < 1000
   AND list_cosine_similarity(a.embedding, b.embedding) >= 0.99
 """
-    return out
+    return _window_order(out)

@@ -145,9 +145,39 @@ class MinHashSignatures:
         vals = (np.outer(self.a, sh) + self.b[:, None]) % np.uint64(_MERSENNE)
         return vals.min(axis=1)
 
+    # permutations hashed per chunk: bounds the (chunk, Σshingles) temp at
+    # ~8 B × 8 × Σshingles per batch instead of 64× that in one allocation
+    _PERM_CHUNK = 8
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = np.stack([self.signature(t) for t in batch[self.text_col]])
+        # batched: ONE concatenated shingle-hash array for the whole batch
+        # with per-doc offsets, then a segmented min (minimum.reduceat) per
+        # permutation chunk — replaces the per-doc np.outer loop that
+        # allocated a fresh (num_perm, shingles) matrix per document.
+        # Arithmetic is elementwise-identical to signature(): uint64
+        # wraparound multiply/add then % MERSENNE, so signatures are
+        # bit-equal to the per-doc path.
+        sh_list = [self._shingle_hashes(t) for t in batch[self.text_col]]
+        n_docs = len(sh_list)
         out = pd.DataFrame({self.id_col: batch[self.id_col].values})
+        if n_docs == 0:
+            out["signature"] = []
+            return out
+        # _shingle_hashes pads short texts to ≥1 window ⇒ every segment
+        # is non-empty, which reduceat requires
+        lens = np.fromiter((len(s) for s in sh_list), dtype=np.int64,
+                           count=n_docs)
+        offsets = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        sh_all = np.concatenate(sh_list)
+        m = np.uint64(_MERSENNE)
+        sigs = np.empty((n_docs, self.num_perm), dtype=np.uint64)
+        for p0 in range(0, self.num_perm, self._PERM_CHUNK):
+            a = self.a[p0:p0 + self._PERM_CHUNK, None]
+            b = self.b[p0:p0 + self._PERM_CHUNK, None]
+            vals = (a * sh_all[None, :] + b) % m        # (chunk, Σshingles)
+            sigs[:, p0:p0 + self._PERM_CHUNK] = \
+                np.minimum.reduceat(vals, offsets, axis=1).T
         out["signature"] = list(sigs)
         return out
 
@@ -270,22 +300,46 @@ def _word_hash64(word: str) -> int:
 
 
 class SimHash:
-    """64-bit SimHash over word tokens; near-dups differ in ≤3 bits."""
+    """64-bit SimHash over word tokens; near-dups differ in ≤3 bits.
+
+    Per doc: Counter(words) once (the old ``words.count(w)`` loop was
+    O(unique × total) per document), then one (unique, 64) ±1 matrix–vector
+    product. Word→±1-bit rows are md5-derived and cached per worker (corpus
+    vocabulary repeats heavily), with new words bit-expanded in one
+    vectorized shift per batch."""
+
+    _CACHE_CAP = 2_000_000  # ±1 rows are 64 B/word → ≤ ~128 MB per worker
 
     def __init__(self, text_col: str = "text", seed: int = 42):
         self.text_col = text_col
         self.word_re = re.compile(r"[A-Za-z0-9]+")
+        self._bits: dict[str, np.ndarray] = {}  # word -> (64,) int8 of ±1
+
+    def _intern(self, words: list) -> None:
+        new = [w for w in words if w not in self._bits]
+        if not new:
+            return
+        if len(self._bits) + len(new) > self._CACHE_CAP:
+            self._bits.clear()
+        hs = np.array([_word_hash64(w) for w in new], dtype=np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64))
+                & np.uint64(1)).astype(np.int8)
+        rows = bits * np.int8(2) - np.int8(1)
+        for w, r in zip(new, rows):
+            self._bits[w] = r
 
     def _sig(self, text: str) -> int:
-        words = self.word_re.findall((text or "").lower())
-        if not words:
+        from collections import Counter
+
+        counts = Counter(self.word_re.findall((text or "").lower()))
+        if not counts:
             return 0
-        acc = np.zeros(64, dtype=np.int64)
-        for w in set(words):
-            h = np.uint64(_word_hash64(w))
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits == 1, 1, -1) * words.count(w)
-        return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+        self._intern(list(counts))
+        mat = np.stack([self._bits[w] for w in counts]).astype(np.int64)
+        cnt = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+        acc = cnt @ mat
+        return int(((acc > 0).astype(np.uint64)
+                    << np.arange(64, dtype=np.uint64)).sum())
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         batch["simhash"] = [self._sig(t) for t in batch[self.text_col]]

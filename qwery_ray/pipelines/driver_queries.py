@@ -100,7 +100,8 @@ def text_quality(sf_dir: str):
     # state is compiled regexes + stopword sets (microseconds to pickle), so
     # actor spin-up would cost more than the state it amortizes. Real actor
     # pools are reserved for heavy state (models, indexes — see DecodeImage).
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
     out = ds.map_batches(TextAnalyzer(), batch_format="pandas",
                          batch_size=256)
     return out.select_columns(
