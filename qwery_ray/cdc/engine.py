@@ -359,16 +359,109 @@ class MergePartitionFS:
         })
 
 
+def _merge_group(merge: "MergePartitionFS", pids: list) -> pa.Table:
+    return merge(pa.table({"pid": pa.array(pids, type=pa.int64())}))
+
+
+_MERGE_TASK = None
+
+
+def _merge_group_task():
+    """Lazily-created ray.remote wrapper for one merge-task group (created
+    once per process, not per transaction)."""
+    global _MERGE_TASK
+    if _MERGE_TASK is None:
+        import ray
+
+        _MERGE_TASK = ray.remote(_merge_group)
+    return _MERGE_TASK
+
+
+class _InflightReporter:
+    """Periodic IN-FLIGHT progress snapshots while a transaction runs
+    (reference StatisticsGenerator.scala:49-80: %complete/ETA rows on a
+    10-second cadence, not just at commit). A daemon thread samples the
+    txn's staging directories — shuffle bytes written during the map phase,
+    staged partition files during the merge phase — and appends
+    ``{"type": "inflight", ...}`` records to ``_stats.jsonl``. The manifest
+    is untouched, so commit determinism is unaffected."""
+
+    def __init__(self, engine: "CDCLakeEngine", txn: str, shuffle_dir: str,
+                 staged_dir: str, expected_bytes: int, n_touched: int):
+        import threading
+        import time as _time
+
+        self.engine = engine
+        self.txn = txn
+        self.shuffle_dir = shuffle_dir
+        self.staged_dir = staged_dir
+        self.expected_bytes = max(1, expected_bytes)
+        self.n_touched = n_touched  # 0 = unknown until the map side lands
+        self.phase = "map"
+        self._t0 = _time.perf_counter()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def start(self) -> "_InflightReporter":
+        if self.engine.stats_interval_sec > 0:
+            self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    def _dir_stats(self, path: str, suffix: str = ".parquet"):
+        files = bytes_ = 0
+        if os.path.isdir(path):
+            for name in os.listdir(path):
+                if name.endswith(suffix):
+                    try:
+                        bytes_ += os.path.getsize(os.path.join(path, name))
+                        files += 1
+                    except OSError:
+                        pass  # racing a rename/cleanup
+        return files, bytes_
+
+    def _run(self) -> None:
+        import time as _time
+
+        while not self._stop.wait(self.engine.stats_interval_sec):
+            elapsed = _time.perf_counter() - self._t0
+            rec = {"type": "inflight", "txn": self.txn, "phase": self.phase,
+                   "elapsed_sec": round(elapsed, 3)}
+            if self.phase == "map":
+                files, nbytes = self._dir_stats(self.shuffle_dir)
+                # shuffle output ≤ combined+compressed input bytes, so this
+                # pct is a floor — good enough for an ETA order of magnitude
+                pct = min(0.99, nbytes / self.expected_bytes)
+                rec.update(shuffle_files=files, shuffle_bytes=nbytes)
+            else:
+                files, _ = self._dir_stats(self.staged_dir)
+                pct = min(0.99, files / self.n_touched) if self.n_touched \
+                    else 0.0
+                rec.update(partitions_staged=files,
+                           partitions_total=self.n_touched)
+            rec["pct_complete"] = round(pct, 4)
+            rec["eta_sec"] = round(elapsed * (1 - pct) / pct, 1) if pct > 0 \
+                else None
+            try:
+                self.engine._append_stats(rec)
+            except OSError:
+                return  # lake dir vanished (test teardown) — stop quietly
+
+
 class CDCLakeEngine:
     """Partitioned parquet lake + manifest; replay(), resume, verify."""
 
     def __init__(self, lake_dir: str, *, num_partitions: int = 16,
-                 merge_fanin: int = 16, key_cols=tuple(KEY_COLS)):
+                 merge_fanin: int = 16, key_cols=tuple(KEY_COLS),
+                 stats_interval_sec: float = 10.0):
         import uuid
 
         self.lake_dir = lake_dir
         self.num_partitions = num_partitions
         self.merge_fanin = merge_fanin
+        self.stats_interval_sec = stats_interval_sec
         self.key_cols = list(key_cols)
         # writer-private staging namespace: concurrent replayers never
         # touch each other's shuffle output (OCC losers just discard)
@@ -528,24 +621,36 @@ class CDCLakeEngine:
             shutil.rmtree(sdir, ignore_errors=True)
             os.makedirs(sdir, exist_ok=True)
             spans.append((lo, hi, sdir))
+        from .tail import resolve_tail
+
         lo_all, hi_all = chunks[0][0], chunks[-1][1]
-        events = rd.read_parquet(
-            events_path,
-            filter=(pc.field("lsn") > pa.scalar(lo_all))
-            & (pc.field("lsn") <= pa.scalar(hi_all)),
-        )
+        tail = resolve_tail(events_path)
+        events = tail.dataset(lo_all, hi_all)
         import ray as _ray
 
         ncpu = int(_ray.cluster_resources().get("CPU", 8)) \
             if _ray.is_initialized() else 8
+        est_rows, est_bytes = tail.size_estimate()
+        row_size = (est_bytes // est_rows) if est_rows else 256
         batch_size = self._auto_batch_size(events_path)
         approx_rows = max(1, hi_all - lo_all)
         batch_size = max(2048, min(batch_size,
                                    approx_rows // (2 * ncpu) or batch_size))
-        stats = events.map_batches(
-            MultiTxnShuffleWrite(self.num_partitions, spans, self.key_cols),
-            batch_format="pyarrow", batch_size=batch_size)
-        self._collect_shuffle_index(stats)
+        # pipelined replay runs this map pass concurrently with the previous
+        # txn's merge — give it its own in-flight reporter (the merge-side
+        # reporter lives in apply_chunk)
+        txn0 = f"txn-{lo_all:012d}-{hi_all:012d}"
+        reporter = _InflightReporter(
+            self, txn0, spans[0][2], "", n_touched=0,
+            expected_bytes=row_size * approx_rows).start()
+        try:
+            stats = events.map_batches(
+                MultiTxnShuffleWrite(self.num_partitions, spans,
+                                     self.key_cols),
+                batch_format="pyarrow", batch_size=batch_size)
+            self._collect_shuffle_index(stats)
+        finally:
+            reporter.stop()
 
     def follow(self, events_path: str, *, poll_interval: float = 1.0,
                idle_rounds: Optional[int] = 3,
@@ -572,43 +677,19 @@ class CDCLakeEngine:
                 _time.sleep(poll_interval)
         return self.load_manifest()
 
-    def _events_lsn_range(self, events_path: str) -> tuple[int, int]:
-        """min/max LSN from parquet footer statistics only (no data read)."""
-        import glob as _glob
+    def _events_lsn_range(self, events_path) -> tuple[int, int]:
+        """Available (min, max) LSN from the tail source (the default
+        ParquetTail reads footer statistics only — no data pages)."""
+        from .tail import resolve_tail
 
-        files = sorted(_glob.glob(os.path.join(events_path, "*.parquet"))) \
-            if os.path.isdir(events_path) else [events_path]
-        lo, hi = None, None
-        for f in files:
-            md = pq.read_metadata(f)
-            idx = md.schema.to_arrow_schema().get_field_index("lsn")
-            if idx < 0:
-                raise ValueError(
-                    f"events table {f} has no 'lsn' column (the per-key "
-                    "ordering authority) — add one, e.g. SELECT ..., "
-                    "event_id AS lsn")
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx).statistics
-                if st is not None and st.has_min_max:
-                    lo = st.min if lo is None else min(lo, st.min)
-                    hi = st.max if hi is None else max(hi, st.max)
-        if lo is None:
-            raise ValueError(f"no lsn statistics found under {events_path}")
-        return int(lo), int(hi)
+        return resolve_tail(events_path).lsn_range()
 
-    def _auto_batch_size(self, events_path: str,
+    def _auto_batch_size(self, events_path,
                          target_bytes: int = 96 << 20) -> int:
-        """Combiner batch size from parquet footer stats (no data read)."""
-        import glob as _glob
+        """Combiner batch size from the tail's (rows, bytes) estimate."""
+        from .tail import resolve_tail
 
-        files = sorted(_glob.glob(os.path.join(events_path, "*.parquet"))) \
-            if os.path.isdir(events_path) else [events_path]
-        rows, nbytes = 0, 0
-        for f in files[:4]:
-            md = pq.read_metadata(f)
-            rows += md.num_rows
-            nbytes += sum(md.row_group(i).total_byte_size
-                          for i in range(md.num_row_groups))
+        rows, nbytes = resolve_tail(events_path).size_estimate()
         if rows == 0 or nbytes == 0:
             return 32768
         row_size = max(1, nbytes // rows)
@@ -631,12 +712,28 @@ class CDCLakeEngine:
             return manifest  # exactly-once: committed ranges are no-ops
 
         shuffle_dir = self._txn_shuffle_dir(txn)
+        from .tail import resolve_tail as _resolve_tail
+
+        est_rows, est_bytes = _resolve_tail(events_path).size_estimate()
+        row_size = (est_bytes // est_rows) if est_rows else 256
+        reporter = _InflightReporter(
+            self, txn, shuffle_dir, self._writer_staging(txn),
+            expected_bytes=row_size * max(1, hi - lo), n_touched=0).start()
+        try:
+            return self._apply_chunk_inner(events_path, lo, hi, manifest,
+                                           txn, shuffle_dir, reporter,
+                                           premapped, trace, t_start)
+        finally:
+            reporter.stop()
+
+    def _apply_chunk_inner(self, events_path, lo, hi, manifest, txn,
+                           shuffle_dir, reporter, premapped, trace, t_start):
+        import time as _time
+
         if not premapped:
-            events = rd.read_parquet(
-                events_path,
-                filter=(pc.field("lsn") > pa.scalar(lo))
-                & (pc.field("lsn") <= pa.scalar(hi)),
-            )
+            from .tail import resolve_tail
+
+            events = resolve_tail(events_path).dataset(lo, hi)
             # bytes-aware combiner batch size (~96 MiB of rows) so the
             # per-batch dedup actually reduces and shuffle row groups stay
             # read-efficient, capped so the map side has ≥2 tasks per core
@@ -675,6 +772,8 @@ class CDCLakeEngine:
         # manifest forces a RE-MERGE against the fresh files (the shuffle
         # output is version-independent, so only the COW phase repeats).
         touched = self._touched_partitions(shuffle_dir)
+        reporter.n_touched = len(touched)
+        reporter.phase = "merge"
         for attempt in range(4):
             base = self.load_manifest()
             if txn in base["committed_txns"]:
@@ -736,11 +835,6 @@ class CDCLakeEngine:
                                  shuffle_dir, self.merge_fanin,
                                  self.key_cols)
 
-        def merge_fn(t: pa.Table, _m=merge) -> pa.Table:
-            return _m(t)
-
-        import math
-
         import ray as _ray
 
         ncpu = int(_ray.cluster_resources().get("CPU", 8)) \
@@ -748,13 +842,19 @@ class CDCLakeEngine:
         # several partitions per merge task: each task parses every shuffle
         # footer once for its whole group (metadata ops drop from
         # O(files×partitions) to O(files×tasks)); 2×cores tasks keep all
-        # cores busy under size skew
+        # cores busy under size skew. Raw Ray tasks, NOT a Dataset: the
+        # reduce side is a fixed, known-small list of independent file
+        # rewrites, and a per-txn Dataset execution adds a streaming-executor
+        # startup/teardown barrier (~0.2-0.5 s) that a chunked replay pays
+        # once per transaction — the one case where the Dataset API is the
+        # wrong tool (per-record semantics stay on Datasets).
         n_tasks = min(len(touched), max(1, ncpu * 2))
-        bsize = math.ceil(len(touched) / n_tasks)
-        pid_ds = rd.from_items([{"pid": p} for p in touched],
-                               override_num_blocks=n_tasks)
-        return pid_ds.map_batches(merge_fn, batch_format="pyarrow",
-                                  batch_size=bsize).to_pandas()
+        groups = [touched[i::n_tasks] for i in range(n_tasks)]
+        refs = [_merge_group_task().remote(merge, g) for g in groups if g]
+        tables = [t for t in _ray.get(refs) if t.num_rows]
+        if not tables:
+            return _empty_metrics().to_pandas()
+        return pa.concat_tables(tables).to_pandas()
 
     def _commit_txn(self, manifest: dict, txn: str, lo: int, hi: int,
                     metrics, t_start: float) -> dict:

@@ -1,0 +1,153 @@
+"""Pluggable change-event tail sources for the CDC lake engine.
+
+The reference's Kafka input device (KafkaInputDevice.scala:14-90) exposes a
+poll/seek/rewind contract over a partitioned, offset-ordered stream. Here the
+same contract is an :class:`EventTail`: a monotonically-growing, LSN-ordered
+event source the engine can (a) ask for its available LSN range (poll /
+fastForward discovery), (b) read an LSN span from as a Ray Dataset (seek +
+bounded read), and (c) size its combiner batches against.
+
+``register_tail(scheme, factory)`` plugs new tail kinds in by URL scheme —
+the same device-factory hook shape as ``sources.readers.register_source``
+(reference DataResource.scala `apply` registry). The parquet segment log is
+just the default implementation, not a hardwired special case.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Callable, Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+
+
+class EventTail:
+    """LSN-ordered change-event source (poll/seek contract).
+
+    Implementations must be cheap to construct and safe to re-poll: the
+    engine calls :meth:`lsn_range` every follow() round and reads each span
+    exactly once per committed transaction (re-reads happen only on retry,
+    so reads must be repeatable — a tail is a log, not a queue)."""
+
+    def lsn_range(self) -> tuple[int, int]:
+        """(min_lsn, max_lsn) currently available. Raises ValueError when
+        the tail has no events yet."""
+        raise NotImplementedError
+
+    def dataset(self, lo: int, hi: int) -> rd.Dataset:
+        """Events with lo < lsn <= hi as a Dataset (repeatable read)."""
+        raise NotImplementedError
+
+    def size_estimate(self) -> tuple[int, int]:
+        """(rows, bytes) sample for combiner batch sizing; (0, 0) if
+        unknown — the engine falls back to a default batch size."""
+        return (0, 0)
+
+
+class ParquetTail(EventTail):
+    """The default tail: a directory of parquet segment files (or one file)
+    whose ``lsn`` column is the ordering authority. Range discovery reads
+    footer statistics only — no data pages."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def _files(self) -> list[str]:
+        if os.path.isdir(self.path):
+            return sorted(glob.glob(os.path.join(self.path, "*.parquet")))
+        return [self.path]
+
+    def lsn_range(self) -> tuple[int, int]:
+        lo, hi = None, None
+        for f in self._files():
+            md = pq.read_metadata(f)
+            idx = md.schema.to_arrow_schema().get_field_index("lsn")
+            if idx < 0:
+                raise ValueError(
+                    f"events table {f} has no 'lsn' column (the per-key "
+                    "ordering authority) — add one, e.g. SELECT ..., "
+                    "event_id AS lsn")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is not None and st.has_min_max:
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+        if lo is None:
+            raise ValueError(f"no lsn statistics found under {self.path}")
+        return int(lo), int(hi)
+
+    def dataset(self, lo: int, hi: int) -> rd.Dataset:
+        return rd.read_parquet(
+            self.path,
+            filter=(pc.field("lsn") > pa.scalar(lo))
+            & (pc.field("lsn") <= pa.scalar(hi)),
+        )
+
+    def size_estimate(self) -> tuple[int, int]:
+        rows, nbytes = 0, 0
+        for f in self._files()[:4]:
+            md = pq.read_metadata(f)
+            rows += md.num_rows
+            nbytes += sum(md.row_group(i).total_byte_size
+                          for i in range(md.num_row_groups))
+        return rows, nbytes
+
+
+class ArrowTail(EventTail):
+    """In-memory Arrow-table tail — the mock/test implementation and the
+    shape an embedded producer (a socket drainer actor, a CDC connector)
+    would feed. ``append`` extends the log; reads are repeatable snapshots."""
+
+    def __init__(self, table: Optional[pa.Table] = None):
+        self._table = table
+
+    def append(self, table: pa.Table) -> None:
+        self._table = table if self._table is None else pa.concat_tables(
+            [self._table, table], promote_options="permissive")
+
+    def lsn_range(self) -> tuple[int, int]:
+        if self._table is None or self._table.num_rows == 0:
+            raise ValueError("tail has no events yet")
+        col = self._table.column("lsn")
+        return (int(pc.min(col).as_py()), int(pc.max(col).as_py()))
+
+    def dataset(self, lo: int, hi: int) -> rd.Dataset:
+        t = self._table
+        mask = pc.and_(pc.greater(t.column("lsn"), lo),
+                       pc.less_equal(t.column("lsn"), hi))
+        return rd.from_arrow(t.filter(mask))
+
+    def size_estimate(self) -> tuple[int, int]:
+        if self._table is None:
+            return (0, 0)
+        return (self._table.num_rows, self._table.nbytes)
+
+
+_TAIL_FACTORIES: dict[str, Callable[[str], EventTail]] = {}
+
+
+def register_tail(scheme: str, factory: Callable[[str], EventTail]) -> None:
+    """Register a tail factory for ``scheme://...`` sources (the streaming
+    analog of ``sources.readers.register_source``)."""
+    _TAIL_FACTORIES[scheme.lower()] = factory
+
+
+def resolve_tail(src) -> EventTail:
+    """str path → ParquetTail; ``scheme://`` → registered factory;
+    an EventTail instance passes through."""
+    if isinstance(src, EventTail):
+        return src
+    if isinstance(src, str) and "://" in src:
+        scheme = src.split("://", 1)[0].lower()
+        if scheme in _TAIL_FACTORIES:
+            return _TAIL_FACTORIES[scheme](src)
+        if scheme not in ("file", "local"):
+            raise ValueError(
+                f"no tail source registered for scheme '{scheme}' "
+                f"(register_tail) — known: {sorted(_TAIL_FACTORIES)}")
+        src = src.split("://", 1)[1]
+    return ParquetTail(src)
