@@ -233,6 +233,31 @@ class PartitionMetrics:
     bytes_written: int
 
 
+def resolve_with_deltas(base: Optional[pa.Table], deltas: list[pa.Table],
+                        key_cols: list[str]) -> pa.Table:
+    """Merge-on-read resolution: base rows (no ``op`` column) + delta files
+    (LWW-reduced rows WITH ``op``) → the partition's current state. LSNs are
+    strictly increasing across transactions, so one LWW pass over the concat
+    is exact; delete winners drop out. Output is key-sorted (the same
+    canonical order a copy-on-write base file has)."""
+    if not deltas:
+        if base is None:
+            return pa.table({})
+        return base
+    tabs = []
+    if base is not None and base.num_rows:
+        tabs.append(base.append_column(
+            "op", pa.array(["upsert"] * base.num_rows)))
+    tabs.extend(d for d in deltas if d.num_rows)
+    if not tabs:
+        return pa.table({})
+    t = _concat_evolving(tabs)
+    win = t.take(pa.array(lww_winner_indices(t, key_cols)))
+    out = win.filter(pc.not_equal(win.column("op"), "delete")) \
+        .drop_columns(["op"])
+    return out.sort_by([(c, "ascending") for c in key_cols])
+
+
 class MergePartitionFS:
     """Reduce-side merge task: SEVERAL lake partitions per task.
 
@@ -246,15 +271,31 @@ class MergePartitionFS:
     partition), never O(events). Then copy-on-write against the current
     lake file → staged write. Emits one metrics row per partition."""
 
-    def __init__(self, lake_dir: str, txn: str, partition_files: dict,
+    # merge-on-read policy (engine.merge_mode="auto"): a txn whose reduced
+    # rows for a partition are under DELTA_MAX_RATIO of the partition's
+    # resolved rows stages a DELTA file instead of rewriting the base
+    # (copy-on-write cost grows with the lake:chunk ratio otherwise). The
+    # base compacts when pending delta ROWS reach COMPACT_ROWS_RATIO of the
+    # base — a rows-ratio trigger makes the amortized rewrite cost per event
+    # CONSTANT (one base rewrite per ratio×base_rows delta rows) instead of
+    # growing with the lake:chunk ratio; COMPACT_AT caps the file count per
+    # partition so read fan-in stays bounded. Read amplification ≤
+    # ~(1 + COMPACT_ROWS_RATIO) rows and ≤ COMPACT_AT files.
+    DELTA_MAX_RATIO = 0.25
+    COMPACT_AT = 16
+    COMPACT_ROWS_RATIO = 0.5
+
+    def __init__(self, lake_dir: str, txn: str, partition_infos: dict,
                  shuffle_dir: str, merge_fanin: int = 16,
-                 key_cols=tuple(KEY_COLS)):
+                 key_cols=tuple(KEY_COLS), merge_mode: str = "auto"):
         self.lake_dir = lake_dir
         self.txn = txn
-        self.partition_files = partition_files
+        # pid → {"file": rel, "rows": n, "deltas": [{"file","rows"}...]}
+        self.partition_infos = partition_infos
         self.shuffle_dir = shuffle_dir
         self.merge_fanin = max(2, merge_fanin)
         self.key_cols = list(key_cols)
+        self.merge_mode = merge_mode
         self._index = None
 
     def _load_index(self) -> dict:
@@ -318,6 +359,20 @@ class MergePartitionFS:
             flush(p)
         return acc
 
+    def _metrics_row(self, pid: int, staged: str, kind: str, rows: int,
+                     last_lsn: int, upserts: int, deletes: int) -> pa.Table:
+        return pa.table({
+            "partition_id": pa.array([pid], type=pa.int64()),
+            "staged_file": pa.array([os.path.relpath(staged, self.lake_dir)]),
+            "kind": pa.array([kind], type=pa.string()),
+            "rows": pa.array([rows], type=pa.int64()),
+            "last_lsn": pa.array([last_lsn], type=pa.int64()),
+            "upserts": pa.array([upserts], type=pa.int64()),
+            "deletes": pa.array([deletes], type=pa.int64()),
+            "bytes_written": pa.array([os.path.getsize(staged)],
+                                      type=pa.int64()),
+        })
+
     def _merge_one(self, pid: int, g: Optional[pa.Table]) -> pa.Table:
         if g is None or len(g) == 0:
             return _empty_metrics()
@@ -327,36 +382,67 @@ class MergePartitionFS:
         upserts = len(g) - deletes
 
         new = g.drop_columns(["pkey"])
-        old_file = self.partition_files.get(pid)
+        info = self.partition_infos.get(pid) or {}
+        old_file = info.get("file")
+        old_deltas = info.get("deltas") or []
+        old_rows = int(info.get("rows") or 0)
         staged_dir = os.path.join(self.lake_dir, "_staging", self.txn)
         os.makedirs(staged_dir, exist_ok=True)
         staged = os.path.join(staged_dir, f"part-{pid:05d}.parquet")
 
-        survivors = None
-        if old_file is not None:
-            old = pq.read_table(os.path.join(self.lake_dir, old_file))
-            survivors = old.join(new.select(self.key_cols),
-                                 keys=self.key_cols, join_type="left anti")
-        keep = new.filter(pc.not_equal(new.column("op"), "delete")) \
-            .drop_columns(["op"])
-        merged = _concat_evolving(
-            [t for t in (survivors, keep) if t is not None])
+        delta_rows_pending = sum(int(d["rows"]) for d in old_deltas)
+        as_delta = (
+            self.merge_mode == "auto"
+            and old_file is not None
+            and old_rows > 0
+            and len(new) < self.DELTA_MAX_RATIO * old_rows
+            and len(old_deltas) + 1 < self.COMPACT_AT
+            and (delta_rows_pending + len(new)
+                 < self.COMPACT_ROWS_RATIO * old_rows)
+        )
+        if as_delta:
+            # merge-on-read delta: stage the LWW-reduced rows WITH the op
+            # column (deletes apply at read/compaction); the base file is
+            # untouched — write cost is O(txn rows), not O(partition rows).
+            delta = new.sort_by([(c, "ascending") for c in self.key_cols])
+            tmp = staged + ".tmp"
+            pq.write_table(delta, tmp, compression="lz4")
+            os.replace(tmp, staged)
+            # exact resolved row count WITHOUT reading content: key/lsn/op
+            # columns only of base + pending deltas + this delta
+            slim_cols = self.key_cols + ["lsn"]
+            base_slim = pq.read_table(os.path.join(self.lake_dir, old_file),
+                                      columns=slim_cols)
+            # base FILE rows, not info["rows"] (that's the resolved count,
+            # which already reflects pending deltas)
+            slim = [base_slim.append_column(
+                "op", pa.array(["upsert"] * base_slim.num_rows))]
+            for d in old_deltas:
+                slim.append(pq.read_table(
+                    os.path.join(self.lake_dir, d["file"]),
+                    columns=slim_cols + ["op"]))
+            slim.append(delta.select(slim_cols + ["op"]))
+            t = _concat_evolving(slim)
+            win = t.take(pa.array(lww_winner_indices(t, self.key_cols)))
+            n_resolved = int(pc.sum(pc.cast(pc.not_equal(
+                win.column("op"), "delete"), pa.int64())).as_py() or 0)
+            return self._metrics_row(pid, staged, "delta", n_resolved,
+                                     last_lsn, upserts, deletes)
+
+        # copy-on-write (or compaction when deltas are pending): resolve
+        # base + pending deltas + this txn's rows into a fresh base file
+        base = pq.read_table(os.path.join(self.lake_dir, old_file)) \
+            if old_file is not None else None
+        pending = [pq.read_table(os.path.join(self.lake_dir, d["file"]))
+                   for d in old_deltas]
         # canonical key order → byte-identical partition files regardless of
         # shuffle file arrival order (determinism invariant, FIXTURES.md §5)
-        merged = merged.sort_by([(c, "ascending") for c in self.key_cols])
+        merged = resolve_with_deltas(base, pending + [new], self.key_cols)
         tmp = staged + ".tmp"
         pq.write_table(merged, tmp, compression="lz4")
         os.replace(tmp, staged)
-        return pa.table({
-            "partition_id": pa.array([pid], type=pa.int64()),
-            "staged_file": pa.array([os.path.relpath(staged, self.lake_dir)]),
-            "rows": pa.array([len(merged)], type=pa.int64()),
-            "last_lsn": pa.array([last_lsn], type=pa.int64()),
-            "upserts": pa.array([upserts], type=pa.int64()),
-            "deletes": pa.array([deletes], type=pa.int64()),
-            "bytes_written": pa.array([os.path.getsize(staged)],
-                                      type=pa.int64()),
-        })
+        return self._metrics_row(pid, staged, "base", len(merged), last_lsn,
+                                 upserts, deletes)
 
 
 def _merge_group(merge: "MergePartitionFS", pids: list) -> pa.Table:
@@ -455,13 +541,18 @@ class CDCLakeEngine:
 
     def __init__(self, lake_dir: str, *, num_partitions: int = 16,
                  merge_fanin: int = 16, key_cols=tuple(KEY_COLS),
-                 stats_interval_sec: float = 10.0):
+                 stats_interval_sec: float = 10.0,
+                 merge_mode: str = "auto"):
         import uuid
 
+        if merge_mode not in ("auto", "cow"):
+            raise ValueError(f"merge_mode must be 'auto' or 'cow', "
+                             f"got {merge_mode!r}")
         self.lake_dir = lake_dir
         self.num_partitions = num_partitions
         self.merge_fanin = merge_fanin
         self.stats_interval_sec = stats_interval_sec
+        self.merge_mode = merge_mode
         self.key_cols = list(key_cols)
         # writer-private staging namespace: concurrent replayers never
         # touch each other's shuffle output (OCC losers just discard)
@@ -823,17 +914,16 @@ class CDCLakeEngine:
                    touched: list):
         """Reduce side: grouped merge tasks COW against the partition files
         of ``manifest``; returns the metrics frame."""
-        partition_files = {
-            int(pid): info["file"]
-            for pid, info in manifest["partitions"].items()
+        partition_infos = {
+            int(pid): info for pid, info in manifest["partitions"].items()
         }
         if not touched:
             return _empty_metrics().to_pandas()
         # staged output goes to the writer-private namespace (OCC isolation)
         stage_label = os.path.join(txn, f"w-{self._writer_id}")
-        merge = MergePartitionFS(self.lake_dir, stage_label, partition_files,
+        merge = MergePartitionFS(self.lake_dir, stage_label, partition_infos,
                                  shuffle_dir, self.merge_fanin,
-                                 self.key_cols)
+                                 self.key_cols, self.merge_mode)
 
         import ray as _ray
 
@@ -866,18 +956,36 @@ class CDCLakeEngine:
         os.makedirs(part_dir, exist_ok=True)
         for r in metrics.itertuples():
             pid = int(r.partition_id)
-            final_rel = os.path.join("partitions",
-                                     f"part-{pid:05d}-{txn}.parquet")
-            os.replace(os.path.join(self.lake_dir, str(r.staged_file)),
-                       os.path.join(self.lake_dir, final_rel))
+            kind = getattr(r, "kind", "base")
             old = manifest["partitions"].get(str(pid))
             lineage = (old["lineage"] if old else []) + [txn]
-            manifest["partitions"][str(pid)] = {
-                "file": final_rel,
-                "last_lsn": int(r.last_lsn),
-                "rows": int(r.rows),
-                "lineage": lineage,
-            }
+            if kind == "delta":
+                final_rel = os.path.join("partitions",
+                                         f"delta-{pid:05d}-{txn}.parquet")
+                os.replace(os.path.join(self.lake_dir, str(r.staged_file)),
+                           os.path.join(self.lake_dir, final_rel))
+                size = os.path.getsize(os.path.join(self.lake_dir, final_rel))
+                manifest["partitions"][str(pid)] = {
+                    "file": old["file"],
+                    "deltas": (old.get("deltas") or []) + [
+                        {"file": final_rel, "rows": int(r.upserts
+                                                        + r.deletes),
+                         "bytes": int(size)}],
+                    "last_lsn": int(r.last_lsn),
+                    "rows": int(r.rows),
+                    "lineage": lineage,
+                }
+            else:
+                final_rel = os.path.join("partitions",
+                                         f"part-{pid:05d}-{txn}.parquet")
+                os.replace(os.path.join(self.lake_dir, str(r.staged_file)),
+                           os.path.join(self.lake_dir, final_rel))
+                manifest["partitions"][str(pid)] = {
+                    "file": final_rel,
+                    "last_lsn": int(r.last_lsn),
+                    "rows": int(r.rows),
+                    "lineage": lineage,
+                }
         manifest["watermark_lsn"] = max(manifest["watermark_lsn"], hi)
         manifest["version"] += 1
         manifest["committed_txns"].append(txn)
@@ -901,8 +1009,14 @@ class CDCLakeEngine:
             "bytes_written": n_bytes,
         })
         self._commit_manifest(manifest)
-        shutil.rmtree(os.path.join(self.lake_dir, "_staging", txn),
-                      ignore_errors=True)
+        # remove only THIS writer's staging: a concurrent (losing) writer may
+        # still be map-writing into its own w-{id} subdir of the same txn —
+        # it discards that itself once it observes the committed txn
+        shutil.rmtree(self._writer_staging(txn), ignore_errors=True)
+        try:  # parent txn dir, if no other writer is left in it
+            os.rmdir(os.path.join(self.lake_dir, "_staging", txn))
+        except OSError:
+            pass
         self._gc_superseded(manifest)
         return manifest
 
@@ -989,13 +1103,21 @@ class CDCLakeEngine:
                 os.remove(os.path.join(vdir, f"v{v:08d}.json"))
             except FileNotFoundError:
                 pass
-        live = {info["file"] for info in manifest["partitions"].values()}
+        def _files_of(m: dict) -> set:
+            out = set()
+            for info in m["partitions"].values():
+                if info.get("file"):
+                    out.add(info["file"])
+                out |= {d["file"] for d in info.get("deltas") or []}
+            return out
+
+        live = _files_of(manifest)
         for v in self.versions():
             try:
                 m = self.load_manifest_version(v)
             except ValueError:
                 continue
-            live |= {info["file"] for info in m["partitions"].values()}
+            live |= _files_of(m)
         part_dir = os.path.join(self.lake_dir, "partitions")
         if not os.path.isdir(part_dir):
             return
@@ -1007,16 +1129,40 @@ class CDCLakeEngine:
     # ---------------------------------------------------------------- read
     def dataset(self, version: Optional[int] = None) -> rd.Dataset:
         """The lake as a Dataset; ``version=N`` reads the retained
-        snapshot N (time travel — Delta-style versioned manifests)."""
+        snapshot N (time travel — Delta-style versioned manifests).
+        Partitions carrying merge-on-read deltas resolve in parallel
+        per-partition tasks; a fully-compacted lake stays on the plain
+        zero-copy parquet read."""
         manifest = self.load_manifest() if version is None \
             else self.load_manifest_version(version)
-        files = [os.path.join(self.lake_dir, info["file"])
-                 for info in manifest["partitions"].values()
+        parts = [info for info in manifest["partitions"].values()
                  if info["rows"] > 0]
-        if not files:
+        if not parts:
             return rd.from_arrow(pa.table({c: pa.array([], type=pa.string())
                                            for c in KEY_COLS}))
-        return rd.read_parquet(files)
+        if not any(info.get("deltas") for info in parts):
+            return rd.read_parquet(
+                [os.path.join(self.lake_dir, info["file"])
+                 for info in parts])
+        lake_dir, key_cols = self.lake_dir, list(self.key_cols)
+        specs = [{"files": json.dumps(
+                     [info["file"]]
+                     + [d["file"] for d in info.get("deltas") or []])}
+                 for info in parts]
+
+        def resolve_spec(t: pa.Table) -> pa.Table:
+            outs = []
+            for files_json in t.column("files").to_pylist():
+                files = json.loads(files_json)
+                base = pq.read_table(os.path.join(lake_dir, files[0]))
+                deltas = [pq.read_table(os.path.join(lake_dir, f))
+                          for f in files[1:]]
+                outs.append(resolve_with_deltas(base, deltas, key_cols))
+            return _concat_evolving([t for t in outs if t.num_rows]) \
+                if any(t.num_rows for t in outs) else outs[0]
+
+        return rd.from_items(specs, override_num_blocks=len(specs)) \
+            .map_batches(resolve_spec, batch_format="pyarrow", batch_size=1)
 
     def table(self, version: Optional[int] = None) -> pa.Table:
         """Driver-side materialization — tests/small lakes only."""
@@ -1025,8 +1171,13 @@ class CDCLakeEngine:
         tables = []
         for info in manifest["partitions"].values():
             if info["rows"] > 0:
-                tables.append(pq.read_table(
-                    os.path.join(self.lake_dir, info["file"])))
+                base = pq.read_table(
+                    os.path.join(self.lake_dir, info["file"]))
+                deltas = [pq.read_table(os.path.join(self.lake_dir,
+                                                     d["file"]))
+                          for d in info.get("deltas") or []]
+                tables.append(resolve_with_deltas(base, deltas,
+                                                  self.key_cols))
         return _concat_evolving(tables) if tables else pa.table({})
 
     def sha256_dataset(self) -> rd.Dataset:
@@ -1059,13 +1210,21 @@ class CDCLakeEngine:
         info = manifest["partitions"].get(str(pid))
         if info is None or info["rows"] == 0:
             return None
-        table = pq.read_table(os.path.join(self.lake_dir, info["file"]))
-        mask = None
-        for col, val in zip(self.key_cols, key_values):
-            m = pc.equal(table.column(col), val)
-            mask = m if mask is None else pc.and_(mask, m)
-        hit = table.filter(mask)
-        return hit.to_pylist()[0] if len(hit) else None
+
+        def key_hits(path: str) -> pa.Table:
+            table = pq.read_table(os.path.join(self.lake_dir, path))
+            mask = None
+            for col, val in zip(self.key_cols, key_values):
+                m = pc.equal(table.column(col), val)
+                mask = m if mask is None else pc.and_(mask, m)
+            return table.filter(mask)
+
+        base_hit = key_hits(info["file"])
+        delta_hits = [key_hits(d["file"])
+                      for d in info.get("deltas") or []]
+        hit = resolve_with_deltas(base_hit if base_hit.num_rows else None,
+                                  delta_hits, self.key_cols)
+        return hit.to_pylist()[0] if hit.num_rows else None
 
     def changes(self, v_from: int, v_to: Optional[int] = None) -> rd.Dataset:
         """Change data feed between two retained versions: one row per key
@@ -1081,25 +1240,42 @@ class CDCLakeEngine:
         m_to = self.load_manifest() if v_to is None \
             else self.load_manifest_version(v_to)
         key_cols = list(self.key_cols)
+
+        def state_files(m: dict, pid: str) -> list[str]:
+            info = m["partitions"].get(pid)
+            if not info:
+                return []
+            return [info["file"]] + [d["file"]
+                                     for d in info.get("deltas") or []]
+
         pairs = []
         for pid in set(m_from["partitions"]) | set(m_to["partitions"]):
-            f_old = (m_from["partitions"].get(pid) or {}).get("file")
-            f_new = (m_to["partitions"].get(pid) or {}).get("file")
+            f_old = state_files(m_from, pid)
+            f_new = state_files(m_to, pid)
             if f_old != f_new:
-                pairs.append({"old": f_old or "", "new": f_new or ""})
+                pairs.append({"old": json.dumps(f_old),
+                              "new": json.dumps(f_new)})
         if not pairs:
             return rd.from_arrow(pa.table(
                 {"change": pa.array([], type=pa.string())}))
         lake_dir = self.lake_dir
 
+        def load_state(files_json: str) -> Optional[pa.Table]:
+            files = json.loads(files_json)
+            if not files:
+                return None
+            base = pq.read_table(os.path.join(lake_dir, files[0]))
+            deltas = [pq.read_table(os.path.join(lake_dir, f))
+                      for f in files[1:]]
+            t = resolve_with_deltas(base, deltas, key_cols)
+            return t if t.num_rows else None
+
         def diff_partition(t: pa.Table) -> pa.Table:
             outs = []
             for old_rel, new_rel in zip(t.column("old").to_pylist(),
                                         t.column("new").to_pylist()):
-                old = pq.read_table(os.path.join(lake_dir, old_rel)) \
-                    if old_rel else None
-                new = pq.read_table(os.path.join(lake_dir, new_rel)) \
-                    if new_rel else None
+                old = load_state(old_rel)
+                new = load_state(new_rel)
                 odf = old.to_pandas() if old is not None else None
                 ndf = new.to_pandas() if new is not None else None
                 if ndf is not None:
@@ -1181,6 +1357,7 @@ def _empty_metrics() -> pa.Table:
     return pa.table({
         "partition_id": pa.array([], type=pa.int64()),
         "staged_file": pa.array([], type=pa.string()),
+        "kind": pa.array([], type=pa.string()),
         "rows": pa.array([], type=pa.int64()),
         "last_lsn": pa.array([], type=pa.int64()),
         "upserts": pa.array([], type=pa.int64()),

@@ -270,6 +270,26 @@ def flatten_structs(batch: pa.Table) -> pa.Table:
     return batch
 
 
+def sniff_column_names(path: str, hints: Optional[dict] = None) -> list[str]:
+    """Column names a source WOULD expose, read from its header — the
+    fallback when a Dataset over an empty (header-only) file reports no
+    schema (Ray 2.49 `ds.schema()` is None when every block is empty)."""
+    hints = dict(hints or {})
+    fmt = detect_format(path, hints)
+    if fmt in ("csv", "tsv", "psv", "delimited"):
+        sample = _sample_file(path)
+        if sample is None:
+            return []
+        delim = hints.get("delimiter") or _DELIMS.get(fmt) \
+            or sniff_delimiter(sample)
+        return _csv_header(sample, delim)
+    if fmt == "fixed":
+        return [name for name, _ in (hints.get("widths") or [])]
+    if fmt == "text":
+        return ["text"]
+    return []
+
+
 def read_fixed_width(path: str, hints: dict, **ray_kwargs) -> rd.Dataset:
     """Fixed-width text: hints['widths'] = [(name, width), ...]
     (reference core/sources/FixedWidthInputSource.scala:9-34; `name^width`

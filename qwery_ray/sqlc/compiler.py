@@ -2473,7 +2473,18 @@ class Compiler:
         if pushdown is not None and cols is not None:
             extra["filter"] = pushdown
         ds = read_source(path, ref.hints, columns=prune, **extra)
-        frame = Frame(ds, prune or cols or ds.schema().names,
+        names = prune or cols
+        if names is None:
+            sch = ds.schema()
+            if sch is not None and sch.names:
+                names = sch.names
+            else:
+                # header-only file: Ray reports no schema on all-empty
+                # datasets — recover the column names from the header
+                from ..sources.readers import sniff_column_names
+
+                names = sniff_column_names(path, ref.hints)
+        frame = Frame(ds, names,
                       est_rows=est_rows, est_bytes=est_bytes)
         alias = (ref.alias or name).lower()
         frame.aliases[alias] = True

@@ -381,3 +381,204 @@ class TestChangeFeed:
         # only key (r1, a) changed in txn 2
         assert set(zip(cdf["repo"], cdf["path"])) == {("r1", "a")}
         assert cdf["change"].tolist() == ["upsert"]
+
+
+class TestMergeOnRead:
+    """merge_mode="auto" deltas: a txn whose reduced rows are small relative
+    to the partition stages a delta file (merge-on-read) instead of a full
+    copy-on-write base rewrite; compaction folds deltas back once they
+    accumulate. Every read surface must resolve base+deltas to the exact
+    COW-equivalent state."""
+
+    @pytest.fixture(scope="class")
+    def wide_events(self, ray_session, tmp_path_factory):
+        from qwery_ray.cdc.synth import synth_change_events
+
+        d = tmp_path_factory.mktemp("mor_events")
+        synth_change_events(str(d), n_keys=5000, n_events=14000, seed=13,
+                            n_segments=6, evolve_after_lsn=9000)
+        return str(d)
+
+    @pytest.fixture(scope="class")
+    def delta_lake(self, wide_events, tmp_path_factory):
+        from qwery_ray.cdc.engine import CDCLakeEngine
+
+        lake = tmp_path_factory.mktemp("mor") / "lake"
+        eng = CDCLakeEngine(str(lake), num_partitions=8, merge_mode="auto")
+        eng.replay(wide_events, max_lsn=10000, chunk_lsns=10000)  # big base
+        eng.replay(wide_events, chunk_lsns=400)  # 10 small txns → deltas
+        return eng
+
+    def test_delta_files_created_and_bounded(self, delta_lake):
+        from qwery_ray.cdc.engine import MergePartitionFS
+
+        m = delta_lake.load_manifest()
+        counts = [len(i.get("deltas") or [])
+                  for i in m["partitions"].values()]
+        assert any(c > 0 for c in counts), "delta path never fired"
+        assert all(c < MergePartitionFS.COMPACT_AT for c in counts)
+        # compaction actually happened: 10 small txns each touch every
+        # partition (400 events over 5000 uniform keys), so a partition that
+        # never compacted would hold 10 live deltas — the rows-ratio trigger
+        # (COMPACT_ROWS_RATIO=0.5 of ~625 base rows, ~50 rows/delta) must
+        # have folded at least once, leaving every count well below that.
+        n_delta_txns = len(m["committed_txns"]) - 1
+        assert max(counts) < n_delta_txns, \
+            f"no compaction ever fired: counts={counts}"
+
+    def test_resolved_state_matches_oracle(self, delta_lake, wide_events):
+        from qwery_ray.cdc.oracle import (naive_replay, sha256_of_state,
+                                          sha256_of_table)
+
+        state = naive_replay(wide_events)
+        assert sha256_of_table(delta_lake.table()) == sha256_of_state(state)
+        assert delta_lake.dataset().count() == len(state)
+
+    def test_lookup_through_deltas(self, delta_lake, wide_events):
+        from qwery_ray.cdc.oracle import naive_replay
+
+        state = naive_replay(wide_events)
+        keys = sorted(state)[::max(1, len(state) // 7)]
+        for k in keys:
+            row = delta_lake.lookup(*k)
+            assert row is not None
+            assert row["content"] == state[k]["content"]
+            assert row["lsn"] == state[k]["lsn"]
+
+    def test_time_travel_through_delta_versions(self, delta_lake,
+                                                wide_events):
+        from qwery_ray.cdc.oracle import (naive_replay, sha256_of_state,
+                                          sha256_of_table)
+
+        v = delta_lake.versions()[-2]
+        wm = delta_lake.load_manifest_version(v)["watermark_lsn"]
+        old = naive_replay(wide_events, upto_lsn=wm)
+        assert sha256_of_table(delta_lake.table(version=v)) \
+            == sha256_of_state(old)
+
+    def test_changes_across_delta_versions(self, delta_lake, wide_events):
+        from qwery_ray.cdc.oracle import naive_replay
+
+        vs = delta_lake.versions()
+        v_from, v_to = vs[-3], vs[-1]
+        s1 = naive_replay(
+            wide_events,
+            upto_lsn=delta_lake.load_manifest_version(v_from)["watermark_lsn"])
+        s2 = naive_replay(
+            wide_events,
+            upto_lsn=delta_lake.load_manifest_version(v_to)["watermark_lsn"])
+        cdf = delta_lake.changes(v_from, v_to).to_pandas()
+        got_up = set(zip(*[cdf.loc[cdf.change == "upsert", c]
+                           for c in ("repo", "path")])) \
+            if len(cdf) else set()
+        want_up = {k for k in s2 if k not in s1 or s1[k] != s2[k]}
+        assert got_up == want_up
+
+    def test_cow_mode_never_stages_deltas(self, wide_events, tmp_path):
+        from qwery_ray.cdc.engine import CDCLakeEngine
+        from qwery_ray.cdc.oracle import (naive_replay, sha256_of_state,
+                                          sha256_of_table)
+
+        eng = CDCLakeEngine(str(tmp_path / "lake"), num_partitions=8,
+                            merge_mode="cow")
+        eng.replay(wide_events, chunk_lsns=2000)
+        m = eng.load_manifest()
+        assert not any(i.get("deltas") for i in m["partitions"].values())
+        state = naive_replay(wide_events)
+        assert sha256_of_table(eng.table()) == sha256_of_state(state)
+
+    def test_delta_and_cow_lakes_identical_state(self, delta_lake,
+                                                 wide_events, tmp_path):
+        from qwery_ray.cdc.engine import CDCLakeEngine
+        from qwery_ray.cdc.oracle import sha256_of_table
+
+        eng = CDCLakeEngine(str(tmp_path / "lake"), num_partitions=8,
+                            merge_mode="cow")
+        eng.replay(wide_events, max_lsn=10000, chunk_lsns=10000)
+        eng.replay(wide_events, chunk_lsns=400)
+        assert sha256_of_table(eng.table()) \
+            == sha256_of_table(delta_lake.table())
+
+
+class TestPropertyFuzzCDC:
+    """Hypothesis fuzz over the full engine contract (random op sequences,
+    deletes of live/dead keys, additive schema evolution at a random point,
+    random chunking, merge mode, and a mid-replay kill + re-open): final
+    state must equal a naive in-memory replay, always."""
+
+    def test_random_ops_resume_and_modes(self, ray_session, tmp_path_factory):
+        from hypothesis import given, settings, HealthCheck
+        from hypothesis import strategies as st
+
+        import pyarrow as pa_
+        import pyarrow.parquet as pq_
+        from qwery_ray.cdc.engine import CDCLakeEngine
+
+        op_st = st.tuples(st.integers(0, 14),          # key index (hot: 15)
+                          st.sampled_from(["upsert", "upsert", "delete"]),
+                          st.integers(0, 50))          # content length
+        seq_st = st.lists(op_st, min_size=8, max_size=60)
+
+        @settings(max_examples=12, deadline=None,
+                  suppress_health_check=list(HealthCheck))
+        @given(ops=seq_st, data=st.data())
+        def run(ops, data):
+            n = len(ops)
+            evolve_at = data.draw(st.integers(0, n), label="evolve_at")
+            n_txns = data.draw(st.integers(1, 6), label="n_txns")
+            chunk = max(1, -(-n // n_txns))
+            kill_at = data.draw(st.integers(0, n), label="kill_at")
+            mode = data.draw(st.sampled_from(["auto", "cow"]), label="mode")
+            nparts = data.draw(st.sampled_from([1, 3, 8]), label="nparts")
+
+            rows = []
+            for i, (ki, op, clen) in enumerate(ops):
+                lsn = i + 1
+                r = {"repo": f"r{ki % 3}", "path": f"p{ki}", "lsn": lsn,
+                     "op": op, "content": "x" * clen + str(lsn)}
+                if lsn > evolve_at:
+                    r["stars"] = lsn * 7  # additive evolution mid-stream
+                rows.append(r)
+            # segment files split AT the evolve boundary so each file is
+            # schema-homogeneous (from_pylist takes the first row's keys —
+            # a mixed file would silently drop the evolved column)
+            d = tmp_path_factory.mktemp("fuzz")
+            ev = d / "ev"
+            os.makedirs(ev)
+            for si, part in enumerate((rows[:evolve_at], rows[evolve_at:])):
+                if part:
+                    pq_.write_table(
+                        pa_.Table.from_pylist(part), f"{ev}/s{si}.parquet")
+
+            # oracle: naive dict replay
+            state = {}
+            for r in rows:
+                k = (r["repo"], r["path"])
+                if r["op"] == "delete":
+                    state.pop(k, None)
+                else:
+                    state[k] = r
+
+            lake = str(d / "lake")
+            eng = CDCLakeEngine(lake, num_partitions=nparts,
+                                merge_mode=mode)
+            if kill_at > 0:
+                # partial replay, then a fresh engine instance resumes from
+                # the on-disk manifest (the mid-replay-kill contract)
+                eng.replay(str(ev), max_lsn=kill_at, chunk_lsns=chunk,
+                           pipelined=False)
+                eng = CDCLakeEngine(lake, num_partitions=nparts,
+                                    merge_mode=mode)
+            eng.replay(str(ev), chunk_lsns=chunk, pipelined=False)
+
+            got = {(r["repo"], r["path"]): r
+                   for r in eng.table().to_pylist()}
+            assert set(got) == set(state)
+            for k, want in state.items():
+                assert got[k]["content"] == want["content"], k
+                assert got[k]["lsn"] == want["lsn"], k
+                # evolved column: value when written post-evolution,
+                # null-backfilled otherwise
+                assert got[k].get("stars") == want.get("stars"), k
+
+        run()

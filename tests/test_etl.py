@@ -132,3 +132,92 @@ class TestScheduledEvents:
         assert len(out.read_text().strip().splitlines()) == 6  # header + 5
         # second poll in the same window: no double-run
         assert sched.run_pending(dt.datetime(2026, 8, 17, 3, 2)) == []
+
+
+class TestJobSupervisorREST:
+    """Job-distribution REST protocol (reference QweryETL.scala:46-77 +
+    etl/rest/JobClient.scala:22-48): slave registration, atomic job
+    checkout, state transitions, statistics, heartbeats, restart resume."""
+
+    def test_protocol_roundtrip(self, tmp_path):
+        from qwery_ray.etl.rest import JobClient, JobSupervisor
+
+        sup = JobSupervisor(snapshot_path=str(tmp_path / "board.json")).start()
+        try:
+            client = JobClient(sup.base_url)
+            slave = client.register_slave("worker-1")
+            assert slave["_id"]
+            job = client.create_job("/inbox/companylist.csv",
+                                    "company-lists")
+            assert job["state"] == "CREATED"
+            # atomic checkout: first wins, second gets nothing
+            claimed = client.checkout_job(slave["_id"])
+            assert claimed["_id"] == job["_id"]
+            assert claimed["state"] == "QUEUED"
+            assert client.checkout_job("other-slave") is None
+            client.change_state(job["_id"], "RUNNING")
+            client.update_statistics(job["_id"],
+                                     [{"rows": 5, "elapsedSec": 0.1}])
+            done = client.change_state(job["_id"], "SUCCESS")
+            assert done["state"] == "SUCCESS"
+            assert done["statistics"] == [{"rows": 5, "elapsedSec": 0.1}]
+            hb = client.heartbeat(slave["_id"], 0.5)
+            assert hb["cpuLoad"] == 0.5
+        finally:
+            sup.stop()
+        # board snapshot survives a supervisor restart (queue resume)
+        sup2 = JobSupervisor(snapshot_path=str(tmp_path / "board.json"))
+        assert list(sup2.board.jobs.values())[0]["state"] == "SUCCESS"
+        sup2.stop()
+
+    def test_worker_loop_runs_jobs(self, etl_home, tmp_path):
+        from qwery_ray.etl.rest import (JobClient, JobSupervisor,
+                                        run_worker)
+        from qwery_ray.etl.triggers import (Constraint, ETLController,
+                                            Trigger)
+
+        out = str(tmp_path / "out.json")
+        trig = Trigger(
+            "company-lists",
+            [Constraint(prefix="company"), Constraint(suffix=".csv")],
+            f"INSERT INTO '{out}' (symbol, sector) "
+            "SELECT Symbol, Sector FROM '{{ work.file.path }}' "
+            "WHERE Sector = 'Finance'")
+        ctl = ETLController(etl_home, [trig])
+        write_inbox(etl_home, "companylist.csv",
+                    "Symbol,Sector\nGS,Finance\nAAPL,Technology\n")
+        write_inbox(etl_home, "companyother.csv", "Symbol,Sector\n")
+
+        sup = JobSupervisor().start()
+        try:
+            client = JobClient(sup.base_url)
+            for f in ("companylist.csv", "companyother.csv"):
+                client.create_job(os.path.join(etl_home, "inbox", f),
+                                  "company-lists")
+            done = run_worker(sup.base_url, ctl, max_jobs=2,
+                              poll_interval=0.01, idle_rounds=2)
+            assert [j["state"] for j in done] == ["SUCCESS", "SUCCESS"]
+            assert done[0]["statistics"][0]["rows"] == 1
+            # inbox drained, archive populated by the controller
+            assert os.listdir(os.path.join(etl_home, "inbox")) == []
+        finally:
+            sup.stop()
+
+    def test_worker_reports_failure(self, etl_home):
+        from qwery_ray.etl.rest import JobClient, JobSupervisor, run_worker
+        from qwery_ray.etl.triggers import Constraint, ETLController, Trigger
+
+        trig = Trigger("bad", [Constraint(suffix=".csv")],
+                       "SELECT FROM WHERE !!!")
+        ctl = ETLController(etl_home, [trig])
+        write_inbox(etl_home, "data.csv", "a,b\n1,2\n")
+        sup = JobSupervisor().start()
+        try:
+            client = JobClient(sup.base_url)
+            client.create_job(os.path.join(etl_home, "inbox", "data.csv"),
+                              "bad")
+            done = run_worker(sup.base_url, ctl, max_jobs=1,
+                              poll_interval=0.01, idle_rounds=2)
+            assert done[0]["state"] == "FAILED"
+        finally:
+            sup.stop()
