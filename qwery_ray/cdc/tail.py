@@ -109,6 +109,18 @@ class ArrowTail(EventTail):
         self._table = table if self._table is None else pa.concat_tables(
             [self._table, table], promote_options="permissive")
 
+    def publish(self, table: pa.Table) -> int:
+        """EventSink duck-type: an in-memory tail is its own sink (the
+        embedded producer loop: publish → follow sees it next poll)."""
+        self.append(table)
+        return table.num_rows
+
+    def publish_dataset(self, ds: rd.Dataset) -> int:
+        n = 0
+        for batch in ds.iter_batches(batch_format="pyarrow"):
+            n += self.publish(batch)
+        return n
+
     def lsn_range(self) -> tuple[int, int]:
         if self._table is None or self._table.num_rows == 0:
             raise ValueError("tail has no events yet")
@@ -127,7 +139,70 @@ class ArrowTail(EventTail):
         return (self._table.num_rows, self._table.nbytes)
 
 
+class EventSink:
+    """LSN-ordered change-event sink — the output analog of
+    :class:`EventTail` (reference KafkaOutputDevice.scala:9-36: rows
+    published to a topic; here: segments appended to a log a tail can
+    re-read). ``publish`` appends one table atomically; ``publish_dataset``
+    streams a whole Dataset through, distributed when the sink supports
+    concurrent writers."""
+
+    def publish(self, table: pa.Table) -> int:
+        raise NotImplementedError
+
+    def publish_dataset(self, ds: rd.Dataset) -> int:
+        """Driver-streamed fallback: one publish per iterated batch. Sinks
+        that allow concurrent writers override this with a map_batches
+        fan-out."""
+        n = 0
+        for batch in ds.iter_batches(batch_format="pyarrow"):
+            n += self.publish(batch)
+        return n
+
+
+class ParquetSegmentSink(EventSink):
+    """Appends atomic parquet segment files to a tail directory — the
+    default sink, and the producer side of :class:`ParquetTail`. Segment
+    names carry the segment's min-lsn plus a random suffix so concurrent
+    writers (Ray write tasks) never collide; ordering authority stays the
+    ``lsn`` column, never the file name. Readers only ever see complete
+    files (write to ``.tmp``, then rename)."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def publish(self, table: pa.Table) -> int:
+        if table.num_rows == 0:
+            return 0
+        if table.schema.get_field_index("lsn") < 0:
+            raise ValueError("event sink requires an 'lsn' column "
+                             "(the per-key ordering authority)")
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        lo = int(pc.min(table.column("lsn")).as_py())
+        name = f"seg-{lo:012d}-{uuid.uuid4().hex[:8]}.parquet"
+        tmp = os.path.join(self.path, "." + name + ".tmp")
+        pq.write_table(table, tmp, compression="lz4")
+        os.replace(tmp, os.path.join(self.path, name))
+        return table.num_rows
+
+    def publish_dataset(self, ds: rd.Dataset) -> int:
+        path = self.path
+
+        def _write_segment(batch: pa.Table) -> pa.Table:
+            n = ParquetSegmentSink(path).publish(batch)
+            return pa.table({"rows": pa.array([n], type=pa.int64())})
+
+        out = ds.map_batches(_write_segment, batch_format="pyarrow")
+        total = 0
+        for b in out.iter_batches(batch_format="pyarrow"):
+            total += int(pc.sum(b.column("rows")).as_py() or 0)
+        return total
+
+
 _TAIL_FACTORIES: dict[str, Callable[[str], EventTail]] = {}
+_SINK_FACTORIES: dict[str, Callable[[str], EventSink]] = {}
 
 
 def register_tail(scheme: str, factory: Callable[[str], EventTail]) -> None:
@@ -145,9 +220,44 @@ def resolve_tail(src) -> EventTail:
         scheme = src.split("://", 1)[0].lower()
         if scheme in _TAIL_FACTORIES:
             return _TAIL_FACTORIES[scheme](src)
-        if scheme not in ("file", "local"):
+        if scheme not in ("file", "local", "tail"):
             raise ValueError(
                 f"no tail source registered for scheme '{scheme}' "
                 f"(register_tail) — known: {sorted(_TAIL_FACTORIES)}")
         src = src.split("://", 1)[1]
     return ParquetTail(src)
+
+
+def register_sink(scheme: str, factory: Callable[[str], EventSink]) -> None:
+    """Register a sink factory for ``scheme://...`` targets (the output
+    analog of :func:`register_tail`)."""
+    _SINK_FACTORIES[scheme.lower()] = factory
+
+
+def resolve_sink(dst) -> EventSink:
+    """str path → ParquetSegmentSink; ``scheme://`` → registered factory;
+    an EventSink instance passes through. ``tail://`` is the built-in
+    scheme for the default parquet segment log."""
+    if isinstance(dst, EventSink) or (not isinstance(dst, str)
+                                      and hasattr(dst, "publish")):
+        return dst  # duck-typed sink (e.g. ArrowTail as its own sink)
+    if isinstance(dst, str) and "://" in dst:
+        scheme = dst.split("://", 1)[0].lower()
+        if scheme in _SINK_FACTORIES:
+            return _SINK_FACTORIES[scheme](dst)
+        if scheme not in ("file", "local", "tail"):
+            raise ValueError(
+                f"no event sink registered for scheme '{scheme}' "
+                f"(register_sink) — known: {sorted(_SINK_FACTORIES)}")
+        dst = dst.split("://", 1)[1]
+    return ParquetSegmentSink(dst)
+
+
+def sink_scheme(path) -> Optional[str]:
+    """The scheme of ``path`` when it names an event sink (registered or
+    the built-in ``tail``), else None — the writers' dispatch hook."""
+    if isinstance(path, str) and "://" in path:
+        scheme = path.split("://", 1)[0].lower()
+        if scheme == "tail" or scheme in _SINK_FACTORIES:
+            return scheme
+    return None

@@ -31,6 +31,13 @@ def write_sink(ds: rd.Dataset, path: str, hints: Optional[dict] = None, *,
                overwrite: bool = False) -> int:
     """Write a Dataset to ``path``; returns rows written (ROWS_INSERTED)."""
     hints = dict(hints or {})
+    from ..cdc.tail import resolve_sink, sink_scheme
+
+    if sink_scheme(path):
+        # event-sink target (INSERT INTO 'tail:///dir' ... — the reference's
+        # streaming output device, KafkaOutputDevice.scala:9-36): publish the
+        # rows as atomic LSN-ordered segments a registered tail re-reads
+        return resolve_sink(path).publish_dataset(ds)
     fmt = detect_output_format(path, hints)
     if fmt == "parquet" and (os.path.isdir(path) or not os.path.splitext(path)[1]):
         # directory parquet sink — the scale path; WITH PARTITION (cols)

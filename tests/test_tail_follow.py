@@ -137,3 +137,90 @@ class TestInflightStats:
         eng.replay(events)
         assert not [r for r in eng.stats_records()
                     if r.get("type") == "inflight"]
+
+
+class TestEventSink:
+    """EventSink — the output analog of EventTail (reference
+    KafkaOutputDevice.scala:9-36): atomic LSN-ordered segment publishing,
+    scheme registry, SQL INSERT INTO 'tail://...' device parity, and the
+    produce→follow round trip."""
+
+    def test_segment_sink_roundtrip(self, tmp_path):
+        from qwery_ray.cdc.tail import ParquetSegmentSink, ParquetTail
+
+        d = str(tmp_path / "log")
+        sink = ParquetSegmentSink(d)
+        assert sink.publish(_events_table(
+            [("r", "a", 1, "upsert", "x"), ("r", "b", 2, "upsert", "y")])) == 2
+        assert sink.publish(_events_table([("r", "a", 3, "upsert", "z")])) == 1
+        tail = ParquetTail(d)
+        assert tail.lsn_range() == (1, 3)
+        got = tail.dataset(1, 3).take_all()
+        assert sorted(r["lsn"] for r in got) == [2, 3]
+
+    def test_sink_requires_lsn(self, tmp_path):
+        import pyarrow as pa_
+
+        from qwery_ray.cdc.tail import ParquetSegmentSink
+
+        with pytest.raises(ValueError, match="lsn"):
+            ParquetSegmentSink(str(tmp_path / "log")).publish(
+                pa_.table({"x": pa_.array([1])}))
+
+    def test_sink_registry_and_arrow_self_sink(self):
+        from qwery_ray.cdc.tail import (ArrowTail, register_sink,
+                                        resolve_sink)
+
+        at = ArrowTail()
+        assert resolve_sink(at) is at
+        register_sink("memlog", lambda url: at)
+        assert resolve_sink("memlog://any") is at
+        assert at.publish(_events_table([("r", "a", 7, "upsert", "v")])) == 1
+        assert at.lsn_range() == (7, 7)
+        with pytest.raises(ValueError, match="register_sink"):
+            resolve_sink("nosuch://x")
+
+    def test_sql_insert_into_tail_device(self, ray_session, tmp_path):
+        """INSERT INTO 'tail:///dir' SELECT ... publishes segments that a
+        ParquetTail (and follow()) can consume — the Kafka-out device shape
+        on the SQL surface."""
+        import pyarrow.parquet as pq
+
+        from qwery_ray.cdc.tail import ParquetTail
+        from qwery_ray.engine.session import QweryEngine
+
+        src = str(tmp_path / "src.parquet")
+        pq.write_table(_events_table(
+            [("r", "a", 1, "upsert", "x"), ("r", "b", 2, "upsert", "yy"),
+             ("r", "a", 3, "delete", "")]), src)
+        log = str(tmp_path / "log")
+        eng = QweryEngine()
+        res = eng.sql(f"INSERT INTO 'tail://{log}' (repo, path, lsn, op, "
+                      f"content) SELECT repo, path, lsn, op, content "
+                      f"FROM '{src}' WHERE lsn <= 2")
+        assert res.column("ROWS_INSERTED")[0].as_py() == 2
+        tail = ParquetTail(log)
+        assert tail.lsn_range() == (1, 2)
+        # append the rest — segments accumulate, never overwrite
+        eng.sql(f"INSERT INTO 'tail://{log}' (repo, path, lsn, op, content) "
+                f"SELECT repo, path, lsn, op, content FROM '{src}' "
+                f"WHERE lsn > 2")
+        assert tail.lsn_range() == (1, 3)
+
+    def test_publish_then_follow(self, ray_session, tmp_path):
+        """Produce through the sink, consume with CDCLakeEngine.follow():
+        the full streaming loop over the default parquet log."""
+        from qwery_ray.cdc.engine import CDCLakeEngine
+        from qwery_ray.cdc.tail import ParquetSegmentSink
+
+        log = str(tmp_path / "log")
+        sink = ParquetSegmentSink(log)
+        rows1 = [("r", f"k{i}", i + 1, "upsert", f"v{i}") for i in range(20)]
+        sink.publish(_events_table(rows1))
+        eng = CDCLakeEngine(str(tmp_path / "lake"), num_partitions=4)
+        eng.follow(log, poll_interval=0.05, idle_rounds=1)
+        rows2 = [("r", "k0", 21, "delete", ""),
+                 ("r", "k1", 22, "upsert", "V1")]
+        sink.publish(_events_table(rows2))
+        eng.follow(log, poll_interval=0.05, idle_rounds=1)
+        assert _lake_state(eng) == _oracle(rows1 + rows2)
