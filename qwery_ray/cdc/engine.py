@@ -171,12 +171,16 @@ def _combine_and_write(batch: pa.Table, num_partitions: int,
 
     pkey = key_hash_partition_cols(
         [batch.column(c) for c in key_cols], num_partitions)
-    batch = batch.append_column("pkey", pa.array(pkey))
-    batch = batch.take(pa.array(lww_winner_indices(batch, key_cols)))
-    pk = batch.column("pkey").to_numpy()
-    order = np.argsort(pk, kind="stable")
-    sorted_batch = batch.take(pa.array(order))
-    pk_sorted = pk[order]
+    # one fused take: winner selection and pkey sort compose as index
+    # permutations, so the content columns materialize ONCE (the map phase
+    # is memory-bandwidth-bound; a second full take was ~a copy of the
+    # whole stream per pass)
+    win = lww_winner_indices(batch, key_cols)
+    pk_win = pkey[win]
+    order = np.argsort(pk_win, kind="stable")
+    sorted_batch = batch.append_column("pkey", pa.array(pkey)) \
+        .take(pa.array(win[order]))
+    pk_sorted = pk_win[order]
     bounds = np.flatnonzero(np.diff(pk_sorted)) + 1
     starts = np.concatenate([[0], bounds])
     ends = np.concatenate([bounds, [len(pk_sorted)]])
@@ -192,7 +196,7 @@ def _combine_and_write(batch: pa.Table, num_partitions: int,
     # the pid → row-group index returns through the stats table; the driver
     # folds all tasks' entries into ONE per-txn index.json (no per-file
     # sidecar scans on the reduce side: O(1) metadata reads per merge task)
-    return len(batch), len(starts), os.path.basename(fname), index
+    return len(sorted_batch), len(starts), os.path.basename(fname), index
 
 
 def _shuffle_stats(rows: int, files: int, sdir: str = "", fname: str = "",

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+from typing import Optional
 
 import numpy as np
 import pandas as pd
@@ -210,7 +211,8 @@ class BandExplode:
 def minhash_lsh_candidates(ds: rd.Dataset, *, text_col: str = "text",
                            id_col: str = "doc_id", num_perm: int = 64,
                            num_bands: int = 16, shingle_k: int = 5,
-                           seed: int = 42) -> rd.Dataset:
+                           seed: int = 42,
+                           approx_docs: Optional[int] = None) -> rd.Dataset:
     """Candidate near-duplicate PAIRS (id_a < id_b) via banded MinHash."""
     import ray
 
@@ -236,20 +238,42 @@ def minhash_lsh_candidates(ds: rd.Dataset, *, text_col: str = "text",
         return df
 
     def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
-        for (_, _), grp in df.groupby(["band_id", "band_hash"], sort=False):
-            if len(grp) < 2:
+        # vectorized all-pairs within each (band, bucket): sort once, find
+        # group boundaries, then for each distinct bucket SIZE materialize
+        # every group's pair indices in one triu_indices broadcast — no
+        # Python loop over buckets or pairs (the loop version dominated the
+        # whole query's wall time once buckets grew dup-heavy)
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64")})
+        if not len(df):
+            return empty
+        d = df[["band_id", "band_hash", id_col]].drop_duplicates() \
+            .sort_values(["band_id", "band_hash", id_col])
+        ids = d[id_col].to_numpy()
+        key = d[["band_id", "band_hash"]].to_numpy()
+        change = np.any(key[1:] != key[:-1], axis=1)
+        starts = np.concatenate([[0], np.flatnonzero(change) + 1])
+        counts = np.diff(np.concatenate([starts, [len(d)]]))
+        parts_a, parts_b = [], []
+        for c in np.unique(counts):
+            if c < 2:
                 continue
-            ids = sorted(grp[id_col].unique())
-            for i, a in enumerate(ids):
-                for b in ids[i + 1:]:
-                    out_a.append(a)
-                    out_b.append(b)
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b}).drop_duplicates() \
-            .astype({"id_a": "int64", "id_b": "int64"})
+            gs = starts[counts == c]
+            iu, ju = np.triu_indices(int(c), 1)
+            parts_a.append(ids[(gs[:, None] + iu[None, :]).ravel()])
+            parts_b.append(ids[(gs[:, None] + ju[None, :]).ravel()])
+        if not parts_a:
+            return empty
+        return pd.DataFrame({"id_a": np.concatenate(parts_a),
+                             "id_b": np.concatenate(parts_b)}) \
+            .drop_duplicates().astype({"id_a": "int64", "id_b": "int64"})
 
-    bands = bands.materialize()
-    if bands.count() <= 2_000_000:
+    # band rows = docs × num_bands exactly (one row per doc per band), so
+    # the path choice needs NO materialization barrier: the caller's doc
+    # count (parquet footer metadata) keeps the whole signatures→bands→
+    # pairs chain one streaming execution
+    n_docs = approx_docs if approx_docs is not None else ds.count()
+    if n_docs * num_bands <= 2_000_000:
         # small band table: one task groups the (band, bucket) space
         # directly — no shuffle barrier (emit_pairs buckets internally)
         pairs = bands.repartition(1).map_batches(

@@ -20,6 +20,23 @@ def engine_for(sf_dir: str) -> QweryEngine:
     return QweryEngine(table_root=sf_dir)
 
 
+def read_docs_parallel(sf_dir: str, columns=("doc_id", "text"),
+                       blocks_per_cpu: int = 2):
+    """documents.parquet pruned to ``columns`` and split to ~2 blocks per
+    core: the table usually arrives as ONE block (single row group), which
+    would serialize any per-doc map stage behind it — the split/coalesce
+    repartition (no shuffle) is microseconds on a narrow doc table and buys
+    full task parallelism for the analyzer stages."""
+    import ray
+    import ray.data as rd
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=list(columns))
+    return ds.repartition(ncpu * blocks_per_cpu)
+
+
 # --------------------------------------------------------------- CDC replay
 def cdc_replay(sf_dir: str, *, chunk_lsns: int = 5000, num_partitions: int = 16):
     """Derive a deterministic change-event stream from ``documents`` (same
@@ -100,8 +117,7 @@ def text_quality(sf_dir: str):
     # state is compiled regexes + stopword sets (microseconds to pickle), so
     # actor spin-up would cost more than the state it amortizes. Real actor
     # pools are reserved for heavy state (models, indexes — see DecodeImage).
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id", "text"])
+    ds = read_docs_parallel(sf_dir)
     out = ds.map_batches(TextAnalyzer(), batch_format="pandas",
                          batch_size=256)
     return out.select_columns(
@@ -113,8 +129,7 @@ def doc_fingerprints(sf_dir: str):
 
     from ..ops.text import Fingerprint
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id", "text"])
+    ds = read_docs_parallel(sf_dir)
     out = ds.map_batches(Fingerprint(), batch_format="pandas")
     return out.select_columns(["doc_id", "fingerprint"])
 
@@ -132,9 +147,10 @@ def minhash_near_dups(sf_dir: str, *, recall_check_max_docs: int = 2000):
 
     path = os.path.join(sf_dir, "documents.parquet")
     ds = rd.read_parquet(path, columns=["doc_id", "text"])
-    pairs = minhash_lsh_candidates(ds).materialize()
+    n_docs = pq.read_metadata(path).num_rows
+    pairs = minhash_lsh_candidates(ds, approx_docs=n_docs).materialize()
 
-    if pq.read_metadata(path).num_rows <= recall_check_max_docs:
+    if n_docs <= recall_check_max_docs:
         docs = pq.read_table(path, columns=["doc_id", "text"])
         ids = docs.column("doc_id").to_pylist()
         sets = [ngram_set(t, 5) for t in docs.column("text").to_pylist()]
@@ -167,8 +183,7 @@ def simhash_sigs(sf_dir: str):
 
     from ..ops.dedup import SimHash
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id", "text"])
+    ds = read_docs_parallel(sf_dir)
     out = ds.map_batches(SimHash(), batch_format="pandas")
 
     def to_hex(df: pd.DataFrame) -> pd.DataFrame:
@@ -317,7 +332,6 @@ def pii_redact(sf_dir: str):
 
     from ..ops.text import Redact
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id", "text"])
+    ds = read_docs_parallel(sf_dir)
     out = ds.map_batches(Redact(), batch_format="pandas")
     return out.select_columns(["doc_id", "text_redacted"])
