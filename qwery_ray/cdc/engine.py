@@ -1130,6 +1130,71 @@ class CDCLakeEngine:
             if rel not in live:
                 os.remove(os.path.join(part_dir, f))
 
+    # ----------------------------------------------------------- compaction
+    def compact(self, partitions: Optional[list[int]] = None) -> dict:
+        """Fold pending merge-on-read delta files into their partition
+        bases (the explicit maintenance surface behind SQL ``OPTIMIZE``;
+        the automatic rows-ratio trigger lives in MergePartitionFS). Each
+        selected partition rewrites as an independent raw Ray task; the
+        commit is optimistic (Delta-style): if a writer advanced the
+        manifest mid-compaction, the affected work is recomputed against
+        the fresh snapshot (up to 4 attempts), never double-applied. The
+        watermark and resolved row counts are unchanged — only file layout
+        moves; old versions keep reading their delta files (time travel)."""
+        import ray as _ray
+
+        for attempt in range(4):
+            manifest = self.load_manifest()
+            todo = [(int(pid), info)
+                    for pid, info in manifest["partitions"].items()
+                    if info.get("deltas")
+                    and (partitions is None or int(pid) in partitions)]
+            if not todo:
+                return manifest
+            label = f"compact-v{manifest['version']:08d}-w{self._writer_id}"
+            staged_dir = os.path.join(self.lake_dir, "_staging", label)
+            os.makedirs(staged_dir, exist_ok=True)
+            lake_dir, key_cols = self.lake_dir, list(self.key_cols)
+
+            def compact_one(pid: int, info: dict) -> tuple[int, str]:
+                base = pq.read_table(os.path.join(lake_dir, info["file"]))
+                deltas = [pq.read_table(os.path.join(lake_dir, d["file"]))
+                          for d in info["deltas"]]
+                merged = resolve_with_deltas(base, deltas, key_cols)
+                staged = os.path.join(staged_dir,
+                                      f"part-{pid:05d}.parquet")
+                tmp = staged + ".tmp"
+                pq.write_table(merged, tmp, compression="lz4")
+                os.replace(tmp, staged)
+                return pid, staged
+
+            remote = _ray.remote(compact_one)
+            done = _ray.get([remote.remote(pid, info)
+                             for pid, info in todo]) \
+                if _ray.is_initialized() and len(todo) > 1 \
+                else [compact_one(pid, info) for pid, info in todo]
+            with self._commit_lock():
+                current = self.load_manifest()
+                if current["version"] != manifest["version"]:
+                    shutil.rmtree(staged_dir, ignore_errors=True)
+                    continue  # a writer advanced the lake — recompute
+                for pid, staged in done:
+                    final_rel = os.path.join(
+                        "partitions", f"part-{pid:05d}-{label}.parquet")
+                    os.replace(staged,
+                               os.path.join(self.lake_dir, final_rel))
+                    info = current["partitions"][str(pid)]
+                    info["file"] = final_rel
+                    info["deltas"] = []
+                    info["lineage"] = info.get("lineage", []) + [label]
+                current["version"] += 1
+                self._commit_manifest(current)
+            shutil.rmtree(staged_dir, ignore_errors=True)
+            self._gc_superseded(current)
+            return current
+        raise RuntimeError("compact() lost the commit race 4 times — "
+                           "retry when the writer load quiets down")
+
     # ---------------------------------------------------------------- read
     def dataset(self, version: Optional[int] = None) -> rd.Dataset:
         """The lake as a Dataset; ``version=N`` reads the retained

@@ -389,6 +389,25 @@ class QweryEngine:
         self.views[stmt.name.lower()] = stmt.query
         return None
 
+    def _exec_Optimize(self, stmt: A.Optimize):
+        """OPTIMIZE '<lake>' [PARTITION (...)]: fold merge-on-read deltas
+        into partition bases via CDCLakeEngine.compact()."""
+        from ..cdc.engine import CDCLakeEngine
+
+        path = self.resolve_table_path(self.expand_vars(stmt.target))
+        eng = CDCLakeEngine.open(path)
+        before = eng.load_manifest()
+        pending = [pid for pid, info in before["partitions"].items()
+                   if info.get("deltas")
+                   and (not stmt.partitions
+                        or int(pid) in stmt.partitions)]
+        after = eng.compact(list(stmt.partitions) or None)
+        return pa.table({
+            "PARTITIONS_COMPACTED": pa.array([len(pending)],
+                                             type=pa.int64()),
+            "VERSION": pa.array([after["version"]], type=pa.int64()),
+        })
+
     def _exec_Drop(self, stmt: A.Drop):
         reg, key = {
             "VIEW": (self.views, stmt.name.lower()),

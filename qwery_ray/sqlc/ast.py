@@ -430,6 +430,16 @@ class Drop(Statement):
 
 
 @dataclass(frozen=True)
+class Optimize(Statement):
+    """OPTIMIZE '<lake_dir>' [PARTITION (p, ...)] — fold pending
+    merge-on-read delta files into their partition bases (lake maintenance;
+    Delta-style compaction surface, a superset of the reference)."""
+
+    target: str
+    partitions: tuple = ()
+
+
+@dataclass(frozen=True)
 class NativeSQL(Statement):
     """NATIVE SQL 'query' [FROM 'duckdb:file.db'] — raw passthrough to an
     embedded engine (reference ops/sql/NativeSQL.scala sends to JDBC; the

@@ -289,4 +289,9 @@ def to_sql(stmt) -> str:
         if stmt.connection:
             out += f" FROM {_string(stmt.connection)}"
         return out
+    if isinstance(stmt, A.Optimize):
+        out = f"OPTIMIZE {_string(stmt.target)}"
+        if stmt.partitions:
+            out += f" PARTITION ({', '.join(map(str, stmt.partitions))})"
+        return out
     raise ValueError(f"cannot decompile {type(stmt).__name__}")

@@ -136,6 +136,18 @@ class Parser:
             self.next()
             ent = self.next().upper
             return A.Show(ent)
+        if word == "OPTIMIZE":
+            self.next()
+            target = unquote_string(self.next().text)
+            parts = []
+            if self.accept("PARTITION"):
+                self.expect("(")
+                while True:
+                    parts.append(int(self.next().text))
+                    if not self.accept(","):
+                        break
+                self.expect(")")
+            return A.Optimize(target, tuple(parts))
         self.error("unexpected statement")
 
     def parse_block(self) -> A.CodeBlock:

@@ -582,3 +582,85 @@ class TestPropertyFuzzCDC:
                 assert got[k].get("stars") == want.get("stars"), k
 
         run()
+
+
+class TestExplicitCompaction:
+    """CDCLakeEngine.compact() + SQL OPTIMIZE: fold pending merge-on-read
+    deltas into partition bases on demand (maintenance surface; the
+    automatic rows-ratio trigger is tested in TestMergeOnRead)."""
+
+    @pytest.fixture()
+    def delta_heavy_lake(self, ray_session, tmp_path):
+        from qwery_ray.cdc.engine import CDCLakeEngine
+        from qwery_ray.cdc.synth import synth_change_events
+
+        events = str(tmp_path / "events")
+        synth_change_events(events, n_keys=2000, n_events=4400, seed=7,
+                            n_segments=4)
+        eng = CDCLakeEngine(str(tmp_path / "lake"), num_partitions=4,
+                            merge_mode="auto")
+        eng.replay(events, max_lsn=4000, chunk_lsns=4000)   # big base
+        # 2 small txns (~50 rows/partition vs ~500-row bases): both stage
+        # deltas and stay far below the rows-ratio auto-compaction trigger,
+        # so the fixture deterministically ends with pending deltas
+        eng.replay(events, chunk_lsns=200)
+        return eng, events
+
+    def test_compact_folds_all_deltas(self, delta_heavy_lake):
+        from qwery_ray.cdc.oracle import (naive_replay, sha256_of_state,
+                                          sha256_of_table)
+
+        eng, events = delta_heavy_lake
+        before = eng.load_manifest()
+        assert any(i.get("deltas")
+                   for i in before["partitions"].values()), "fixture stale"
+        after = eng.compact()
+        assert not any(i.get("deltas") for i in after["partitions"].values())
+        assert after["version"] == before["version"] + 1
+        assert after["watermark_lsn"] == before["watermark_lsn"]
+        # state is exactly the pre-compaction (and oracle) state
+        state = naive_replay(events)
+        assert sha256_of_table(eng.table()) == sha256_of_state(state)
+        # a fully-compacted lake reads as plain parquet (fast path)
+        assert eng.dataset().count() == len(state)
+        # idempotent: nothing pending → no version bump
+        again = eng.compact()
+        assert again["version"] == after["version"]
+
+    def test_compact_subset_of_partitions(self, delta_heavy_lake):
+        eng, _ = delta_heavy_lake
+        before = eng.load_manifest()
+        with_deltas = [int(p) for p, i in before["partitions"].items()
+                       if i.get("deltas")]
+        pick = with_deltas[:1]
+        after = eng.compact(partitions=pick)
+        for p, info in after["partitions"].items():
+            if int(p) in pick:
+                assert not info.get("deltas")
+        rest = [int(p) for p, i in after["partitions"].items()
+                if i.get("deltas")]
+        assert set(rest) == set(with_deltas) - set(pick)
+
+    def test_time_travel_survives_compaction(self, delta_heavy_lake):
+        from qwery_ray.cdc.oracle import (naive_replay, sha256_of_state,
+                                          sha256_of_table)
+
+        eng, events = delta_heavy_lake
+        v_before = eng.load_manifest()["version"]
+        eng.compact()
+        wm = eng.load_manifest_version(v_before)["watermark_lsn"]
+        old = naive_replay(events, upto_lsn=wm)
+        assert sha256_of_table(eng.table(version=v_before)) \
+            == sha256_of_state(old)
+
+    def test_sql_optimize_statement(self, delta_heavy_lake):
+        from qwery_ray.engine.session import QweryEngine
+
+        eng, _ = delta_heavy_lake
+        n_delta_parts = sum(
+            1 for i in eng.load_manifest()["partitions"].values()
+            if i.get("deltas"))
+        res = QweryEngine().sql(f"OPTIMIZE '{eng.lake_dir}'")
+        assert res.column("PARTITIONS_COMPACTED")[0].as_py() == n_delta_parts
+        assert not any(i.get("deltas")
+                       for i in eng.load_manifest()["partitions"].values())
