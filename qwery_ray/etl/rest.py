@@ -286,6 +286,25 @@ class JobClient:
         return self._req("GET", "/api/jobs")
 
 
+def execute_job(client: JobClient, controller, job: dict) -> dict:
+    """Run ONE claimed job through the controller's trigger machinery and
+    report state + statistics back (reference QweryETL.processJob)."""
+    jid = job["_id"]
+    client.change_state(jid, "RUNNING")
+    fname = os.path.basename(job["input"])
+    trigger = controller.lookup_trigger(fname)
+    if trigger is None:
+        return client.change_state(jid, "FAILED",
+                                   f"no trigger accepts '{fname}'")
+    result = controller._run_job(trigger, fname)
+    client.update_statistics(jid, [{
+        "rows": result.rows_inserted, "elapsedSec": result.elapsed_sec,
+        "status": result.status}])
+    return client.change_state(
+        jid, "SUCCESS" if result.status == "archived" else "FAILED",
+        result.error)
+
+
 def run_worker(base_url: str, controller, *, max_jobs: Optional[int] = None,
                poll_interval: float = 0.2,
                idle_rounds: int = 3) -> list[dict]:
@@ -310,19 +329,5 @@ def run_worker(base_url: str, controller, *, max_jobs: Optional[int] = None,
             time.sleep(poll_interval)
             continue
         idle = 0
-        jid = job["_id"]
-        client.change_state(jid, "RUNNING")
-        fname = os.path.basename(job["input"])
-        trigger = controller.lookup_trigger(fname)
-        if trigger is None:
-            done.append(client.change_state(
-                jid, "FAILED", f"no trigger accepts '{fname}'"))
-            continue
-        result = controller._run_job(trigger, fname)
-        client.update_statistics(jid, [{
-            "rows": result.rows_inserted, "elapsedSec": result.elapsed_sec,
-            "status": result.status}])
-        done.append(client.change_state(
-            jid, "SUCCESS" if result.status == "archived" else "FAILED",
-            result.error))
+        done.append(execute_job(client, controller, job))
     return done
