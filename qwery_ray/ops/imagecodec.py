@@ -655,3 +655,224 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
     out += bw_.out
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------- GIF
+# GIF87a/89a: LZW-compressed indexed color, optional interlace, multi-frame
+# animation with per-frame disposal. The LZW code loop is Python (documented
+# scope: test assets / metadata extraction, like the JPEG entropy loop —
+# swap for a native codec at production pixel volume).
+
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int):
+    """LZW decode (GIF variant: variable code width, CLEAR/EOI codes)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    base = [(i,) for i in range(clear)] + [None, None]
+
+    table = list(base)
+    width = min_code_size + 1
+    out: list[int] = []
+    prev = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while len(out) < n_pixels and bitpos + width <= total_bits:
+        byte0 = bitpos >> 3
+        chunk = int.from_bytes(data[byte0:byte0 + 4], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table) and table[code] is not None:
+            entry = table[code]
+            table.append(prev + (entry[0],))
+        elif code == len(table):
+            entry = prev + (prev[0],)
+            table.append(entry)
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        out.extend(entry)
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return out[:n_pixels]
+
+
+def _gif_subblocks(blob: bytes, pos: int) -> tuple[bytes, int]:
+    chunks = []
+    while True:
+        n = blob[pos]
+        pos += 1
+        if n == 0:
+            break
+        chunks.append(blob[pos:pos + n])
+        pos += n
+    return b"".join(chunks), pos
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def gif_frames(blob: bytes, max_frames: int | None = None):
+    """All frames of a GIF as composited (H, W, 3) uint8 RGB arrays
+    (disposal methods 0/1 leave, 2 restore-background, 3 restore-previous;
+    transparency honored during composition)."""
+    if blob[:6] not in GIF_MAGICS:
+        raise ValueError("not a GIF")
+    W, H = struct.unpack("<HH", blob[6:10])
+    flags = blob[10]
+    bg_index = blob[11]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(blob[pos:pos + 3 * n],
+                            dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    canvas = np.zeros((H, W, 3), dtype=np.uint8)
+    if gct is not None and bg_index < len(gct):
+        canvas[:] = gct[bg_index]
+    frames = []
+    transparent = None
+    disposal = 0
+    prev_canvas = None
+    while pos < len(blob):
+        b0 = blob[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension
+            label = blob[pos + 1]
+            pos += 2
+            if label == 0xF9:  # graphic control: disposal + transparency
+                gce = blob[pos + 1:pos + 1 + blob[pos]]
+                disposal = (gce[0] >> 2) & 7
+                transparent = gce[3] if gce[0] & 1 else None
+            _, pos = _gif_subblocks(blob, pos)
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+        x, y, w, h = struct.unpack("<HHHH", blob[pos + 1:pos + 9])
+        iflags = blob[pos + 9]
+        pos += 10
+        lct = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 7)
+            lct = np.frombuffer(blob[pos:pos + 3 * n],
+                                dtype=np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if lct is None:
+            raise ValueError("GIF frame has no color table")
+        min_code = blob[pos]
+        pos += 1
+        data, pos = _gif_subblocks(blob, pos)
+        idx = np.array(_gif_lzw_decode(data, min_code, w * h),
+                       dtype=np.int32)
+        if idx.size < w * h:
+            idx = np.pad(idx, (0, w * h - idx.size))
+        if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+            rect = np.empty((h, w), dtype=np.int32)
+            rows = idx.reshape(h, w)
+            r = 0
+            for start, step in _GIF_INTERLACE:
+                for yy in range(start, h, step):
+                    rect[yy] = rows[r]
+                    r += 1
+        else:
+            rect = idx.reshape(h, w)
+        if disposal == 3:
+            prev_canvas = canvas.copy()
+        region = canvas[y:y + h, x:x + w]
+        rgb = lct[np.clip(rect, 0, len(lct) - 1)]
+        if transparent is not None:
+            opaque = rect != transparent
+            region[opaque] = rgb[opaque]
+        else:
+            region[:] = rgb
+        frames.append(canvas.copy())
+        if disposal == 2:
+            patch = canvas[y:y + h, x:x + w]
+            patch[:] = gct[bg_index] if gct is not None and \
+                bg_index < len(gct) else 0
+        elif disposal == 3 and prev_canvas is not None:
+            canvas = prev_canvas
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+    if not frames:
+        raise ValueError("GIF contains no image blocks")
+    return frames
+
+
+def decode_gif(blob: bytes) -> np.ndarray:
+    """First frame as (H, W, 3) uint8 RGB."""
+    return gif_frames(blob, max_frames=1)[0]
+
+
+def encode_gif(frames, palette: np.ndarray, *, transparent=None,
+               interlace_first: bool = False) -> bytes:
+    """Minimal GIF89a encoder for index arrays (test fixture / round-trip
+    partner of gif_frames). ``frames``: list of (H, W) uint8 index arrays
+    sharing one palette (N, 3). LZW emits a CLEAR before every literal —
+    bloated but spec-valid, and exercises the decoder's table resets."""
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    H, W = frames[0].shape
+    n = max(2, int(palette.shape[0]))
+    depth = max(1, (n - 1).bit_length())
+    size_field = depth - 1
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", W, H)
+    out += bytes([0x80 | size_field, 0, 0])
+    pal = np.zeros((2 << size_field, 3), dtype=np.uint8)
+    pal[:palette.shape[0]] = palette
+    out += pal.tobytes()
+    min_code = max(2, depth)
+    clear = 1 << min_code
+    for fi, frame in enumerate(frames):
+        if transparent is not None or len(frames) > 1:
+            gce = bytes([0x21, 0xF9, 4,
+                         (1 if transparent is not None else 0),
+                         0, 0,
+                         transparent if transparent is not None else 0, 0])
+            out += gce
+        iflags = 0x40 if (interlace_first and fi == 0) else 0
+        out += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, W, H) \
+            + bytes([iflags])
+        rows = frame
+        if iflags:
+            order = []
+            for start, step in _GIF_INTERLACE:
+                order.extend(range(start, H, step))
+            rows = frame[np.array(order)]
+        out += bytes([min_code])
+        bits = bytearray()
+        acc = 0
+        nbits = 0
+        width = min_code + 1
+        for v in rows.reshape(-1):
+            for code in (clear, int(v)):
+                acc |= code << nbits
+                nbits += width
+                while nbits >= 8:
+                    bits.append(acc & 0xFF)
+                    acc >>= 8
+                    nbits -= 8
+        acc |= (clear + 1) << nbits       # EOI
+        nbits += width
+        while nbits > 0:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        for i in range(0, len(bits), 255):
+            chunk = bits[i:i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)

@@ -79,6 +79,10 @@ class DecodeImage:
                 return decode_bmp(blob)
             if blob[:2] in (b"P5", b"P6"):
                 return decode_ppm(blob)
+            if blob[:6] in (b"GIF87a", b"GIF89a"):
+                from .imagecodec import decode_gif
+
+                return decode_gif(blob)
             raise NotImplementedError(
                 "compressed image formats (WebP/AVIF/...) need native "
                 "codecs not present in this container")
@@ -179,6 +183,19 @@ class FrameSample:
                     frame_idx.append(idx)
                     tss.append(dts)
                     keys.append(key)
+                continue
+            if blob[:6] in (b"GIF87a", b"GIF89a"):
+                # animated GIF: composited frames re-encoded as PNG payloads
+                from .imagecodec import encode_png, gif_frames
+
+                for i, fr in enumerate(gif_frames(blob)):
+                    if i % self.every_n:
+                        continue
+                    ids.append(vid)
+                    frames.append(encode_png(fr))
+                    frame_idx.append(i)
+                    tss.append(float(i))
+                    keys.append(True)
                 continue
             off, i = 0, 0
             while off + 8 <= len(blob) and blob[off:off + 4] == MAGIC:

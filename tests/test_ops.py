@@ -670,3 +670,84 @@ class TestQuantileSketch:
             "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus").df()
         for a, e in zip(mine["q"], exact["q"]):
             assert abs(a - e) / e < 0.02
+
+
+class TestGifCodec:
+    """GIF87a/89a decode: LZW (with table resets), interlace, transparency,
+    disposal compositing — round-tripped against the minimal encoder."""
+
+    def _pal(self):
+        import numpy as np
+        return np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255],
+                         [255, 255, 255]], dtype=np.uint8)
+
+    def test_single_frame_roundtrip(self):
+        import numpy as np
+
+        from qwery_ray.ops.imagecodec import decode_gif, encode_gif
+
+        rng = np.random.default_rng(3)
+        idx = rng.integers(0, 5, (23, 17), dtype=np.uint8)
+        pal = self._pal()
+        blob = encode_gif([idx], pal)
+        got = decode_gif(blob)
+        assert got.shape == (23, 17, 3)
+        assert (got == pal[idx]).all()
+
+    def test_interlaced_roundtrip(self):
+        import numpy as np
+
+        from qwery_ray.ops.imagecodec import decode_gif, encode_gif
+
+        rng = np.random.default_rng(4)
+        idx = rng.integers(0, 5, (16, 9), dtype=np.uint8)
+        pal = self._pal()
+        blob = encode_gif([idx], pal, interlace_first=True)
+        assert (decode_gif(blob) == pal[idx]).all()
+
+    def test_animation_transparency_composites(self):
+        import numpy as np
+
+        from qwery_ray.ops.imagecodec import encode_gif, gif_frames
+
+        pal = self._pal()
+        f1 = np.full((6, 6), 1, dtype=np.uint8)          # all red
+        f2 = np.full((6, 6), 0, dtype=np.uint8)          # transparent idx 0
+        f2[2, 3] = 2                                      # one green pixel
+        blob = encode_gif([f1, f2], pal, transparent=0)
+        frames = gif_frames(blob)
+        assert len(frames) == 2
+        assert (frames[0] == pal[1]).all()
+        # frame 2: green pixel over the red frame; everything else unchanged
+        assert (frames[1][2, 3] == pal[2]).all()
+        mask = np.ones((6, 6), dtype=bool)
+        mask[2, 3] = False
+        assert (frames[1][mask] == pal[1]).all()
+
+    def test_decode_stage_and_frame_sample(self, ray_session):
+        import numpy as np
+        import pyarrow as pa_
+        import ray.data as rd
+
+        from qwery_ray.ops.imagecodec import decode_png, encode_gif
+        from qwery_ray.ops.multimodal import DecodeImage, FrameSample
+
+        pal = self._pal()
+        rng = np.random.default_rng(5)
+        anim = [rng.integers(0, 5, (8, 8), dtype=np.uint8)
+                for _ in range(5)]
+        blob = encode_gif(anim, pal)
+        t = pa_.table({"image_id": pa_.array([1], type=pa_.int64()),
+                       "data": pa_.array([blob], type=pa_.binary())})
+        ds = rd.from_arrow(t)
+        feats = ds.map_batches(DecodeImage(strict=True), concurrency=1,
+                               batch_size=1,
+                               batch_format="pyarrow").take_all()
+        assert len(feats) == 1
+        samples = ds.map_batches(FrameSample(every_n=2), concurrency=1,
+                                 batch_size=1,
+                                 batch_format="pyarrow").take_all()
+        assert [s["frame_index"] for s in samples] == [0, 2, 4]
+        # payloads are real PNGs of the composited frames
+        first = decode_png(samples[0]["data"])
+        assert (first == pal[anim[0]]).all()
