@@ -196,12 +196,18 @@ def read_source(path: str, hints: Optional[dict] = None, *,
     """
     hints = dict(hints or {})
     if hints.get("lake"):
-        # FROM '<lake_dir>' WITH LAKE [VERSION n] — committed lake snapshot
-        # through the manifest (never raw partition files mid-commit)
+        # FROM '<lake_dir>' WITH LAKE [VERSION n | CHANGES VERSION a [TO b]]
+        # — committed lake snapshot (or the change data feed between two
+        # retained snapshots) through the manifest, never raw partition
+        # files mid-commit
         from ..cdc.engine import CDCLakeEngine
 
-        ds = CDCLakeEngine.open(path).dataset(
-            version=hints.get("lake_version"))
+        eng = CDCLakeEngine.open(path)
+        if hints.get("lake_changes_from") is not None:
+            ds = eng.changes(hints["lake_changes_from"],
+                             hints.get("lake_changes_to"))
+        else:
+            ds = eng.dataset(version=hints.get("lake_version"))
         if columns:
             ds = ds.select_columns(columns)
         return ds

@@ -447,6 +447,14 @@ class Parser:
                 hints["lake"] = True
                 if self.accept("VERSION"):
                     hints["lake_version"] = int(self.next().text)
+                elif self.accept("CHANGES"):
+                    # WITH LAKE CHANGES VERSION a [TO b]: the change data
+                    # feed between two retained snapshots (superset;
+                    # Delta-style CDF)
+                    self.expect("VERSION")
+                    hints["lake_changes_from"] = int(self.next().text)
+                    if self.accept("TO"):
+                        hints["lake_changes_to"] = int(self.next().text)
             elif key == "PARTITION":
                 # WITH PARTITION (col [, col]): hive-partitioned parquet
                 # output — one directory level per column value

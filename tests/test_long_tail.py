@@ -276,3 +276,31 @@ class TestLakeSqlReads:
         df = q.sql(f"SELECT uid, kind, value FROM '{lake}' WITH LAKE "
                    f"ORDER BY uid").to_pandas()
         assert df["value"].tolist() == [2.0, 3.0]  # LWW applied
+
+
+class TestLakeChangesSql:
+    """FROM '<lake_dir>' WITH LAKE CHANGES VERSION a [TO b] — the change
+    data feed between two retained snapshots on the SQL surface."""
+
+    def test_sql_changes_feed(self, ray_session, tmp_path):
+        from qwery_ray import QweryEngine
+        from qwery_ray.cdc.engine import CDCLakeEngine
+        from qwery_ray.cdc.synth import synth_change_events
+
+        ev = str(tmp_path / "ev")
+        synth_change_events(ev, n_keys=60, n_events=500, seed=21,
+                            n_segments=2)
+        lake = str(tmp_path / "lake")
+        eng = CDCLakeEngine(lake, num_partitions=4)
+        eng.replay(ev, chunk_lsns=250, pipelined=False)
+        assert eng.versions() == [1, 2]
+
+        q = QweryEngine()
+        df = q.sql(f"SELECT change, COUNT(*) AS n FROM '{lake}' "
+                   f"WITH LAKE CHANGES VERSION 1 TO 2 "
+                   f"GROUP BY change ORDER BY change").to_pandas()
+        api = eng.changes(1, 2).to_pandas()
+        want = api.groupby("change").size()
+        got = dict(zip(df["change"], df["n"]))
+        assert got == want.to_dict()
+        assert sum(got.values()) > 0
