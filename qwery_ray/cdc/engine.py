@@ -1221,6 +1221,36 @@ class CDCLakeEngine:
         raise RuntimeError("compact() lost the commit race 4 times — "
                            "retry when the writer load quiets down")
 
+    def vacuum(self, retain: Optional[int] = None) -> dict:
+        """Drop version snapshots beyond the retention horizon and every
+        partition/delta file no retained version references (the SQL
+        ``VACUUM`` surface; the same GC runs automatically at commit with
+        the default TIME_TRAVEL_RETAIN). ``retain`` overrides the horizon
+        for this call — minimum 1, the current version always stays.
+        Returns {files_removed, versions_dropped, version}."""
+        part_dir = os.path.join(self.lake_dir, "partitions")
+        vdir = os.path.join(self.lake_dir, "_versions")
+
+        def _listing(d):
+            return set(os.listdir(d)) if os.path.isdir(d) else set()
+
+        files_before = _listing(part_dir)
+        versions_before = _listing(vdir)
+        if retain is not None:
+            # instance attribute shadows the class default for this call
+            self.TIME_TRAVEL_RETAIN = max(1, int(retain))
+        try:
+            manifest = self.load_manifest()
+            self._gc_superseded(manifest)
+        finally:
+            if retain is not None:
+                del self.TIME_TRAVEL_RETAIN
+        return {
+            "files_removed": len(files_before - _listing(part_dir)),
+            "versions_dropped": len(versions_before - _listing(vdir)),
+            "version": self.load_manifest()["version"],
+        }
+
     # ---------------------------------------------------------------- read
     def dataset(self, version: Optional[int] = None) -> rd.Dataset:
         """The lake as a Dataset; ``version=N`` reads the retained

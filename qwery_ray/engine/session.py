@@ -408,6 +408,21 @@ class QweryEngine:
             "VERSION": pa.array([after["version"]], type=pa.int64()),
         })
 
+    def _exec_Vacuum(self, stmt: A.Vacuum):
+        """VACUUM '<lake>' [RETAIN n VERSIONS]: retention GC via
+        CDCLakeEngine.vacuum()."""
+        from ..cdc.engine import CDCLakeEngine
+
+        path = self.resolve_table_path(self.expand_vars(stmt.target))
+        out = CDCLakeEngine.open(path).vacuum(stmt.retain)
+        return pa.table({
+            "FILES_REMOVED": pa.array([out["files_removed"]],
+                                      type=pa.int64()),
+            "VERSIONS_DROPPED": pa.array([out["versions_dropped"]],
+                                         type=pa.int64()),
+            "VERSION": pa.array([out["version"]], type=pa.int64()),
+        })
+
     def _exec_Drop(self, stmt: A.Drop):
         reg, key = {
             "VIEW": (self.views, stmt.name.lower()),

@@ -440,6 +440,16 @@ class Optimize(Statement):
 
 
 @dataclass(frozen=True)
+class Vacuum(Statement):
+    """VACUUM '<lake_dir>' [RETAIN n VERSIONS] — drop version snapshots
+    beyond the retention horizon and unreferenced partition/delta files
+    (lake maintenance; Delta-style VACUUM, a superset of the reference)."""
+
+    target: str
+    retain: Optional[int] = None
+
+
+@dataclass(frozen=True)
 class NativeSQL(Statement):
     """NATIVE SQL 'query' [FROM 'duckdb:file.db'] — raw passthrough to an
     embedded engine (reference ops/sql/NativeSQL.scala sends to JDBC; the

@@ -294,4 +294,9 @@ def to_sql(stmt) -> str:
         if stmt.partitions:
             out += f" PARTITION ({', '.join(map(str, stmt.partitions))})"
         return out
+    if isinstance(stmt, A.Vacuum):
+        out = f"VACUUM {_string(stmt.target)}"
+        if stmt.retain is not None:
+            out += f" RETAIN {stmt.retain} VERSIONS"
+        return out
     raise ValueError(f"cannot decompile {type(stmt).__name__}")

@@ -148,6 +148,14 @@ class Parser:
                         break
                 self.expect(")")
             return A.Optimize(target, tuple(parts))
+        if word == "VACUUM":
+            self.next()
+            target = unquote_string(self.next().text)
+            retain = None
+            if self.accept("RETAIN"):
+                retain = int(self.next().text)
+                self.expect("VERSIONS")
+            return A.Vacuum(target, retain)
         self.error("unexpected statement")
 
     def parse_block(self) -> A.CodeBlock:

@@ -664,3 +664,45 @@ class TestExplicitCompaction:
         assert res.column("PARTITIONS_COMPACTED")[0].as_py() == n_delta_parts
         assert not any(i.get("deltas")
                        for i in eng.load_manifest()["partitions"].values())
+
+
+class TestVacuum:
+    """VACUUM '<lake>' [RETAIN n VERSIONS] — retention GC on demand."""
+
+    def test_vacuum_trims_versions_and_files(self, ray_session, tmp_path):
+        from qwery_ray.cdc.engine import CDCLakeEngine
+        from qwery_ray.cdc.oracle import (naive_replay, sha256_of_state,
+                                          sha256_of_table)
+        from qwery_ray.cdc.synth import synth_change_events
+        from qwery_ray.engine.session import QweryEngine
+
+        events = str(tmp_path / "events")
+        synth_change_events(events, n_keys=100, n_events=800, seed=31,
+                            n_segments=2)
+        eng = CDCLakeEngine(str(tmp_path / "lake"), num_partitions=4)
+        eng.replay(events, chunk_lsns=160, pipelined=False)  # 5 versions
+        assert len(eng.versions()) == 5
+
+        res = QweryEngine().sql(
+            f"VACUUM '{eng.lake_dir}' RETAIN 2 VERSIONS")
+        assert res.column("VERSIONS_DROPPED")[0].as_py() == 3
+        assert res.column("FILES_REMOVED")[0].as_py() > 0
+        assert len(eng.versions()) == 2
+        # current state untouched; oldest retained version still readable
+        state = naive_replay(events)
+        assert sha256_of_table(eng.table()) == sha256_of_state(state)
+        v_old = eng.versions()[0]
+        assert eng.table(version=v_old).num_rows > 0
+        # expired versions now raise
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="not available"):
+            eng.load_manifest_version(1)
+
+    def test_vacuum_roundtrip_decompile(self):
+        from qwery_ray.sqlc.decompiler import to_sql
+        from qwery_ray.sqlc.parser import parse
+
+        s = parse("VACUUM '/tmp/lake' RETAIN 3 VERSIONS")[0]
+        assert parse(to_sql(s))[0] == s
+        s2 = parse("VACUUM '/tmp/lake'")[0]
+        assert s2.retain is None and parse(to_sql(s2))[0] == s2
