@@ -186,7 +186,11 @@ def _combine_and_write(batch: pa.Table, num_partitions: int,
     ends = np.concatenate([bounds, [len(pk_sorted)]])
     fname = os.path.join(shuffle_dir, f"task-{uuid.uuid4().hex[:12]}.parquet")
     tmp = fname + ".tmp"
-    writer = pq.ParquetWriter(tmp, sorted_batch.schema, compression="lz4")
+    # codec is a bandwidth/CPU dial: zstd halves the bytes through the
+    # shared store at ~10% more encode CPU — the right trade when the
+    # store IS memory (tmpfs) and the box is bandwidth-saturated
+    codec = os.environ.get("QWERY_SHUFFLE_CODEC", "lz4")
+    writer = pq.ParquetWriter(tmp, sorted_batch.schema, compression=codec)
     index = {}
     for rg, (s, e) in enumerate(zip(starts, ends)):
         writer.write_table(sorted_batch.slice(s, e - s))

@@ -244,3 +244,32 @@ class TestDbapi:
             f"SELECT sym, COUNT(*) AS n FROM 'sqlite://{db}?table=trades' "
             f"GROUP BY sym ORDER BY sym").to_pandas()
         assert df["n"].sum() == 40
+
+
+class TestSniffColumnNames:
+    """sniff_column_names: the schema fallback for header-only (all-empty)
+    delimited sources — Ray reports no schema on empty datasets."""
+
+    def test_csv_and_psv_and_fixed(self, tmp_path):
+        from qwery_ray.sources.readers import sniff_column_names
+
+        c = tmp_path / "h.csv"
+        c.write_text("A,B,C\n")
+        assert sniff_column_names(str(c)) == ["A", "B", "C"]
+        p = tmp_path / "h.psv"
+        p.write_text("x|y\n")
+        assert sniff_column_names(str(p)) == ["x", "y"]
+        assert sniff_column_names(str(tmp_path / "f.txt"),
+                                  {"format": "fixed",
+                                   "widths": [("a", 3), ("b", 5)]}) \
+            == ["a", "b"]
+        assert sniff_column_names(str(tmp_path / "nope.csv")) == []
+
+    def test_header_only_csv_queryable(self, ray_session, tmp_path):
+        from qwery_ray.engine.session import QweryEngine
+
+        f = tmp_path / "empty.csv"
+        f.write_text("Symbol,Sector\n")
+        df = QweryEngine().sql(
+            f"SELECT Symbol FROM '{f}' WHERE Sector = 'x'").to_pandas()
+        assert list(df.columns) == ["Symbol"] and len(df) == 0
