@@ -19,7 +19,10 @@ def _ident(name: str) -> str:
 
 
 def _string(value: str) -> str:
-    return "'" + value.replace("'", "''") + "'"
+    # inverse of lexer.unquote_string, in reverse order: backslashes are
+    # escape characters inside STR tokens, so they double FIRST (a bare
+    # backslash before the doubled quote would re-escape it)
+    return "'" + value.replace("\\", "\\\\").replace("'", "''") + "'"
 
 
 def expr_sql(e) -> str:

@@ -351,6 +351,7 @@ class Parser:
         "OVER", "PARTITION", "QUALIFY", "EXCEPT", "INTERSECT",
         "THEN", "ELSE", "CASE", "VALUES", "SET", "BY", "SELECT", "LIKE",
         "MATCHES", "BETWEEN", "IN", "IS", "NULL", "DISTINCT", "ALL",
+        "OFFSET", "ILIKE", "USING", "NATURAL", "WINDOW", "FETCH",
     }
 
     def _is_clause_keyword(self, tok: Token) -> bool:

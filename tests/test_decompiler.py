@@ -78,3 +78,80 @@ def test_round_trip_all_gate_queries():
         rendered = to_sql(ast1)
         ast2 = parse_one(rendered)
         assert to_sql(ast2) == rendered, name
+
+
+class TestDecompilerFuzz:
+    """Hypothesis round-trip: random Select ASTs → SQL → parse → SQL must
+    reach a fixpoint (and the reparse must round-trip to an identical AST).
+    Exercises string-literal escaping, operator rendering, NULLS FIRST/LAST,
+    IN/BETWEEN/IS NULL nesting and LIMIT/OFFSET combinations."""
+
+    def test_random_selects_fixpoint(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from qwery_ray.sqlc import ast as A
+        from qwery_ray.sqlc.decompiler import to_sql
+        from qwery_ray.sqlc.parser import parse
+
+        cols = st.sampled_from(["a", "b", "c", "total", "x1"])
+        col = st.builds(A.ColumnRef, cols)
+        # non-negative ints only: the parser canonicalizes "-1" to
+        # UnaryOp('-', Literal(1)), never Literal(-1)
+        lit = st.one_of(
+            st.integers(0, 1000).map(A.Literal),
+            st.text(alphabet="ab'c%_\\ ", max_size=6).map(A.Literal),
+            st.just(A.Literal(None)),
+        )
+        expr = st.one_of(col, lit)
+        # parser-canonical ops only: '<>' normalizes to '!=' at parse, so a
+        # hand-built '<>' AST is not a fixpoint (and never occurs in practice)
+        cmp_ = st.builds(A.Comparison,
+                         st.sampled_from(["=", "!=", ">", ">=", "<", "<="]),
+                         col, expr)
+        isnull = st.builds(A.IsNull, col, st.booleans())
+        inlist = st.builds(
+            A.InList, col,
+            st.tuples(st.integers(0, 9).map(A.Literal),
+                      st.integers(0, 9).map(A.Literal)),
+            st.booleans())
+        between = st.builds(A.Between, col,
+                            st.integers(0, 5).map(A.Literal),
+                            st.integers(6, 9).map(A.Literal))
+        atom = st.one_of(cmp_, isnull, inlist, between)
+        cond = st.recursive(
+            atom,
+            lambda inner: st.one_of(
+                st.builds(A.And, inner, inner),
+                st.builds(A.Or, inner, inner),
+                st.builds(A.Not, inner)),
+            max_leaves=6)
+        order = st.builds(A.OrderItem, col, st.booleans(),
+                          st.sampled_from([None, True, False]))
+        items = st.one_of(
+            st.just((A.Star(),)),
+            st.lists(st.builds(A.SelectItem, col,
+                               st.sampled_from([None, "out1", "out2"])),
+                     min_size=1, max_size=3, unique_by=lambda s:
+                     (s.expr.name, s.alias)).map(tuple))
+        sel = st.builds(
+            A.Select,
+            items=items,
+            source=st.just(A.TableRef("t")),
+            where=st.one_of(st.none(), cond),
+            order_by=st.lists(order, max_size=2).map(tuple),
+            limit=st.sampled_from([None, 5, 100]),
+            offset=st.sampled_from([None, 3]),
+            distinct=st.booleans(),
+        )
+
+        @settings(max_examples=150, deadline=None)
+        @given(sel)
+        def check(ast):
+            sql1 = to_sql(ast)
+            ast2 = parse(sql1)[0]
+            sql2 = to_sql(ast2)
+            assert sql1 == sql2
+            assert parse(sql2)[0] == ast2
+
+        check()
