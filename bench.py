@@ -238,7 +238,12 @@ def run_scaling() -> dict:
         a, b = run_once(ncpu), run_once(ncpu)
         return a if a["value"] <= b["value"] else b
 
-    lo, hi = 8, 32
+    # N→4N protocol levels. Default 8→32 (the full box); BENCH_SCALE_LO/HI
+    # allow a 4→16 pair, which keeps BOTH levels below this single VM's
+    # shared-memory saturation point — on a real cluster every node brings
+    # its own memory bandwidth, so the unsaturated pair is the closer proxy.
+    lo = int(os.environ.get("BENCH_SCALE_LO", "8"))
+    hi = int(os.environ.get("BENCH_SCALE_HI", "32"))
     r_lo, r_hi = run(lo), run(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
