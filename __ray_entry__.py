@@ -677,6 +677,18 @@ _SQL_QUERIES: dict[str, tuple[str, str | None]] = {
         "WHERE s.s_acctbal = (SELECT MAX(s2.s_acctbal) FROM supplier s2 "
         "WHERE s2.s_nationkey = s.s_nationkey) ORDER BY s.s_suppkey",
         None),
+    "asof_join_events": (
+        # ASOF JOIN (time-series nearest-match; DuckDB-compatible syntax
+        # and semantics): each purchase pairs with the same user's latest
+        # click at-or-before it. Subquery sides exercise the bucket-shuffle
+        # path; (user_id, ts) is unique in the generator, so the match is
+        # deterministic. qwery_ray/sqlc/asof.py
+        "SELECT p.event_id, p.user_id, p.ts, "
+        "c.event_id AS click_id, c.ts AS click_ts "
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+        "ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c "
+        "ON p.user_id = c.user_id AND p.ts >= c.ts",
+        None),
 }
 
 
@@ -693,6 +705,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "text_quality", "doc_fingerprint", "minhash_near_dups",
     "simhash_signatures", "ann_topk", "embedding_dups",
     "events_sliding_window", "events_sessions", "pii_redact",
+    # round-3 operator (never driver-verified)
+    "asof_join_events",
     # SQL shapes added after round 2's window closed (never driver-verified)
     "tpch_q19_shape", "tpch_q21_shape", "tpch_q22_shape", "tpch_q11_shape",
     "tpch_q7_shape", "tpch_q8_shape", "tpch_q10_shape", "tpch_q15_shape",

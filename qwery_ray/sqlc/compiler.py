@@ -1768,8 +1768,16 @@ class Compiler:
                     prev = getattr(frame, "_drop_cols", None) or []
                     frame._drop_cols = prev + extra_sort_cols  # type: ignore[attr-defined]
             else:
-                # SELECT * : de-qualify any alias.col physical names
-                dequal = {c: c.split(".")[-1] for c in frame.columns if "." in c}
+                # SELECT * : de-qualify alias.col physical names, but only
+                # when the bare name stays unique (a collision-renamed
+                # column keeps its qualifier — both sides appear in *)
+                taken = {c for c in frame.columns if "." not in c}
+                dequal = {}
+                for c in frame.columns:
+                    bare = c.split(".")[-1]
+                    if "." in c and bare not in taken:
+                        dequal[c] = bare
+                        taken.add(bare)
                 if dequal:
                     frame = Frame(
                         frame.ds.map_batches(RenameBatch(dequal),
@@ -2493,6 +2501,11 @@ class Compiler:
     # ---------------------------------------------------------------- joins
     def compile_join(self, left: Frame, j: A.JoinClause, sel: A.Select,
                      needed: Optional[set] = None) -> Frame:
+        if j.join_type in ("ASOF", "ASOF_LEFT"):
+            from .asof import compile_asof_join
+
+            return compile_asof_join(self, left, j, sel, needed)
+
         env = _env(self.session)
         right = self.compile_source(j.right, columns=needed)
         ralias = None

@@ -187,7 +187,8 @@ def to_sql(stmt) -> str:
             if j.join_type == "CROSS":
                 parts.append("CROSS JOIN " + _source_sql(j.right))
             else:
-                parts.append(f"{j.join_type} JOIN {_source_sql(j.right)} "
+                jt = {"ASOF_LEFT": "ASOF LEFT"}.get(j.join_type, j.join_type)
+                parts.append(f"{jt} JOIN {_source_sql(j.right)} "
                              f"ON {expr_sql(j.on)}")
         if stmt.where is not None:
             parts.append("WHERE " + expr_sql(stmt.where))

@@ -224,7 +224,8 @@ class Parser:
         joins: list[A.JoinClause] = []
         if self.accept("FROM"):
             source = self.parse_source()
-            while self.at("INNER", "LEFT", "RIGHT", "FULL", "JOIN", "CROSS"):
+            while self.at("INNER", "LEFT", "RIGHT", "FULL", "JOIN", "CROSS",
+                          "ASOF"):
                 joins.append(self.parse_join())
 
         where = self.parse_cond() if self.accept("WHERE") else None
@@ -347,6 +348,7 @@ class Parser:
     _CLAUSE_KEYWORDS = {
         "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "TOP", "UNION",
         "INTO", "AS", "ON", "INNER", "LEFT", "RIGHT", "FULL", "JOIN", "CROSS",
+        "ASOF",
         "KEYED", "WITH", "AND", "OR", "NOT", "ASC", "DESC", "END", "WHEN",
         "OVER", "PARTITION", "QUALIFY", "EXCEPT", "INTERSECT",
         "THEN", "ELSE", "CASE", "VALUES", "SET", "BY", "SELECT", "LIKE",
@@ -485,7 +487,13 @@ class Parser:
 
     def parse_join(self) -> A.JoinClause:
         jt = "INNER"
-        if self.accept("INNER"):
+        if self.accept("ASOF"):
+            # DuckDB-compatible: ASOF JOIN (inner) / ASOF LEFT [OUTER] JOIN
+            jt = "ASOF"
+            if self.accept("LEFT"):
+                self.accept("OUTER")
+                jt = "ASOF_LEFT"
+        elif self.accept("INNER"):
             jt = "INNER"
         elif self.accept("LEFT"):
             self.accept("OUTER")
