@@ -421,6 +421,71 @@ class CrossJoinBatch:
         return out
 
 
+class ThetaJoinBatch:
+    """General non-equi (theta) join against a broadcast right side:
+    ``ON a.x < b.y``, ``ON a.v BETWEEN b.lo AND b.hi`` — no equi keys at
+    all. Evaluates the ON predicate over LEFT-CHUNK × RIGHT pair slices so
+    the in-flight pair count stays under a fixed budget (never the full
+    n×m cross product in memory), keeping only survivors. INNER and LEFT
+    (unmatched rows null-extend). O(n·m) predicate work is inherent to a
+    keyless theta join; memory is bounded and the left side streams."""
+
+    PAIR_BUDGET = 4_000_000  # max in-flight pairs per slice
+
+    def __init__(self, right_ref, residual, env, keep_unmatched):
+        self.right_ref = right_ref
+        self.residual = residual
+        self.env = env
+        self.keep_unmatched = keep_unmatched
+        self._right = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._right is None:
+            self._right = ray.get(self.right_ref)
+        right = self._right
+        n, m = len(batch), len(right)
+        if n == 0 or m == 0:
+            out = _empty_cross(batch, right)
+            if self.keep_unmatched and n:
+                null_r = {c: pa.nulls(n, type=right.schema.field(c).type)
+                          for c in right.column_names}
+                ext = batch
+                for name, col in null_r.items():
+                    ext = ext.append_column(name, col)
+                return ext
+            return out
+        ev = make_evaluator(self.env)
+        step = max(1, self.PAIR_BUDGET // m)
+        parts = []
+        matched = np.zeros(n, dtype=bool)
+        for s in range(0, n, step):
+            chunk = batch.slice(s, step)
+            cn = len(chunk)
+            left_idx = np.repeat(np.arange(cn), m)
+            right_idx = np.tile(np.arange(m), cn)
+            pairs = chunk.take(pa.array(left_idx))
+            for name in right.column_names:
+                pairs = pairs.append_column(
+                    name, right.column(name).take(pa.array(right_idx)))
+            mask = ev.eval_mask(self.residual, pairs)  # nulls already False
+            parts.append(pairs.filter(mask))
+            if self.keep_unmatched:
+                mask_np = np.asarray(
+                    mask.combine_chunks().to_numpy(zero_copy_only=False)
+                    if isinstance(mask, pa.ChunkedArray)
+                    else mask.to_numpy(zero_copy_only=False)).astype(bool)
+                matched[np.unique(left_idx[mask_np]) + s] = True
+        out = pa.concat_tables(parts)
+        if self.keep_unmatched and not matched.all():
+            un = batch.take(pa.array(np.nonzero(~matched)[0]))
+            ext = un
+            for c in right.column_names:
+                ext = ext.append_column(
+                    c, pa.nulls(len(un), type=right.schema.field(c).type))
+            out = pa.concat_tables([out, ext.cast(out.schema)])
+        return out
+
+
 def _empty_cross(left: pa.Table, right: pa.Table) -> pa.Table:
     cols = {c: left.column(c).slice(0, 0) for c in left.column_names}
     for c in right.column_names:
@@ -2520,8 +2585,13 @@ class Compiler:
                 CrossJoinBatch(right_ref, None, env), batch_format="pyarrow")
             return Frame(ds, left.columns + right.columns, left.aliases)
 
-        left_keys, right_keys, residual = self._split_on(
-            j.on, left, right, ralias)
+        try:
+            left_keys, right_keys, residual = self._split_on(
+                j.on, left, right, ralias)
+        except ValueError as exc:
+            if "equi-key" not in str(exc):
+                raise
+            return self._compile_theta_join(left, right, j, ralias, env)
 
         # collision renames on the right: physical name becomes "alias.col"
         collide = {c for c in right.columns
@@ -2607,6 +2677,45 @@ class Compiler:
         if residual is not None:
             ds = ds.map_batches(FilterBatch(residual, env), batch_format="pyarrow")
         return Frame(ds, out_cols, aliases)
+
+    def _compile_theta_join(self, left, right, j, ralias, env) -> Frame:
+        """Keyless non-equi (theta) join: ``ON a.x < b.y``, ``ON a.v BETWEEN
+        b.lo AND b.hi``. The right side must be broadcastable (same gate as
+        broadcast equi joins) — a keyless theta join over two UNBOUNDED
+        sides is inherently an all-pairs computation; at cluster scale the
+        small side rides the object store once and the big side streams."""
+        if j.join_type not in ("INNER", "LEFT"):
+            raise ValueError(
+                f"{j.join_type} JOIN requires at least one equi-key in ON "
+                "(keyless theta joins support INNER and LEFT only)")
+        small = (right.est_rows is not None
+                 and right.est_rows <= BROADCAST_ROW_LIMIT) or \
+                (right.est_bytes is not None
+                 and right.est_rows is not None
+                 and right.est_bytes <= BROADCAST_BYTE_LIMIT
+                 and right.est_rows <= BROADCAST_ROW_HARD_CAP)
+        if not small:
+            raise ValueError(
+                "non-equi join without equi keys needs a right side with a "
+                "known-small footprint (broadcast); add an equi-key to ON "
+                "or reduce the right side")
+        collide = {c for c in right.columns if c in left.columns}
+        if collide:
+            prefix = ralias or "r"
+            mapping = {c: f"{prefix}.{c}" for c in collide}
+            right = Frame(
+                right.ds.map_batches(RenameBatch(mapping),
+                                     batch_format="pyarrow"),
+                [mapping.get(c, c) for c in right.columns],
+                right.aliases, right.est_rows, right.est_bytes)
+        right_ref = ray.put(_materialize_small(right.ds))
+        ds = left.ds.map_batches(
+            ThetaJoinBatch(right_ref, j.on, env, j.join_type == "LEFT"),
+            batch_format="pyarrow")
+        aliases = dict(left.aliases)
+        if ralias:
+            aliases[ralias] = True
+        return Frame(ds, left.columns + right.columns, aliases)
 
     def _outer_residual_join(self, left_ds, right_ds, left, right,
                              left_keys, right_keys, ray_type, residual, env,

@@ -107,3 +107,66 @@ class TestJoinKeyNamesSurvive:
             "GROUP BY n.n_nationkey ORDER BY n.n_nationkey").fetch_df()
         assert mine["n_nationkey"].tolist() == oracle["n_nationkey"].tolist()
         assert mine["n_cust"].tolist() == oracle["n_cust"].tolist()
+
+
+class TestThetaJoin:
+    """Keyless non-equi (theta) joins — broadcast right side, chunked
+    pair-slice evaluation (ThetaJoinBatch). Reference is equi-only."""
+
+    def test_inner_inequality(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT c.c_name, n.n_name FROM customer c "
+                 "INNER JOIN nation n ON c.c_acctbal < n.n_nationkey * 100 "
+                 "WHERE c.c_custkey <= 40")
+
+    def test_between_band(self, engine, duck, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        bands = pa.table({
+            "lo": [0.0, 50000.0, 150000.0, 100000.0],
+            "hi": [50000.0, 150000.0, 600000.0, 200000.0],  # overlapping
+            "label": ["low", "mid", "high", "wide"],
+        })
+        pq.write_table(bands, str(tmp_path / "bands.parquet"))
+        duck.execute(
+            f"CREATE VIEW bands AS SELECT * FROM '{tmp_path}/bands.parquet'")
+        run_both(engine, duck,
+                 f"SELECT o.o_orderkey, b.label FROM orders o "
+                 f"INNER JOIN '{tmp_path}/bands.parquet' b "
+                 f"ON o.o_totalprice BETWEEN b.lo AND b.hi "
+                 f"WHERE o.o_orderkey <= 200",
+                 "SELECT o.o_orderkey, b.label FROM orders o "
+                 "INNER JOIN bands b ON o.o_totalprice BETWEEN b.lo AND b.hi "
+                 "WHERE o.o_orderkey <= 200")
+
+    def test_left_theta_null_extension(self, engine, duck, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        bands = pa.table({"lo": [500000.0], "hi": [900000.0],
+                          "label": ["unreachable"]})
+        pq.write_table(bands, str(tmp_path / "b2.parquet"))
+        duck.execute(
+            f"CREATE VIEW b2 AS SELECT * FROM '{tmp_path}/b2.parquet'")
+        run_both(engine, duck,
+                 f"SELECT o.o_orderkey, b.label FROM orders o "
+                 f"LEFT JOIN '{tmp_path}/b2.parquet' b "
+                 f"ON o.o_totalprice BETWEEN b.lo AND b.hi "
+                 f"WHERE o.o_orderkey <= 100",
+                 "SELECT o.o_orderkey, b.label FROM orders o "
+                 "LEFT JOIN b2 b ON o.o_totalprice BETWEEN b.lo AND b.hi "
+                 "WHERE o.o_orderkey <= 100")
+
+    def test_large_right_rejected(self, engine, monkeypatch):
+        import pytest
+
+        from qwery_ray.sqlc import compiler as C
+
+        monkeypatch.setattr(C, "BROADCAST_ROW_LIMIT", 0)
+        monkeypatch.setattr(C, "BROADCAST_ROW_HARD_CAP", 0)
+        with pytest.raises(Exception, match="(?i)broadcast|equi-key"):
+            engine.sql(
+                "SELECT * FROM orders o INNER JOIN "
+                "(SELECT * FROM lineitem) l ON o.o_totalprice < l.l_quantity"
+            ).to_pandas()
