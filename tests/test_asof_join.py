@@ -163,3 +163,49 @@ class TestAsofJoin:
         stmt = P.parse(sql)[0]
         again = P.parse(to_sql(stmt))[0]
         assert stmt == again
+
+
+class TestAsofFuzz:
+    """Random-table ASOF parity vs DuckDB (non-null, duplicate-free ordering
+    values per key — the domain where DuckDB 1.0 ASOF is well-defined)."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(op=st.sampled_from([">=", ">", "<=", "<"]),
+           left_variant=st.booleans(),
+           seed=st.integers(0, 10_000))
+    def test_random_tables(self, engine, tmp_path_factory, op,
+                           left_variant, seed):
+        import duckdb
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        nl, nr = int(rng.integers(1, 120)), int(rng.integers(1, 80))
+        d = tmp_path_factory.mktemp("asoffuzz")
+        # unique ordering values per side avoid DuckDB tie-pick ambiguity
+        lt = pa.table({
+            "k": rng.integers(0, 5, nl),
+            "t": rng.choice(np.arange(500), nl, replace=False),
+            "v": rng.integers(0, 1000, nl),
+        })
+        rt = pa.table({
+            "k": rng.integers(0, 6, nr),
+            "rt": rng.choice(np.arange(500), nr, replace=False),
+            "px": np.round(rng.standard_normal(nr), 3),
+        })
+        pq.write_table(lt, str(d / "l.parquet"))
+        pq.write_table(rt, str(d / "r.parquet"))
+        jt = "ASOF LEFT JOIN" if left_variant else "ASOF JOIN"
+        sql = (f"SELECT l.k, l.t, l.v, r.rt, r.px FROM '{d}/l.parquet' l "
+               f"{jt} '{d}/r.parquet' r ON l.k = r.k AND l.t {op} r.rt")
+        mine = engine.sql(sql)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW l AS SELECT * FROM '{d}/l.parquet'")
+        con.execute(f"CREATE VIEW r AS SELECT * FROM '{d}/r.parquet'")
+        oracle = con.execute(
+            f"SELECT l.k, l.t, l.v, r.rt, r.px FROM l {jt} r "
+            f"ON l.k = r.k AND l.t {op} r.rt").df()
+        con.close()
+        assert_frames_match(mine, oracle)
