@@ -689,6 +689,16 @@ _SQL_QUERIES: dict[str, tuple[str, str | None]] = {
         "ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c "
         "ON p.user_id = c.user_id AND p.ts >= c.ts",
         None),
+    "semi_anti_join": (
+        # SEMI/ANTI JOIN surface (DuckDB syntax): customers with an order
+        # over 100k but no order under 5k — key-only probe ships only key
+        # columns; compiler._compile_semi_anti
+        "SELECT c.c_custkey, c.c_acctbal FROM customer c "
+        "SEMI JOIN (SELECT * FROM orders WHERE o_totalprice > 100000) big "
+        "ON big.o_custkey = c.c_custkey "
+        "ANTI JOIN (SELECT * FROM orders WHERE o_totalprice < 5000) small "
+        "ON small.o_custkey = c.c_custkey",
+        None),
 }
 
 

@@ -109,8 +109,10 @@ def exact_dedup(ds: rd.Dataset, text_col: str = "text",
 
         return ds.map_batches(drop_losers, batch_format="pyarrow")
     # large duplicate set: one hash-partitioned anti join on the id column
-    return ds.join(losers, join_type="left_anti", num_partitions=nparts,
-                   on=(id_col,))
+    from ..sqlc.compiler import _shuffle_join
+
+    return _shuffle_join(ds, losers, join_type="left_anti",
+                         num_partitions=nparts, on=(id_col,))
 
 
 # --------------------------------------------------------------- MinHash LSH

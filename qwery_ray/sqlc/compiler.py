@@ -1538,9 +1538,61 @@ class RestoreKeyNames:
 
 
 # ------------------------------------------------------------------ compiler
+def _configure_join_aggregators():
+    """Chained hash-shuffle joins deadlock under Ray 2.49's default
+    aggregator sizing: each join operator's actor pool reserves CPU/2
+    (min(1, CPU/2/num_partitions) per partition), so TWO concurrent join
+    operators in one plan hold every CPU while their 1-CPU shuffle map
+    tasks wait forever. Cap each join's pool at CPU/4 so several joins
+    plus the map stages co-schedule (measured: 2-join pipeline hung at
+    any CPU count; with the cap it streams)."""
+    if not ray.is_initialized():
+        return
+    ctx = rd.DataContext.get_current()
+    if ctx.join_operator_actor_num_cpus_per_partition_override:
+        return  # respect an explicit user/system setting
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    nparts = max(ncpu * 2, 16)  # the compiler's standard join partitioning
+    ctx.join_operator_actor_num_cpus_per_partition_override = \
+        max(0.03, (ncpu / 4.0) / nparts)
+
+
+def _has_pending_shuffle_join(ds: rd.Dataset) -> bool:
+    """True if the dataset's (not-yet-executed) plan contains a hash-shuffle
+    Join operator. Materialized datasets root at InputData → False."""
+    try:
+        from ray.data._internal.logical.operators.join_operator import Join
+
+        def walk(op) -> bool:
+            if isinstance(op, Join):
+                return True
+            return any(walk(d) for d in op.input_dependencies)
+
+        return walk(ds._logical_plan.dag)
+    except Exception:
+        return False
+
+
+def _shuffle_join(left_ds: rd.Dataset, right_ds: rd.Dataset,
+                  **kw) -> rd.Dataset:
+    """Hash-shuffle join with a chained-join guard: Ray 2.49's streaming
+    executor DEADLOCKS when two hash-shuffle join operators are live in one
+    plan (each aggregator pool reserves a CPU block; together with the
+    1-CPU shuffle map tasks nothing can schedule — measured: any 2-join
+    pipeline hangs at any CPU count, and a materialize() barrier between
+    the joins streams fine). Inputs that still contain a pending join are
+    materialized first, so at most ONE join operator runs per execution."""
+    if _has_pending_shuffle_join(left_ds):
+        left_ds = left_ds.materialize()
+    if _has_pending_shuffle_join(right_ds):
+        right_ds = right_ds.materialize()
+    return left_ds.join(right_ds, **kw)
+
+
 class Compiler:
     def __init__(self, session):
         self.session = session
+        _configure_join_aggregators()
 
     # ----------------------------------------------------------- statements
     def compile_query(self, stmt) -> rd.Dataset:
@@ -1654,7 +1706,7 @@ class Compiler:
                 out = out.map_batches(_DecodeNullSafeKeys(list(keys)),
                                       batch_format="pyarrow")
                 return _tag_columns(out, list(keys))
-            out = left_enc.join(right_enc, join_type=join_type,
+            out = _shuffle_join(left_enc, right_enc, join_type=join_type,
                                 num_partitions=max(num_cpus * 2, 16),
                                 on=enc_keys)
             out = out.map_batches(DropColumns(list(enc_keys)),
@@ -1708,14 +1760,32 @@ class Compiler:
         if sel.where is not None and isinstance(sel.source, A.TableRef):
             schema = self._parquet_schema_of(sel.source)
             if schema is not None:
-                pushdown = to_dataset_expression(sel.where, schema)
+                base_alias = (sel.source.alias or sel.source.name).lower()
+                pushdown = to_dataset_expression(sel.where, schema,
+                                                 alias=base_alias)
 
         sel = self._resolve_positional_refs(sel)
 
         frame = self.compile_source(sel.source, columns=needed,
                                     pushdown=pushdown)
         for j in sel.joins:
-            frame = self.compile_join(frame, j, sel, needed=needed)
+            # join-side scan pushdown: WHERE conjuncts whose refs are all
+            # qualified to THIS join's right table prune its read. INNER /
+            # CROSS only (push-and-keep: WHERE still runs post-join, so a
+            # null-extending join could resurrect pushed-away matches as
+            # spurious null-extensions) and never ASOF (the nearest-match
+            # row must be chosen among ALL right rows, pre-WHERE).
+            jpush = None
+            if sel.where is not None and \
+                    j.join_type in ("INNER", "CROSS") and \
+                    isinstance(j.right, A.TableRef):
+                rschema = self._parquet_schema_of(j.right)
+                if rschema is not None:
+                    ralias = (j.right.alias or j.right.name).lower()
+                    jpush = to_dataset_expression(
+                        sel.where, rschema, alias=ralias, require_alias=True)
+            frame = self.compile_join(frame, j, sel, needed=needed,
+                                      pushdown=jpush)
 
         # top-level IN (SELECT …) conjuncts too large to broadcast compile
         # to hash semi/anti joins; correlated scalar-subquery comparisons
@@ -2152,7 +2222,8 @@ class Compiler:
                 batch_format="pyarrow")
         elif not residuals:
             num_cpus = int(ray.cluster_resources().get("CPU", 8))
-            out = left_ds.join(
+            out = _shuffle_join(
+                left_ds,
                 right.map_batches(HarmonizeJoinKeys(dkeys),
                                   batch_format="pyarrow").materialize(),
                 join_type="left_anti" if node.negated else "left_semi",
@@ -2170,7 +2241,8 @@ class Compiler:
             num_cpus = int(ray.cluster_resources().get("CPU", 8))
             tagged = left_ds.map_batches(AddRandomRowId(rid),
                                          batch_format="pyarrow").materialize()
-            matched = tagged.join(
+            matched = _shuffle_join(
+                tagged,
                 right.map_batches(HarmonizeJoinKeys(dkeys),
                                   batch_format="pyarrow").materialize(),
                 join_type="inner",
@@ -2180,7 +2252,8 @@ class Compiler:
                 FilterBatch(residual_cond, env), batch_format="pyarrow")
             winners = _distinct(
                 matched.select_columns([rid]), [rid]).materialize()
-            out = tagged.join(
+            out = _shuffle_join(
+                tagged,
                 winners, join_type="left_anti" if node.negated
                 else "left_semi",
                 num_partitions=max(num_cpus * 2, 16),
@@ -2245,7 +2318,8 @@ class Compiler:
                 batch_format="pyarrow")
         else:
             num_cpus = int(ray.cluster_resources().get("CPU", 8))
-            joined = left_ds.join(
+            joined = _shuffle_join(
+                left_ds,
                 right.map_batches(HarmonizeJoinKeys(dkeys),
                                   batch_format="pyarrow").materialize(),
                 join_type="inner", num_partitions=max(num_cpus * 2, 16),
@@ -2281,7 +2355,7 @@ class Compiler:
                 lambda t, _k=key: t.filter(pc.is_valid(t.column(_k))),
                 batch_format="pyarrow")
         num_cpus = int(ray.cluster_resources().get("CPU", 8))
-        out = left.join(right,
+        out = _shuffle_join(left, right,
                         join_type="left_anti" if node.negated else "left_semi",
                         num_partitions=max(num_cpus * 2, 16), on=(key,))
         out = out.map_batches(DropColumns([key]), batch_format="pyarrow")
@@ -2565,14 +2639,15 @@ class Compiler:
 
     # ---------------------------------------------------------------- joins
     def compile_join(self, left: Frame, j: A.JoinClause, sel: A.Select,
-                     needed: Optional[set] = None) -> Frame:
+                     needed: Optional[set] = None, pushdown=None) -> Frame:
         if j.join_type in ("ASOF", "ASOF_LEFT"):
             from .asof import compile_asof_join
 
             return compile_asof_join(self, left, j, sel, needed)
 
         env = _env(self.session)
-        right = self.compile_source(j.right, columns=needed)
+        right = self.compile_source(j.right, columns=needed,
+                                    pushdown=pushdown)
         ralias = None
         if isinstance(j.right, A.TableRef):
             ralias = (j.right.alias or j.right.name).lower()
@@ -2592,6 +2667,11 @@ class Compiler:
             if "equi-key" not in str(exc):
                 raise
             return self._compile_theta_join(left, right, j, ralias, env)
+
+        if j.join_type in ("SEMI", "ANTI"):
+            return self._compile_semi_anti(left, right, j, ralias,
+                                           left_keys, right_keys,
+                                           residual, env)
 
         # collision renames on the right: physical name becomes "alias.col"
         collide = {c for c in right.columns
@@ -2667,8 +2747,8 @@ class Compiler:
                 left_ds, right_ds, left, right, left_keys, right_keys,
                 ray_type, residual, env, num_cpus)
             return Frame(ds, out_cols, aliases)
-        ds = left_ds.join(
-            right_ds, join_type=ray_type,
+        ds = _shuffle_join(
+            left_ds, right_ds, join_type=ray_type,
             num_partitions=max(num_cpus * 2, 16),
             on=tuple(left_keys), right_on=tuple(right_keys))
         if restore:
@@ -2677,6 +2757,86 @@ class Compiler:
         if residual is not None:
             ds = ds.map_batches(FilterBatch(residual, env), batch_format="pyarrow")
         return Frame(ds, out_cols, aliases)
+
+    def _compile_semi_anti(self, left, right, j, ralias, left_keys,
+                           right_keys, residual, env) -> Frame:
+        """SEMI / ANTI JOIN (DuckDB + Spark LEFT SEMI/ANTI syntax): keep /
+        drop left rows with ≥1 right match; right columns never surface.
+        Key-only ON: the probe side reduces to its KEY COLUMNS before it
+        ships (broadcast) or shuffles. Residual ON conditions: tag left
+        rows with ids, inner-join + filter to find winner ids, then
+        semi/anti the stream against the (distinct) id set."""
+        pa_type = "left semi" if j.join_type == "SEMI" else "left anti"
+        ray_type = "left_semi" if j.join_type == "SEMI" else "left_anti"
+        num_cpus = int(ray.cluster_resources().get("CPU", 8))
+        small = (right.est_rows is not None
+                 and right.est_rows <= BROADCAST_ROW_LIMIT) or \
+                (right.est_bytes is not None
+                 and right.est_rows is not None
+                 and right.est_bytes <= BROADCAST_BYTE_LIMIT
+                 and right.est_rows <= BROADCAST_ROW_HARD_CAP)
+        left_ds = left.ds.map_batches(HarmonizeJoinKeys(left_keys),
+                                      batch_format="pyarrow")
+
+        if residual is None:
+            rkeys = right.ds.select_columns(right_keys).map_batches(
+                HarmonizeJoinKeys(right_keys), batch_format="pyarrow")
+            if small:
+                right_ref = ray.put(
+                    _harmonize_keys(_materialize_small(rkeys), right_keys))
+                ds = left_ds.map_batches(
+                    BroadcastJoinBatch(right_ref, left_keys, right_keys,
+                                       pa_type, None, env),
+                    batch_format="pyarrow")
+            else:
+                ds = _shuffle_join(left_ds, rkeys, join_type=ray_type,
+                                  num_partitions=max(num_cpus * 2, 16),
+                                  on=tuple(left_keys),
+                                  right_on=tuple(right_keys))
+            return Frame(ds, left.columns, left.aliases)
+
+        # residual ON: keep/drop left rows by whether ANY key-matching
+        # right row passes the full condition
+        collide = {c for c in right.columns
+                   if c in left.columns and c not in right_keys}
+        if collide:
+            prefix = ralias or "r"
+            mapping = {c: f"{prefix}.{c}" for c in collide}
+            right = Frame(
+                right.ds.map_batches(RenameBatch(mapping),
+                                     batch_format="pyarrow"),
+                [mapping.get(c, c) for c in right.columns],
+                right.aliases, right.est_rows, right.est_bytes)
+        right_ds = right.ds.map_batches(HarmonizeJoinKeys(right_keys),
+                                        batch_format="pyarrow")
+        if small:
+            # BroadcastJoinBatch's semi/anti-with-residual (EXISTS) path
+            right_ref = ray.put(
+                _harmonize_keys(_materialize_small(right_ds), right_keys))
+            ds = left_ds.map_batches(
+                BroadcastJoinBatch(right_ref, left_keys, right_keys,
+                                   pa_type, residual, env),
+                batch_format="pyarrow")
+            return Frame(ds, left.columns, left.aliases)
+        # large right: tag left rows, find winner ids via the shuffled
+        # inner join + residual filter, then semi/anti the stream by id
+        lid = "__said"
+        # materialize: `tagged` feeds two executions (winner probe + final
+        # semi/anti) — random ids must not regenerate between them
+        tagged = left_ds.map_batches(AddRandomRowId(lid),
+                                     batch_format="pyarrow").materialize()
+        pairs = _shuffle_join(tagged, right_ds, join_type="inner",
+                            num_partitions=max(num_cpus * 2, 16),
+                            on=tuple(left_keys),
+                            right_on=tuple(right_keys))
+        pairs = pairs.map_batches(FilterBatch(residual, env),
+                                  batch_format="pyarrow")
+        winners = _distinct(pairs.select_columns([lid]), names=[lid])
+        ds = _shuffle_join(tagged, winners.materialize(),
+                           join_type=ray_type,
+                         num_partitions=max(num_cpus * 2, 16), on=(lid,))
+        ds = ds.map_batches(DropColumns([lid]), batch_format="pyarrow")
+        return Frame(ds, left.columns, left.aliases)
 
     def _compile_theta_join(self, left, right, j, ralias, env) -> Frame:
         """Keyless non-equi (theta) join: ``ON a.x < b.y``, ``ON a.v BETWEEN
@@ -2739,7 +2899,7 @@ class Compiler:
         if keep_right:
             right_ds = right_ds.map_batches(AddRandomRowId(rid),
                                             batch_format="pyarrow")
-        lo = left_ds.join(right_ds, join_type=ray_type,
+        lo = _shuffle_join(left_ds, right_ds, join_type=ray_type,
                           num_partitions=nparts,
                           on=tuple(left_keys), right_on=tuple(right_keys))
         # lo feeds two branches (ok + anti-join candidates); materialize so
@@ -2799,7 +2959,8 @@ class Compiler:
             else:
                 # scale fallback: hash anti-join (materialized inputs keep
                 # partition schemas intact)
-                bad = cand.materialize().join(
+                bad = _shuffle_join(
+                    cand.materialize(),
                     ok_ids, join_type="left_anti",
                     num_partitions=nparts, on=(idc,))
                 bad = bad.map_batches(EnforceSchema(lo_schema),
@@ -3576,6 +3737,14 @@ def _materialize_small(ds: rd.Dataset) -> pa.Table:
     tables = [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
               for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")]
     if not tables:
+        # zero rows must keep the schema (an empty broadcast side without
+        # its key columns breaks the Acero join)
+        try:
+            sch = ds.schema()
+            if sch is not None and sch.names:
+                return sch.base_schema.empty_table()
+        except Exception:
+            pass
         return pa.table({})
     schema = pa.unify_schemas([t.schema for t in tables])
     return pa.concat_tables([t.cast(schema) for t in tables])

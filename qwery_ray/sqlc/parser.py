@@ -225,7 +225,7 @@ class Parser:
         if self.accept("FROM"):
             source = self.parse_source()
             while self.at("INNER", "LEFT", "RIGHT", "FULL", "JOIN", "CROSS",
-                          "ASOF"):
+                          "ASOF", "SEMI", "ANTI"):
                 joins.append(self.parse_join())
 
         where = self.parse_cond() if self.accept("WHERE") else None
@@ -348,7 +348,7 @@ class Parser:
     _CLAUSE_KEYWORDS = {
         "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "TOP", "UNION",
         "INTO", "AS", "ON", "INNER", "LEFT", "RIGHT", "FULL", "JOIN", "CROSS",
-        "ASOF",
+        "ASOF", "SEMI", "ANTI",
         "KEYED", "WITH", "AND", "OR", "NOT", "ASC", "DESC", "END", "WHEN",
         "OVER", "PARTITION", "QUALIFY", "EXCEPT", "INTERSECT",
         "THEN", "ELSE", "CASE", "VALUES", "SET", "BY", "SELECT", "LIKE",
@@ -493,11 +493,19 @@ class Parser:
             if self.accept("LEFT"):
                 self.accept("OUTER")
                 jt = "ASOF_LEFT"
+        elif self.accept("SEMI"):
+            jt = "SEMI"
+        elif self.accept("ANTI"):
+            jt = "ANTI"
         elif self.accept("INNER"):
             jt = "INNER"
         elif self.accept("LEFT"):
             self.accept("OUTER")
             jt = "LEFT"
+            if self.accept("SEMI"):  # Spark-style LEFT SEMI / LEFT ANTI
+                jt = "SEMI"
+            elif self.accept("ANTI"):
+                jt = "ANTI"
         elif self.accept("RIGHT"):
             self.accept("OUTER")
             jt = "RIGHT"

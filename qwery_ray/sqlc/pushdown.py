@@ -30,22 +30,32 @@ def _lit_ok(value, col_type: pa.DataType) -> bool:
     return False
 
 
-def to_dataset_expression(cond, schema: dict[str, pa.DataType]):
-    """Cond → pyarrow dataset expression, or None if not safely pushable."""
+def to_dataset_expression(cond, schema: dict[str, pa.DataType],
+                          alias: Optional[str] = None,
+                          require_alias: bool = False):
+    """Cond → pyarrow dataset expression, or None if not safely pushable.
+
+    ``alias`` is the scanned table's alias: a qualified ref (``x.col``)
+    converts only when its qualifier IS that alias — a ref qualified to a
+    DIFFERENT table must never filter this scan even if the bare name
+    exists here too (same-named columns on both sides of a join).
+    ``require_alias=True`` (join right sides) additionally rejects
+    unqualified refs, whose post-join resolution favors the left side."""
     if isinstance(cond, A.And):
-        left = to_dataset_expression(cond.left, schema)
-        right = to_dataset_expression(cond.right, schema)
+        left = to_dataset_expression(cond.left, schema, alias, require_alias)
+        right = to_dataset_expression(cond.right, schema, alias, require_alias)
         if left is not None and right is not None:
             return left & right
         return left if right is None else right  # partial AND is still sound
     if isinstance(cond, A.Or):
-        left = to_dataset_expression(cond.left, schema)
-        right = to_dataset_expression(cond.right, schema)
+        left = to_dataset_expression(cond.left, schema, alias, require_alias)
+        right = to_dataset_expression(cond.right, schema, alias, require_alias)
         if left is None or right is None:
             return None  # partial OR would over-filter — not sound
         return left | right
     if isinstance(cond, A.Comparison):
-        col, lit = _col_lit(cond.left, cond.right, schema)
+        col, lit = _col_lit(cond.left, cond.right, schema, alias,
+                            require_alias)
         if col is None:
             return None
         name, value, flipped = col, lit[0], lit[1]
@@ -57,14 +67,14 @@ def to_dataset_expression(cond, schema: dict[str, pa.DataType]):
                 ">=": f >= value, "<": f < value, "<=": f <= value}[op]
     if isinstance(cond, A.IsNull):
         if isinstance(cond.operand, A.ColumnRef):
-            name = _schema_name(cond.operand.name, schema)
+            name = _ref_name(cond.operand, schema, alias, require_alias)
             if name:
                 f = pc.field(name)
                 return f.is_valid() if cond.negated else ~f.is_valid()
         return None
     if isinstance(cond, A.InList):
         if isinstance(cond.operand, A.ColumnRef):
-            name = _schema_name(cond.operand.name, schema)
+            name = _ref_name(cond.operand, schema, alias, require_alias)
             vals = [v.value for v in cond.values if isinstance(v, A.Literal)]
             if name and len(vals) == len(cond.values) and \
                     all(_lit_ok(v, schema[name.lower()]) for v in vals):
@@ -74,7 +84,7 @@ def to_dataset_expression(cond, schema: dict[str, pa.DataType]):
     if isinstance(cond, A.Between):
         if isinstance(cond.operand, A.ColumnRef) and not cond.negated and \
                 isinstance(cond.low, A.Literal) and isinstance(cond.high, A.Literal):
-            name = _schema_name(cond.operand.name, schema)
+            name = _ref_name(cond.operand, schema, alias, require_alias)
             if name and _lit_ok(cond.low.value, schema[name.lower()]) \
                     and _lit_ok(cond.high.value, schema[name.lower()]):
                 f = pc.field(name)
@@ -83,18 +93,25 @@ def to_dataset_expression(cond, schema: dict[str, pa.DataType]):
     return None
 
 
-def _schema_name(name: str, schema: dict[str, pa.DataType]) -> Optional[str]:
-    return name if name.lower() in schema else None
+def _ref_name(ref: A.ColumnRef, schema: dict[str, pa.DataType],
+              alias: Optional[str], require_alias: bool) -> Optional[str]:
+    """The scan column a ref may filter, or None (wrong alias / unknown)."""
+    if ref.table_alias is not None:
+        if alias is None or ref.table_alias.lower() != alias:
+            return None
+    elif require_alias:
+        return None
+    return ref.name if ref.name.lower() in schema else None
 
 
-def _col_lit(left, right, schema):
+def _col_lit(left, right, schema, alias=None, require_alias=False):
     """(col_name, (literal, flipped)) for ColumnRef⋈Literal comparisons."""
     if isinstance(left, A.ColumnRef) and isinstance(right, A.Literal):
-        name = _schema_name(left.name, schema)
+        name = _ref_name(left, schema, alias, require_alias)
         if name and _lit_ok(right.value, schema[name.lower()]):
             return name, (right.value, False)
     if isinstance(right, A.ColumnRef) and isinstance(left, A.Literal):
-        name = _schema_name(right.name, schema)
+        name = _ref_name(right, schema, alias, require_alias)
         if name and _lit_ok(left.value, schema[name.lower()]):
             return name, (left.value, True)
     return None, None

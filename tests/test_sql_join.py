@@ -170,3 +170,107 @@ class TestThetaJoin:
                 "SELECT * FROM orders o INNER JOIN "
                 "(SELECT * FROM lineitem) l ON o.o_totalprice < l.l_quantity"
             ).to_pandas()
+
+
+class TestJoinPushdown:
+    """Scan-pushdown correctness around joins: a qualified WHERE ref must
+    only ever filter the table its alias names (regression: `WHERE b.value
+    > 5` used to push onto base table `a` when `a` also had a `value`
+    column and silently dropped matching pairs)."""
+
+    @staticmethod
+    def _tables(tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(pa.table({"k": [1, 2, 3], "value": [1.0, 2.0, 3.0]}),
+                       str(tmp_path / "a.parquet"))
+        pq.write_table(pa.table({"k": [1, 2, 3], "value": [30.0, 2.0, 1.0]}),
+                       str(tmp_path / "b.parquet"))
+        return str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+
+    def test_qualified_ref_same_named_columns(self, engine, tmp_path):
+        a, b = self._tables(tmp_path)
+        out = engine.sql(
+            f"SELECT a.k, a.value AS av, b.value AS bv FROM '{a}' a "
+            f"INNER JOIN '{b}' b ON a.k = b.k WHERE b.value > 5"
+        ).to_pandas()
+        assert out.to_dict("records") == [{"k": 1, "av": 1.0, "bv": 30.0}]
+
+    def test_left_join_right_filter_not_pushed(self, engine, tmp_path):
+        # LEFT JOIN: WHERE on the right side runs POST-join (null-extended
+        # rows must evaluate it as NULL → dropped), never pre-join
+        a, b = self._tables(tmp_path)
+        out = engine.sql(
+            f"SELECT a.k, b.value AS bv FROM '{a}' a "
+            f"LEFT JOIN '{b}' b ON a.k = b.k WHERE b.value IS NULL"
+        ).to_pandas()
+        assert out.empty  # every a-row matches a b-row, so none null-extend
+
+    def test_inner_join_side_pushdown(self, engine, duck, tmp_path):
+        # both-side filters with same-named columns, vs DuckDB
+        a, b = self._tables(tmp_path)
+        duck.execute(f"CREATE VIEW ja AS SELECT * FROM '{a}'")
+        duck.execute(f"CREATE VIEW jb AS SELECT * FROM '{b}'")
+        mine = engine.sql(
+            f"SELECT a.k FROM '{a}' a INNER JOIN '{b}' b ON a.k = b.k "
+            f"WHERE b.value >= 1 AND a.value <= 2").to_pandas()
+        oracle = duck.execute(
+            "SELECT a.k FROM ja a INNER JOIN jb b ON a.k = b.k "
+            "WHERE b.value >= 1 AND a.value <= 2").df()
+        assert_frames_match(mine, oracle)
+
+
+class TestSemiAntiJoin:
+    """SEMI / ANTI JOIN (DuckDB + Spark `LEFT SEMI|ANTI` syntax): keep/drop
+    left rows by match existence; right columns never surface. Key-only ON
+    ships only the probe side's KEY columns; residual ON uses the EXISTS
+    machinery (broadcast) or a tagged winner-id shuffle (large)."""
+
+    def test_semi_basic(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT c.c_custkey, c.c_name FROM customer c "
+                 "SEMI JOIN orders o ON o.o_custkey = c.c_custkey")
+
+    def test_anti_basic(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT c.c_custkey FROM customer c "
+                 "ANTI JOIN orders o ON o.o_custkey = c.c_custkey")
+
+    def test_left_semi_spark_syntax(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT n.n_name FROM nation n "
+                 "LEFT SEMI JOIN supplier s ON s.s_nationkey = n.n_nationkey",
+                 "SELECT n.n_name FROM nation n "
+                 "SEMI JOIN supplier s ON s.s_nationkey = n.n_nationkey")
+
+    def test_semi_with_residual(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT c.c_custkey FROM customer c SEMI JOIN orders o "
+                 "ON o.o_custkey = c.c_custkey AND o.o_totalprice > 300000")
+
+    def test_anti_with_residual_large_path(self, engine, duck, monkeypatch):
+        from qwery_ray.sqlc import compiler as C
+
+        monkeypatch.setattr(C, "BROADCAST_ROW_LIMIT", 0)
+        monkeypatch.setattr(C, "BROADCAST_ROW_HARD_CAP", 0)
+        run_both(engine, duck,
+                 "SELECT c.c_custkey FROM customer c ANTI JOIN orders o "
+                 "ON o.o_custkey = c.c_custkey AND o.o_totalprice > 300000")
+
+    def test_semi_aggregate_downstream(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT n.n_name, COUNT(*) AS n_cust FROM customer c "
+                 "SEMI JOIN orders o ON o.o_custkey = c.c_custkey "
+                 "INNER JOIN nation n ON c.c_nationkey = n.n_nationkey "
+                 "GROUP BY n.n_name")
+
+    def test_decompile_round_trip(self):
+        from qwery_ray.sqlc import parser as P
+        from qwery_ray.sqlc.decompiler import to_sql
+
+        for jt in ("SEMI", "ANTI"):
+            sql = (f"SELECT c.c_custkey FROM customer c {jt} JOIN orders o "
+                   f"ON o.o_custkey = c.c_custkey")
+            stmt = P.parse(sql)[0]
+            assert P.parse(to_sql(stmt))[0] == stmt
