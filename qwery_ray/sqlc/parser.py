@@ -236,6 +236,18 @@ class Parser:
             self.expect("BY")
             if self.at("ROLLUP", "CUBE") or self.at("GROUPING"):
                 group_by, grouping_sets = self.parse_grouping_spec()
+            elif self.accept("ALL"):
+                # DuckDB sugar: group by every non-aggregate SELECT item
+                from .exprs import collect_agg_calls
+
+                if any(isinstance(it, A.Star) for it in items):
+                    raise ParseError("GROUP BY ALL cannot be combined "
+                                     "with SELECT *")
+                group_by = [it.expr for it in items
+                            if not collect_agg_calls(it.expr)]
+                if not group_by:
+                    raise ParseError("GROUP BY ALL found no non-aggregate "
+                                     "SELECT items to group by")
             else:
                 group_by.append(self.parse_expr())
                 while self.accept(","):
@@ -247,9 +259,23 @@ class Parser:
         order_by: list[A.OrderItem] = []
         if self.accept("ORDER"):
             self.expect("BY")
-            order_by.append(self.parse_order_item())
-            while self.accept(","):
+            if self.accept("ALL"):
+                # DuckDB sugar: order by every output column, left-to-right
+                # (expanded to positional refs; the compiler resolves those)
+                if any(isinstance(it, A.Star) for it in items):
+                    raise ParseError("ORDER BY ALL cannot be combined "
+                                     "with SELECT *")
+                asc = True
+                if self.accept("DESC"):
+                    asc = False
+                else:
+                    self.accept("ASC")
+                order_by = [A.OrderItem(A.Literal(i + 1), asc)
+                            for i in range(len(items))]
+            else:
                 order_by.append(self.parse_order_item())
+                while self.accept(","):
+                    order_by.append(self.parse_order_item())
 
         if self.accept("LIMIT"):
             limit = int(self.next().text)

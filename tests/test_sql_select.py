@@ -658,3 +658,37 @@ class TestIlike:
         assert int(engine.sql(
             "SELECT COUNT(*) AS n FROM customer WHERE c_mktsegment "
             "ILIKE 'bui%'").to_pandas()["n"][0]) > 0
+
+
+class TestGroupOrderByAll:
+    """DuckDB sugar: GROUP BY ALL (non-aggregate items) and ORDER BY ALL
+    (every output column, positional expansion at parse time)."""
+
+    def test_group_by_all(self, engine, duck):
+        sql = ("SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, "
+               "SUM(o_totalprice) AS tot FROM orders GROUP BY ALL "
+               "ORDER BY ALL")
+        mine = engine.sql(sql).to_pandas()
+        oracle = duck.execute(sql).fetch_df()
+        from conftest import assert_frames_match
+        assert_frames_match(mine, oracle)
+
+    def test_order_by_all_desc(self, engine, duck):
+        sql = ("SELECT o_orderstatus, COUNT(*) AS n FROM orders "
+               "GROUP BY ALL ORDER BY ALL DESC")
+        mine = engine.sql(sql).to_pandas()
+        oracle = duck.execute(sql).fetch_df()
+        assert mine.values.tolist() == oracle.values.tolist()
+
+    def test_group_by_all_expression_item(self, engine, duck):
+        sql = ("SELECT UPPER(o_orderstatus) AS st, COUNT(*) AS n "
+               "FROM orders GROUP BY ALL ORDER BY ALL")
+        mine = engine.sql(sql).to_pandas()
+        oracle = duck.execute(sql).fetch_df()
+        assert mine.values.tolist() == oracle.values.tolist()
+
+    def test_group_by_all_rejects_star(self, engine):
+        import pytest
+
+        with pytest.raises(Exception, match="GROUP BY ALL"):
+            engine.sql("SELECT * FROM orders GROUP BY ALL")
