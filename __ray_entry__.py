@@ -699,6 +699,20 @@ _SQL_QUERIES: dict[str, tuple[str, str | None]] = {
         "ANTI JOIN (SELECT * FROM orders WHERE o_totalprice < 5000) small "
         "ON small.o_custkey = c.c_custkey",
         None),
+    "pivot_events": (
+        # dynamic PIVOT (DuckDB simplified syntax): one SUM column per
+        # event_type, discovered sorted; rewrites to CASE-filtered
+        # aggregates in ONE groupby pass (sqlc/parser.py pivot_to_select).
+        # SUM over cent-snapped integers is order-independent → bit-equal
+        # to DuckDB regardless of summation order (q1 idiom)
+        "PIVOT events ON event_type USING SUM(ROUND(value * 100, 0)) "
+        "GROUP BY user_id",
+        None),
+    "unpivot_events": (
+        # UNPIVOT wide→long: streams per batch, no shuffle; NULLs excluded
+        "UNPIVOT (SELECT user_id, event_id, value FROM events "
+        "WHERE event_id < 500) ON event_id, value INTO NAME metric VALUE v",
+        None),
 }
 
 

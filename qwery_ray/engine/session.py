@@ -274,6 +274,32 @@ class QweryEngine:
     def _exec_Values(self, stmt: A.Values):
         return self.compiler.compile_values(stmt, ())
 
+    def _exec_Pivot(self, stmt: A.Pivot):
+        """Dynamic PIVOT (no IN list): discover the pivot values with a
+        small DISTINCT scan (sorted ascending — DuckDB's column order),
+        then run the same CASE-aggregate rewrite as the explicit form."""
+        from ..sqlc.parser import pivot_to_select
+
+        cap = 10_000  # a pivot emits one COLUMN per value; cap hard
+        probe = A.Select(
+            items=(A.SelectItem(A.ColumnRef(stmt.on), None),),
+            source=stmt.table, distinct=True,
+            order_by=(A.OrderItem(A.ColumnRef(stmt.on), True),),
+            limit=cap + 1)
+        rows = self.compiler.compile_select(probe).take(cap + 1)
+        key = next(iter(rows[0])) if rows else stmt.on
+        vals = [r[key] for r in rows if r[key] is not None]
+        if len(rows) > cap:
+            raise ValueError(
+                f"PIVOT ON {stmt.on} has more than {cap} distinct values; "
+                "pass an explicit IN (...) list")
+        return self.compiler.compile_select(
+            pivot_to_select(stmt.table, stmt.on, vals, stmt.agg,
+                            list(stmt.group_by)))
+
+    def _exec_Unpivot(self, stmt: A.Unpivot):
+        return self.compiler.compile_unpivot(stmt)
+
     # -------------------------------------------------------- DML handlers
     def _exec_Insert(self, stmt: A.Insert):
         from ..sources.writers import write_sink

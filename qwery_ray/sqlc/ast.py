@@ -430,6 +430,31 @@ class Drop(Statement):
 
 
 @dataclass(frozen=True)
+class Pivot(Statement):
+    """PIVOT tbl ON col [IN (v1,…)] USING AGG(expr) [GROUP BY a, b]
+    (DuckDB simplified syntax). With an explicit IN list the parser rewrites
+    straight to a Select with one CASE-filtered aggregate per value; this
+    node survives only for the DYNAMIC form (values discovered at exec)."""
+
+    table: "Source"
+    on: str  # pivot column name
+    agg: "FuncCall"
+    group_by: tuple = ()  # column names
+
+
+@dataclass(frozen=True)
+class Unpivot(Statement):
+    """UNPIVOT tbl ON c1[, c2 …] INTO NAME nc VALUE vc (DuckDB simplified
+    syntax): wide → long; one output row per (row, ON-column) with non-NULL
+    value. Kept columns = every column not in ON."""
+
+    table: "Source"
+    on: tuple  # column names to melt
+    name_col: str = "name"
+    value_col: str = "value"
+
+
+@dataclass(frozen=True)
 class Optimize(Statement):
     """OPTIMIZE '<lake_dir>' [PARTITION (p, ...)] — fold pending
     merge-on-read delta files into their partition bases (lake maintenance;

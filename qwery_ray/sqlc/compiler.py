@@ -486,6 +486,55 @@ class ThetaJoinBatch:
         return out
 
 
+class UnpivotBatch:
+    """Wide → long (UNPIVOT): per batch, one stacked slice per ON column —
+    kept columns repeat, `name_col` is the source column's name, `value_col`
+    its values cast to the promoted common type; NULL values are excluded
+    (DuckDB simplified-UNPIVOT semantics). Pure Arrow, zero row loops."""
+
+    def __init__(self, on, keep, name_col, value_col):
+        self.on = on
+        self.keep = keep
+        self.name_col = name_col
+        self.value_col = value_col
+
+    @staticmethod
+    def _common_type(types) -> pa.DataType:
+        out = types[0]
+        for t in types[1:]:
+            if out == t:
+                continue
+            if pa.types.is_floating(out) or pa.types.is_floating(t):
+                out = pa.float64()
+            elif pa.types.is_integer(out) and pa.types.is_integer(t):
+                out = pa.int64()
+            elif (pa.types.is_string(out) or pa.types.is_large_string(out)) \
+                    and (pa.types.is_string(t) or pa.types.is_large_string(t)):
+                out = pa.string()
+            else:
+                raise ValueError(
+                    f"UNPIVOT columns mix incompatible types {out} / {t}")
+        return out
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = len(t)
+        target = self._common_type([t.column(c).type for c in self.on])
+        parts = []
+        for c in self.on:
+            val = t.column(c)
+            if val.type != target:
+                val = pc.cast(val, target)
+            cols = [t.column(k) for k in self.keep]
+            cols.append(pa.array([c] * n, type=pa.string()))
+            cols.append(val)
+            tab = pa.table(dict(zip(
+                list(self.keep) + [self.name_col, self.value_col], cols)))
+            if val.null_count:
+                tab = tab.filter(pc.is_valid(tab.column(self.value_col)))
+            parts.append(tab)
+        return pa.concat_tables(parts)
+
+
 def _empty_cross(left: pa.Table, right: pa.Table) -> pa.Table:
     cols = {c: left.column(c).slice(0, 0) for c in left.column_names}
     for c in right.column_names:
@@ -2636,6 +2685,22 @@ class Compiler:
         alias = (ref.alias or name).lower()
         frame.aliases[alias] = True
         return frame
+
+    # -------------------------------------------------------------- unpivot
+    def compile_unpivot(self, stmt: A.Unpivot) -> rd.Dataset:
+        """UNPIVOT tbl ON … INTO NAME … VALUE … — kept columns are every
+        column not melted; streams batch-by-batch (no shuffle at all)."""
+        frame = self.compile_source(stmt.table)
+        on = [_resolve_name(c, frame.columns) for c in stmt.on]
+        keep = [c for c in frame.columns if c not in on]
+        ds = frame.ds.map_batches(
+            UnpivotBatch(on, keep, stmt.name_col, stmt.value_col),
+            batch_format="pyarrow")
+        try:
+            ds._qwery_columns = keep + [stmt.name_col, stmt.value_col]
+        except Exception:
+            pass
+        return ds
 
     # ---------------------------------------------------------------- joins
     def compile_join(self, left: Frame, j: A.JoinClause, sel: A.Select,

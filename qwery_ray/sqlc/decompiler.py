@@ -163,6 +163,15 @@ def _source_sql(src) -> str:
 
 
 def to_sql(stmt) -> str:
+    if isinstance(stmt, A.Pivot):
+        gb = f" GROUP BY {', '.join(_ident(g) for g in stmt.group_by)}" \
+            if stmt.group_by else ""
+        return (f"PIVOT {_source_sql(stmt.table)} ON {_ident(stmt.on)} "
+                f"USING {expr_sql(stmt.agg)}{gb}")
+    if isinstance(stmt, A.Unpivot):
+        return (f"UNPIVOT {_source_sql(stmt.table)} ON "
+                f"{', '.join(_ident(c) for c in stmt.on)} INTO NAME "
+                f"{_ident(stmt.name_col)} VALUE {_ident(stmt.value_col)}")
     if isinstance(stmt, A.WithCtes):
         parts = ", ".join(f"{name} AS ({to_sql(q)})"
                           for name, q in stmt.ctes)

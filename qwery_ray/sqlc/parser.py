@@ -124,6 +124,10 @@ class Parser:
             if self.accept("FROM"):
                 conn = unquote_string(self.next().text)
             return A.NativeSQL(query, conn)
+        if word == "PIVOT":
+            return self.parse_pivot()
+        if word == "UNPIVOT":
+            return self.parse_unpivot()
         if word == "BEGIN":
             return self.parse_block()
         if word == "DESCRIBE":
@@ -510,6 +514,57 @@ class Parser:
                 else:
                     hints[key.lower()] = True
         return hints
+
+    def parse_pivot(self) -> A.Statement:
+        """PIVOT tbl ON col [IN (v1,…)] USING AGG(expr) [GROUP BY a, b]
+        (DuckDB simplified syntax). An explicit IN list rewrites directly
+        to a Select with one CASE-filtered aggregate per value (column
+        order = IN order); the dynamic form returns A.Pivot and the session
+        discovers the values (sorted ascending, like DuckDB)."""
+        self.expect("PIVOT")
+        table = self.parse_source()
+        self.expect("ON")
+        on = self._ident_name()
+        values = None
+        if self.accept("IN"):
+            self.expect("(")
+            values = [self.parse_expr()]
+            while self.accept(","):
+                values.append(self.parse_expr())
+            self.expect(")")
+            if not all(isinstance(v, A.Literal) for v in values):
+                self.error("PIVOT IN list must be literal values")
+        self.expect("USING")
+        agg = self.parse_expr()
+        if not isinstance(agg, A.FuncCall):
+            self.error("PIVOT USING requires an aggregate call")
+        group_by: list[str] = []
+        if self.accept("GROUP"):
+            self.expect("BY")
+            group_by.append(self._ident_name())
+            while self.accept(","):
+                group_by.append(self._ident_name())
+        if values is not None:
+            return pivot_to_select(table, on, [v.value for v in values],
+                                   agg, group_by)
+        return A.Pivot(table, on, agg, tuple(group_by))
+
+    def parse_unpivot(self) -> A.Unpivot:
+        """UNPIVOT tbl ON c1[, c2 …] INTO NAME nc VALUE vc (DuckDB
+        simplified syntax)."""
+        self.expect("UNPIVOT")
+        table = self.parse_source()
+        self.expect("ON")
+        on = [self._ident_name()]
+        while self.accept(","):
+            on.append(self._ident_name())
+        name_col, value_col = "name", "value"
+        if self.accept("INTO"):
+            self.expect("NAME")
+            name_col = self._ident_name()
+            self.expect("VALUE")
+            value_col = self._ident_name()
+        return A.Unpivot(table, tuple(on), name_col, value_col)
 
     def parse_join(self) -> A.JoinClause:
         jt = "INNER"
@@ -1073,6 +1128,23 @@ class _ScalarSubquery(A.Expr):
 
     def __init__(self, query):
         self.query = query
+
+
+def pivot_to_select(table: A.Source, on: str, values, agg: A.FuncCall,
+                    group_by) -> A.Select:
+    """The PIVOT rewrite: one CASE-filtered aggregate column per pivot value
+    (DuckDB semantics — COUNT(*) pivots count matching rows, so empty cells
+    are 0 for COUNT and NULL for other aggregates)."""
+    items = [A.SelectItem(A.ColumnRef(g), None) for g in group_by]
+    for v in values:
+        cond = A.Comparison("=", A.ColumnRef(on), A.Literal(v))
+        inner = A.Literal(1) if agg.is_star or not agg.args else agg.args[0]
+        case = A.CaseWhen(branches=((cond, inner),))
+        call = A.FuncCall("COUNT" if agg.is_star else agg.name, (case,),
+                          distinct=agg.distinct)
+        items.append(A.SelectItem(call, str(v)))
+    return A.Select(items=tuple(items), source=table,
+                    group_by=tuple(A.ColumnRef(g) for g in group_by))
 
 
 def parse(sql: str) -> list[A.Statement]:
