@@ -117,6 +117,17 @@ class Comparison(Cond):
 
 
 @dataclass(frozen=True)
+class IsDistinctFrom(Cond):
+    """a IS [NOT] DISTINCT FROM b — null-safe (in)equality: NULLs compare
+    equal to each other, never yield NULL. distinct=True is the inequality
+    form (IS DISTINCT FROM)."""
+
+    left: Expr
+    right: Expr
+    distinct: bool = True
+
+
+@dataclass(frozen=True)
 class Like(Cond):
     operand: Expr
     pattern: Expr

@@ -123,6 +123,9 @@ def expr_sql(e) -> str:
         return f"{expr_sql(e.operand)} MATCHES {expr_sql(e.pattern)}"
     if isinstance(e, A.IsNull):
         return f"{expr_sql(e.operand)} IS {'NOT ' if e.negated else ''}NULL"
+    if isinstance(e, A.IsDistinctFrom):
+        op = "IS DISTINCT FROM" if e.distinct else "IS NOT DISTINCT FROM"
+        return f"{expr_sql(e.left)} {op} {expr_sql(e.right)}"
     if isinstance(e, A.InList):
         vals = ", ".join(expr_sql(v) for v in e.values)
         op = "NOT IN" if e.negated else "IN"

@@ -367,6 +367,27 @@ class Evaluator:
                     right = try_cast(right, lt)
         return left, right
 
+    def _eval_IsDistinctFrom(self, e: "A.IsDistinctFrom", batch):
+        """Null-safe (in)equality: never NULL; NULLs equal each other."""
+        left = self.eval(e.left, batch)
+        right = self.eval(e.right, batch)
+        if _is_scalar(left) and _is_scalar(right):
+            same = (left is None and right is None) or \
+                (left is not None and right is not None and left == right)
+            return same != e.distinct
+        left, right = self._align_compare(left, right, len(batch))
+        if _is_scalar(left) or _is_scalar(right):
+            scal, arr = (left, right) if _is_scalar(left) else (right, left)
+            if scal is None:
+                same = pc.is_null(arr)
+            else:
+                same = pc.fill_null(pc.equal(arr, scal), False)
+        else:
+            eq = pc.fill_null(pc.equal(left, right), False)
+            both_null = pc.and_(pc.is_null(left), pc.is_null(right))
+            same = pc.or_(eq, both_null)
+        return pc.invert(same) if e.distinct else same
+
     def _eval_Like(self, e: A.Like, batch):
         val = self.eval(e.operand, batch)
         pattern = self.eval(e.pattern, batch)
@@ -613,6 +634,103 @@ def _fn_rpad(ev, e, batch):
 def _fn_replace(ev, e, batch):
     s = _str_arg(ev, e, batch, 0)
     return pc.replace_substring(s, ev.eval(e.args[1], batch), ev.eval(e.args[2], batch))
+
+
+def _pattern_arg(ev, e, batch, i):
+    """Regex pattern argument: must be a scalar (one compiled RE2 program
+    per batch, not one per row)."""
+    val = ev.eval(e.args[i], batch)
+    if not _is_scalar(val):
+        raise EvalError(f"{e.name} pattern must be a literal/scalar")
+    if val is None:
+        raise EvalError(f"{e.name} pattern is NULL")
+    return str(val)
+
+
+def _fn_regexp_matches(ev, e, batch):
+    # DuckDB regexp_matches: TRUE iff the RE2 pattern matches anywhere
+    return pc.match_substring_regex(_str_arg(ev, e, batch, 0),
+                                    _pattern_arg(ev, e, batch, 1))
+
+
+def _fn_regexp_replace(ev, e, batch):
+    # DuckDB regexp_replace replaces the FIRST match; trailing 'g' flag
+    # replaces all. Same RE2 engine as DuckDB → identical semantics.
+    s = _str_arg(ev, e, batch, 0)
+    pattern = _pattern_arg(ev, e, batch, 1)
+    repl = ev.eval(e.args[2], batch)
+    if not _is_scalar(repl):
+        raise EvalError("REGEXP_REPLACE replacement must be a scalar")
+    flags = ""
+    if len(e.args) > 3:
+        flags = str(ev.eval(e.args[3], batch) or "")
+    max_repl = -1 if "g" in flags else 1
+    return pc.replace_substring_regex(s, pattern=pattern,
+                                      replacement=str(repl),
+                                      max_replacements=max_repl)
+
+
+def _fn_regexp_extract(ev, e, batch):
+    """DuckDB regexp_extract(s, pattern[, group=0]): the matched text of
+    the group (0 = whole match); '' when no match. Group 0 wraps the whole
+    pattern in a named group and runs Arrow's RE2 extract (bit-identical
+    to DuckDB's RE2); group i>0 converts the i-th '(' group to a named one."""
+    s = _str_arg(ev, e, batch, 0)
+    pattern = _pattern_arg(ev, e, batch, 1)
+    group = 0
+    if len(e.args) > 2:
+        gv = ev.eval(e.args[2], batch)
+        if not _is_scalar(gv):
+            raise EvalError("REGEXP_EXTRACT group must be a scalar")
+        group = int(gv)
+    named, ngroups = _name_regex_groups(pattern, group)
+    if group == 0:
+        named = f"(?P<__qr>{named})"
+    elif group > ngroups:
+        raise EvalError(
+            f"REGEXP_EXTRACT group {group} not present in pattern")
+    try:
+        out = pc.extract_regex(s, named)
+    except pa.ArrowInvalid as exc:
+        raise EvalError(f"REGEXP_EXTRACT bad pattern {pattern!r}: {exc}")
+    field = pc.struct_field(out, "__qr")
+    return pc.fill_null(field, "")
+
+
+def _name_regex_groups(pattern: str, target: int) -> tuple[str, int]:
+    """Name EVERY unnamed capturing '(' of an RE2 pattern (Arrow's
+    extract_regex rejects unnamed groups); the ``target``-th becomes
+    (?P<__qr>…). Skips (?:…) constructs, escaped parens, and parens inside
+    character classes. Returns (rewritten pattern, capture-group count)."""
+    out = []
+    i = 0
+    idx = 0
+    in_class = False
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < len(pattern):
+            out.append(pattern[i:i + 2])
+            i += 2
+            continue
+        if in_class:
+            if ch == "]":
+                in_class = False
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "[":
+            in_class = True
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "(" and not pattern.startswith("(?", i):
+            idx += 1
+            out.append("(?P<__qr>" if idx == target else f"(?P<__g{idx}>")
+            i += 1
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out), idx
 
 
 def _fn_coalesce(ev, e, batch):
@@ -888,6 +1006,9 @@ _SCALAR_FUNCS: dict[str, Callable] = {
     "SUBSTRING": _fn_substring, "SUBSTR": _fn_substring,
     "CONCAT": _fn_concat,
     "SPLIT": _fn_split,
+    "REGEXP_MATCHES": _fn_regexp_matches,
+    "REGEXP_REPLACE": _fn_regexp_replace,
+    "REGEXP_EXTRACT": _fn_regexp_extract,
     "SQRT": _fn_sqrt, "SIGN": _fn_sign, "ABS": _fn_abs,
     "ROUND": _fn_round, "FLOOR": _fn_floor, "CEIL": _fn_ceil, "CEILING": _fn_ceil,
     "PADLEFT": _fn_padleft, "PADRIGHT": _fn_padright,
@@ -991,6 +1112,8 @@ def collect_column_refs(expr, out: set | None = None) -> set:
         if expr.else_expr is not None:
             collect_column_refs(expr.else_expr, out)
     elif isinstance(expr, A.Comparison):
+        collect_column_refs(expr.left, out); collect_column_refs(expr.right, out)
+    elif isinstance(expr, A.IsDistinctFrom):
         collect_column_refs(expr.left, out); collect_column_refs(expr.right, out)
     elif isinstance(expr, (A.And, A.Or)):
         collect_column_refs(expr.left, out); collect_column_refs(expr.right, out)

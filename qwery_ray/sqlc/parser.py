@@ -850,6 +850,12 @@ class Parser:
             return A.InList(left, tuple(vals), negated)
         if self.accept("IS"):
             neg = bool(self.accept("NOT"))
+            if self.accept("DISTINCT"):
+                # null-safe inequality: IS DISTINCT FROM / IS NOT DISTINCT
+                # FROM (ANSI; NULLs compare equal to each other)
+                self.expect("FROM")
+                right = self.parse_expr()
+                return A.IsDistinctFrom(left, right, distinct=not neg)
             self.expect("NULL")
             return A.IsNull(left, neg)
         if negated:
@@ -940,7 +946,10 @@ class Parser:
             word = tok.upper
             if word == "CASE":
                 return self.parse_case()
-            if word == "CAST":
+            if word in ("CAST", "TRY_CAST"):
+                # the engine's CAST is already lenient (invalid → NULL,
+                # reference Cast.scala:25) — TRY_CAST is a DuckDB-parity
+                # alias of the same node
                 self.next()
                 self.expect("(")
                 operand = self.parse_expr()

@@ -248,3 +248,66 @@ class TestHashFunction:
             "SELECT HASH(o_orderkey, o_orderstatus) AS h2, "
             "HASH(o_orderkey) AS h1 FROM orders LIMIT 5").to_pandas()
         assert (df["h1"] != df["h2"]).any()
+
+
+class TestRegexpTryCastDistinct:
+    """REGEXP_* (same RE2 engine as DuckDB), TRY_CAST alias, and
+    IS [NOT] DISTINCT FROM null-safe comparison — all DuckDB-oracled."""
+
+    def _cmp(self, engine, duck, sql, sort=None):
+        import pandas as pd
+        mine = engine.sql(sql).to_pandas()
+        oracle = duck.execute(sql).fetch_df()
+        cols = sorted(mine.columns)
+        a = mine.reindex(cols, axis=1).sort_values(sort or cols,
+                                                   ignore_index=True)
+        b = oracle.reindex(cols, axis=1).sort_values(sort or cols,
+                                                     ignore_index=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False, rtol=1e-9)
+
+    def test_is_distinct_from(self, engine, duck):
+        self._cmp(engine, duck,
+                  "SELECT o_orderkey FROM orders WHERE o_orderpriority "
+                  "IS DISTINCT FROM '1-URGENT' AND o_orderkey < 100")
+
+    def test_is_not_distinct_from_nulls(self, engine, duck, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(pa.table({"a": [1, None, 3], "b": [1, None, 4]}),
+                       str(tmp_path / "n.parquet"))
+        duck.execute(f"CREATE VIEW nt AS SELECT * FROM '{tmp_path}/n.parquet'")
+        mine = engine.sql(
+            f"SELECT a, b FROM '{tmp_path}/n.parquet' "
+            f"WHERE a IS NOT DISTINCT FROM b").to_pandas()
+        oracle = duck.execute(
+            "SELECT a, b FROM nt WHERE a IS NOT DISTINCT FROM b").fetch_df()
+        assert len(mine) == len(oracle) == 2  # (1,1) and (NULL,NULL)
+
+    def test_try_cast(self, engine, duck):
+        self._cmp(engine, duck,
+                  "SELECT TRY_CAST(o_orderpriority AS INT) AS p, "
+                  "COUNT(*) AS n FROM orders GROUP BY p ORDER BY p")
+
+    def test_regexp_matches_and_replace(self, engine, duck):
+        self._cmp(engine, duck,
+                  "SELECT doc_id, REGEXP_REPLACE(text, '[0-9]+', '#') AS t1, "
+                  "REGEXP_REPLACE(text, '[0-9]+', '#', 'g') AS tg "
+                  "FROM documents WHERE REGEXP_MATCHES(text, '[0-9]') "
+                  "AND doc_id < 100")
+
+    def test_regexp_extract_groups(self, engine, duck):
+        self._cmp(engine, duck,
+                  "SELECT doc_id, "
+                  "REGEXP_EXTRACT(text, '([a-z]+) ([a-z]+)', 0) AS whole, "
+                  "REGEXP_EXTRACT(text, '([a-z]+) ([a-z]+)', 2) AS second "
+                  "FROM documents WHERE doc_id < 50")
+
+    def test_distinct_from_round_trip(self):
+        from qwery_ray.sqlc import parser as P
+        from qwery_ray.sqlc.decompiler import to_sql
+
+        sql = ("SELECT a FROM t WHERE a IS DISTINCT FROM b "
+               "AND c IS NOT DISTINCT FROM 5")
+        stmt = P.parse(sql)[0]
+        assert P.parse(to_sql(stmt))[0] == stmt
