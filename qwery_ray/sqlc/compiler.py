@@ -2568,6 +2568,16 @@ class Compiler:
                 inner = self._select_frame(src.query)
             if src.alias:
                 inner.aliases[src.alias.lower()] = True
+            if columns is not None:
+                # prune the subquery's output to the outer query's needs —
+                # a `(SELECT * FROM events)` side otherwise carries every
+                # column (heavy payload strings) through joins/shuffles
+                keep = [c for c in inner.columns
+                        if c.lower() in columns
+                        or c.split(".")[-1].lower() in columns]
+                if keep and len(keep) < len(inner.columns):
+                    inner = Frame(inner.ds.select_columns(keep), keep,
+                                  inner.aliases, inner.est_rows)
             return inner
         if isinstance(src, A.Select):
             return self._select_frame(src)

@@ -209,8 +209,9 @@ class TestJoinFuzz:
     """Randomized join parity vs DuckDB: all join types, NULL keys, and
     non-equi ON residuals (residual-before-null-extension semantics)."""
 
-    @settings(max_examples=20, deadline=None)
-    @given(st.sampled_from(["INNER", "LEFT", "RIGHT", "FULL"]),
+    @settings(max_examples=26, deadline=None)
+    @given(st.sampled_from(["INNER", "LEFT", "RIGHT", "FULL",
+                            "SEMI", "ANTI"]),
            st.integers(min_value=0, max_value=90),
            st.booleans())
     def test_join_parity(self, jt, cut, with_residual):
@@ -219,7 +220,8 @@ class TestJoinFuzz:
 
         eng = QweryEngine(table_root=d)
         residual = f" AND r.v > {cut}" if with_residual else ""
-        sql = (f"SELECT l.a, r.v FROM lt l {jt} JOIN rt r "
+        proj = "l.a" if jt in ("SEMI", "ANTI") else "l.a, r.v"
+        sql = (f"SELECT {proj} FROM lt l {jt} JOIN rt r "
                f"ON l.k = r.k{residual}")
         mine = eng.sql(sql).to_pandas()
         oracle = duckdb.sql(
