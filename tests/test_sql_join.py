@@ -274,3 +274,32 @@ class TestSemiAntiJoin:
                    f"ON o.o_custkey = c.c_custkey")
             stmt = P.parse(sql)[0]
             assert P.parse(to_sql(stmt))[0] == stmt
+
+
+class TestShuffleJoinGuard:
+    """Ray 2.49 deadlocks with two live hash-shuffle join operators in one
+    streaming plan; _shuffle_join materializes pending-join inputs so at
+    most one runs per execution (integration coverage: the semi_anti_join
+    driver query chains two shuffle joins and completes in-suite)."""
+
+    def test_pending_join_detection(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from qwery_ray.sqlc.compiler import (_has_pending_shuffle_join,
+                                             _shuffle_join)
+
+        a = rd.from_arrow(pa.table({"k": [1, 2], "v": [10, 20]}))
+        b = rd.from_arrow(pa.table({"k": [1, 3], "w": [1.0, 3.0]}))
+        assert not _has_pending_shuffle_join(a)
+        j = a.join(b, join_type="inner", num_partitions=4, on=("k",))
+        assert _has_pending_shuffle_join(j)
+        assert not _has_pending_shuffle_join(j.materialize())
+        # derived (map_batches) datasets still expose the pending join
+        assert _has_pending_shuffle_join(
+            j.map_batches(lambda t: t, batch_format="pyarrow"))
+        # _shuffle_join breaks the chain: result contains ONE pending join
+        c = rd.from_arrow(pa.table({"k": [1], "z": [9]}))
+        jj = _shuffle_join(j, c, join_type="inner", num_partitions=4,
+                           on=("k",))
+        assert int(jj.count()) == 1  # completes (would deadlock unchained)
