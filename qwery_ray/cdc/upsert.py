@@ -18,6 +18,7 @@ import os
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data as rd
 
@@ -96,3 +97,30 @@ def update_parquet(ds: rd.Dataset, path: str, keys: list[str],
     pq.write_table(pa.Table.from_pandas(target, preserve_index=False), tmp)
     os.replace(tmp, path)
     return updated
+
+
+def delete_parquet(path: str, where, env: dict) -> int:
+    """DELETE FROM <file> [WHERE cond]: drop rows where cond is TRUE (NULL
+    keeps the row — SQL semantics, eval_mask fills nulls False), rewrite
+    atomically. Returns rows_deleted. File targets only; big-data deletes
+    flow through the CDC lake as __deleted events."""
+    from ..sqlc.compiler import make_evaluator
+
+    if not os.path.exists(path):
+        return 0
+    if os.path.isdir(path):
+        raise ValueError(
+            "DELETE targets a single parquet file; lake/directory deletes "
+            "go through UPSERT INTO ... WITH LAKE (__deleted events)")
+    tbl = pq.read_table(path)
+    if where is None:
+        keep = tbl.slice(0, 0)
+    else:
+        mask = make_evaluator(env).eval_mask(where, tbl)
+        keep = tbl.filter(pc.invert(mask))
+    deleted = len(tbl) - len(keep)
+    if deleted:
+        tmp = path + ".tmp"
+        pq.write_table(keep, tmp)
+        os.replace(tmp, path)
+    return deleted

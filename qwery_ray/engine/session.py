@@ -393,6 +393,13 @@ class QweryEngine:
                                  list(stmt.assignments), env)
         return pa.table({"ROWS_UPDATED": [updated], "ROWS_REJECTED": [0]})
 
+    def _exec_Delete(self, stmt: A.Delete):
+        from ..cdc.upsert import delete_parquet
+
+        path = self.resolve_table_path(self.expand_vars(stmt.target))
+        deleted = delete_parquet(path, stmt.where, _env(self))
+        return pa.table({"ROWS_DELETED": [deleted]})
+
     # ---------------------------------------------------- session handlers
     def _exec_Declare(self, stmt: A.Declare):
         self.variables.setdefault(stmt.name, None)
@@ -664,6 +671,8 @@ def _map_statement_exprs(stmt, fix: Callable):
         return A.Update(stmt.target,
                         tuple((n, fix(e)) for n, e in stmt.assignments),
                         _map_statement_exprs(stmt.source, fix), stmt.keyed_on)
+    if isinstance(stmt, A.Delete):
+        return A.Delete(stmt.target, fix(stmt.where))
     if isinstance(stmt, A.Values):
         return A.Values(tuple(tuple(fix(e) for e in row) for row in stmt.rows))
     if isinstance(stmt, A.SetVar):

@@ -349,6 +349,16 @@ class Update(Statement):
 
 
 @dataclass(frozen=True)
+class Delete(Statement):
+    """DELETE FROM tgt [WHERE cond] — superset (the reference mutates only
+    via UPDATE/UPSERT KEYED ON); rows where cond is TRUE are removed (NULL
+    keeps the row, SQL semantics), file rewritten atomically."""
+
+    target: str
+    where: Optional["Cond"] = None
+
+
+@dataclass(frozen=True)
 class Declare(Statement):
     name: str
     type_name: str

@@ -175,6 +175,11 @@ def to_sql(stmt) -> str:
         return (f"UNPIVOT {_source_sql(stmt.table)} ON "
                 f"{', '.join(_ident(c) for c in stmt.on)} INTO NAME "
                 f"{_ident(stmt.name_col)} VALUE {_ident(stmt.value_col)}")
+    if isinstance(stmt, A.Delete):
+        w = f" WHERE {expr_sql(stmt.where)}" if stmt.where is not None else ""
+        target = stmt.target if stmt.target.isidentifier() \
+            else _string(stmt.target)
+        return f"DELETE FROM {target}{w}"
     if isinstance(stmt, A.WithCtes):
         parts = ", ".join(f"{name} AS ({to_sql(q)})"
                           for name, q in stmt.ctes)

@@ -87,6 +87,12 @@ class Parser:
             return self.parse_upsert()
         if word == "UPDATE":
             return self.parse_update()
+        if word == "DELETE":
+            self.next()
+            self.expect("FROM")
+            target = self.parse_target_name()
+            where = self.parse_cond() if self.accept("WHERE") else None
+            return A.Delete(target, where)
         if word == "DECLARE":
             return self.parse_declare()
         if word == "SET":

@@ -431,3 +431,39 @@ class TestExplainAnalyze:
 
         sql = "EXPLAIN ANALYZE SELECT a FROM t"
         assert parse_one(to_sql(parse_one(sql))) == parse_one(sql)
+
+
+class TestDelete:
+    """DELETE FROM <file> [WHERE] — atomic rewrite; NULL predicates keep
+    the row (SQL semantics); no-WHERE removes everything."""
+
+    def _make(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        p = str(tmp_path / "d.parquet")
+        pq.write_table(pa.table({"k": [1, 2, 3, 4],
+                                 "v": [10.0, None, 30.0, 40.0]}), p)
+        return p
+
+    def test_delete_where(self, engine, tmp_path):
+        p = self._make(tmp_path)
+        out = engine.sql(f"DELETE FROM '{p}' WHERE v > 25").to_pandas()
+        assert out["ROWS_DELETED"].tolist() == [2]
+        rest = engine.sql(f"SELECT k FROM '{p}' ORDER BY k").to_pandas()
+        assert rest["k"].tolist() == [1, 2]  # NULL v kept
+
+    def test_delete_all(self, engine, tmp_path):
+        p = self._make(tmp_path)
+        out = engine.sql(f"DELETE FROM '{p}'").to_pandas()
+        assert out["ROWS_DELETED"].tolist() == [4]
+        import pyarrow.parquet as pq
+        t = pq.read_table(p)
+        assert len(t) == 0 and t.column_names == ["k", "v"]
+
+    def test_delete_round_trip(self):
+        from qwery_ray.sqlc import parser as P
+        from qwery_ray.sqlc.decompiler import to_sql
+
+        stmt = P.parse("DELETE FROM 'x.parquet' WHERE a >= 5")[0]
+        assert P.parse(to_sql(stmt))[0] == stmt
