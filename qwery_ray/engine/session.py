@@ -674,7 +674,8 @@ def _map_statement_exprs(stmt, fix: Callable):
     if isinstance(stmt, A.Delete):
         return A.Delete(stmt.target, fix(stmt.where))
     if isinstance(stmt, A.Values):
-        return A.Values(tuple(tuple(fix(e) for e in row) for row in stmt.rows))
+        return A.Values(tuple(tuple(fix(e) for e in row)
+                              for row in stmt.rows), stmt.columns)
     if isinstance(stmt, A.SetVar):
         if isinstance(stmt.value, A.Expr):
             return A.SetVar(stmt.name, fix(stmt.value))

@@ -324,6 +324,7 @@ class Insert(Statement):
 @dataclass(frozen=True)
 class Values(Statement):
     rows: tuple[tuple[Expr, ...], ...]
+    columns: tuple = ()  # optional names from `(VALUES …) v(a, b)` sources
 
 
 @dataclass(frozen=True)

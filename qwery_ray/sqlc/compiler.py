@@ -1339,6 +1339,24 @@ class _WindowGroupFn:
             end_idx = np.flatnonzero(is_end)
             vals = df[self.arg_col].to_numpy()
             out = vals[end_idx[run_id]]
+        elif fn == "NTH_VALUE":
+            # ANSI default frame: the n-th row of [partition start ..
+            # current row's last peer]; NULL while the frame is shorter
+            if not self.okeys:
+                raise ValueError("NTH_VALUE() requires ORDER BY in OVER()")
+            k = self.lag_offset  # NTH_VALUE(expr, n) → n stored here
+            changed = self._order_key_changes(df, n)
+            run_id = changed.cumsum() - 1
+            is_end = np.ones(n, dtype=bool)
+            if n > 1:
+                is_end[:-1] = changed[1:]
+            frame_end = np.flatnonzero(is_end)[run_id]
+            vals = df[self.arg_col].reset_index(drop=True)
+            valid = frame_end >= (k - 1)
+            out = vals.iloc[np.where(valid, k - 1, 0)].reset_index(drop=True)
+            out[~valid] = None
+            out = out.to_numpy()  # positional assignment (df keeps its
+            # original index here; a Series would align-by-index to NaN)
         elif fn in ("LAG", "LEAD"):
             shift = self.lag_offset if fn == "LAG" else -self.lag_offset
             # fill_value fills only out-of-partition positions (ANSI: the
@@ -2559,6 +2577,13 @@ class Compiler:
                 frame.aliases[src.alias.lower()] = True
             return frame
         if isinstance(src, A.SubquerySource):
+            if isinstance(src.query, A.Values):
+                ds = self.compile_values(src.query, src.query.columns)
+                inner = Frame(ds, list(getattr(ds, "_qwery_columns", None)
+                                       or ds.schema().names))
+                if src.alias:
+                    inner.aliases[src.alias.lower()] = True
+                return inner
             if isinstance(src.query, (A.Union, A.SetOp, A.WithCtes)):
                 ds = self.compile_query(src.query)
                 cols = list(getattr(ds, "_qwery_columns", None) or []) \
@@ -3490,6 +3515,12 @@ class Compiler:
                 arg_col = f"{out_name}_a"
                 prep_exprs.append(arg0)
                 prep_names.append(arg_col)
+            if fn.name == "NTH_VALUE":
+                if len(fn.args) != 2 or not isinstance(fn.args[1], A.Literal):
+                    raise ValueError("NTH_VALUE(expr, n) needs a literal n")
+                lag_offset = int(fn.args[1].value)
+                if lag_offset < 1:
+                    raise ValueError("NTH_VALUE n must be >= 1")
             if fn.name in ("LAG", "LEAD") and len(fn.args) > 1:
                 # LAG/LEAD(expr, offset [, default]) — constant args only
                 if not isinstance(fn.args[1], A.Literal):

@@ -647,6 +647,16 @@ def _pattern_arg(ev, e, batch, i):
     return str(val)
 
 
+def _fn_concat_ws(ev, e, batch):
+    """CONCAT_WS(sep, a, b, …): join with separator, skipping NULLs."""
+    sep = ev.eval(e.args[0], batch)
+    if not _is_scalar(sep):
+        raise EvalError("CONCAT_WS separator must be a scalar")
+    parts = [_str_arg(ev, e, batch, i) for i in range(1, len(e.args))]
+    return pc.binary_join_element_wise(
+        *parts, str(sep), null_handling="skip")
+
+
 def _fn_regexp_matches(ev, e, batch):
     # DuckDB regexp_matches: TRUE iff the RE2 pattern matches anywhere
     return pc.match_substring_regex(_str_arg(ev, e, batch, 0),
@@ -1015,6 +1025,8 @@ _SCALAR_FUNCS: dict[str, Callable] = {
     "LPAD": _fn_lpad, "RPAD": _fn_rpad,
     "REPLACE": _fn_replace,
     "COALESCE": _fn_coalesce, "NULLIF": _fn_nullif,
+    "IFNULL": _fn_coalesce, "NVL": _fn_coalesce,
+    "CONCAT_WS": _fn_concat_ws,
     "NOW": _fn_now, "RAND": _fn_rand, "UUID": _fn_uuid,
     "DATE_FORMAT": _fn_date_format, "DATE_PARSE": _fn_date_parse,
     "YEAR": _fn_year, "MONTH": _fn_month, "DAY": _fn_day, "HOUR": _fn_hour,

@@ -223,6 +223,16 @@ class Parser:
     def parse_select(self) -> A.Statement:
         self.expect("SELECT")
         distinct = bool(self.accept("DISTINCT"))
+        distinct_on: list[A.Expr] = []
+        if distinct and self.accept("ON"):
+            # DISTINCT ON (keys): first row per key under ORDER BY —
+            # desugars below to QUALIFY ROW_NUMBER() OVER (...) = 1
+            self.expect("(")
+            distinct_on.append(self.parse_expr())
+            while self.accept(","):
+                distinct_on.append(self.parse_expr())
+            self.expect(")")
+            distinct = False
         limit = None
         if self.accept("TOP"):  # TOP n (SQLLanguageParser.scala:815)
             limit = int(self.next().text)
@@ -292,6 +302,15 @@ class Parser:
         offset = None
         if self.accept("OFFSET"):
             offset = int(self.next().text)
+
+        if distinct_on:
+            rn = A.WindowCall(
+                A.FuncCall("ROW_NUMBER", ()),
+                partition_by=tuple(distinct_on),
+                order_by=tuple(o for o in order_by
+                               if o.expr not in distinct_on))
+            keep = A.Comparison("=", rn, A.Literal(1))
+            qualify = keep if qualify is None else A.And(qualify, keep)
 
         select = A.Select(
             items=tuple(items), source=source, joins=tuple(joins), where=where,
@@ -444,6 +463,29 @@ class Parser:
                         not self._is_clause_keyword(self.peek()):
                     alias = self._ident_name()
                 return A.ExecutableSource(inner_stmt, alias)
+            if self.at("VALUES"):
+                # (VALUES (…), (…)) v(a, b) — inline literal rows source
+                self.next()
+                rows = [self._parse_values_row()]
+                while self.accept(","):
+                    rows.append(self._parse_values_row())
+                self.expect(")")
+                alias = None
+                cols: tuple = ()
+                if self.accept("AS"):
+                    alias = self._ident_name()
+                elif self.peek().kind in ("IDENT", "QIDENT") and \
+                        not self._is_clause_keyword(self.peek()):
+                    alias = self._ident_name()
+                if alias is not None and self.peek().kind == "OP" and \
+                        self.peek().text == "(":
+                    self.next()
+                    names = [self._ident_name()]
+                    while self.accept(","):
+                        names.append(self._ident_name())
+                    self.expect(")")
+                    cols = tuple(names)
+                return A.SubquerySource(A.Values(tuple(rows), cols), alias)
             inner = self.parse_with_ctes() if self.at("WITH") \
                 else self.parse_select_or_union()
             self.expect(")")
@@ -635,6 +677,14 @@ class Parser:
         source = self.parse_insert_source()
         hints.update(self.parse_hints())
         return A.Insert(target, tuple(columns), source, overwrite, hints)
+
+    def _parse_values_row(self) -> tuple:
+        self.expect("(")
+        row = [self.parse_expr()]
+        while self.accept(","):
+            row.append(self.parse_expr())
+        self.expect(")")
+        return tuple(row)
 
     def parse_insert_source(self) -> A.Statement:
         if self.at("VALUES"):
@@ -966,6 +1016,27 @@ class Parser:
                         self.next()
                 self.expect(")")
                 return A.Cast(operand, type_name)
+            if word in ("CURRENT_DATE", "CURRENT_TIMESTAMP"):
+                # niladic ANSI datetime keywords (optional empty parens);
+                # NOW() is session/driver-stamped → deterministic
+                self.next()
+                if self.peek().kind == "OP" and self.peek().text == "(":
+                    self.next()
+                    self.expect(")")
+                now = A.FuncCall("NOW", ())
+                return A.Cast(now, "DATE") if word == "CURRENT_DATE" else now
+            if word == "IF" and self.peek(1).kind == "OP" \
+                    and self.peek(1).text == "(":
+                # IF(cond, a, b) — the condition needs the boolean grammar
+                self.next()
+                self.expect("(")
+                cond = self.parse_cond()
+                self.expect(",")
+                a = self.parse_expr()
+                self.expect(",")
+                b = self.parse_expr()
+                self.expect(")")
+                return A.CaseWhen(((cond, a),), b)
             if word == "INTERVAL" and self.peek(1).kind in ("NUM", "STR"):
                 self.next()
                 t2 = self.next()
@@ -1017,11 +1088,13 @@ class Parser:
                     call = A.FuncCall(name.upper(), ())
                     if self.at("OVER"):
                         return self._parse_over(call)
-                    return call
+                    return self._maybe_filter(call)
                 if self.peek().kind == "OP" and self.peek().text == "*":
                     self.next()
                     self.expect(")")
                     call = A.FuncCall(name.upper(), (), is_star=True)
+                    if self.at("FILTER"):
+                        call = self._maybe_filter(call)
                     if self.at("OVER"):
                         return self._parse_over(call)
                     return call
@@ -1031,6 +1104,8 @@ class Parser:
                     args.append(self.parse_expr())
                 self.expect(")")
                 call = A.FuncCall(name.upper(), tuple(args), distinct=distinct)
+                if self.at("FILTER"):
+                    call = self._maybe_filter(call)
                 if self.at("OVER"):
                     return self._parse_over(call)
                 return call
@@ -1046,6 +1121,24 @@ class Parser:
                 return A.ColumnRef(col, table_alias=tok.text)
             return A.ColumnRef(tok.text)
         self.error("unexpected token in expression")
+
+    def _maybe_filter(self, call: A.FuncCall) -> A.FuncCall:
+        """AGG(x) FILTER (WHERE c) → AGG(CASE WHEN c THEN x END); COUNT(*)
+        FILTER → COUNT(CASE WHEN c THEN 1 END) (empty cells count 0)."""
+        if not (self.at("FILTER") and self.peek(1).kind == "OP"
+                and self.peek(1).text == "("):
+            return call
+        self.next()
+        self.expect("(")
+        self.expect("WHERE")
+        cond = self.parse_cond()
+        self.expect(")")
+        inner = A.Literal(1) if call.is_star or not call.args \
+            else call.args[0]
+        case = A.CaseWhen(((cond, inner),))
+        return A.FuncCall("COUNT" if call.is_star else call.name,
+                          (case,) + tuple(call.args[1:]),
+                          distinct=call.distinct)
 
     def _parse_over(self, call: A.FuncCall) -> A.WindowCall:
         self.expect("OVER")

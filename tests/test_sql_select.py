@@ -692,3 +692,66 @@ class TestGroupOrderByAll:
 
         with pytest.raises(Exception, match="GROUP BY ALL"):
             engine.sql("SELECT * FROM orders GROUP BY ALL")
+
+
+class TestSurfaceSugar:
+    """FILTER (WHERE), (VALUES …) sources, IF/IFNULL/NVL/CONCAT_WS,
+    CURRENT_DATE/TIMESTAMP, DISTINCT ON — all DuckDB-compared except the
+    clock keywords (driver-stamped NOW policy)."""
+
+    def _cmp(self, engine, duck, sql, sort=None):
+        import pandas as pd
+        mine = engine.sql(sql).to_pandas()
+        oracle = duck.execute(sql).fetch_df()
+        cols = sorted(mine.columns)
+        a = mine.reindex(cols, axis=1).sort_values(sort or cols,
+                                                   ignore_index=True)
+        b = oracle.reindex(cols, axis=1).sort_values(sort or cols,
+                                                     ignore_index=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False, rtol=1e-9)
+
+    def test_filter_where(self, engine, duck):
+        self._cmp(engine, duck,
+                  "SELECT o_orderstatus, "
+                  "COUNT(*) FILTER (WHERE o_totalprice > 100000) AS big, "
+                  "SUM(o_totalprice) FILTER (WHERE o_orderpriority = "
+                  "'1-URGENT') AS urgent FROM orders GROUP BY o_orderstatus")
+
+    def test_values_source(self, engine, duck):
+        self._cmp(engine, duck,
+                  "SELECT v.id * 10 AS x, v.s FROM "
+                  "(VALUES (1, 'a'), (2, 'b'), (3, NULL)) v(id, s)")
+
+    def test_values_join(self, engine, duck):
+        self._cmp(engine, duck,
+                  "SELECT m.label, COUNT(*) AS n FROM orders o INNER JOIN "
+                  "(VALUES ('F', 'final'), ('O', 'open')) m(st, label) "
+                  "ON o.o_orderstatus = m.st GROUP BY m.label")
+
+    def test_if_ifnull_concat_ws(self, engine, duck):
+        self._cmp(engine, duck,
+                  "SELECT IF(o_totalprice > 100000, 'hi', 'lo') AS b, "
+                  "COUNT(*) AS n FROM orders GROUP BY b")
+        self._cmp(engine, duck,
+                  "SELECT IFNULL(NULL, 5) AS v, "
+                  "CONCAT_WS('-', 'a', NULL, 'c') AS s")
+        # NVL: Oracle-ism DuckDB lacks — engine-only
+        out = engine.sql("SELECT NVL(NULL, 'x') AS w").to_pandas()
+        assert out["w"].tolist() == ["x"]
+
+    def test_distinct_on(self, engine, duck):
+        self._cmp(engine, duck,
+                  "SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey "
+                  "FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey")
+
+    def test_current_date_timestamp(self, ray_session):
+        import datetime
+
+        from qwery_ray import QweryEngine
+
+        eng = QweryEngine(table_root="/root/testdata/sf0.001",
+                          now=datetime.datetime(2024, 3, 15, 12, 30))
+        out = eng.sql(
+            "SELECT CURRENT_DATE AS d, CURRENT_TIMESTAMP AS t").to_pandas()
+        assert str(out["d"].iloc[0])[:10] == "2024-03-15"
+        assert str(out["t"].iloc[0]) == "2024-03-15 12:30:00"

@@ -409,3 +409,24 @@ class TestWindowPathEquivalence:
 
         assert small["rn"].tolist() == big["rn"].tolist()
         assert np.array_equal(small["rt"].to_numpy(), big["rt"].to_numpy())
+
+
+class TestNthValue:
+    def test_nth_value_default_frame(self, engine, duck):
+        import pandas as pd
+
+        sql = ("SELECT o_orderkey, NTH_VALUE(o_totalprice, 2) OVER "
+               "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) "
+               "AS nv FROM orders")
+        a = engine.sql(sql).to_pandas().sort_values("o_orderkey",
+                                                    ignore_index=True)
+        b = duck.execute(sql).fetch_df().sort_values("o_orderkey",
+                                                     ignore_index=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False, rtol=1e-12)
+
+    def test_nth_value_requires_literal(self, engine):
+        import pytest
+
+        with pytest.raises(Exception, match="NTH_VALUE"):
+            engine.sql("SELECT NTH_VALUE(o_totalprice, o_custkey) OVER "
+                       "(ORDER BY o_orderkey) AS x FROM orders").to_pandas()
