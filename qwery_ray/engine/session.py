@@ -634,9 +634,15 @@ class _PositionalRename:
 def _map_statement_exprs(stmt, fix: Callable):
     """Apply ``fix`` to every expression position of a statement tree."""
     if isinstance(stmt, A.Select):
-        items = tuple(
-            it if isinstance(it, A.Star) else A.SelectItem(fix(it.expr), it.alias)
-            for it in stmt.items)
+        def fix_item(it):
+            if isinstance(it, A.Star):
+                if it.replace:
+                    return A.Star(it.table_alias, it.exclude,
+                                  tuple((fix(ex), n) for ex, n in it.replace))
+                return it
+            return A.SelectItem(fix(it.expr), it.alias)
+
+        items = tuple(fix_item(it) for it in stmt.items)
         joins = tuple(
             A.JoinClause(j.join_type,
                          _map_source(j.right, fix), fix(j.on))
@@ -655,7 +661,8 @@ def _map_statement_exprs(stmt, fix: Callable):
             qualify=fix(stmt.qualify))
     if isinstance(stmt, A.Union):
         return A.Union(_map_statement_exprs(stmt.left, fix),
-                       _map_statement_exprs(stmt.right, fix), stmt.distinct)
+                       _map_statement_exprs(stmt.right, fix), stmt.distinct,
+                       stmt.by_name)
     if isinstance(stmt, A.SetOp):
         return A.SetOp(stmt.op, _map_statement_exprs(stmt.left, fix),
                        _map_statement_exprs(stmt.right, fix), stmt.all)

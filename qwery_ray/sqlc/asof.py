@@ -220,10 +220,11 @@ class PadToSchema:
     fields plus a side tag, so both sides stream through one union with a
     single exact Arrow schema (no pandas dtype laundering)."""
 
-    def __init__(self, out_schema: pa.Schema, side: int, side_col: str):
+    def __init__(self, out_schema: pa.Schema, side: int = 0,
+                 side_col: str | None = None):
         self.out_schema = out_schema
         self.side = side
-        self.side_col = side_col
+        self.side_col = side_col  # None → no side tag (plain align-pad)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         n = len(t)
@@ -235,8 +236,9 @@ class PadToSchema:
                 cols.append(c if c.type == f.type else pc.cast(c, f.type))
             else:
                 cols.append(pa.nulls(n, type=f.type))
-        names.append(self.side_col)
-        cols.append(pa.nulls(n, type=pa.int8()).fill_null(self.side))
+        if self.side_col is not None:
+            names.append(self.side_col)
+            cols.append(pa.nulls(n, type=pa.int8()).fill_null(self.side))
         return pa.table(dict(zip(names, cols)))
 
 

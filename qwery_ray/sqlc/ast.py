@@ -224,9 +224,13 @@ class SelectItem:
 
 @dataclass(frozen=True)
 class Star:
-    """SELECT * (optionally alias-qualified)."""
+    """SELECT * (optionally alias-qualified), with DuckDB-style modifiers:
+    ``* EXCLUDE (a, b)`` drops columns, ``* REPLACE (expr AS c)``
+    substitutes an expression for a column in place."""
 
     table_alias: Optional[str] = None
+    exclude: tuple = ()  # column names to drop
+    replace: tuple = ()  # (expr, column_name) substitutions
 
 
 class Source:
@@ -298,6 +302,8 @@ class Union(Statement, Source):
     left: Statement
     right: Statement
     distinct: bool = False  # reference UNION == UNION ALL (Union.scala:11-16)
+    by_name: bool = False  # UNION [ALL] BY NAME: align columns by name,
+    # missing columns null-padded (DuckDB extension)
 
 
 @dataclass(frozen=True)

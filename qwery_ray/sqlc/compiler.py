@@ -1673,6 +1673,25 @@ class Compiler:
             left_f = self._query_frame(stmt.left)
             right_f = self._query_frame(stmt.right)
             right_ds = right_f.ds
+            if stmt.by_name:
+                # UNION [ALL] BY NAME: align by column NAME; columns absent
+                # on one side null-pad with the other side's type
+                from .asof import PadToSchema
+
+                l_schema = left_f.ds.schema().base_schema
+                r_schema = right_f.ds.schema().base_schema
+                fields = [l_schema.field(c) for c in left_f.columns]
+                fields += [r_schema.field(c) for c in right_f.columns
+                           if c not in left_f.columns]
+                union_schema = pa.schema(fields)
+                out = left_f.ds.map_batches(
+                    PadToSchema(union_schema),
+                    batch_format="pyarrow").union(
+                    right_ds.map_batches(PadToSchema(union_schema),
+                                         batch_format="pyarrow"))
+                if stmt.distinct:
+                    out = _distinct(out, names=list(union_schema.names))
+                return _tag_columns(out, list(union_schema.names))
             if right_f.columns and left_f.columns and \
                     right_f.columns != left_f.columns:
                 # ANSI UNION is positional: re-label the right arm to the
@@ -1941,7 +1960,21 @@ class Compiler:
         if has_agg:
             frame = self._compile_aggregate(frame, sel, env)
         else:
-            items = list(sel.items)
+            items = []
+            for it in sel.items:
+                if isinstance(it, A.Star) and (it.exclude or it.replace):
+                    # * EXCLUDE/REPLACE: expand against the input columns
+                    excl = {e.lower() for e in it.exclude}
+                    repl = {n.lower(): ex for ex, n in it.replace}
+                    for c in frame.columns:
+                        bare = c.split(".")[-1].lower()
+                        if bare in excl or c.lower() in excl:
+                            continue
+                        ex = repl.get(bare, repl.get(c.lower()))
+                        items.append(A.SelectItem(ex, c) if ex is not None
+                                     else A.SelectItem(A.ColumnRef(c), c))
+                else:
+                    items.append(it)
             if not (len(items) == 1 and isinstance(items[0], A.Star)
                     and items[0].table_alias is None):
                 names = self._output_names(items)

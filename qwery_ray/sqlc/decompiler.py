@@ -191,7 +191,14 @@ def to_sql(stmt) -> str:
         items = []
         for it in stmt.items:
             if isinstance(it, A.Star):
-                items.append(f"{it.table_alias}.*" if it.table_alias else "*")
+                s = f"{it.table_alias}.*" if it.table_alias else "*"
+                if it.exclude:
+                    s += f" EXCLUDE ({', '.join(_ident(c) for c in it.exclude)})"
+                if it.replace:
+                    s += " REPLACE (" + ", ".join(
+                        f"{expr_sql(ex)} AS {_ident(n)}"
+                        for ex, n in it.replace) + ")"
+                items.append(s)
             else:
                 s = expr_sql(it.expr)
                 if it.alias:
@@ -235,6 +242,8 @@ def to_sql(stmt) -> str:
         return " ".join(parts)
     if isinstance(stmt, A.Union):
         op = "UNION DISTINCT" if stmt.distinct else "UNION ALL"
+        if stmt.by_name:
+            op += " BY NAME"
         return f"{to_sql(stmt.left)} {op} {to_sql(stmt.right)}"
     if isinstance(stmt, A.SetOp):
         op = f"{stmt.op} ALL" if stmt.all else stmt.op

@@ -211,8 +211,13 @@ class Parser:
                     pass
                 elif self.accept("DISTINCT"):
                     distinct = True
+                by_name = False
+                if self.accept("BY"):
+                    self.expect("NAME")
+                    by_name = True
                 # NOTE: reference UNION is UNION ALL (ops/sql/Union.scala)
-                left = A.Union(left, self.parse_select(), distinct=distinct)
+                left = A.Union(left, self.parse_select(),
+                               distinct=distinct, by_name=by_name)
             else:
                 all_ = bool(self.accept("ALL"))
                 if not all_:
@@ -379,10 +384,34 @@ class Parser:
         self.expect(")")
         return keys, tuple(sets)
 
+    def _parse_star_modifiers(self) -> tuple:
+        """DuckDB star modifiers: EXCLUDE (a, b) / REPLACE (expr AS c)."""
+        exclude: list[str] = []
+        replace: list = []
+        while self.at("EXCLUDE", "REPLACE"):
+            kind = self.next().upper
+            self.expect("(")
+            if kind == "EXCLUDE":
+                exclude.append(self._ident_name())
+                while self.accept(","):
+                    exclude.append(self._ident_name())
+            else:
+                while True:
+                    expr = self.parse_expr()
+                    self.expect("AS")
+                    replace.append((expr, self._ident_name()))
+                    if not self.accept(","):
+                        break
+            self.expect(")")
+        return tuple(exclude), tuple(replace)
+
     def parse_select_item(self):
         tok = self.peek()
         if tok.kind == "OP" and tok.text == "*":
             self.next()
+            if self.at("EXCLUDE", "REPLACE"):
+                exclude, replace = self._parse_star_modifiers()
+                return A.Star(exclude=exclude, replace=replace)
             return A.Star()
         # alias.* form: the lexer folds the trailing dot into the IDENT ("c.")
         if (

@@ -755,3 +755,61 @@ class TestSurfaceSugar:
             "SELECT CURRENT_DATE AS d, CURRENT_TIMESTAMP AS t").to_pandas()
         assert str(out["d"].iloc[0])[:10] == "2024-03-15"
         assert str(out["t"].iloc[0]) == "2024-03-15 12:30:00"
+
+
+class TestStarModifiersUnionByName:
+    """* EXCLUDE / * REPLACE star modifiers and UNION [ALL|DISTINCT] BY
+    NAME (DuckDB extensions). Bare UNION stays UNION ALL — reference
+    semantics (Union.scala:11-16) — so the distinct form is spelled out."""
+
+    def _cmp(self, engine, duck, sql, dsql=None):
+        import pandas as pd
+        mine = engine.sql(sql)
+        mine = mine.to_pandas() if hasattr(mine, "to_pandas") else mine
+        oracle = duck.execute(dsql or sql).fetch_df()
+        cols = sorted(mine.columns)
+        a = mine.reindex(cols, axis=1).sort_values(cols, ignore_index=True)
+        b = oracle.reindex(cols, axis=1).sort_values(cols, ignore_index=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False, rtol=1e-9)
+
+    def test_exclude(self, engine, duck):
+        self._cmp(engine, duck,
+                  "SELECT * EXCLUDE (o_orderpriority, o_orderdate) "
+                  "FROM orders WHERE o_orderkey < 50")
+
+    def test_replace_and_exclude(self, engine, duck):
+        self._cmp(engine, duck,
+                  "SELECT * EXCLUDE (o_orderdate) "
+                  "REPLACE (UPPER(o_orderstatus) AS o_orderstatus, "
+                  "o_totalprice / 100 AS o_totalprice) "
+                  "FROM orders WHERE o_orderkey < 50")
+
+    def test_union_by_name_pads_missing(self, engine, duck):
+        self._cmp(engine, duck,
+                  "SELECT 1 AS a, 2 AS b UNION ALL BY NAME "
+                  "SELECT 9 AS c, 3 AS a")
+
+    def test_union_distinct_by_name(self, engine, duck):
+        self._cmp(engine, duck,
+                  "SELECT 1 AS a UNION DISTINCT BY NAME SELECT 1 AS a "
+                  "UNION DISTINCT BY NAME SELECT 2 AS b",
+                  "SELECT 1 AS a UNION BY NAME SELECT 1 AS a "
+                  "UNION BY NAME SELECT 2 AS b")
+
+    def test_union_by_name_tables(self, engine, duck):
+        self._cmp(engine, duck,
+                  "SELECT o_orderkey AS k, o_totalprice FROM orders "
+                  "WHERE o_orderkey < 20 UNION ALL BY NAME "
+                  "SELECT c_acctbal, c_custkey AS k FROM customer "
+                  "WHERE c_custkey < 10")
+
+    def test_round_trips(self):
+        from qwery_ray.sqlc import parser as P
+        from qwery_ray.sqlc.decompiler import to_sql
+
+        for sql in (
+            "SELECT * EXCLUDE (a) REPLACE (b * 2 AS b) FROM t",
+            "SELECT a FROM t UNION ALL BY NAME SELECT b FROM u",
+        ):
+            stmt = P.parse(sql)[0]
+            assert P.parse(to_sql(stmt))[0] == stmt
