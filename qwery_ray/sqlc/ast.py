@@ -67,6 +67,7 @@ class FuncCall(Expr):
     args: tuple[Expr, ...]
     is_star: bool = False  # COUNT(*)
     distinct: bool = False  # COUNT(DISTINCT x) — superset of reference
+    ignore_nulls: bool = False  # fn(x IGNORE NULLS) — window nav funcs
 
 
 @dataclass(frozen=True)

@@ -880,8 +880,9 @@ class _WindowGroupFn:
     def __init__(self, func: str, arg_col, okeys, odesc, out_name,
                  pkeys=None, lag_offset: int = 1, lag_default=None,
                  ntile_n: int = 0, frame: tuple = (),
-                 frame_kind: str = "ROWS"):
+                 frame_kind: str = "ROWS", ignore_nulls: bool = False):
         self.func = func
+        self.ignore_nulls = ignore_nulls
         self.arg_col = arg_col
         self.okeys = okeys
         self.odesc = odesc
@@ -933,7 +934,7 @@ class _WindowGroupFn:
         Semantics mirror _one exactly: same sort (stable, NULLS LAST),
         same peer-group rules, same LAG/LEAD fill typing."""
         fn = self.func
-        if fn not in self._VEC_FUNCS:
+        if fn not in self._VEC_FUNCS or self.ignore_nulls:
             return None
         if fn in self._VEC_AGGS:
             if self.frame:  # explicit ROWS/RANGE frames go through _one
@@ -1320,8 +1321,24 @@ class _WindowGroupFn:
         elif fn == "FIRST_VALUE":
             if not self.okeys:
                 raise ValueError("FIRST_VALUE() requires ORDER BY in OVER()")
-            vals = df[self.arg_col].to_numpy()
-            out = np.repeat(vals[:1], n)
+            ser = df[self.arg_col].reset_index(drop=True)
+            if self.ignore_nulls:
+                # first non-null in [start .. current last peer]
+                nn = ser.notna().to_numpy()
+                fnn = int(np.argmax(nn)) if nn.any() else n
+                changed = self._order_key_changes(df, n)
+                run_id = changed.cumsum() - 1
+                is_end = np.ones(n, dtype=bool)
+                if n > 1:
+                    is_end[:-1] = changed[1:]
+                frame_end = np.flatnonzero(is_end)[run_id]
+                out = ser.iloc[np.where(frame_end >= fnn, fnn, 0)] \
+                    .reset_index(drop=True)
+                out[frame_end < fnn] = None
+                out = out.to_numpy()
+            else:
+                vals = ser.to_numpy()
+                out = np.repeat(vals[:1], n)
         elif fn == "LAST_VALUE":
             if not self.okeys:
                 raise ValueError("LAST_VALUE() requires ORDER BY in OVER()")
@@ -1337,7 +1354,12 @@ class _WindowGroupFn:
             if n > 1:
                 is_end[:-1] = changed[1:]
             end_idx = np.flatnonzero(is_end)
-            vals = df[self.arg_col].to_numpy()
+            if self.ignore_nulls:
+                # last non-null at-or-before the frame end (gap fill)
+                vals = df[self.arg_col].reset_index(drop=True) \
+                    .ffill().to_numpy()
+            else:
+                vals = df[self.arg_col].to_numpy()
             out = vals[end_idx[run_id]]
         elif fn == "NTH_VALUE":
             # ANSI default frame: the n-th row of [partition start ..
@@ -1359,9 +1381,24 @@ class _WindowGroupFn:
             # original index here; a Series would align-by-index to NaN)
         elif fn in ("LAG", "LEAD"):
             shift = self.lag_offset if fn == "LAG" else -self.lag_offset
+            if self.ignore_nulls:
+                # most recent (LAG) / next (LEAD) NON-NULL value; offsets
+                # beyond 1 would need k-th-non-null bookkeeping
+                if self.lag_offset != 1:
+                    raise ValueError(
+                        f"{fn} IGNORE NULLS supports offset 1 only")
+                ser = df[self.arg_col].reset_index(drop=True)
+                if fn == "LEAD":
+                    ser = ser[::-1].reset_index(drop=True)
+                out = ser.shift(1).ffill()
+                if fn == "LEAD":
+                    out = out[::-1].reset_index(drop=True)
+                if self.lag_default is not None:
+                    out = out.fillna(self.lag_default)
+                out = out.to_numpy()
             # fill_value fills only out-of-partition positions (ANSI: the
             # default never replaces genuine NULL values that shifted in)
-            if self.lag_default is not None:
+            elif self.lag_default is not None:
                 out = df[self.arg_col].shift(
                     shift, fill_value=self.lag_default).to_numpy()
             else:
@@ -3602,7 +3639,8 @@ class Compiler:
         win = _WindowGroupFn(fn.name, arg_col, okeys, odesc, out_name,
                              pkeys=pkeys, lag_offset=lag_offset,
                              lag_default=lag_default, ntile_n=ntile_n,
-                             frame=wc.frame, frame_kind=wc.frame_kind)
+                             frame=wc.frame, frame_kind=wc.frame_kind,
+                             ignore_nulls=fn.ignore_nulls)
 
         def window_fn(df: pd.DataFrame, _w=win) -> pd.DataFrame:
             return _w(df)

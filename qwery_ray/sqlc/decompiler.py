@@ -67,6 +67,8 @@ def expr_sql(e) -> str:
         inner = ", ".join(expr_sql(a) for a in e.args)
         if e.distinct:
             inner = "DISTINCT " + inner
+        if e.ignore_nulls:
+            inner += " IGNORE NULLS"
         return f"{e.name}({inner})"
     if isinstance(e, A.WindowCall):
         inner = expr_sql(e.func) + " OVER ("

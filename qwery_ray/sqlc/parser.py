@@ -1131,8 +1131,14 @@ class Parser:
                 args = [self.parse_expr()]
                 while self.accept(","):
                     args.append(self.parse_expr())
+                ignore_nulls = False
+                if self.accept("IGNORE"):  # fn(x IGNORE NULLS), DuckDB form
+                    self.expect("NULLS")
+                    ignore_nulls = True
                 self.expect(")")
-                call = A.FuncCall(name.upper(), tuple(args), distinct=distinct)
+                call = A.FuncCall(name.upper(), tuple(args),
+                                  distinct=distinct,
+                                  ignore_nulls=ignore_nulls)
                 if self.at("FILTER"):
                     call = self._maybe_filter(call)
                 if self.at("OVER"):

@@ -1,6 +1,8 @@
 """Window functions (OVER) vs DuckDB — superset of the reference (§2.5:
 no windows there), needed for keyed-dedup idioms in training pipelines."""
 
+import pytest
+
 from conftest import assert_frames_match, to_pandas
 
 
@@ -430,3 +432,49 @@ class TestNthValue:
         with pytest.raises(Exception, match="NTH_VALUE"):
             engine.sql("SELECT NTH_VALUE(o_totalprice, o_custkey) OVER "
                        "(ORDER BY o_orderkey) AS x FROM orders").to_pandas()
+
+
+class TestIgnoreNulls:
+    """fn(x IGNORE NULLS) for FIRST_VALUE/LAST_VALUE/LAG/LEAD — the
+    gap-filling workhorses (LAST_VALUE IGNORE NULLS = forward fill)."""
+
+    @pytest.fixture(scope="class")
+    def gap_table(self, ray_session, tmp_path_factory):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = tmp_path_factory.mktemp("gaps")
+        pq.write_table(
+            pa.table({"k": [1] * 6 + [2] * 4, "rid": list(range(10)),
+                      "x": [None, 5.0, None, 7.0, None, None,
+                            1.0, None, 2.0, None]}),
+            str(d / "w.parquet"))
+        return str(d)
+
+    @pytest.mark.parametrize("fn", [
+        "LAST_VALUE(x IGNORE NULLS)", "FIRST_VALUE(x IGNORE NULLS)",
+        "LAG(x IGNORE NULLS)", "LEAD(x IGNORE NULLS)"])
+    def test_vs_duckdb(self, gap_table, fn):
+        import duckdb
+        import pandas as pd
+
+        from qwery_ray import QweryEngine
+
+        eng = QweryEngine(table_root=gap_table)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW w AS SELECT * FROM '{gap_table}/w.parquet'")
+        sql = (f"SELECT rid, {fn} OVER (PARTITION BY k ORDER BY rid) AS v "
+               f"FROM w")
+        a = eng.sql(sql).to_pandas().sort_values("rid", ignore_index=True)
+        b = con.execute(sql).df().sort_values("rid", ignore_index=True)
+        con.close()
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    def test_round_trip(self):
+        from qwery_ray.sqlc import parser as P
+        from qwery_ray.sqlc.decompiler import to_sql
+
+        sql = ("SELECT LAST_VALUE(x IGNORE NULLS) OVER (ORDER BY rid) "
+               "AS v FROM w")
+        stmt = P.parse(sql)[0]
+        assert P.parse(to_sql(stmt))[0] == stmt
