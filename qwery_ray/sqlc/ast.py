@@ -68,6 +68,7 @@ class FuncCall(Expr):
     is_star: bool = False  # COUNT(*)
     distinct: bool = False  # COUNT(DISTINCT x) — superset of reference
     ignore_nulls: bool = False  # fn(x IGNORE NULLS) — window nav funcs
+    order_by: tuple = ()  # STRING_AGG(x, sep ORDER BY y) — OrderItems
 
 
 @dataclass(frozen=True)

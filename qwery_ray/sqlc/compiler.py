@@ -791,6 +791,12 @@ class GroupAggPandas:
                 row[res] = [len(df)]
                 continue
             s = df[cname]
+            obs = getattr(call, "order_by", ()) or ()
+            if obs:
+                ocols = [f"__a{i}_o{j}" for j in range(len(obs))]
+                s = df[[cname] + ocols].sort_values(
+                    ocols, ascending=[o.ascending for o in obs],
+                    kind="stable")[cname]
             if call.distinct:
                 s = s.dropna().drop_duplicates()
             kind = call.name
@@ -3253,6 +3259,11 @@ class Compiler:
 
         any_distinct = any(c.distinct for c in agg_calls)
         any_holistic = any(c.name in HOLISTIC_AGG_NAMES for c in agg_calls)
+        for c in agg_calls:
+            if c.order_by and c.name not in HOLISTIC_AGG_NAMES:
+                raise ValueError(
+                    f"{c.name} does not take an internal ORDER BY "
+                    "(order-sensitive aggregates: STRING_AGG / ARRAY_AGG)")
         if sel.grouping_sets is not None and (
                 any_distinct or any_holistic or
                 any(c.name == "APPROX_COUNT_DISTINCT" for c in agg_calls)):
@@ -3758,6 +3769,11 @@ class PreAggPrep:
             if not isinstance(val, (pa.Array, pa.ChunkedArray)):
                 val = pa.array([val] * n)
             data[f"__a{i}"] = val
+            for j, ob in enumerate(getattr(call, "order_by", ()) or ()):
+                ov = ev.eval(ob.expr, batch)
+                if not isinstance(ov, (pa.Array, pa.ChunkedArray)):
+                    ov = pa.array([ov] * n)
+                data[f"__a{i}_o{j}"] = ov
         if not data:
             data["__dummy"] = pa.nulls(n)
         return pa.table(data)

@@ -69,6 +69,10 @@ def expr_sql(e) -> str:
             inner = "DISTINCT " + inner
         if e.ignore_nulls:
             inner += " IGNORE NULLS"
+        if e.order_by:
+            inner += " ORDER BY " + ", ".join(
+                expr_sql(o.expr) + ("" if o.ascending else " DESC")
+                for o in e.order_by)
         return f"{e.name}({inner})"
     if isinstance(e, A.WindowCall):
         inner = expr_sql(e.func) + " OVER ("

@@ -1116,6 +1116,8 @@ def collect_column_refs(expr, out: set | None = None) -> set:
     elif isinstance(expr, A.FuncCall):
         for a in expr.args:
             collect_column_refs(a, out)
+        for o in expr.order_by:
+            collect_column_refs(o.expr, out)
     elif isinstance(expr, A.Cast):
         collect_column_refs(expr.operand, out)
     elif isinstance(expr, A.CaseWhen):

@@ -1135,10 +1135,17 @@ class Parser:
                 if self.accept("IGNORE"):  # fn(x IGNORE NULLS), DuckDB form
                     self.expect("NULLS")
                     ignore_nulls = True
+                agg_order: list[A.OrderItem] = []
+                if self.accept("ORDER"):  # STRING_AGG(x, sep ORDER BY y)
+                    self.expect("BY")
+                    agg_order.append(self.parse_order_item())
+                    while self.accept(","):
+                        agg_order.append(self.parse_order_item())
                 self.expect(")")
                 call = A.FuncCall(name.upper(), tuple(args),
                                   distinct=distinct,
-                                  ignore_nulls=ignore_nulls)
+                                  ignore_nulls=ignore_nulls,
+                                  order_by=tuple(agg_order))
                 if self.at("FILTER"):
                     call = self._maybe_filter(call)
                 if self.at("OVER"):

@@ -813,3 +813,31 @@ class TestStarModifiersUnionByName:
         ):
             stmt = P.parse(sql)[0]
             assert P.parse(to_sql(stmt))[0] == stmt
+
+
+class TestOrderedAggregates:
+    """STRING_AGG / ARRAY_AGG with an internal ORDER BY (deterministic
+    concatenation order, DuckDB parity)."""
+
+    def test_string_agg_order_by(self, engine, duck):
+        import pandas as pd
+        sql = ("SELECT o_orderstatus, STRING_AGG(CAST(o_orderkey AS "
+               "VARCHAR), '|' ORDER BY o_totalprice DESC) AS s FROM orders "
+               "WHERE o_orderkey < 40 GROUP BY o_orderstatus")
+        a = engine.sql(sql).to_pandas().sort_values("o_orderstatus",
+                                                    ignore_index=True)
+        b = duck.execute(sql).fetch_df().sort_values("o_orderstatus",
+                                                     ignore_index=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    def test_array_agg_order_by(self, engine, duck):
+        sql = ("SELECT ARRAY_AGG(o_orderkey ORDER BY o_orderkey DESC) AS v "
+               "FROM orders WHERE o_orderkey < 20")
+        a = engine.sql(sql).to_pandas()
+        b = duck.execute(sql).fetch_df()
+        assert list(a["v"].iloc[0]) == list(b["v"].iloc[0])
+
+    def test_order_by_rejected_on_plain_agg(self, engine):
+        with pytest.raises(Exception, match="ORDER BY"):
+            engine.sql("SELECT SUM(o_totalprice ORDER BY o_orderkey) "
+                       "FROM orders").to_pandas()
