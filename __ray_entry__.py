@@ -713,6 +713,30 @@ _SQL_QUERIES: dict[str, tuple[str, str | None]] = {
         "UNPIVOT (SELECT user_id, event_id, value FROM events "
         "WHERE event_id < 500) ON event_id, value INTO NAME metric VALUE v",
         None),
+    "unnest_embedding_stats": (
+        # UNNEST explodes list<float> vectors to one row per element
+        # (streaming flat_map — pc.list_flatten + parent-index take, no
+        # shuffle), then re-aggregates. MIN/MAX/COUNT are exact (no float
+        # accumulation), so the value hash is stable across engines.
+        "SELECT vec_id, COUNT(*) AS n, "
+        "ROUND(CAST(MIN(v) AS DOUBLE), 5) AS mn, "
+        "ROUND(CAST(MAX(v) AS DOUBLE), 5) AS mx "
+        "FROM (SELECT vec_id, UNNEST(embedding) AS v FROM embeddings) "
+        "GROUP BY vec_id ORDER BY vec_id LIMIT 200",
+        None),
+    "list_membership_counts": (
+        # list literals + LIST_CONTAINS membership over a computed key
+        "SELECT list_contains([2, 3, 5, 7], CAST(vec_id % 10 AS INT)) "
+        "AS hit, COUNT(*) AS n FROM embeddings GROUP BY hit ORDER BY hit",
+        None),
+    "list_string_ops": (
+        # list_sort / array_to_string over split() output (char-class split
+        # is qwery dialect — the oracle spells it str_split_regex)
+        "SELECT doc_id, array_to_string(list_sort(split(lang, '[-]')), '|') "
+        "AS lang_key FROM documents ORDER BY doc_id LIMIT 500",
+        "SELECT doc_id, array_to_string(list_sort(str_split_regex(lang, "
+        "'[-]')), '|') AS lang_key FROM documents ORDER BY doc_id "
+        "LIMIT 500"),
 }
 
 

@@ -121,6 +121,83 @@ class RenameBatch:
             [self.mapping.get(c, c) for c in batch.column_names])
 
 
+class ExplodeBatch:
+    """SELECT UNNEST(list_col): explode list columns to one row per element,
+    repeating the scalar columns. DuckDB zip semantics for multiple UNNESTs
+    in one SELECT: per input row emit max(len) rows, shorter lists padded
+    with NULL; NULL/empty lists emit no rows (alone) / pure padding (zipped).
+    Streaming per-batch Arrow kernel work (list_flatten + parent indices /
+    one np.repeat gather) — no shuffle, no Python row loop."""
+
+    def __init__(self, unnest_cols: list[str]):
+        self.unnest_cols = unnest_cols
+
+    def _elem_type(self, t: pa.DataType) -> pa.DataType:
+        return t.value_type if (pa.types.is_list(t) or
+                                pa.types.is_large_list(t)) else t
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if len(batch) == 0:
+            cols = {}
+            for cn in batch.column_names:
+                col = batch.column(cn)
+                if cn in self.unnest_cols:
+                    cols[cn] = pa.array([], type=self._elem_type(col.type))
+                else:
+                    cols[cn] = col
+            return pa.table(cols)
+        if len(self.unnest_cols) == 1:
+            cn = self.unnest_cols[0]
+            lst = batch.column(cn)
+            if isinstance(lst, pa.ChunkedArray):
+                lst = lst.combine_chunks()
+            if not (pa.types.is_list(lst.type) or
+                    pa.types.is_large_list(lst.type)):
+                raise ValueError(f"UNNEST({cn}): not a list column")
+            parent = pc.list_parent_indices(lst)
+            cols = {}
+            for name in batch.column_names:
+                cols[name] = pc.list_flatten(lst) if name == cn \
+                    else batch.column(name).take(parent)
+            return pa.table(cols)
+        # zipped multi-UNNEST
+        n = len(batch)
+        lists, lens = {}, {}
+        for cn in self.unnest_cols:
+            col = batch.column(cn)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            lists[cn] = col
+            lens[cn] = pc.fill_null(pc.list_value_length(col), 0)\
+                .to_numpy(zero_copy_only=False).astype("int64")
+        out_n = np.maximum.reduce(list(lens.values()))
+        parent = np.repeat(np.arange(n), out_n)
+        total = int(out_n.sum())
+        row_start = np.concatenate(([0], np.cumsum(out_n)[:-1]))
+        pos = np.arange(total) - np.repeat(row_start, out_n)
+        cols = {}
+        parent_pa = pa.array(parent, type=pa.int64())
+        for name in batch.column_names:
+            if name not in lists:
+                cols[name] = batch.column(name).take(parent_pa)
+                continue
+            lst = lists[name]
+            lk = lens[name]
+            starts = np.concatenate(([0], np.cumsum(lk)[:-1]))
+            flat = pc.list_flatten(lst)
+            ok = pos < lk[parent]
+            take = np.where(ok, starts[parent] + pos, 0)
+            if len(flat) == 0:
+                cols[name] = pa.nulls(total, self._elem_type(lst.type))
+                continue
+            vals = flat.take(pa.array(take, type=pa.int64()))
+            cols[name] = pc.if_else(pa.array(ok), vals,
+                                    pa.scalar(None, type=vals.type))
+        return pa.table(cols)
+
+
 class AddSortKeys:
     def __init__(self, exprs, names, env):
         self.exprs = exprs
@@ -1877,8 +1954,17 @@ class Compiler:
             # literal row: SELECT 1+2 AS total (Select.scala:40-41)
             items = [it for it in sel.items if isinstance(it, A.SelectItem)]
             names = [self._output_name(it, i) for i, it in enumerate(items)]
+            unnest_cols = []
+            for k, it in enumerate(items):
+                if isinstance(it.expr, A.FuncCall) \
+                        and it.expr.name.upper() == "UNNEST" \
+                        and len(it.expr.args) == 1:
+                    items[k] = A.SelectItem(it.expr.args[0], it.alias)
+                    unnest_cols.append(names[k])
             proj = ProjectBatch(items, env, names)
             table = proj(pa.table({"__one": [1]}))
+            if unnest_cols:
+                table = ExplodeBatch(unnest_cols)(table)
             return Frame(rd.from_arrow(table), list(table.column_names))
 
         # read-time optimization: prune columns + push WHERE into the scan
@@ -2021,6 +2107,23 @@ class Compiler:
             if not (len(items) == 1 and isinstance(items[0], A.Star)
                     and items[0].table_alias is None):
                 names = self._output_names(items)
+                # UNNEST(list) as a top-level item: project the list column
+                # itself, then explode after the projection (DuckDB
+                # semantics; multiple UNNESTs zip, padded with NULL)
+                unnest_cols = []
+                rewritten = []
+                for it, nm in zip(items, names):
+                    if isinstance(it, A.SelectItem) \
+                            and isinstance(it.expr, A.FuncCall) \
+                            and it.expr.name.upper() == "UNNEST" \
+                            and len(it.expr.args) == 1:
+                        rewritten.append(
+                            A.SelectItem(it.expr.args[0], it.alias))
+                        unnest_cols.append(nm)
+                    else:
+                        rewritten.append(it)
+                if unnest_cols:
+                    items = rewritten
                 # ORDER BY may reference input columns that the projection
                 # drops (SELECT a FROM t ORDER BY b): carry them through the
                 # projection under their own names; dropped after the sort
@@ -2042,6 +2145,11 @@ class Compiler:
                     frame.ds.map_batches(ProjectBatch(items, env, names),
                                          batch_format="pyarrow"),
                     self._expand_names(items, names, frame))
+                if unnest_cols:
+                    frame = Frame(
+                        frame.ds.map_batches(ExplodeBatch(unnest_cols),
+                                             batch_format="pyarrow"),
+                        frame.columns)
                 if extra_sort_cols:
                     prev = getattr(frame, "_drop_cols", None) or []
                     frame._drop_cols = prev + extra_sort_cols  # type: ignore[attr-defined]

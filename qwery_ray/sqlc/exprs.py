@@ -54,6 +54,46 @@ def _is_scalar(val) -> bool:
     return not isinstance(val, (pa.Array, pa.ChunkedArray))
 
 
+def _if_else_any(mask, value, acc):
+    """pc.if_else, with a take-based fallback for nested (list/struct)
+    types the kernel doesn't implement: concat both sides, gather row i
+    from side A or B by index — same null semantics, one extra copy."""
+    try:
+        return pc.if_else(mask, value, acc)
+    except (pa.lib.ArrowNotImplementedError, pa.lib.ArrowTypeError):
+        import numpy as np
+
+        if isinstance(mask, pa.ChunkedArray):
+            mask = mask.combine_chunks()
+        n = len(mask)
+
+        def as_arr(v, like_type):
+            if isinstance(v, pa.ChunkedArray):
+                return v.combine_chunks()
+            if isinstance(v, pa.Array):
+                return v
+            py = v.as_py() if isinstance(v, pa.Scalar) else v
+            t = v.type if isinstance(v, pa.Scalar) else like_type
+            return pa.array([py] * n, type=t)
+
+        def null_ish(t):  # a type that carries no value information
+            return pa.types.is_null(t) or (
+                (pa.types.is_list(t) or pa.types.is_large_list(t))
+                and pa.types.is_null(t.value_type))
+
+        va = as_arr(value, getattr(acc, "type", None))
+        aa = as_arr(acc, va.type)
+        if aa.type != va.type:
+            # unify toward whichever side carries real value types
+            tgt = aa.type if null_ish(va.type) else va.type
+            va = va.cast(tgt)
+            aa = aa.cast(tgt)
+        m = pc.fill_null(mask, False).to_numpy(zero_copy_only=False)
+        idx = np.where(m, np.arange(n), np.arange(n) + n)
+        return pa.concat_arrays([va, aa]).take(
+            pa.array(idx, type=pa.int64()))
+
+
 def _add_interval(val, iv: "A.IntervalLit", sign: int):
     """temporal + INTERVAL: calendar-correct month shifts (Jan 31 + 1 MONTH
     = Feb 28/29, matching DuckDB/ANSI) and exact second offsets."""
@@ -478,7 +518,7 @@ class Evaluator:
                     value = pa.scalar(value, ref_type)
                 elif _is_scalar(acc):
                     acc = pa.scalar(acc, value.type) if acc is not None else pa.scalar(None, value.type)
-                acc = pc.if_else(mask, value, acc)
+                acc = _if_else_any(mask, value, acc)
         return acc
 
     def _eval_Cast(self, e: A.Cast, batch):
@@ -524,6 +564,9 @@ def _str_arg(ev, e, batch, i):
 
 
 def _fn_len(ev, e, batch):
+    val = _arg(ev, e, batch, 0)
+    if pa.types.is_list(val.type) or pa.types.is_large_list(val.type):
+        return pc.list_value_length(val)
     return pc.utf8_length(_str_arg(ev, e, batch, 0))
 
 
@@ -1007,7 +1050,231 @@ def _fn_initcap(ev, e, batch):
     return pc.utf8_title(_str_arg(ev, e, batch, 0))
 
 
+# ---------------------------------------------------------------- lists
+# DuckDB-compatible list/array functions over Arrow list columns. All are
+# vectorized: one pc.list_flatten + parent-index pass per batch, never a
+# Python loop over rows. 1-based indexing, NULL-in → NULL-out, matching
+# DuckDB 1.0 (the engine's oracle).
+
+
+def _list_arg(ev, e, batch, i):
+    """Evaluate arg i to a combined pa list array."""
+    val = _arg(ev, e, batch, i)
+    if isinstance(val, pa.ChunkedArray):
+        val = val.combine_chunks()
+    if not (pa.types.is_list(val.type) or pa.types.is_large_list(val.type)):
+        raise EvalError(f"{e.name} expects a list argument")
+    return val
+
+
+def _list_parts(lst):
+    """(flat_values, lengths int64 np, starts int64 np, row_valid np bool).
+
+    flat packs rows back-to-back (null/empty rows contribute 0 values),
+    so row i occupies flat[starts[i] : starts[i]+lengths[i]].
+    """
+    import numpy as np
+
+    lengths = pc.fill_null(pc.list_value_length(lst), 0)\
+        .to_numpy(zero_copy_only=False).astype("int64")
+    starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    flat = pc.list_flatten(lst)
+    valid = pc.is_valid(lst).to_numpy(zero_copy_only=False)
+    return flat, lengths, starts, valid
+
+
+def _fn_unnest(ev, e, batch):
+    raise EvalError(
+        "UNNEST is only supported as a top-level SELECT item "
+        "(SELECT UNNEST(list_col) ... FROM t)")
+
+
+def _fn_list_value(ev, e, batch):
+    # LIST_VALUE(a, b, …) / [a, b, …] — one k-element list per row
+    import numpy as np
+
+    n = len(batch)
+    arrs = [_as_array(ev.eval(a, batch), n) for a in e.args]
+    arrs = [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+            for a in arrs]
+    k = len(arrs)
+    if k == 0:
+        return pa.array([[]] * n, type=pa.list_(pa.null()))
+    types = {a.type for a in arrs if not pa.types.is_null(a.type)}
+    if len(types) > 1:  # unify: all-numeric → float64, else string
+        tgt = pa.float64() if all(
+            pa.types.is_integer(t) or pa.types.is_floating(t)
+            for t in types) else pa.string()
+        arrs = [pc.cast(a, tgt) for a in arrs]
+    elif types:
+        tgt = next(iter(types))
+        arrs = [pc.cast(a, tgt) for a in arrs]
+    stacked = pa.concat_arrays(arrs)          # [a0…  a1…  …]  column-major
+    # row i, slot j sits at stacked[j*n + i]
+    idx = (np.arange(n * k) % k) * n + (np.arange(n * k) // k)
+    values = stacked.take(pa.array(idx, type=pa.int64()))
+    offsets = pa.array(np.arange(0, n * k + 1, k, dtype="int32"),
+                       type=pa.int32())
+    return pa.ListArray.from_arrays(offsets, values)
+
+
+def _fn_array_length(ev, e, batch):
+    return pc.list_value_length(_list_arg(ev, e, batch, 0))
+
+
+def _fn_list_contains(ev, e, batch):
+    import numpy as np
+
+    lst = _list_arg(ev, e, batch, 0)
+    target = ev.eval(e.args[1], batch)
+    flat, lengths, starts, valid = _list_parts(lst)
+    hit = np.zeros(len(lst), dtype=bool)
+    if len(flat):
+        parent = np.repeat(np.arange(len(lst)), lengths)
+        if _is_scalar(target):
+            if target is None:
+                return pa.array(hit, mask=~valid)
+            eq = pc.equal(flat, pa.scalar(target))
+        else:  # per-row needle: align to the flattened packing
+            if isinstance(target, pa.ChunkedArray):
+                target = target.combine_chunks()
+            eq = pc.equal(flat, target.take(
+                pa.array(parent, type=pa.int64())))
+        eq = pc.fill_null(eq, False).to_numpy(zero_copy_only=False)
+        np.logical_or.at(hit, parent, eq)
+    return pa.array(hit, mask=~valid)
+
+
+def _fn_list_extract(ev, e, batch):
+    # 1-based; negative counts from the end; out of range → NULL
+    import numpy as np
+
+    lst = _list_arg(ev, e, batch, 0)
+    i = ev.eval(e.args[1], batch)
+    if not _is_scalar(i):
+        raise EvalError("LIST_EXTRACT needs a constant index")
+    i = int(i)
+    flat, lengths, starts, valid = _list_parts(lst)
+    pos = np.full(len(lst), i - 1 if i > 0 else 0, dtype="int64")
+    if i <= 0:
+        pos = lengths + i
+    ok = valid & (pos >= 0) & (pos < lengths)
+    take = np.where(ok, starts + pos, 0)
+    if len(flat) == 0:
+        return pa.nulls(len(lst), lst.type.value_type)
+    vals = flat.take(pa.array(take, type=pa.int64()))
+    return pc.if_else(pa.array(ok), vals,
+                      pa.scalar(None, type=vals.type))
+
+
+def _list_pair_float(ev, e, batch):
+    """Flatten both list args to aligned float64 numpy + per-row segments."""
+    import numpy as np
+
+    a = _list_arg(ev, e, batch, 0)
+    b_raw = ev.eval(e.args[1], batch)
+    if _is_scalar(b_raw):  # python list constant
+        b_raw = pa.array([b_raw] * len(batch))
+    if isinstance(b_raw, pa.ChunkedArray):
+        b_raw = b_raw.combine_chunks()
+    fa, la, sa, va = _list_parts(a)
+    fb, lb, sb, vb = _list_parts(b_raw)
+    if not (la[va & vb] == lb[va & vb]).all():
+        raise EvalError(f"{e.name}: list lengths differ")
+    xa = pc.cast(fa, pa.float64()).to_numpy(zero_copy_only=False)
+    xb = pc.cast(fb, pa.float64()).to_numpy(zero_copy_only=False)
+    n = len(a)
+    parent = np.repeat(np.arange(n), la)
+    return xa, xb, sa, sb, la, parent, va & vb, n
+
+
+def _segsum(contrib, parent, n):
+    import numpy as np
+
+    out = np.zeros(n, dtype="float64")
+    np.add.at(out, parent, contrib)
+    return out
+
+
+def _fn_list_inner_product(ev, e, batch):
+    import numpy as np
+
+    xa, xb, sa, sb, la, parent, ok, n = _list_pair_float(ev, e, batch)
+    # align b's values to a's packing (segments may start elsewhere)
+    pos = np.arange(len(xa)) - np.repeat(sa, la)
+    bvals = xb[np.repeat(sb, la) + pos] if len(xa) else xb[:0]
+    dot = _segsum(xa * bvals, parent, n)
+    return pa.array(dot, mask=~ok)
+
+
+def _fn_list_cosine(ev, e, batch):
+    import numpy as np
+
+    xa, xb, sa, sb, la, parent, ok, n = _list_pair_float(ev, e, batch)
+    pos = np.arange(len(xa)) - np.repeat(sa, la)
+    bvals = xb[np.repeat(sb, la) + pos] if len(xa) else xb[:0]
+    dot = _segsum(xa * bvals, parent, n)
+    na = _segsum(xa * xa, parent, n)
+    nb = _segsum(bvals * bvals, parent, n)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = dot / np.sqrt(na * nb)
+    return pa.array(cos, mask=~ok | np.isnan(cos))
+
+
+def _fn_list_distance(ev, e, batch):
+    import numpy as np
+
+    xa, xb, sa, sb, la, parent, ok, n = _list_pair_float(ev, e, batch)
+    pos = np.arange(len(xa)) - np.repeat(sa, la)
+    bvals = xb[np.repeat(sb, la) + pos] if len(xa) else xb[:0]
+    d = xa - bvals
+    return pa.array(np.sqrt(_segsum(d * d, parent, n)), mask=~ok)
+
+
+def _fn_array_to_string(ev, e, batch):
+    lst = _list_arg(ev, e, batch, 0)
+    sep = ev.eval(e.args[1], batch)
+    if not _is_scalar(sep):
+        raise EvalError("ARRAY_TO_STRING needs a constant separator")
+    as_str = pc.cast(lst, pa.list_(pa.string()))
+    return pc.binary_join(as_str, str(sep))
+
+
+def _fn_list_sort(ev, e, batch):
+    # per-row ascending sort, NULLs first (DuckDB default); one global
+    # (parent, value) sort_indices pass, offsets unchanged
+    import numpy as np
+
+    lst = _list_arg(ev, e, batch, 0)
+    flat, lengths, starts, valid = _list_parts(lst)
+    if len(flat) == 0:
+        return lst
+    parent = np.repeat(np.arange(len(lst)), lengths)
+    order = pc.sort_indices(
+        pa.table({"p": parent, "v": flat}),
+        sort_keys=[("p", "ascending"), ("v", "ascending")],
+        null_placement="at_start")
+    values = flat.take(order)
+    offsets = pa.array(
+        np.concatenate((starts, [int(lengths.sum())])).astype("int32"))
+    mask = None if valid.all() else pa.array(~valid)
+    return pa.ListArray.from_arrays(offsets, values, mask=mask)
+
+
 _SCALAR_FUNCS: dict[str, Callable] = {
+    "UNNEST": _fn_unnest,
+    "LIST_VALUE": _fn_list_value, "LIST_PACK": _fn_list_value,
+    "ARRAY_LENGTH": _fn_array_length, "LIST_LENGTH": _fn_array_length,
+    "LIST_CONTAINS": _fn_list_contains, "ARRAY_CONTAINS": _fn_list_contains,
+    "LIST_HAS": _fn_list_contains,
+    "LIST_EXTRACT": _fn_list_extract, "LIST_ELEMENT": _fn_list_extract,
+    "ARRAY_EXTRACT": _fn_list_extract,
+    "LIST_INNER_PRODUCT": _fn_list_inner_product,
+    "LIST_DOT_PRODUCT": _fn_list_inner_product,
+    "LIST_COSINE_SIMILARITY": _fn_list_cosine,
+    "LIST_DISTANCE": _fn_list_distance,
+    "ARRAY_TO_STRING": _fn_array_to_string,
+    "LIST_SORT": _fn_list_sort,
     "LEN": _fn_len, "LENGTH": _fn_len,
     "TRIM": _fn_trim,
     "UPPER": _fn_upper, "UCASE": _fn_upper,

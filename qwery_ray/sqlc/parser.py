@@ -999,7 +999,14 @@ class Parser:
         if tok.kind == "OP" and tok.text in ("-", "+"):
             self.next()
             return A.UnaryOp(tok.text, self.parse_unary())
-        return self.parse_primary()
+        expr = self.parse_primary()
+        # postfix subscript: l[2] → LIST_EXTRACT(l, 2)  (1-based, DuckDB)
+        while self.peek().kind == "OP" and self.peek().text == "[":
+            self.next()
+            idx = self.parse_expr()
+            self.expect("]")
+            expr = A.FuncCall("LIST_EXTRACT", (expr, idx))
+        return expr
 
     def parse_primary(self) -> A.Expr:
         tok = self.peek()
@@ -1018,6 +1025,16 @@ class Parser:
         if tok.kind == "QIDENT":
             self.next()
             return A.ColumnRef(unquote_ident(tok.text))
+        if tok.kind == "OP" and tok.text == "[":
+            # list literal [a, b, …] → LIST_VALUE(a, b, …)
+            self.next()
+            args: list[A.Expr] = []
+            if not (self.peek().kind == "OP" and self.peek().text == "]"):
+                args.append(self.parse_expr())
+                while self.accept(","):
+                    args.append(self.parse_expr())
+            self.expect("]")
+            return A.FuncCall("LIST_VALUE", tuple(args))
         if tok.kind == "OP" and tok.text == "(":
             self.next()
             if self.at("SELECT"):  # scalar subquery
