@@ -753,6 +753,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "text_quality", "doc_fingerprint", "minhash_near_dups",
     "simhash_signatures", "ann_topk", "embedding_dups",
     "events_sliding_window", "events_sessions", "pii_redact",
+    # round-3 curation ops (never driver-verified; full SQL oracles)
+    "repetition_quality", "decontaminate_docs", "stratified_sample",
     # round-3 operator (never driver-verified)
     "asof_join_events",
     # SQL shapes added after round 2's window closed (never driver-verified)
@@ -760,15 +762,18 @@ _DRIVER_WINDOW_PRIORITY = [
     "tpch_q7_shape", "tpch_q8_shape", "tpch_q10_shape", "tpch_q15_shape",
     "corr_max_per_nation",
     # representative r2-green entries, one per operator family (28 slots)
-    "q1_pricing_summary", "filter_project", "case_cast", "string_funcs",
+    "q1_pricing_summary", "filter_project", "case_cast",
     "sort_limit_offset", "union_all_names", "distinct_status",
     "global_aggregates", "group_having", "count_distinct_cust",
     "join_filter_agg", "join_three_way", "left_join_counts",
-    "right_join_parts", "full_join_keys", "scalar_subquery_filter",
+    "full_join_keys", "scalar_subquery_filter",
     "semi_join_in_subquery", "exists_semijoin", "not_exists_antijoin",
     "corr_above_cust_avg", "quantified_all_any", "events_hourly_window",
     "quantile_pricing", "stddev_agg", "rollup_pricing",
-    "window_latest_per_customer", "window_range_frame", "window_time_range",
+    "window_latest_per_customer", "window_range_frame",
+    # (string_funcs, right_join_parts, window_time_range rotated past the
+    # window to make room for the curation ops — all three were green in
+    # CORRECTNESS_r02 and stay in queries()/gate_sim)
 ]
 
 
@@ -805,6 +810,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window": dq.events_sliding_window,  # SQL oracle
         "events_sessions": dq.events_sessions,              # SQL oracle
         "pii_redact": dq.pii_redact,                        # SQL oracle
+        "repetition_quality": dq.repetition_quality,        # SQL oracle
+        "decontaminate_docs": dq.decontaminate_docs,        # SQL oracle
+        "stratified_sample": dq.stratified_docs,            # SQL oracle
     })
     return _window_order(out)
 
@@ -842,6 +850,14 @@ JOIN (SELECT user_id, event_type, MAX(event_id) AS m
     from qwery_ray.ops.text import redact_oracle_sql
 
     out["pii_redact"] = redact_oracle_sql()
+    from qwery_ray.ops.curation import (decontaminate_oracle_sql,
+                                        repetition_oracle_sql,
+                                        stratified_oracle_sql)
+
+    out["repetition_quality"] = repetition_oracle_sql()
+    out["decontaminate_docs"] = decontaminate_oracle_sql(n=4, bench_mod=97)
+    out["stratified_sample"] = stratified_oracle_sql(
+        {"en": 2500}, default_bps=7500)
     out["ann_topk"] = """
 WITH q AS (
   SELECT vec_id, embedding FROM embeddings

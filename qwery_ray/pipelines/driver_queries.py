@@ -335,3 +335,58 @@ def pii_redact(sf_dir: str):
     ds = read_docs_parallel(sf_dir)
     out = ds.map_batches(Redact(), batch_format="pandas")
     return out.select_columns(["doc_id", "text_redacted"])
+
+
+def repetition_quality(sf_dir: str):
+    """Gopher-style repetition filter signals (dup-word / top-bigram
+    fractions) — full SQL oracle (ops/curation.py repetition_oracle_sql)."""
+    from ..ops.curation import repetition_signals
+
+    ds = read_docs_parallel(sf_dir)
+    return repetition_signals(ds)
+
+
+def decontaminate_docs(sf_dir: str, *, n: int = 4, bench_mod: int = 97):
+    """Benchmark n-gram decontamination: flag corpus docs sharing any word
+    n-gram with the benchmark set (docs with doc_id % bench_mod == 0 stand
+    in for an eval set — deterministic, no external data). n=4 at gate scale
+    so the synthetic vocab produces hits; production uses the published
+    n=13. Full SQL oracle (ops/curation.py decontaminate_oracle_sql)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..ops.curation import decontaminate
+
+    path = os.path.join(sf_dir, "documents.parquet")
+
+    def is_bench(t, *, invert=False):
+        # pyarrow.compute has no modulo kernel (checked: pa 17) — numpy
+        # over the zero-copy column view
+        import numpy as np
+
+        mask = (t.column("doc_id").to_numpy(zero_copy_only=False)
+                % bench_mod) == 0
+        return t.filter(pa.array(~mask if invert else mask))
+
+    # benchmark side: small by construction — filtered per batch at the
+    # scan, materialized driver-side only to build the broadcast gram set
+    bench = rd.read_parquet(path, columns=["doc_id", "text"]) \
+        .map_batches(is_bench, batch_format="pyarrow").to_pandas()
+    corpus = read_docs_parallel(sf_dir).map_batches(
+        lambda t: is_bench(t, invert=True), batch_format="pyarrow")
+    counts = decontaminate(corpus, bench["text"], n=n)
+    return counts.map_batches(
+        lambda t: t.filter(pc.greater(t.column("n_contaminated_grams"), 0)),
+        batch_format="pyarrow")
+
+
+def stratified_docs(sf_dir: str):
+    """Deterministic hash-stratified domain-mix sampling (downsample 'en' to
+    25%, others 75%) — full SQL oracle via DuckDB md5_number_lower."""
+    import ray.data as rd
+
+    from ..ops.curation import stratified_sample
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "lang", "source"])
+    return stratified_sample(ds, {"en": 2500}, default_bps=7500)

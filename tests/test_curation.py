@@ -1,0 +1,144 @@
+"""Corpus-curation ops (ops/curation.py): repetition signals, benchmark
+n-gram decontamination, deterministic stratified sampling.
+
+Each op is gated two ways: bit-exact equality vs its DuckDB oracle SQL
+(the driver's comparison), and scale-shape assertions (batch-split
+invariance — a streaming stage must give identical answers however Ray
+chops the blocks)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from conftest import SF_SMALL
+
+from qwery_ray.ops.curation import (
+    ContaminationCount,
+    RepetitionSignals,
+    StratifiedSampleFilter,
+    _md5_bucket,
+    benchmark_ngrams,
+    decontaminate_oracle_sql,
+    repetition_oracle_sql,
+    stratified_oracle_sql,
+)
+
+DOCS = f"{SF_SMALL}/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs() -> pd.DataFrame:
+    return pq.read_table(DOCS).to_pandas()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{DOCS}')")
+    return c
+
+
+def _split_apply(fn, df: pd.DataFrame, cuts=(0, 137, 138, 350, 500)):
+    """Apply a batch fn over arbitrary uneven splits — streaming stages must
+    be batch-boundary invariant."""
+    parts = [fn(df.iloc[a:b].copy()) for a, b in zip(cuts, cuts[1:]) if b > a]
+    return pd.concat(parts, ignore_index=True)
+
+
+class TestRepetitionSignals:
+    def test_matches_oracle_bitexact(self, docs, con):
+        mine = _split_apply(RepetitionSignals(), docs)
+        mine = mine.sort_values("doc_id").reset_index(drop=True)
+        orc = con.execute(repetition_oracle_sql()).fetchdf() \
+            .sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(mine, orc[mine.columns])
+
+    def test_degenerate_docs(self):
+        df = pd.DataFrame({
+            "doc_id": [1, 2, 3, 4],
+            "text": ["", "a", "a a a a", "x y x y x y"],
+        })
+        out = RepetitionSignals()(df)
+        # "" splits to [''] — 1 distinct of 1 word, no bigram
+        assert out.dup_word_frac.tolist() == [0.0, 0.0, 0.75, 1 - 2 / 6]
+        # "a a a a": bigram 'a a' ×3 of 3 → 1.0; alternating x y: 'x y' ×3
+        # of 5 → 0.6
+        assert out.top_bigram_frac.tolist() == [0.0, 0.0, 1.0, 0.6]
+
+
+class TestDecontaminate:
+    def test_matches_oracle_bitexact(self, docs, con):
+        bench = benchmark_ngrams(docs.loc[docs.doc_id % 97 == 0, "text"], 4)
+        cc = ContaminationCount(bench, n=4)
+        mine = _split_apply(cc, docs)
+        mine = mine[(mine.doc_id % 97 != 0) & (mine.n_contaminated_grams > 0)]
+        mine = mine.sort_values("doc_id").reset_index(drop=True)
+        orc = con.execute(decontaminate_oracle_sql(n=4, bench_mod=97)) \
+            .fetchdf().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(mine, orc[mine.columns])
+
+    def test_known_overlap(self):
+        bench = benchmark_ngrams(pd.Series(["the cat sat on the mat"]), 3)
+        assert "the cat sat" in bench and "on the mat" in bench
+        corpus = pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": ["once the cat sat down",     # 1 shared 3-gram
+                     "dogs bark at the moon",      # clean
+                     "the cat sat on the mat ok"],  # 4 shared 3-grams
+        })
+        out = ContaminationCount(bench, n=3)(corpus)
+        assert out.n_contaminated_grams.tolist() == [1, 0, 4]
+
+    def test_short_docs_produce_no_grams(self):
+        bench = benchmark_ngrams(pd.Series(["a b c d"]), 4)
+        out = ContaminationCount(bench, n=4)(
+            pd.DataFrame({"doc_id": [1], "text": ["a b c"]}))
+        assert out.n_contaminated_grams.tolist() == [0]
+
+
+class TestStratifiedSample:
+    def test_matches_oracle_bitexact(self, docs, con):
+        f = StratifiedSampleFilter({"en": 2500}, default_bps=7500,
+                                   key_col="doc_id", strat_col="lang")
+        mine = _split_apply(f, docs)[["doc_id", "lang", "source"]]
+        mine = mine.sort_values("doc_id").reset_index(drop=True)
+        orc = con.execute(stratified_oracle_sql({"en": 2500},
+                                                default_bps=7500)) \
+            .fetchdf().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(mine, orc)
+
+    def test_md5_bucket_matches_duckdb(self, con):
+        keys = pd.Series([0, 1, 42, 999_999_999])
+        mine = _md5_bucket(keys, mod=10000)
+        orc = con.execute(
+            "SELECT md5_number_lower(CAST(k AS VARCHAR)) % 10000 "
+            "FROM (SELECT unnest([0,1,42,999999999]) AS k)").fetchdf()
+        assert mine.tolist() == orc.iloc[:, 0].astype("uint64").tolist()
+
+    def test_deterministic_and_rate_bounded(self, docs):
+        f = StratifiedSampleFilter({"en": 0}, default_bps=10000,
+                                   key_col="doc_id", strat_col="lang")
+        out = f(docs.copy())
+        assert (out.lang != "en").all()          # en fully dropped
+        assert (out.lang != "en").sum() == (docs.lang != "en").sum()
+        # rerun = identical rows (hash-based, not RNG)
+        out2 = f(docs.copy())
+        assert out.doc_id.tolist() == out2.doc_id.tolist()
+
+
+class TestCurationOnRay:
+    """End-to-end through Ray Data — the shapes the gate queries run."""
+
+    def test_gate_queries_rowcounts(self, ray_session):
+        from qwery_ray.pipelines import driver_queries as dq
+
+        rep = dq.repetition_quality(SF_SMALL).to_pandas()
+        assert len(rep) == 500 and {"dup_word_frac",
+                                    "top_bigram_frac"} <= set(rep.columns)
+        dec = dq.decontaminate_docs(SF_SMALL).to_pandas()
+        assert (dec.n_contaminated_grams > 0).all() and len(dec) > 0
+        strat = dq.stratified_docs(SF_SMALL).to_pandas()
+        assert 0 < len(strat) < 500
