@@ -737,6 +737,20 @@ _SQL_QUERIES: dict[str, tuple[str, str | None]] = {
         "SELECT doc_id, array_to_string(list_sort(str_split_regex(lang, "
         "'[-]')), '|') AS lang_key FROM documents ORDER BY doc_id "
         "LIMIT 500"),
+    "recursive_spine": (
+        # WITH RECURSIVE (semi-naive fixpoint, sqlc/recursive.py): a
+        # generated 1..50 quantity spine LEFT-joined to lineitem — each
+        # fixpoint iteration is a full distributed query; only the working
+        # table materializes. Integer COUNT/SUM keep the value hash exact.
+        # Identical text runs on DuckDB (l_quantity is integral, so cast
+        # truncation == rounding).
+        "WITH RECURSIVE qty(q) AS (SELECT 1 UNION ALL "
+        "SELECT q + 1 FROM qty WHERE q < 50) "
+        "SELECT q.q, COUNT(l.l_orderkey) AS n_items, "
+        "COALESCE(SUM(CAST(l.l_quantity AS INT)), 0) AS sum_qty "
+        "FROM qty q LEFT JOIN lineitem l ON CAST(l.l_quantity AS INT) = q.q "
+        "GROUP BY q.q ORDER BY q.q",
+        None),
 }
 
 
@@ -755,8 +769,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "events_sliding_window", "events_sessions", "pii_redact",
     # round-3 curation ops (never driver-verified; full SQL oracles)
     "repetition_quality", "decontaminate_docs", "stratified_sample",
-    # round-3 operator (never driver-verified)
-    "asof_join_events",
+    # round-3 operators (never driver-verified)
+    "asof_join_events", "recursive_spine",
     # SQL shapes added after round 2's window closed (never driver-verified)
     "tpch_q19_shape", "tpch_q21_shape", "tpch_q22_shape", "tpch_q11_shape",
     "tpch_q7_shape", "tpch_q8_shape", "tpch_q10_shape", "tpch_q15_shape",
@@ -769,11 +783,12 @@ _DRIVER_WINDOW_PRIORITY = [
     "full_join_keys", "scalar_subquery_filter",
     "semi_join_in_subquery", "exists_semijoin", "not_exists_antijoin",
     "corr_above_cust_avg", "quantified_all_any", "events_hourly_window",
-    "quantile_pricing", "stddev_agg", "rollup_pricing",
+    "quantile_pricing", "rollup_pricing",
     "window_latest_per_customer", "window_range_frame",
-    # (string_funcs, right_join_parts, window_time_range rotated past the
-    # window to make room for the curation ops — all three were green in
-    # CORRECTNESS_r02 and stay in queries()/gate_sim)
+    # (string_funcs, right_join_parts, window_time_range, stddev_agg
+    # rotated past the window to make room for the curation ops and
+    # recursive_spine — all four were green in CORRECTNESS_r02 and stay
+    # in queries()/gate_sim)
 ]
 
 

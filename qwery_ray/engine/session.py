@@ -472,17 +472,29 @@ class QweryEngine:
     def _exec_WithCtes(self, stmt: A.WithCtes):
         """CTEs = statement-scoped views: register, run the body (plans
         lower during execute — lazy Datasets keep working after the scope
-        closes), restore any shadowed names."""
+        closes), restore any shadowed names. Self-referencing CTEs under
+        WITH RECURSIVE run semi-naive fixpoint iteration first
+        (sqlc/recursive.py) and register as materialized tables."""
+        from ..sqlc.recursive import references_table, run_recursive_cte
+
         saved: dict[str, A.Statement] = {}
         added: list[str] = []
         try:
-            for name, query in stmt.ctes:
+            for name, query, cols in stmt.ctes:
                 key = name.lower()
                 if key in self.views:
                     saved[key] = self.views[key]
                 else:
                     added.append(key)
-                self.views[key] = query
+                if stmt.recursive and references_table(query, name):
+                    self.views[key] = A.MaterializedTable(
+                        run_recursive_cte(self, name, query, cols), name)
+                elif cols is not None:
+                    raise ValueError(
+                        "CTE column lists are supported on recursive CTEs "
+                        f"only (add column aliases inside {name!r} instead)")
+                else:
+                    self.views[key] = query
             return self.execute(stmt.body)
         finally:
             for key in added:

@@ -427,15 +427,35 @@ class Explain(Statement):
 
 @dataclass(frozen=True)
 class WithCtes(Statement):
-    """WITH name AS (query) [, ...] <body>: common table expressions.
+    """WITH [RECURSIVE] name [(cols)] AS (query) [, ...] <body>.
 
-    Executed as scoped session views (the compiler's view inlining
-    resolves each reference lazily, so a CTE used twice compiles twice —
-    Datasets are lazy, nothing materializes eagerly). Later CTEs may
-    reference earlier ones. WITH RECURSIVE is rejected at parse."""
+    Non-recursive CTEs execute as scoped session views (the compiler's view
+    inlining resolves each reference lazily, so a CTE used twice compiles
+    twice — Datasets are lazy, nothing materializes eagerly). Later CTEs may
+    reference earlier ones. RECURSIVE CTEs run semi-naive fixpoint
+    iteration (sqlc/recursive.py): each iteration's recursive term is a
+    full distributed query; only the per-iteration working table
+    materializes on the driver (the same contract DuckDB/Postgres use)."""
 
-    ctes: tuple  # ((name, Statement), ...)
+    ctes: tuple  # ((name, Statement, cols_or_None), ...)
     body: Statement
+    recursive: bool = False
+
+
+@dataclass(frozen=True)
+class MaterializedTable(Statement, Source):
+    """Internal (never parsed): a view backed by a concrete Arrow table —
+    how recursive-CTE working/final tables re-enter the compiler. eq=False
+    keeps the dataclass hashable despite the unhashable pa.Table field."""
+
+    table: object  # pyarrow.Table
+    name: str = "materialized"
+
+    def __eq__(self, other):  # identity: pa.Table defines no value eq
+        return self is other
+
+    def __hash__(self):
+        return id(self)
 
 
 @dataclass(frozen=True)

@@ -1785,6 +1785,9 @@ class Compiler:
     def compile_query(self, stmt) -> rd.Dataset:
         if isinstance(stmt, A.Select):
             return self.compile_select(stmt)
+        if isinstance(stmt, A.MaterializedTable):
+            # recursive-CTE working/final table re-entering the plan
+            return rd.from_arrow(stmt.table)
         if isinstance(stmt, A.WithCtes):
             # nested WITH (subquery source / CTE body): the session scopes
             # the views around the body's compilation

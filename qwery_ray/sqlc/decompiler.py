@@ -187,9 +187,12 @@ def to_sql(stmt) -> str:
             else _string(stmt.target)
         return f"DELETE FROM {target}{w}"
     if isinstance(stmt, A.WithCtes):
-        parts = ", ".join(f"{name} AS ({to_sql(q)})"
-                          for name, q in stmt.ctes)
-        return f"WITH {parts} {to_sql(stmt.body)}"
+        parts = ", ".join(
+            f"{name}{'(' + ', '.join(cols) + ')' if cols else ''} "
+            f"AS ({to_sql(q)})"
+            for name, q, cols in stmt.ctes)
+        rec = "RECURSIVE " if stmt.recursive else ""
+        return f"WITH {rec}{parts} {to_sql(stmt.body)}"
     if isinstance(stmt, A.Select):
         parts = ["SELECT"]
         if stmt.distinct:

@@ -185,21 +185,26 @@ class Parser:
         """WITH name AS (query) [, ...] SELECT ... — CTEs become scoped
         session views for the duration of the statement."""
         self.expect("WITH")
-        if self.at("RECURSIVE"):
-            self.error("WITH RECURSIVE is not supported")
+        recursive = bool(self.accept("RECURSIVE"))
         ctes = []
         while True:
             name = self.next().text
+            cols = None
+            if self.accept("("):
+                cols = [self.next().text]
+                while self.accept(","):
+                    cols.append(self.next().text)
+                self.expect(")")
             self.expect("AS")
             self.expect("(")
             query = self.parse_with_ctes() if self.at("WITH") \
                 else self.parse_select_or_union()
             self.expect(")")
-            ctes.append((name, query))
+            ctes.append((name, query, tuple(cols) if cols else None))
             if not self.accept(","):
                 break
         body = self.parse_statement()
-        return A.WithCtes(tuple(ctes), body)
+        return A.WithCtes(tuple(ctes), body, recursive)
 
     def parse_select_or_union(self) -> A.Statement:
         left = self.parse_select()

@@ -326,14 +326,13 @@ class TestWithCtes:
         df2 = engine.sql("SELECT * FROM shadowed").to_pandas()
         assert list(df2.columns) == ["one"]
 
-    def test_with_recursive_rejected(self, engine):
-        import pytest
-
-        from qwery_ray.sqlc.parser import ParseError
-
-        with pytest.raises(ParseError):
-            engine.sql("WITH RECURSIVE r AS (SELECT 1 AS x) "
-                       "SELECT * FROM r")
+    def test_with_recursive_non_recursive_body(self, engine):
+        # RECURSIVE keyword with a body that never self-references:
+        # behaves exactly like a plain CTE (ANSI semantics; the full
+        # fixpoint path is covered in tests/test_recursive.py)
+        df = engine.sql("WITH RECURSIVE r AS (SELECT 1 AS x) "
+                        "SELECT * FROM r").to_pandas()
+        assert df["x"].tolist() == [1]
 
     def test_decompile_round_trip(self):
         from qwery_ray.sqlc.decompiler import to_sql
