@@ -771,6 +771,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "repetition_quality", "decontaminate_docs", "stratified_sample",
     # round-3 operators (never driver-verified)
     "asof_join_events", "recursive_spine",
+    # round-3 clustering ops (never driver-verified; naive-numpy golden
+    # references in tests/test_clustering.py, rows-only at the driver)
+    "embedding_kmeans", "semantic_dedup",
     # SQL shapes added after round 2's window closed (never driver-verified)
     "tpch_q19_shape", "tpch_q21_shape", "tpch_q22_shape", "tpch_q11_shape",
     "tpch_q7_shape", "tpch_q8_shape", "tpch_q10_shape", "tpch_q15_shape",
@@ -783,12 +786,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "full_join_keys", "scalar_subquery_filter",
     "semi_join_in_subquery", "exists_semijoin", "not_exists_antijoin",
     "corr_above_cust_avg", "quantified_all_any", "events_hourly_window",
-    "quantile_pricing", "rollup_pricing",
-    "window_latest_per_customer", "window_range_frame",
-    # (string_funcs, right_join_parts, window_time_range, stddev_agg
-    # rotated past the window to make room for the curation ops and
-    # recursive_spine — all four were green in CORRECTNESS_r02 and stay
-    # in queries()/gate_sim)
+    "quantile_pricing",
+    # (string_funcs, right_join_parts, window_time_range, stddev_agg,
+    # rollup_pricing, window_latest_per_customer, window_range_frame
+    # rotated past the window to make room for the round-3 ops; all were
+    # green in CORRECTNESS_r02 and stay in queries()/gate_sim)
 ]
 
 
@@ -828,6 +830,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_quality": dq.repetition_quality,        # SQL oracle
         "decontaminate_docs": dq.decontaminate_docs,        # SQL oracle
         "stratified_sample": dq.stratified_docs,            # SQL oracle
+        # embedding_kmeans / semantic_dedup: NO SQL ORACLE (iterative
+        # algorithms); gated by the independent naive-numpy references +
+        # block-layout-invariance tests in tests/test_clustering.py.
+        # Outputs are integer-only so the rows-only record is stable.
+        "embedding_kmeans": dq.embedding_kmeans,
+        "semantic_dedup": dq.semantic_dedup_docs,
     })
     return _window_order(out)
 

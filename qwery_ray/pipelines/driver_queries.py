@@ -390,3 +390,52 @@ def stratified_docs(sf_dir: str):
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "lang", "source"])
     return stratified_sample(ds, {"en": 2500}, default_bps=7500)
+
+
+def embedding_kmeans(sf_dir: str):
+    """Distributed Lloyd k-means over the embeddings table (k=8, 4
+    iterations, deterministic smallest-id init) — NO SQL ORACLE (iterative
+    algorithm); the naive-numpy golden reference in
+    tests/test_clustering.py gates assignments and centroids, and the
+    block-layout-invariance test covers parallelism. Output is integer-only
+    per-cluster stats (size, min/sum of member ids) so the driver's
+    rows-only record is stable run to run."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ..ops.clustering import kmeans
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    res = kmeans(ds, 8, iters=4)
+
+    def summarize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "cluster": [int(df["cluster"].iloc[0])],
+            "n_members": [len(df)],
+            "min_vec_id": [int(df["vec_id"].min())],
+            "sum_vec_id": [int(df["vec_id"].sum())],
+        })
+
+    return res.assignments.select_columns(["vec_id", "cluster"]) \
+        .groupby("cluster").map_groups(summarize, batch_format="pandas") \
+        .sort("cluster")
+
+
+def semantic_dedup_docs(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): k-means partition, greedy cosine
+    dedup within each cluster — NO SQL ORACLE (two-stage iterative);
+    gated by the naive O(n^2) reference + planted-duplicate tests in
+    tests/test_clustering.py. tau=0.45 sits below the synthetic
+    embeddings' max off-diagonal cosine so real drops occur at gate
+    scale; output (integer ids only) lists the dropped rows."""
+    import ray.data as rd
+
+    from ..ops.clustering import semantic_dedup
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    out = semantic_dedup(ds, tau=0.45, k=8, iters=3)
+    dropped = out.filter(expr="is_kept == False")
+    return dropped.select_columns(["vec_id", "cluster", "rep_id"]) \
+        .sort("vec_id")

@@ -29,10 +29,12 @@ def test_entry_smoke(ray_session):
 def test_every_query_has_oracle_or_reason():
     qs = entrymod.queries()
     missing = [n for n in qs if n not in ORACLES]
-    # only two rows-only entries remain, each independently gated:
-    # doc_fingerprint by a golden reference test, minhash by its in-query
-    # recall self-check (see __ray_entry__.queries comments)
-    assert set(missing) <= {"doc_fingerprint", "minhash_near_dups"}
+    # rows-only entries, each independently gated: doc_fingerprint by a
+    # golden reference test, minhash by its in-query recall self-check,
+    # kmeans/semantic_dedup by the naive-numpy references in
+    # tests/test_clustering.py (see __ray_entry__.queries comments)
+    assert set(missing) <= {"doc_fingerprint", "minhash_near_dups",
+                            "embedding_kmeans", "semantic_dedup"}
 
 
 @pytest.mark.parametrize("name", ALL_QUERIES)
