@@ -769,6 +769,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "events_sliding_window", "events_sessions", "pii_redact",
     # round-3 curation ops (never driver-verified; full SQL oracles)
     "repetition_quality", "decontaminate_docs", "stratified_sample",
+    "gopher_filter",
     # round-3 operators (never driver-verified)
     "asof_join_events", "recursive_spine",
     # round-3 clustering ops (never driver-verified; naive-numpy golden
@@ -786,11 +787,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "full_join_keys", "scalar_subquery_filter",
     "semi_join_in_subquery", "exists_semijoin", "not_exists_antijoin",
     "corr_above_cust_avg", "quantified_all_any", "events_hourly_window",
-    "quantile_pricing",
     # (string_funcs, right_join_parts, window_time_range, stddev_agg,
-    # rollup_pricing, window_latest_per_customer, window_range_frame
-    # rotated past the window to make room for the round-3 ops; all were
-    # green in CORRECTNESS_r02 and stay in queries()/gate_sim)
+    # rollup_pricing, window_latest_per_customer, window_range_frame,
+    # quantile_pricing rotated past the window to make room for the
+    # round-3 ops; all were green in CORRECTNESS_r02 and stay in
+    # queries()/gate_sim)
 ]
 
 
@@ -836,6 +837,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Outputs are integer-only so the rows-only record is stable.
         "embedding_kmeans": dq.embedding_kmeans,
         "semantic_dedup": dq.semantic_dedup_docs,
+        "gopher_filter": dq.gopher_filter,                  # SQL oracle
     })
     return _window_order(out)
 
@@ -879,6 +881,9 @@ JOIN (SELECT user_id, event_type, MAX(event_id) AS m
 
     out["repetition_quality"] = repetition_oracle_sql()
     out["decontaminate_docs"] = decontaminate_oracle_sql(n=4, bench_mod=97)
+    from qwery_ray.ops.curation import gopher_oracle_sql
+
+    out["gopher_filter"] = gopher_oracle_sql()
     out["stratified_sample"] = stratified_oracle_sql(
         {"en": 2500}, default_bps=7500)
     out["ann_topk"] = """

@@ -283,3 +283,99 @@ FROM documents
 WHERE md5_number_lower(CAST({key_col} AS VARCHAR)) % 10000 <
       CASE {strat_col} {cases} ELSE {default_bps} END
 """
+
+
+# --------------------------------------------------------------------------
+# Gopher rule-based quality filter (Rae et al. 2021 §A.1.1, arXiv:2112.11446)
+# --------------------------------------------------------------------------
+
+
+class GopherRules:
+    """Per-document integer quality signals + the Gopher pass/fail verdict.
+
+    All signals are INTEGER counts and every rule is integer arithmetic
+    (10*n_sym <= n_words instead of n_sym/n_words <= 0.1), so the DuckDB
+    oracle (:func:`gopher_oracle_sql`) hashes bit-identically — no float
+    ratios cross the gate. Vectorized pandas ``.str`` regex kernels, no
+    row loop; the compiled patterns live in pandas' regex cache, the class
+    itself is stateless (task pool, no actor spin-up).
+
+    Rules (published Gopher thresholds):
+      50 <= n_words <= 100000; mean word length in [3, 10]; '#'/'...'
+      symbol-to-word ratio <= 0.1; <= 90% of lines bullet-started;
+      <= 30% of lines ellipsis-terminated; >= 80% of words contain an
+      alphabetic character.
+    """
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch[self.text_col]
+        out = pd.DataFrame({self.id_col: batch[self.id_col].to_numpy()})
+        n_words = t.str.count(r"\S+").astype(np.int64)
+        word_chars = t.str.replace(r"\s+", "", regex=True) \
+            .str.len().astype(np.int64)
+        n_alpha = t.str.count(r"\S*[A-Za-z]\S*").astype(np.int64)
+        n_sym = t.str.count(r"#|\.\.\.").astype(np.int64)
+        n_lines = (t.str.count(r"\n") + 1).astype(np.int64)
+        n_bullet = t.str.count(r"(?m)^[ \t]*[-*•]").astype(np.int64)
+        n_ellip = t.str.count(r"(?m)\.\.\.$").astype(np.int64)
+        out["n_words"] = n_words
+        out["word_chars"] = word_chars
+        out["n_alpha_words"] = n_alpha
+        out["n_sym"] = n_sym
+        out["n_lines"] = n_lines
+        out["n_bullet_lines"] = n_bullet
+        out["n_ellipsis_lines"] = n_ellip
+        out["passes"] = (
+            (n_words >= 50) & (n_words <= 100000)
+            & (word_chars >= 3 * n_words) & (word_chars <= 10 * n_words)
+            & (10 * n_sym <= n_words)
+            & (10 * n_bullet <= 9 * n_lines)
+            & (10 * n_ellip <= 3 * n_lines)
+            & (5 * n_alpha >= 4 * n_words)
+        ).astype(np.int64)
+        return out
+
+
+def gopher_rules(ds: rd.Dataset, *, text_col: str = "text",
+                 id_col: str = "doc_id") -> rd.Dataset:
+    """Gopher rule filter signals per document (streaming map_batches)."""
+    return ds.map_batches(GopherRules(text_col, id_col),
+                          batch_format="pandas")
+
+
+def gopher_oracle_sql() -> str:
+    """DuckDB SQL computing the identical integer signals/verdict (RE2
+    regexes — the same engine family as pandas' patterns here; parity over
+    every signal is asserted in tests/test_curation.py)."""
+    return r"""
+WITH s AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '\S+')) AS n_words,
+    length(regexp_replace(text, '\s+', '', 'g')) AS word_chars,
+    len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS n_alpha_words,
+    len(regexp_extract_all(text, '#|\.\.\.')) AS n_sym,
+    len(regexp_extract_all(text, '\n')) + 1 AS n_lines,
+    len(regexp_extract_all(text, '(?m)^[ \t]*[-*•]')) AS n_bullet_lines,
+    len(regexp_extract_all(text, '(?m)\.\.\.$')) AS n_ellipsis_lines
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(word_chars AS BIGINT) AS word_chars,
+       CAST(n_alpha_words AS BIGINT) AS n_alpha_words,
+       CAST(n_sym AS BIGINT) AS n_sym,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_bullet_lines AS BIGINT) AS n_bullet_lines,
+       CAST(n_ellipsis_lines AS BIGINT) AS n_ellipsis_lines,
+       CAST(n_words BETWEEN 50 AND 100000
+            AND word_chars BETWEEN 3 * n_words AND 10 * n_words
+            AND 10 * n_sym <= n_words
+            AND 10 * n_bullet_lines <= 9 * n_lines
+            AND 10 * n_ellipsis_lines <= 3 * n_lines
+            AND 5 * n_alpha_words >= 4 * n_words AS BIGINT) AS passes
+FROM s
+"""

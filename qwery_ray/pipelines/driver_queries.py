@@ -439,3 +439,15 @@ def semantic_dedup_docs(sf_dir: str):
     dropped = out.filter(expr="is_kept == False")
     return dropped.select_columns(["vec_id", "cluster", "rep_id"]) \
         .sort("vec_id")
+
+
+def gopher_filter(sf_dir: str):
+    """Gopher rule-based quality filter (Rae et al. 2021) — full SQL
+    oracle (ops/curation.py gopher_oracle_sql, identical RE2 regex
+    signals, integer-only arithmetic)."""
+    import ray.data as rd
+
+    from ..ops.curation import gopher_rules
+
+    ds = read_docs_parallel(sf_dir, columns=("doc_id", "text"))
+    return gopher_rules(ds)
