@@ -771,7 +771,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "repetition_quality", "decontaminate_docs", "stratified_sample",
     "gopher_filter",
     # round-3 operators (never driver-verified)
-    "asof_join_events", "recursive_spine",
+    "asof_join_events", "recursive_spine", "merge_apply",
     # round-3 clustering ops (never driver-verified; naive-numpy golden
     # references in tests/test_clustering.py, rows-only at the driver)
     "embedding_kmeans", "semantic_dedup",
@@ -838,6 +838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": dq.embedding_kmeans,
         "semantic_dedup": dq.semantic_dedup_docs,
         "gopher_filter": dq.gopher_filter,                  # SQL oracle
+        "merge_apply": dq.merge_apply,                      # SQL oracle
     })
     return _window_order(out)
 
@@ -884,6 +885,9 @@ JOIN (SELECT user_id, event_type, MAX(event_id) AS m
     from qwery_ray.ops.curation import gopher_oracle_sql
 
     out["gopher_filter"] = gopher_oracle_sql()
+    from qwery_ray.pipelines.driver_queries import merge_apply_oracle_sql
+
+    out["merge_apply"] = merge_apply_oracle_sql()
     out["stratified_sample"] = stratified_oracle_sql(
         {"en": 2500}, default_bps=7500)
     out["ann_topk"] = """

@@ -383,6 +383,14 @@ class QweryEngine:
         finally:
             shutil.rmtree(staging, ignore_errors=True)
 
+    def _exec_Merge(self, stmt: A.Merge):
+        """ANSI MERGE INTO — see cdc/merge_stmt.py for the semantics and
+        the dimension-table-scale contract (lake-scale merges go through
+        UPSERT ... WITH LAKE / the CDC engine)."""
+        from ..cdc.merge_stmt import merge_into_parquet
+
+        return merge_into_parquet(self, stmt)
+
     def _exec_Update(self, stmt: A.Update):
         from ..cdc.upsert import update_parquet
 

@@ -451,3 +451,68 @@ def gopher_filter(sf_dir: str):
 
     ds = read_docs_parallel(sf_dir, columns=("doc_id", "text"))
     return gopher_rules(ds)
+
+
+def merge_apply(sf_dir: str):
+    """ANSI MERGE INTO exercising all four arms (matched-delete,
+    matched-update, not-matched-insert, not-matched-by-source-update)
+    against a pruned customer copy — full SQL oracle (LEFT JOIN + CASE
+    reconstruction of the final state, integer-only columns)."""
+    import pyarrow.parquet as pq
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    work = f"/tmp/qwery_ray_driver/merge_{tag}"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    pq.write_table(cust, os.path.join(work, "cust.parquet"))
+
+    eng = QweryEngine(table_root=work)
+    orders = os.path.join(sf_dir, "orders.parquet")
+    customer = os.path.join(sf_dir, "customer.parquet")
+    eng.sql(f"""
+        MERGE INTO cust AS t USING (
+            SELECT o_custkey AS k, COUNT(*) AS n
+            FROM '{orders}' WHERE o_orderkey % 5 = 0 GROUP BY o_custkey
+            UNION ALL
+            SELECT c_custkey + 100000 AS k, 7 AS n
+            FROM '{customer}' WHERE c_custkey <= 20
+        ) AS s ON t.c_custkey = s.k
+        WHEN MATCHED AND s.n > 4 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET c_nationkey = s.n
+        WHEN NOT MATCHED THEN INSERT (c_custkey, c_nationkey)
+            VALUES (s.k, -2)
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET c_nationkey = -1
+    """)
+    return eng.sql(
+        "SELECT c_custkey, CAST(c_nationkey AS INT) AS flag FROM cust "
+        "ORDER BY c_custkey")
+
+
+def merge_apply_oracle_sql() -> str:
+    return """
+WITH s AS (
+  SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders WHERE o_orderkey % 5 = 0 GROUP BY o_custkey
+  UNION ALL
+  SELECT c_custkey + 100000 AS k, CAST(7 AS BIGINT) AS n
+  FROM customer WHERE c_custkey <= 20
+),
+merged AS (
+  SELECT c.c_custkey,
+         CASE WHEN s.k IS NULL THEN CAST(-1 AS BIGINT) ELSE s.n END AS flag,
+         CASE WHEN s.k IS NOT NULL AND s.n > 4 THEN 1 ELSE 0 END AS del
+  FROM customer c LEFT JOIN s ON c.c_custkey = s.k
+),
+ins AS (
+  SELECT s.k AS c_custkey, CAST(-2 AS BIGINT) AS flag
+  FROM s LEFT JOIN customer c ON c.c_custkey = s.k
+  WHERE c.c_custkey IS NULL
+)
+SELECT c_custkey, flag FROM merged WHERE del = 0
+UNION ALL
+SELECT c_custkey, flag FROM ins
+ORDER BY c_custkey
+"""

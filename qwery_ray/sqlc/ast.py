@@ -348,6 +348,38 @@ class Upsert(Statement):
 
 
 @dataclass(frozen=True)
+class MergeWhen:
+    """One WHEN arm of a MERGE statement.
+
+    ``matched`` ∈ {'matched', 'not_matched', 'not_matched_by_source'};
+    ``action`` ∈ {'update', 'delete', 'insert'}. ``insert_values`` None
+    means ``INSERT *`` (source columns mapped to the target by name)."""
+
+    matched: str
+    condition: object  # Optional[Cond]
+    action: str
+    assignments: tuple = ()           # for update: ((name, expr), ...)
+    insert_columns: tuple = ()        # for insert with explicit columns
+    insert_values: object = None      # tuple[Expr] | None for INSERT *
+
+
+@dataclass(frozen=True)
+class Merge(Statement):
+    """MERGE INTO tgt [AS t] USING src [AS s] ON cond WHEN ... — ANSI
+    SQL:2003 (superset over the reference's UPSERT/Update row-at-a-time
+    semantics, ops/sql/Upsert.scala:14-32). Dimension-table-scale keyed
+    merge against a parquet-file target; lake-scale merges flow through
+    the CDC engine (UPSERT ... WITH LAKE)."""
+
+    target: str
+    target_alias: object  # Optional[str]
+    source: Statement
+    source_alias: object  # Optional[str]
+    on: object            # Cond
+    whens: tuple          # tuple[MergeWhen, ...]
+
+
+@dataclass(frozen=True)
 class Update(Statement):
     """UPDATE tgt SET a=expr ... KEYED ON k (reference: ops/sql/Update.scala)."""
 

@@ -277,6 +277,37 @@ def to_sql(stmt) -> str:
         keys = ", ".join(_ident(k) for k in stmt.keyed_on)
         return (f"UPSERT INTO {target}{cols} {to_sql(stmt.source)} "
                 f"KEYED ON {keys}")
+    if isinstance(stmt, A.Merge):
+        target = stmt.target if stmt.target.isidentifier() \
+            else _string(stmt.target)
+        parts = [f"MERGE INTO {target}"]
+        if stmt.target_alias:
+            parts.append(f"AS {_ident(stmt.target_alias)}")
+        parts.append(f"USING ({to_sql(stmt.source)})")
+        if stmt.source_alias:
+            parts.append(f"AS {_ident(stmt.source_alias)}")
+        parts.append(f"ON {expr_sql(stmt.on)}")
+        for w in stmt.whens:
+            head = {"matched": "WHEN MATCHED",
+                    "not_matched": "WHEN NOT MATCHED",
+                    "not_matched_by_source":
+                        "WHEN NOT MATCHED BY SOURCE"}[w.matched]
+            if w.condition is not None:
+                head += f" AND {expr_sql(w.condition)}"
+            if w.action == "delete":
+                parts.append(f"{head} THEN DELETE")
+            elif w.action == "update":
+                sets = ", ".join(f"{_ident(n)} = {expr_sql(e)}"
+                                 for n, e in w.assignments)
+                parts.append(f"{head} THEN UPDATE SET {sets}")
+            elif w.insert_values is None:
+                parts.append(f"{head} THEN INSERT *")
+            else:
+                cols = f" ({', '.join(_ident(c) for c in w.insert_columns)})" \
+                    if w.insert_columns else ""
+                vals = ", ".join(expr_sql(e) for e in w.insert_values)
+                parts.append(f"{head} THEN INSERT{cols} VALUES ({vals})")
+        return " ".join(parts)
     if isinstance(stmt, A.Update):
         sets = ", ".join(f"{_ident(n)} = {expr_sql(e)}"
                          for n, e in stmt.assignments)

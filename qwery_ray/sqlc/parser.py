@@ -85,6 +85,8 @@ class Parser:
             return self.parse_insert()
         if word == "UPSERT":
             return self.parse_upsert()
+        if word == "MERGE":
+            return self.parse_merge()
         if word == "UPDATE":
             return self.parse_update()
         if word == "DELETE":
@@ -740,6 +742,101 @@ class Parser:
                     rows.append(tuple(row))
             return A.Values(tuple(rows))
         return self.parse_select_or_union()
+
+    def parse_merge(self) -> A.Merge:
+        """MERGE INTO tgt [AS t] USING (query)|table [AS s] ON cond
+        WHEN [NOT] MATCHED [BY SOURCE] [AND cond] THEN
+        UPDATE SET a=e,... | DELETE | INSERT [(cols)] VALUES (...) | INSERT *
+        """
+        self.expect("MERGE")
+        self.expect("INTO")
+        target = self.parse_target_name()
+        target_alias = None
+        if self.accept("AS"):
+            target_alias = self._ident_name()
+        elif self.peek().kind == "IDENT" and not self.at("USING"):
+            target_alias = self._ident_name()
+        self.expect("USING")
+        if self.at("("):
+            self.expect("(")
+            source = self.parse_with_ctes() if self.at("WITH") \
+                else self.parse_select_or_union()
+            self.expect(")")
+        else:
+            source = A.Select(items=(A.Star(),),
+                              source=A.TableRef(self.parse_target_name()))
+        source_alias = None
+        if self.accept("AS"):
+            source_alias = self._ident_name()
+        elif self.peek().kind == "IDENT" and not self.at("ON"):
+            source_alias = self._ident_name()
+        self.expect("ON")
+        on = self.parse_cond()
+
+        whens: list[A.MergeWhen] = []
+        while self.at("WHEN"):
+            self.expect("WHEN")
+            if self.accept("NOT"):
+                self.expect("MATCHED")
+                matched = "not_matched"
+                if self.accept("BY"):
+                    side = self.next().upper
+                    if side == "SOURCE":
+                        matched = "not_matched_by_source"
+                    elif side != "TARGET":
+                        self.error("expected BY SOURCE or BY TARGET")
+            else:
+                self.expect("MATCHED")
+                matched = "matched"
+            cond = self.parse_cond() if self.accept("AND") else None
+            self.expect("THEN")
+            if self.accept("DELETE"):
+                if matched == "not_matched":
+                    self.error("WHEN NOT MATCHED supports INSERT only")
+                whens.append(A.MergeWhen(matched, cond, "delete"))
+            elif self.accept("UPDATE"):
+                if matched == "not_matched":
+                    self.error("WHEN NOT MATCHED supports INSERT only")
+                self.expect("SET")
+                assignments = []
+                while True:
+                    name = self._ident_name()
+                    if self.accept("."):  # strip an optional t. qualifier
+                        name = self._ident_name()
+                    self.expect("=")
+                    assignments.append((name, self.parse_expr()))
+                    if not self.accept(","):
+                        break
+                whens.append(A.MergeWhen(matched, cond, "update",
+                                         assignments=tuple(assignments)))
+            elif self.accept("INSERT"):
+                if matched != "not_matched":
+                    self.error("INSERT is only valid for WHEN NOT MATCHED")
+                if self.at("*"):
+                    self.next()
+                    whens.append(A.MergeWhen(matched, cond, "insert"))
+                    continue
+                cols: list[str] = []
+                if self.accept("("):
+                    cols.append(self._ident_name())
+                    while self.accept(","):
+                        cols.append(self._ident_name())
+                    self.expect(")")
+                self.expect("VALUES")
+                self.expect("(")
+                vals = [self.parse_expr()]
+                while self.accept(","):
+                    vals.append(self.parse_expr())
+                self.expect(")")
+                whens.append(A.MergeWhen(
+                    matched, cond, "insert", insert_columns=tuple(cols),
+                    insert_values=tuple(vals)))
+            else:
+                self.error("expected UPDATE / DELETE / INSERT after THEN")
+        if not whens:
+            self.error("MERGE requires at least one WHEN clause")
+        return A.Merge(target, target_alias, source, source_alias, on,
+                       tuple(whens))
 
     def parse_upsert(self) -> A.Upsert:
         self.expect("UPSERT")

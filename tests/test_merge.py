@@ -1,0 +1,156 @@
+"""ANSI MERGE INTO — semantics vs a hand-built expected state."""
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from conftest import SF_TINY
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    tgt = pd.DataFrame({
+        "id": [1, 2, 3, 4, 5],
+        "qty": [10, 20, 30, 40, 50],
+        "status": ["old", "old", "old", "old", "old"],
+    })
+    pq.write_table(pa.Table.from_pandas(tgt, preserve_index=False),
+                   str(tmp_path / "inv.parquet"))
+    src = pd.DataFrame({
+        "id": [2, 3, 6, 7],
+        "qty": [99, 0, 60, 70],
+    })
+    pq.write_table(pa.Table.from_pandas(src, preserve_index=False),
+                   str(tmp_path / "delta.parquet"))
+    return tmp_path
+
+
+def _engine(root):
+    from qwery_ray import QweryEngine
+
+    return QweryEngine(table_root=str(root))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMerge:
+    def test_three_arm_merge(self, workdir):
+        eng = _engine(workdir)
+        res = eng.sql("""
+            MERGE INTO inv AS t USING delta AS s ON t.id = s.id
+            WHEN MATCHED AND s.qty = 0 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET qty = s.qty, status = 'merged'
+            WHEN NOT MATCHED THEN INSERT (id, qty, status)
+                VALUES (s.id, s.qty, 'new')
+        """).to_pandas()
+        assert res.ROWS_UPDATED[0] == 1
+        assert res.ROWS_DELETED[0] == 1
+        assert res.ROWS_INSERTED[0] == 2
+        final = pq.read_table(
+            str(workdir / "inv.parquet")).to_pandas().sort_values("id")
+        assert final.id.tolist() == [1, 2, 4, 5, 6, 7]       # 3 deleted
+        assert final.qty.tolist() == [10, 99, 40, 50, 60, 70]
+        assert final.status.tolist() == \
+            ["old", "merged", "old", "old", "new", "new"]
+
+    def test_first_match_wins_order(self, workdir):
+        """Arm order decides: an unconditional UPDATE before the DELETE
+        means the qty=0 row updates instead of deleting."""
+        eng = _engine(workdir)
+        eng.sql("""
+            MERGE INTO inv AS t USING delta AS s ON t.id = s.id
+            WHEN MATCHED THEN UPDATE SET qty = s.qty
+            WHEN MATCHED AND s.qty = 0 THEN DELETE
+            WHEN NOT MATCHED THEN INSERT (id, qty, status)
+                VALUES (s.id, s.qty, 'new')
+        """)
+        final = pq.read_table(
+            str(workdir / "inv.parquet")).to_pandas().sort_values("id")
+        assert final.id.tolist() == [1, 2, 3, 4, 5, 6, 7]
+        assert final.qty.tolist() == [10, 99, 0, 40, 50, 60, 70]
+
+    def test_insert_star(self, workdir):
+        """INSERT * maps source columns by name; missing target columns
+        become NULL."""
+        eng = _engine(workdir)
+        eng.sql("""
+            MERGE INTO inv AS t USING delta AS s ON t.id = s.id
+            WHEN NOT MATCHED THEN INSERT *
+        """)
+        final = pq.read_table(
+            str(workdir / "inv.parquet")).to_pandas().sort_values("id")
+        assert final.id.tolist() == [1, 2, 3, 4, 5, 6, 7]
+        new = final[final.id >= 6]
+        assert new.qty.tolist() == [60, 70]
+        assert new.status.isna().all()
+
+    def test_not_matched_by_source_delete(self, workdir):
+        """T-SQL/Databricks extension: prune target rows absent from the
+        source (full-sync semantics)."""
+        eng = _engine(workdir)
+        eng.sql("""
+            MERGE INTO inv AS t USING delta AS s ON t.id = s.id
+            WHEN MATCHED THEN UPDATE SET qty = s.qty
+            WHEN NOT MATCHED BY SOURCE THEN DELETE
+        """)
+        final = pq.read_table(
+            str(workdir / "inv.parquet")).to_pandas().sort_values("id")
+        assert final.id.tolist() == [2, 3]
+        assert final.qty.tolist() == [99, 0]
+
+    def test_residual_on_condition(self, workdir):
+        """Non-equi conjuncts of ON filter the pairs: a key match failing
+        the residual counts as NOT MATCHED."""
+        eng = _engine(workdir)
+        eng.sql("""
+            MERGE INTO inv AS t USING delta AS s
+            ON t.id = s.id AND s.qty > 50
+            WHEN MATCHED THEN UPDATE SET qty = s.qty
+            WHEN NOT MATCHED THEN INSERT (id, qty, status)
+                VALUES (s.id, s.qty, 'new')
+        """)
+        final = pq.read_table(
+            str(workdir / "inv.parquet")).to_pandas()
+        # id=2 (qty 99) matched+updated; id=3 (qty 0) failed residual ->
+        # re-inserted as a new row; 6/7 inserted
+        assert sorted(final.id.tolist()) == [1, 2, 3, 3, 4, 5, 6, 7]
+        assert final[final.id == 2].qty.tolist() == [99]
+        assert sorted(final[final.id == 3].qty.tolist()) == [0, 30]
+
+    def test_cardinality_violation_raises(self, workdir):
+        dup = pd.DataFrame({"id": [2, 2], "qty": [1, 2]})
+        pq.write_table(pa.Table.from_pandas(dup, preserve_index=False),
+                       str(workdir / "dup.parquet"))
+        eng = _engine(workdir)
+        with pytest.raises(Exception, match="cardinality"):
+            eng.sql("""
+                MERGE INTO inv AS t USING dup AS s ON t.id = s.id
+                WHEN MATCHED THEN UPDATE SET qty = s.qty
+            """)
+
+    def test_subquery_source_and_counts(self, workdir):
+        eng = _engine(workdir)
+        res = eng.sql("""
+            MERGE INTO inv AS t
+            USING (SELECT id, qty * 2 AS dbl FROM delta WHERE qty > 0) AS s
+            ON t.id = s.id
+            WHEN MATCHED THEN UPDATE SET qty = s.dbl
+        """).to_pandas()
+        assert res.ROWS_UPDATED[0] == 1  # only id=2 survives the filter+match
+        final = pq.read_table(str(workdir / "inv.parquet")).to_pandas()
+        assert final[final.id == 2].qty.tolist() == [198]
+
+    def test_decompile_round_trip(self):
+        from qwery_ray.sqlc.decompiler import to_sql
+        from qwery_ray.sqlc.parser import parse_one
+
+        sql = ("MERGE INTO inv AS t USING (SELECT * FROM delta) AS s "
+               "ON t.id = s.id WHEN MATCHED AND s.qty = 0 THEN DELETE "
+               "WHEN MATCHED THEN UPDATE SET qty = s.qty "
+               "WHEN NOT MATCHED THEN INSERT (id, qty) VALUES (s.id, s.qty) "
+               "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+        stmt = parse_one(sql)
+        again = parse_one(to_sql(stmt))
+        assert again == stmt
