@@ -772,9 +772,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "gopher_filter",
     # round-3 operators (never driver-verified)
     "asof_join_events", "recursive_spine", "merge_apply",
-    # round-3 clustering ops (never driver-verified; naive-numpy golden
-    # references in tests/test_clustering.py, rows-only at the driver)
-    "embedding_kmeans", "semantic_dedup",
+    # round-3 clustering/scoring ops (never driver-verified; kmeans and
+    # semantic_dedup are golden-gated in tests/test_clustering.py,
+    # bm25_scores has a bit-exact self-contained SQL oracle)
+    "embedding_kmeans", "semantic_dedup", "bm25_scores",
     # SQL shapes added after round 2's window closed (never driver-verified)
     "tpch_q19_shape", "tpch_q21_shape", "tpch_q22_shape", "tpch_q11_shape",
     "tpch_q7_shape", "tpch_q8_shape", "tpch_q10_shape", "tpch_q15_shape",
@@ -839,6 +840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": dq.semantic_dedup_docs,
         "gopher_filter": dq.gopher_filter,                  # SQL oracle
         "merge_apply": dq.merge_apply,                      # SQL oracle
+        "bm25_scores": dq.bm25_keyword_scores,              # SQL oracle
     })
     return _window_order(out)
 
@@ -888,6 +890,9 @@ JOIN (SELECT user_id, event_type, MAX(event_id) AS m
     from qwery_ray.pipelines.driver_queries import merge_apply_oracle_sql
 
     out["merge_apply"] = merge_apply_oracle_sql()
+    from qwery_ray.ops.bm25 import bm25_oracle_sql
+
+    out["bm25_scores"] = bm25_oracle_sql(["join", "hash", "vector", "merge"])
     out["stratified_sample"] = stratified_oracle_sql(
         {"en": 2500}, default_bps=7500)
     out["ann_topk"] = """

@@ -516,3 +516,14 @@ UNION ALL
 SELECT c_custkey, flag FROM ins
 ORDER BY c_custkey
 """
+
+
+def bm25_keyword_scores(sf_dir: str):
+    """BM25 keyword relevance over documents (Robertson & Zaragoza 2009)
+    — full SQL oracle, bit-exact doubles (ops/bm25.py: integer df/dl
+    partials merged on the driver, ln() via the shared libm, mirrored
+    IEEE expression order)."""
+    from ..ops.bm25 import bm25_scores
+
+    ds = read_docs_parallel(sf_dir, columns=("doc_id", "text"))
+    return bm25_scores(ds, ["join", "hash", "vector", "merge"])
