@@ -38,6 +38,13 @@ BROADCAST_ROW_HARD_CAP = 8_000_000  # …but never beyond this many rows
 # the moments family shares (sum, cnt, sq) partials; finalize differs
 MOMENT_AGGS = ("STDDEV", "STDDEV_SAMP", "STDDEV_POP",
                "VARIANCE", "VAR_SAMP", "VAR_POP")
+# two-argument (co)moment family: fn(y, x) over PAIR-complete rows (a row
+# where EITHER argument is NULL is excluded — ANSI / DuckDB). All share the
+# (cnt, Σx, Σy, Σx², Σy², Σxy) partials; finalize differs per function.
+BIMOMENT_AGGS = ("COVAR_POP", "COVAR_SAMP", "CORR",
+                 "REGR_SLOPE", "REGR_INTERCEPT", "REGR_R2", "REGR_COUNT",
+                 "REGR_AVGX", "REGR_AVGY", "REGR_SXX", "REGR_SYY",
+                 "REGR_SXY")
 
 
 @dataclass
@@ -653,6 +660,11 @@ class PreAgg:
             data[cname] = val
             arg_cols[i] = cname
             arg_types[i] = val.type
+            if call.name in BIMOMENT_AGGS:
+                v2 = ev.eval(call.args[1], batch)
+                if not isinstance(v2, (pa.Array, pa.ChunkedArray)):
+                    v2 = pa.array([v2] * n)
+                data[f"{cname}b"] = v2
         if n == 0:
             # empty batch: emit an empty, correctly-typed partials table
             # (the pandas groupby round-trip loses index names on empty input)
@@ -664,7 +676,7 @@ class PreAgg:
                 for suf in _partial_suffixes(call.name):
                     if suf in ("cnt",):
                         t = pa.int64()
-                    elif suf in ("sq",):
+                    elif suf in ("sq", "sx", "sy", "sxx", "syy", "sxy"):
                         t = pa.float64()
                     elif suf == "sum":
                         t = pa.float64() if call.name in MOMENT_AGGS else _sum_type(arg_types[i])
@@ -673,6 +685,21 @@ class PreAgg:
                     cols[f"__p{i}_{suf}"] = pa.array([], type=t)
             return pa.table(cols)
         df = pa.table(data).to_pandas(types_mapper=None) if data else pd.DataFrame(index=range(n))
+        # two-arg (co)moment aggs: pair-complete masked product columns.
+        # ANSI argument order is fn(y, x): args[0] is the DEPENDENT y,
+        # args[1] the independent x — sx/sxx always hold x's moments.
+        for call, i in self.aggs:
+            if call.is_star or call.name not in BIMOMENT_AGGS:
+                continue
+            y = pd.to_numeric(df[f"__a{i}"], errors="coerce").astype(float)
+            x = pd.to_numeric(df[f"__a{i}b"], errors="coerce").astype(float)
+            m = x.notna() & y.notna()
+            x, y = x.where(m), y.where(m)
+            df[f"__b{i}_sx"] = x
+            df[f"__b{i}_sy"] = y
+            df[f"__b{i}_sxx"] = x * x
+            df[f"__b{i}_syy"] = y * y
+            df[f"__b{i}_sxy"] = x * y
         if not self.key_names:
             df["__k"] = 0
             group_keys = ["__k"]
@@ -689,6 +716,13 @@ class PreAgg:
                 continue
             col = gb[arg_cols[i]]
             at = arg_types[i]
+            if kind in BIMOMENT_AGGS:
+                out[f"__p{i}_cnt"] = gb[f"__b{i}_sx"].count()
+                partial_types[f"__p{i}_cnt"] = pa.int64()
+                for suf in ("sx", "sy", "sxx", "syy", "sxy"):
+                    out[f"__p{i}_{suf}"] = gb[f"__b{i}_{suf}"].sum(min_count=1)
+                    partial_types[f"__p{i}_{suf}"] = pa.float64()
+                continue
             if kind in ("SUM", "AVG", "MEAN") or kind in MOMENT_AGGS:
                 out[f"__p{i}_sum"] = col.sum(min_count=1)
                 partial_types[f"__p{i}_sum"] = pa.float64() if kind in MOMENT_AGGS else _sum_type(at)
@@ -866,6 +900,15 @@ class GroupAggPandas:
             res = f"__r{i}"
             if call.is_star:
                 row[res] = [len(df)]
+                continue
+            if call.name in BIMOMENT_AGGS:
+                sub = df[[cname, f"{cname}b"]].apply(
+                    pd.to_numeric, errors="coerce").dropna()
+                if call.distinct:
+                    sub = sub.drop_duplicates()
+                row[res] = [_bimoment_scalar(
+                    call.name, y=sub[cname].to_numpy(dtype=float),
+                    x=sub[f"{cname}b"].to_numpy(dtype=float))]
                 continue
             s = df[cname]
             obs = getattr(call, "order_by", ()) or ()
@@ -3532,6 +3575,13 @@ class Compiler:
                 kind = call.name
                 if call.is_star:
                     continue
+                if kind in BIMOMENT_AGGS:
+                    ray_aggs.append(Sum(f"__p{i}_cnt", alias_name=f"__p{i}_cnt",
+                                        ignore_nulls=True))
+                    for suf in ("sx", "sy", "sxx", "syy", "sxy"):
+                        ray_aggs.append(FSum(f"__p{i}_{suf}",
+                                             alias_name=f"__p{i}_{suf}"))
+                    continue
                 if kind in ("SUM", "AVG", "MEAN") or kind in MOMENT_AGGS:
                     # exact order-independent merge: float sums are
                     # bit-deterministic regardless of shuffle merge order
@@ -3880,6 +3930,11 @@ class PreAggPrep:
             if not isinstance(val, (pa.Array, pa.ChunkedArray)):
                 val = pa.array([val] * n)
             data[f"__a{i}"] = val
+            if call.name in BIMOMENT_AGGS:
+                v2 = ev.eval(call.args[1], batch)
+                if not isinstance(v2, (pa.Array, pa.ChunkedArray)):
+                    v2 = pa.array([v2] * n)
+                data[f"__a{i}b"] = v2
             for j, ob in enumerate(getattr(call, "order_by", ()) or ()):
                 ov = ev.eval(ob.expr, batch)
                 if not isinstance(ov, (pa.Array, pa.ChunkedArray)):
@@ -3932,7 +3987,84 @@ class CombinePartials:
                 var = pc.max_element_wise(var, 0.0)
                 cols[f"__r{i}"] = var if kind in (
                     "VARIANCE", "VAR_SAMP", "VAR_POP") else pc.sqrt(var)
+            elif kind in BIMOMENT_AGGS:
+                cols[f"__r{i}"] = _finalize_bimoment(kind, batch, i)
         return pa.table(cols)
+
+
+def _bimoment_scalar(kind: str, y: np.ndarray, x: np.ndarray):
+    """One-group COVAR/CORR/REGR_* over pair-complete arrays (y = args[0]
+    dependent, x = args[1] independent) — same math (and math.fsum
+    exactness) as the partials path."""
+    import math
+
+    n = len(x)
+    if kind == "REGR_COUNT":
+        return n
+    if n == 0:
+        return None
+    t = pa.table({"__p0_cnt": pa.array([n], pa.int64()),
+                  "__p0_sx": pa.array([math.fsum(x)], pa.float64()),
+                  "__p0_sy": pa.array([math.fsum(y)], pa.float64()),
+                  "__p0_sxx": pa.array([math.fsum(x * x)], pa.float64()),
+                  "__p0_syy": pa.array([math.fsum(y * y)], pa.float64()),
+                  "__p0_sxy": pa.array([math.fsum(x * y)], pa.float64())})
+    return _finalize_bimoment(kind, t, 0)[0].as_py()
+
+
+def _finalize_bimoment(kind: str, batch: pa.Table, i: int) -> pa.Array:
+    """COVAR/CORR/REGR_* from merged (cnt, Σx, Σy, Σx², Σy², Σxy) partials.
+
+    Edge semantics match DuckDB exactly (probed): all-pair-null group →
+    NULL (REGR_COUNT → 0); n=1 → COVAR_POP 0, COVAR_SAMP/CORR/SLOPE NULL;
+    zero var(x) → SLOPE/INTERCEPT/R2/CORR NULL; zero var(y), var(x)>0 →
+    R2 = 1.0, CORR NULL."""
+    nv = pc.cast(pc.fill_null(batch.column(f"__p{i}_cnt"), 0),
+                 pa.float64()).to_numpy(zero_copy_only=False)
+    if kind == "REGR_COUNT":
+        return pa.array(nv.astype("int64"), type=pa.int64())
+
+    def g(suf):
+        return pc.cast(pc.fill_null(batch.column(f"__p{i}_{suf}"), 0.0),
+                       pa.float64()).to_numpy(zero_copy_only=False)
+
+    sx, sy = g("sx"), g("sy")
+    sxx, syy, sxy = g("sxx"), g("syy"), g("sxy")
+    with np.errstate(all="ignore"):
+        safe_n = np.where(nv > 0, nv, 1.0)
+        cxy = sxy - sx * sy / safe_n          # n · covar_pop
+        vx = np.maximum(sxx - sx * sx / safe_n, 0.0)   # n · var_pop(x)
+        vy = np.maximum(syy - sy * sy / safe_n, 0.0)
+        if kind == "COVAR_POP":
+            r = cxy / safe_n
+        elif kind == "COVAR_SAMP":
+            r = np.where(nv > 1, cxy / np.where(nv > 1, nv - 1, 1.0), np.nan)
+        elif kind == "CORR":
+            ok = (vx > 0) & (vy > 0)
+            r = np.where(ok, cxy / np.sqrt(np.where(ok, vx * vy, 1.0)), np.nan)
+        elif kind == "REGR_SLOPE":
+            r = np.where(vx > 0, cxy / np.where(vx > 0, vx, 1.0), np.nan)
+        elif kind == "REGR_INTERCEPT":
+            slope = np.where(vx > 0, cxy / np.where(vx > 0, vx, 1.0), np.nan)
+            r = (sy - slope * sx) / safe_n
+        elif kind == "REGR_R2":
+            ok = (vx > 0) & (vy > 0)
+            c2 = np.where(ok, (cxy * cxy) / np.where(ok, vx * vy, 1.0), np.nan)
+            r = np.where(vx <= 0, np.nan, np.where(vy <= 0, 1.0, c2))
+        elif kind == "REGR_AVGX":
+            r = sx / safe_n
+        elif kind == "REGR_AVGY":
+            r = sy / safe_n
+        elif kind == "REGR_SXX":
+            r = vx
+        elif kind == "REGR_SYY":
+            r = vy
+        elif kind == "REGR_SXY":
+            r = cxy
+        else:  # pragma: no cover
+            raise ValueError(kind)
+    r = np.where(nv == 0, np.nan, r)
+    return pa.array(r, type=pa.float64(), mask=np.isnan(r))
 
 
 # ------------------------------------------------------------------ helpers
@@ -3985,6 +4117,8 @@ def _partial_suffixes(kind: str) -> list[str]:
         "MEAN": ["sum", "cnt"], "MIN": ["min"], "MAX": ["max"],
         "STDDEV": ["sum", "cnt", "sq"],
         **{m: ["sum", "cnt", "sq"] for m in MOMENT_AGGS},
+        **{b: ["cnt", "sx", "sy", "sxx", "syy", "sxy"]
+           for b in BIMOMENT_AGGS},
     }[kind]
 
 

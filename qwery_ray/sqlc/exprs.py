@@ -1318,7 +1318,12 @@ AGG_FUNC_NAMES = {"AVG", "COUNT", "MIN", "MAX", "SUM", "STDDEV", "MEAN",
                   "VARIANCE", "VAR_POP", "VAR_SAMP",
                   "MEDIAN", "STRING_AGG", "ARRAY_AGG",
                   "QUANTILE_CONT", "QUANTILE_DISC",
-                  "PERCENTILE_CONT", "PERCENTILE_DISC", "APPROX_QUANTILE"}
+                  "PERCENTILE_CONT", "PERCENTILE_DISC", "APPROX_QUANTILE",
+                  # two-argument (co)moment family (compiler.BIMOMENT_AGGS)
+                  "COVAR_POP", "COVAR_SAMP", "CORR",
+                  "REGR_SLOPE", "REGR_INTERCEPT", "REGR_R2", "REGR_COUNT",
+                  "REGR_AVGX", "REGR_AVGY", "REGR_SXX", "REGR_SYY",
+                  "REGR_SXY"}
 
 # holistic aggregates need every value of the group co-located (no
 # mergeable fixed-size partial exists) — they route through the exact
