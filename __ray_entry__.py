@@ -751,6 +751,25 @@ _SQL_QUERIES: dict[str, tuple[str, str | None]] = {
         "FROM qty q LEFT JOIN lineitem l ON CAST(l.l_quantity AS INT) = q.q "
         "GROUP BY q.q ORDER BY q.q",
         None),
+    "covar_regression": (
+        # two-argument (co)moment family (COVAR/CORR/REGR_*): shared
+        # (cnt,Σx,Σy,Σx²,Σy²,Σxy) partials, exact order-independent fsum
+        # merge (compiler.BIMOMENT_AGGS). DuckDB computes these with online
+        # Welford updates vs our raw-moment sums — agreement is ~1e-9
+        # relative, so every float output is snapped (q1 idiom) to a grid
+        # both engines round identically.
+        "SELECT l_returnflag, "
+        "REGR_COUNT(l_extendedprice, l_quantity) AS n_pairs, "
+        "ROUND(CORR(l_extendedprice, l_quantity) * 1000000, 0) / 1000000 "
+        "AS corr6, "
+        "ROUND(REGR_SLOPE(l_extendedprice, l_quantity) * 10000, 0) / 10000 "
+        "AS slope4, "
+        "ROUND(COVAR_POP(l_extendedprice, l_quantity) * 100, 0) / 100 "
+        "AS covp2, "
+        "ROUND(REGR_AVGX(l_extendedprice, l_quantity) * 10000, 0) / 10000 "
+        "AS avgx4 "
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+        None),
 }
 
 
