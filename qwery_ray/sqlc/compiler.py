@@ -45,6 +45,27 @@ BIMOMENT_AGGS = ("COVAR_POP", "COVAR_SAMP", "CORR",
                  "REGR_SLOPE", "REGR_INTERCEPT", "REGR_R2", "REGR_COUNT",
                  "REGR_AVGX", "REGR_AVGY", "REGR_SXX", "REGR_SYY",
                  "REGR_SXY")
+# higher central moments: (cnt, Σx, Σx², Σx³, Σx⁴) partials; finalize with
+# DuckDB's bias-corrected formulas (probed: SKEWNESS = G1 needs n≥3,
+# KURTOSIS = sample-corrected excess G2 needs n≥4, KURTOSIS_POP = m4/m2²−3;
+# zero variance → NULL for all three)
+EXT_MOMENT_AGGS = ("SKEWNESS", "KURTOSIS", "KURTOSIS_POP")
+# arg-extremum family fn(arg, key): the arg value on the row whose key is
+# extremal; rows where EITHER argument is NULL are ignored (DuckDB probed)
+ARG_EXT_AGGS = ("ARG_MAX", "ARG_MIN", "MAX_BY", "MIN_BY")
+BITWISE_AGGS = ("BIT_AND", "BIT_OR", "BIT_XOR")
+BOOL_AGGS = ("BOOL_AND", "BOOL_OR")
+# aggregates whose partials carry the SECOND argument too
+TWO_ARG_AGGS = BIMOMENT_AGGS + ARG_EXT_AGGS
+
+
+def _argext_ismax(kind: str) -> bool:
+    return kind in ("ARG_MAX", "MAX_BY")
+
+
+_BIT_IDENTITY = {"BIT_AND": -1, "BIT_OR": 0, "BIT_XOR": 0}
+_BIT_UFUNC = {"BIT_AND": np.bitwise_and, "BIT_OR": np.bitwise_or,
+              "BIT_XOR": np.bitwise_xor}
 
 
 @dataclass
@@ -650,6 +671,7 @@ class PreAgg:
             key_types[name] = val.type
         arg_cols: dict[int, str] = {}
         arg_types: dict[int, pa.DataType] = {}
+        arg2_types: dict[int, pa.DataType] = {}
         for call, i in self.aggs:
             if call.is_star:
                 continue
@@ -657,14 +679,21 @@ class PreAgg:
             val = ev.eval(call.args[0], batch)
             if not isinstance(val, (pa.Array, pa.ChunkedArray)):
                 val = pa.array([val] * n)
+            # partial-friendly physical types: BOOL_* reduce as int8 min/max,
+            # BIT_* reduce exactly as int64 (float64 would be lossy > 2^53)
+            if call.name in BOOL_AGGS:
+                val = pc.cast(val, pa.int8())
+            elif call.name in BITWISE_AGGS:
+                val = pc.cast(val, pa.int64())
             data[cname] = val
             arg_cols[i] = cname
             arg_types[i] = val.type
-            if call.name in BIMOMENT_AGGS:
+            if call.name in TWO_ARG_AGGS:
                 v2 = ev.eval(call.args[1], batch)
                 if not isinstance(v2, (pa.Array, pa.ChunkedArray)):
                     v2 = pa.array([v2] * n)
                 data[f"{cname}b"] = v2
+                arg2_types[i] = v2.type
         if n == 0:
             # empty batch: emit an empty, correctly-typed partials table
             # (the pandas groupby round-trip loses index names on empty input)
@@ -676,11 +705,18 @@ class PreAgg:
                 for suf in _partial_suffixes(call.name):
                     if suf in ("cnt",):
                         t = pa.int64()
-                    elif suf in ("sq", "sx", "sy", "sxx", "syy", "sxy"):
+                    elif suf in ("sq", "sx", "sy", "sxx", "syy", "sxy",
+                                 "cu", "qu"):
                         t = pa.float64()
+                    elif suf == "bit":
+                        t = pa.int64()
+                    elif suf == "ak":
+                        t = arg2_types[i]
                     elif suf == "sum":
-                        t = pa.float64() if call.name in MOMENT_AGGS else _sum_type(arg_types[i])
-                    else:  # min / max keep the arg type
+                        t = pa.float64() if call.name in (
+                            MOMENT_AGGS + EXT_MOMENT_AGGS) \
+                            else _sum_type(arg_types[i])
+                    else:  # min / max / av / any keep the arg type
                         t = arg_types[i]
                     cols[f"__p{i}_{suf}"] = pa.array([], type=t)
             return pa.table(cols)
@@ -723,20 +759,78 @@ class PreAgg:
                     out[f"__p{i}_{suf}"] = gb[f"__b{i}_{suf}"].sum(min_count=1)
                     partial_types[f"__p{i}_{suf}"] = pa.float64()
                 continue
-            if kind in ("SUM", "AVG", "MEAN") or kind in MOMENT_AGGS:
+            if kind in ARG_EXT_AGGS:
+                # pair-complete rows, stable sort by key, extremal position
+                # per group — one pandas sort handles ANY orderable key type
+                g = gb.ngroup().to_numpy()
+                ngroups = int(g.max()) + 1
+                kser = df[f"{arg_cols[i]}b"]
+                m = kser.notna().to_numpy() & df[arg_cols[i]].notna().to_numpy()
+                d2 = pd.DataFrame({"g": g[m], "k": kser.to_numpy()[m],
+                                   "p": np.arange(n)[m]})
+                sel = d2.sort_values("k", kind="stable").groupby("g")["p"]
+                sel = sel.last() if _argext_ismax(kind) else sel.first()
+                full = np.full(ngroups, -1, dtype=np.int64)
+                full[sel.index.to_numpy(dtype=np.int64)] = \
+                    sel.to_numpy(dtype=np.int64)
+                idx = pa.array(np.maximum(full, 0), type=pa.int64(),
+                               mask=full < 0)
+                out[f"__p{i}_av"] = \
+                    pc.take(data[arg_cols[i]], idx).to_pandas().to_numpy()
+                out[f"__p{i}_ak"] = \
+                    pc.take(data[f"{arg_cols[i]}b"], idx).to_pandas().to_numpy()
+                partial_types[f"__p{i}_av"] = at
+                partial_types[f"__p{i}_ak"] = arg2_types[i]
+                continue
+            if kind in BITWISE_AGGS:
+                # exact int64 bitwise reduce (numpy reduceat; identity-filled
+                # nulls; all-null group → NULL) — float round-trips would be
+                # lossy beyond 2^53
+                g = gb.ngroup().to_numpy()
+                arr = data[arg_cols[i]]
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+                vals = pc.fill_null(arr, _BIT_IDENTITY[kind]) \
+                    .to_numpy(zero_copy_only=False).astype(np.int64)
+                order = np.argsort(g, kind="stable")
+                gs, vs, vd = g[order], vals[order], valid[order]
+                starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+                red = _BIT_UFUNC[kind].reduceat(vs, starts)
+                cnt = np.add.reduceat(vd.astype(np.int64), starts)
+                obj = red.astype(object)
+                obj[cnt == 0] = None
+                out[f"__p{i}_bit"] = obj
+                partial_types[f"__p{i}_bit"] = pa.int64()
+                continue
+            if kind == "ANY_VALUE":
+                out[f"__p{i}_any"] = col.first()
+                partial_types[f"__p{i}_any"] = at
+                continue
+            if kind in ("SUM", "AVG", "MEAN") or kind in MOMENT_AGGS \
+                    or kind in EXT_MOMENT_AGGS:
                 out[f"__p{i}_sum"] = col.sum(min_count=1)
-                partial_types[f"__p{i}_sum"] = pa.float64() if kind in MOMENT_AGGS else _sum_type(at)
-            if kind in ("AVG", "MEAN", "COUNT") or kind in MOMENT_AGGS:
+                partial_types[f"__p{i}_sum"] = pa.float64() if kind in (
+                    MOMENT_AGGS + EXT_MOMENT_AGGS) else _sum_type(at)
+            if kind in ("AVG", "MEAN", "COUNT") or kind in MOMENT_AGGS \
+                    or kind in EXT_MOMENT_AGGS:
                 out[f"__p{i}_cnt"] = col.count()
                 partial_types[f"__p{i}_cnt"] = pa.int64()
-            if kind in MOMENT_AGGS:
+            if kind in MOMENT_AGGS or kind in EXT_MOMENT_AGGS:
                 out[f"__p{i}_sq"] = gb[arg_cols[i]].agg(
                     lambda s: (s.astype(float) ** 2).sum(min_count=1))
                 partial_types[f"__p{i}_sq"] = pa.float64()
-            if kind == "MIN":
+            if kind in EXT_MOMENT_AGGS:
+                out[f"__p{i}_cu"] = gb[arg_cols[i]].agg(
+                    lambda s: (s.astype(float) ** 3).sum(min_count=1))
+                out[f"__p{i}_qu"] = gb[arg_cols[i]].agg(
+                    lambda s: (s.astype(float) ** 4).sum(min_count=1))
+                partial_types[f"__p{i}_cu"] = pa.float64()
+                partial_types[f"__p{i}_qu"] = pa.float64()
+            if kind == "MIN" or kind == "BOOL_AND":
                 out[f"__p{i}_min"] = col.min()
                 partial_types[f"__p{i}_min"] = at
-            if kind == "MAX":
+            if kind == "MAX" or kind == "BOOL_OR":
                 out[f"__p{i}_max"] = col.max()
                 partial_types[f"__p{i}_max"] = at
         out = out.reset_index()
@@ -784,6 +878,83 @@ class FSum(AggregateFn):
                 math.fsum(a)),
             name=alias_name,
         )
+
+
+class BitReduce(AggregateFn):
+    """Order-independent exact bitwise AND/OR/XOR merge of int64 partials
+    (python-int accumulation — exact at any magnitude)."""
+
+    def __init__(self, kind: str, on: str, alias_name: str):
+        import functools
+        import operator
+
+        op = {"BIT_AND": operator.and_, "BIT_OR": operator.or_,
+              "BIT_XOR": operator.xor}[kind]
+
+        def _acc_block(a: list, block) -> list:
+            col = block[on]
+            vals = col.to_pylist() if hasattr(col, "to_pylist") else list(col)
+            return a + [int(v) for v in vals if v is not None]
+
+        super().__init__(
+            init=lambda k: [],
+            merge=lambda a, b: a + b,
+            accumulate_block=_acc_block,
+            finalize=lambda a: (functools.reduce(op, a) if a else None),
+            name=alias_name,
+        )
+        self.merge_kind = {"BIT_AND": "band", "BIT_OR": "bor",
+                           "BIT_XOR": "bxor"}[kind]
+
+
+class AnyValueAgg(AggregateFn):
+    """First non-null partial (ANY_VALUE merge)."""
+
+    def __init__(self, on: str, alias_name: str):
+        def _acc_block(a: list, block) -> list:
+            if a:
+                return a
+            col = block[on]
+            vals = col.to_pylist() if hasattr(col, "to_pylist") else list(col)
+            for v in vals:
+                if v is not None:
+                    return [v]
+            return a
+
+        super().__init__(
+            init=lambda k: [],
+            merge=lambda a, b: a if a else b,
+            accumulate_block=_acc_block,
+            finalize=lambda a: a[0] if a else None,
+            name=alias_name,
+        )
+        self.merge_kind = "any"
+
+
+class ArgExtAgg(AggregateFn):
+    """ARG_MAX / ARG_MIN merge: keep the (key, value) pair with the extremal
+    key across partials (one pair per upstream batch per group)."""
+
+    def __init__(self, ismax: bool, val_col: str, key_col: str,
+                 alias_name: str):
+        def _acc_block(a: list, block) -> list:
+            kc, vc = block[key_col], block[val_col]
+            ks = kc.to_pylist() if hasattr(kc, "to_pylist") else list(kc)
+            vs = vc.to_pylist() if hasattr(vc, "to_pylist") else list(vc)
+            return a + [(k, v) for k, v in zip(ks, vs) if k is not None]
+
+        pick = max if ismax else min
+
+        super().__init__(
+            init=lambda k: [],
+            merge=lambda a, b: a + b,
+            accumulate_block=_acc_block,
+            finalize=lambda a: (
+                pick(a, key=lambda kv: kv[0])[1] if a else None),
+            name=alias_name,
+        )
+        self.merge_kind = ("argmax:" if ismax else "argmin:") + key_col
+        self.key_col = key_col
 
 
 class MergePartialsTask:
@@ -846,6 +1017,37 @@ class MergePartialsTask:
                 vals[~valid] = 0.0
                 out[name] = pa.array(np.add.reduceat(vals, starts),
                                      mask=none_mask)
+            elif kind in ("band", "bor", "bxor"):
+                ident = {"band": -1, "bor": 0, "bxor": 0}[kind]
+                uf = {"band": np.bitwise_and, "bor": np.bitwise_or,
+                      "bxor": np.bitwise_xor}[kind]
+                vals = pc.fill_null(col, ident).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                out[name] = pa.array(uf.reduceat(vals, starts),
+                                     type=pa.int64(), mask=none_mask)
+            elif kind == "any":
+                pos = np.arange(n, dtype=np.int64)
+                pos[~valid] = n
+                first = np.minimum.reduceat(pos, starts)
+                idx = pa.array(np.minimum(first, n - 1), type=pa.int64(),
+                               mask=first == n)
+                out[name] = col.take(idx)
+            elif kind.startswith(("argmax:", "argmin:")):
+                kcol = t.column(kind.split(":", 1)[1]).combine_chunks()
+                kvalid = pc.is_valid(kcol).to_numpy(zero_copy_only=False)
+                gid = np.repeat(np.arange(len(starts)), counts)
+                d2 = pd.DataFrame(
+                    {"g": gid[kvalid],
+                     "k": kcol.to_pandas().to_numpy()[kvalid],
+                     "p": np.flatnonzero(kvalid)})
+                sel = d2.sort_values("k", kind="stable").groupby("g")["p"]
+                sel = sel.last() if kind.startswith("argmax") else sel.first()
+                full = np.full(len(starts), -1, dtype=np.int64)
+                full[sel.index.to_numpy(dtype=np.int64)] = \
+                    sel.to_numpy(dtype=np.int64)
+                idx = pa.array(np.maximum(full, 0), type=pa.int64(),
+                               mask=full < 0)
+                out[name] = col.take(idx)
             elif kind in ("min", "max") and (
                     pa.types.is_integer(typ) or pa.types.is_floating(typ)
                     or pa.types.is_temporal(typ)):
@@ -910,6 +1112,17 @@ class GroupAggPandas:
                     call.name, y=sub[cname].to_numpy(dtype=float),
                     x=sub[f"{cname}b"].to_numpy(dtype=float))]
                 continue
+            if call.name in ARG_EXT_AGGS:
+                sub = df[[cname, f"{cname}b"]].dropna()
+                if call.distinct:
+                    sub = sub.drop_duplicates()
+                if not len(sub):
+                    row[res] = [None]
+                else:
+                    ser = sub.sort_values(f"{cname}b", kind="stable")[cname]
+                    row[res] = [ser.iloc[-1] if _argext_ismax(call.name)
+                                else ser.iloc[0]]
+                continue
             s = df[cname]
             obs = getattr(call, "order_by", ()) or ()
             if obs:
@@ -941,6 +1154,29 @@ class GroupAggPandas:
             elif kind == "MEDIAN":
                 v = s.dropna()
                 row[res] = [v.astype(float).median() if len(v) else None]
+            elif kind == "MODE":
+                v = s.dropna()
+                row[res] = [v.mode().iloc[0] if len(v) else None]
+            elif kind == "ANY_VALUE":
+                v = s.dropna()
+                row[res] = [v.iloc[0] if len(v) else None]
+            elif kind == "BOOL_AND":
+                v = s.dropna()
+                row[res] = [bool(v.astype(bool).all()) if len(v) else None]
+            elif kind == "BOOL_OR":
+                v = s.dropna()
+                row[res] = [bool(v.astype(bool).any()) if len(v) else None]
+            elif kind in BITWISE_AGGS:
+                import functools
+                import operator
+
+                op = {"BIT_AND": operator.and_, "BIT_OR": operator.or_,
+                      "BIT_XOR": operator.xor}[kind]
+                v = [int(x) for x in s.dropna()]
+                row[res] = [functools.reduce(op, v) if v else None]
+            elif kind in EXT_MOMENT_AGGS:
+                v = s.dropna().astype(float).to_numpy()
+                row[res] = [_ext_moment_scalar(kind, v)]
             elif kind == "STRING_AGG":
                 sep = ","
                 if len(call.args) > 1 and isinstance(call.args[1], A.Literal):
@@ -3582,19 +3818,37 @@ class Compiler:
                         ray_aggs.append(FSum(f"__p{i}_{suf}",
                                              alias_name=f"__p{i}_{suf}"))
                     continue
-                if kind in ("SUM", "AVG", "MEAN") or kind in MOMENT_AGGS:
+                if kind in ARG_EXT_AGGS:
+                    ray_aggs.append(ArgExtAgg(
+                        _argext_ismax(kind), f"__p{i}_av", f"__p{i}_ak",
+                        alias_name=f"__p{i}_av"))
+                    continue
+                if kind in BITWISE_AGGS:
+                    ray_aggs.append(BitReduce(kind, f"__p{i}_bit",
+                                              alias_name=f"__p{i}_bit"))
+                    continue
+                if kind == "ANY_VALUE":
+                    ray_aggs.append(AnyValueAgg(f"__p{i}_any",
+                                                alias_name=f"__p{i}_any"))
+                    continue
+                if kind in ("SUM", "AVG", "MEAN") or kind in MOMENT_AGGS \
+                        or kind in EXT_MOMENT_AGGS:
                     # exact order-independent merge: float sums are
                     # bit-deterministic regardless of shuffle merge order
                     ray_aggs.append(FSum(f"__p{i}_sum", alias_name=f"__p{i}_sum"))
-                if kind in ("AVG", "MEAN", "COUNT") or kind in MOMENT_AGGS:
+                if kind in ("AVG", "MEAN", "COUNT") or kind in MOMENT_AGGS \
+                        or kind in EXT_MOMENT_AGGS:
                     ray_aggs.append(Sum(f"__p{i}_cnt", alias_name=f"__p{i}_cnt",
                                         ignore_nulls=True))
-                if kind in MOMENT_AGGS:
+                if kind in MOMENT_AGGS or kind in EXT_MOMENT_AGGS:
                     ray_aggs.append(FSum(f"__p{i}_sq", alias_name=f"__p{i}_sq"))
-                if kind == "MIN":
+                if kind in EXT_MOMENT_AGGS:
+                    ray_aggs.append(FSum(f"__p{i}_cu", alias_name=f"__p{i}_cu"))
+                    ray_aggs.append(FSum(f"__p{i}_qu", alias_name=f"__p{i}_qu"))
+                if kind == "MIN" or kind == "BOOL_AND":
                     ray_aggs.append(Min(f"__p{i}_min", alias_name=f"__p{i}_min",
                                         ignore_nulls=True))
-                if kind == "MAX":
+                if kind == "MAX" or kind == "BOOL_OR":
                     ray_aggs.append(Max(f"__p{i}_max", alias_name=f"__p{i}_max",
                                         ignore_nulls=True))
             ray_aggs.append(Sum("__pcnt_star", alias_name="__pcnt_star",
@@ -3613,7 +3867,8 @@ class Compiler:
                 for k in alias_names:
                     v = row.get(k)
                     if v is None:  # empty input: type the nulls explicitly
-                        t = pa.int64() if k.endswith(("_cnt", "_star")) else pa.float64()
+                        t = pa.int64() if k.endswith(
+                            ("_cnt", "_star", "_bit")) else pa.float64()
                         cols[k] = pa.array([None], type=t)
                     else:
                         cols[k] = pa.array([v])
@@ -3654,7 +3909,8 @@ class Compiler:
         ds2 = ds2.materialize()  # the shuffle barrier would materialize too
         if ds2.count() <= self.SMALL_PARTIALS_LIMIT:
             kind_of = {FSum: "fsum", Sum: "sum", Min: "min", Max: "max"}
-            spec = [(a.name, kind_of[type(a)]) for a in ray_aggs]
+            spec = [(a.name, getattr(a, "merge_kind", None)
+                     or kind_of[type(a)]) for a in ray_aggs]
             out = ds2.repartition(1).map_batches(
                 MergePartialsTask(enc_keys, spec),
                 batch_format="pyarrow", batch_size=None)
@@ -3930,7 +4186,7 @@ class PreAggPrep:
             if not isinstance(val, (pa.Array, pa.ChunkedArray)):
                 val = pa.array([val] * n)
             data[f"__a{i}"] = val
-            if call.name in BIMOMENT_AGGS:
+            if call.name in TWO_ARG_AGGS:
                 v2 = ev.eval(call.args[1], batch)
                 if not isinstance(v2, (pa.Array, pa.ChunkedArray)):
                     v2 = pa.array([v2] * n)
@@ -3989,7 +4245,79 @@ class CombinePartials:
                     "VARIANCE", "VAR_SAMP", "VAR_POP") else pc.sqrt(var)
             elif kind in BIMOMENT_AGGS:
                 cols[f"__r{i}"] = _finalize_bimoment(kind, batch, i)
+            elif kind in EXT_MOMENT_AGGS:
+                cols[f"__r{i}"] = _finalize_ext_moment(kind, batch, i)
+            elif kind in ARG_EXT_AGGS:
+                cols[f"__r{i}"] = batch.column(f"__p{i}_av")
+            elif kind in BITWISE_AGGS:
+                cols[f"__r{i}"] = pc.cast(batch.column(f"__p{i}_bit"),
+                                          pa.int64())
+            elif kind == "ANY_VALUE":
+                cols[f"__r{i}"] = batch.column(f"__p{i}_any")
+            elif kind == "BOOL_AND":
+                # not_equal keeps nulls null and avoids float→bool casts on
+                # the empty-input fallback column
+                cols[f"__r{i}"] = pc.not_equal(
+                    batch.column(f"__p{i}_min"), 0)
+            elif kind == "BOOL_OR":
+                cols[f"__r{i}"] = pc.not_equal(
+                    batch.column(f"__p{i}_max"), 0)
         return pa.table(cols)
+
+
+def _finalize_ext_moment(kind: str, batch: pa.Table, i: int) -> pa.Array:
+    """SKEWNESS / KURTOSIS / KURTOSIS_POP from merged raw-moment partials.
+
+    DuckDB semantics (probed): SKEWNESS = bias-corrected G1 =
+    (m3/m2^1.5)·√(n(n−1))/(n−2), NULL when n<3 or var=0; KURTOSIS = excess
+    sample kurtosis G2 = ((n+1)(m4/m2²−3)+6)(n−1)/((n−2)(n−3)), NULL when
+    n<4 or var=0; KURTOSIS_POP = m4/m2²−3, NULL when n<2 or var=0."""
+    def g(suf):
+        return pc.cast(pc.fill_null(batch.column(f"__p{i}_{suf}"), 0.0),
+                       pa.float64()).to_numpy(zero_copy_only=False)
+
+    nv = pc.cast(pc.fill_null(batch.column(f"__p{i}_cnt"), 0),
+                 pa.float64()).to_numpy(zero_copy_only=False)
+    s1, s2, s3, s4 = g("sum"), g("sq"), g("cu"), g("qu")
+    with np.errstate(all="ignore"):
+        n = np.where(nv > 0, nv, 1.0)
+        mean = s1 / n
+        m2 = np.maximum(s2 / n - mean * mean, 0.0)
+        m3 = s3 / n - 3.0 * mean * s2 / n + 2.0 * mean ** 3
+        m4 = (s4 / n - 4.0 * mean * s3 / n
+              + 6.0 * mean * mean * s2 / n - 3.0 * mean ** 4)
+        if kind == "SKEWNESS":
+            ok = (nv >= 3) & (m2 > 0)
+            safe = np.where(ok, m2, 1.0)
+            r = np.where(ok, (m3 / safe ** 1.5)
+                         * np.sqrt(n * (n - 1.0)) / (n - 2.0), np.nan)
+        elif kind == "KURTOSIS":
+            ok = (nv >= 4) & (m2 > 0)
+            safe = np.where(ok, m2, 1.0)
+            g2 = m4 / (safe * safe) - 3.0
+            r = np.where(ok, ((n + 1.0) * g2 + 6.0) * (n - 1.0)
+                         / ((n - 2.0) * (n - 3.0)), np.nan)
+        else:  # KURTOSIS_POP
+            ok = (nv >= 2) & (m2 > 0)
+            safe = np.where(ok, m2, 1.0)
+            r = np.where(ok, m4 / (safe * safe) - 3.0, np.nan)
+    return pa.array(r, type=pa.float64(), mask=np.isnan(r))
+
+
+def _ext_moment_scalar(kind: str, x: np.ndarray):
+    """One-group SKEWNESS/KURTOSIS[_POP] — same math (and math.fsum
+    exactness) as the partials path."""
+    import math
+
+    n = len(x)
+    if n == 0:
+        return None
+    t = pa.table({"__p0_cnt": pa.array([n], pa.int64()),
+                  "__p0_sum": pa.array([math.fsum(x)], pa.float64()),
+                  "__p0_sq": pa.array([math.fsum(x * x)], pa.float64()),
+                  "__p0_cu": pa.array([math.fsum(x ** 3)], pa.float64()),
+                  "__p0_qu": pa.array([math.fsum(x ** 4)], pa.float64())})
+    return _finalize_ext_moment(kind, t, 0)[0].as_py()
 
 
 def _bimoment_scalar(kind: str, y: np.ndarray, x: np.ndarray):
@@ -4117,8 +4445,13 @@ def _partial_suffixes(kind: str) -> list[str]:
         "MEAN": ["sum", "cnt"], "MIN": ["min"], "MAX": ["max"],
         "STDDEV": ["sum", "cnt", "sq"],
         **{m: ["sum", "cnt", "sq"] for m in MOMENT_AGGS},
+        **{m: ["sum", "cnt", "sq", "cu", "qu"] for m in EXT_MOMENT_AGGS},
         **{b: ["cnt", "sx", "sy", "sxx", "syy", "sxy"]
            for b in BIMOMENT_AGGS},
+        **{a: ["av", "ak"] for a in ARG_EXT_AGGS},
+        **{b: ["bit"] for b in BITWISE_AGGS},
+        "BOOL_AND": ["min"], "BOOL_OR": ["max"],
+        "ANY_VALUE": ["any"],
     }[kind]
 
 

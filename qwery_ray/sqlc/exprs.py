@@ -1323,14 +1323,19 @@ AGG_FUNC_NAMES = {"AVG", "COUNT", "MIN", "MAX", "SUM", "STDDEV", "MEAN",
                   "COVAR_POP", "COVAR_SAMP", "CORR",
                   "REGR_SLOPE", "REGR_INTERCEPT", "REGR_R2", "REGR_COUNT",
                   "REGR_AVGX", "REGR_AVGY", "REGR_SXX", "REGR_SYY",
-                  "REGR_SXY"}
+                  "REGR_SXY",
+                  # higher moments, arg-extrema, bitwise/boolean reducers
+                  "SKEWNESS", "KURTOSIS", "KURTOSIS_POP",
+                  "ARG_MAX", "ARG_MIN", "MAX_BY", "MIN_BY",
+                  "BIT_AND", "BIT_OR", "BIT_XOR", "BOOL_AND", "BOOL_OR",
+                  "ANY_VALUE", "MODE"}
 
 # holistic aggregates need every value of the group co-located (no
 # mergeable fixed-size partial exists) — they route through the exact
 # per-group pandas path, like DISTINCT aggregates
 HOLISTIC_AGG_NAMES = {"MEDIAN", "STRING_AGG", "ARRAY_AGG",
                       "QUANTILE_CONT", "QUANTILE_DISC",
-                      "PERCENTILE_CONT", "PERCENTILE_DISC"}
+                      "PERCENTILE_CONT", "PERCENTILE_DISC", "MODE"}
 
 
 def collect_agg_calls(expr: A.Expr) -> list[A.FuncCall]:

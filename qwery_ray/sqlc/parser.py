@@ -1247,9 +1247,12 @@ class Parser:
                         return self._parse_over(call)
                     return call
                 distinct = bool(self.accept("DISTINCT"))
-                args = [self.parse_expr()]
+                # full condition grammar in args: BOOL_AND(x > 2),
+                # COUNT(a IS NULL OR b < 0), … — parse_predicate returns the
+                # bare expression when no predicate operator follows
+                args = [self.parse_cond()]
                 while self.accept(","):
-                    args.append(self.parse_expr())
+                    args.append(self.parse_cond())
                 ignore_nulls = False
                 if self.accept("IGNORE"):  # fn(x IGNORE NULLS), DuckDB form
                     self.expect("NULLS")
