@@ -751,6 +751,17 @@ _SQL_QUERIES: dict[str, tuple[str, str | None]] = {
         "FROM qty q LEFT JOIN lineitem l ON CAST(l.l_quantity AS INT) = q.q "
         "GROUP BY q.q ORDER BY q.q",
         None),
+    "implicit_join_series": (
+        # SQL-92 implicit (comma) joins — WHERE equality conjuncts promote
+        # into real equi-joins (compiler._promote_cross_equi), never a
+        # filtered cartesian — plus the GENERATE_SERIES table function
+        # (lazy distributed ray.data.range). Integer/string outputs only →
+        # bit-stable hash.
+        "SELECT n_name, x, COUNT(*) AS n "
+        "FROM nation, region, generate_series(1, 2) t(x) "
+        "WHERE n_regionkey = r_regionkey AND r_name = 'ASIA' "
+        "GROUP BY n_name, x ORDER BY n_name, x",
+        None),
     "covar_regression": (
         # two-argument (co)moment family (COVAR/CORR/REGR_*): shared
         # (cnt,Σx,Σy,Σx²,Σy²,Σxy) partials, exact order-independent fsum

@@ -253,6 +253,18 @@ class SubquerySource(Source):
 
 
 @dataclass(frozen=True)
+class TableFunc(Source):
+    """Table-valued function source — GENERATE_SERIES(a, b[, step])
+    (inclusive stop, DuckDB) / RANGE(a, b[, step]) (exclusive stop).
+    Compiles to a lazy distributed ray.data.range, never a literal list."""
+
+    name: str                      # GENERATE_SERIES | RANGE (upper)
+    args: tuple = ()               # scalar Exprs
+    alias: Optional[str] = None
+    col_alias: Optional[str] = None  # t(x) column rename
+
+
+@dataclass(frozen=True)
 class ExecutableSource(Source):
     """An introspection statement used as a FROM source —
     ``SELECT * FROM (SHOW VIEWS) WHERE ...`` (reference

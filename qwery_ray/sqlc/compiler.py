@@ -640,6 +640,20 @@ class UnpivotBatch:
         return pa.concat_tables(parts)
 
 
+class _SeriesBatch:
+    """id → start + id·step for GENERATE_SERIES/RANGE blocks (pure Arrow)."""
+
+    def __init__(self, start: int, step: int, name: str):
+        self.start = start
+        self.step = step
+        self.name = name
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column("id"), pa.int64())
+        return pa.table(
+            {self.name: pc.add(pc.multiply(ids, self.step), self.start)})
+
+
 def _empty_cross(left: pa.Table, right: pa.Table) -> pa.Table:
     cols = {c: left.column(c).slice(0, 0) for c in left.column_names}
     for c in right.column_names:
@@ -2252,6 +2266,7 @@ class Compiler:
         # read-time optimization: prune columns + push WHERE into the scan
         from .pushdown import referenced_columns, to_dataset_expression
 
+        sel = self._promote_cross_equi(sel)
         needed = referenced_columns(sel)
         pushdown = None
         if sel.where is not None and isinstance(sel.source, A.TableRef):
@@ -3078,7 +3093,54 @@ class Compiler:
             return Frame(ds, ds.schema().names)
         if isinstance(src, A.TableRef):
             return self._table_frame(src, columns=columns, pushdown=pushdown)
+        if isinstance(src, A.TableFunc):
+            return self._table_func_frame(src)
         raise ValueError(f"unsupported source {type(src).__name__}")
+
+    def _table_func_frame(self, src: A.TableFunc) -> Frame:
+        """GENERATE_SERIES / RANGE as a lazy distributed ray.data.range —
+        a 10^9-row series is blocks of a counter, never a driver list.
+        DuckDB semantics: GENERATE_SERIES stop-inclusive, RANGE exclusive;
+        1 arg = stop (start 0, step 1), 2 = start/stop, 3 = +step."""
+        ev = make_evaluator(_env(self.session))
+        dummy = pa.table({"__d": pa.array([0])})
+        vals = []
+        for a in src.args:
+            v = ev.eval(a, dummy)
+            if isinstance(v, (pa.Array, pa.ChunkedArray)):
+                v = v[0]
+            if isinstance(v, pa.Scalar):
+                v = v.as_py()
+            vals.append(int(v))
+        if len(vals) == 1:
+            start, stop, step = 0, vals[0], 1
+        elif len(vals) == 2:
+            start, stop, step = vals[0], vals[1], 1
+        elif len(vals) == 3:
+            start, stop, step = vals
+        else:
+            raise ValueError(f"{src.name} takes 1-3 arguments")
+        if step == 0:
+            raise ValueError(f"{src.name} step must be non-zero")
+        diff = stop - start
+        if diff != 0 and (diff > 0) != (step > 0):
+            raise ValueError(
+                f"{src.name}: start/stop direction contradicts the step "
+                "(DuckDB binder semantics)")
+        if src.name == "GENERATE_SERIES":
+            n = max(0, diff // step + 1)
+        else:
+            n = max(0, -(-diff // step))
+        colname = src.col_alias or src.name.lower()
+        if n == 0:
+            ds = rd.from_arrow(pa.table({colname: pa.array([], pa.int64())}))
+        else:
+            ds = rd.range(n).map_batches(
+                _SeriesBatch(start, step, colname), batch_format="pyarrow")
+        frame = Frame(ds, [colname])
+        if src.alias:
+            frame.aliases[src.alias.lower()] = True
+        return frame
 
     def _parquet_schema_of(self, ref: A.TableRef) -> Optional[dict]:
         """lower-cased column name → arrow type, from parquet footers only."""
@@ -3204,6 +3266,85 @@ class Compiler:
         return ds
 
     # ---------------------------------------------------------------- joins
+    def _promote_cross_equi(self, sel: A.Select) -> A.Select:
+        """SQL-92 implicit joins: move WHERE equality conjuncts that link a
+        CROSS join's right side to earlier tables into that join's ON,
+        turning `FROM a, b WHERE a.k = b.k` into a real hash/broadcast
+        equi-join instead of a filtered cartesian product — the difference
+        between O(|a|+|b|) shuffle and O(|a|·|b|) pairs at scale.
+        Conservative: a conjunct moves only when every column reference
+        resolves unambiguously (alias-qualified, or unqualified + found in
+        exactly one parquet footer schema) and it spans ≥2 tables."""
+        if not sel.joins or sel.where is None:
+            return sel
+
+        def names_of(src):
+            alias, cols = None, None
+            if isinstance(src, A.TableRef):
+                alias = (src.alias or src.name).lower()
+                sch = self._parquet_schema_of(src)
+                cols = set(sch) if sch else None
+            elif isinstance(src, A.TableFunc):
+                alias = (src.alias or "").lower() or None
+                cols = {(src.col_alias or src.name).lower()}
+            elif isinstance(src, A.SubquerySource) and src.alias:
+                alias = src.alias.lower()
+            return alias, cols
+
+        base_alias, base_cols = names_of(sel.source)
+        jinfo = [names_of(j.right) for j in sel.joins]
+        promote: dict[int, list] = {}
+        keep = []
+        for c in _flatten_and(sel.where):
+            if not (isinstance(c, A.Comparison) and c.op == "="):
+                keep.append(c)
+                continue
+            idxs: set[int] = set()
+            ok = True
+            for r in collect_column_refs(c):
+                if "." in r:
+                    pre = r.split(".", 1)[0]
+                    if pre == base_alias:
+                        idxs.add(-1)
+                        continue
+                    hit = [i for i, (a, _) in enumerate(jinfo) if a == pre]
+                    if not hit:
+                        ok = False
+                        break
+                    idxs.add(hit[0])
+                else:
+                    owners = [-1] if (base_cols and r in base_cols) else []
+                    owners += [i for i, (_, cs) in enumerate(jinfo)
+                               if cs and r in cs]
+                    if len(owners) != 1:
+                        ok = False
+                        break
+                    idxs.add(owners[0])
+            if not ok or len(idxs) < 2:
+                keep.append(c)
+                continue
+            tgt = max(idxs)
+            if sel.joins[tgt].join_type != "CROSS":
+                keep.append(c)
+                continue
+            promote.setdefault(tgt, []).append(c)
+        if not promote:
+            return sel
+        joins = list(sel.joins)
+        for idx, conds in promote.items():
+            on = joins[idx].on
+            for c in conds:
+                on = c if (isinstance(on, A.Literal) and on.value is True) \
+                    else A.And(on, c)
+            joins[idx] = A.JoinClause("INNER", joins[idx].right, on)
+        where = None
+        for c in keep:
+            where = c if where is None else A.And(where, c)
+        import dataclasses
+
+        return dataclasses.replace(sel, joins=type(sel.joins)(joins),
+                                    where=where)
+
     def compile_join(self, left: Frame, j: A.JoinClause, sel: A.Select,
                      needed: Optional[set] = None, pushdown=None) -> Frame:
         if j.join_type in ("ASOF", "ASOF_LEFT"):

@@ -256,9 +256,18 @@ class Parser:
         joins: list[A.JoinClause] = []
         if self.accept("FROM"):
             source = self.parse_source()
-            while self.at("INNER", "LEFT", "RIGHT", "FULL", "JOIN", "CROSS",
-                          "ASOF", "SEMI", "ANTI"):
-                joins.append(self.parse_join())
+            while True:
+                if self.accept(","):
+                    # SQL-92 implicit cross join: FROM a, b [, c …] — the
+                    # WHERE clause supplies any equi-conditions
+                    joins.append(A.JoinClause("CROSS", self.parse_source(),
+                                              A.Literal(True)))
+                    continue
+                if self.at("INNER", "LEFT", "RIGHT", "FULL", "JOIN", "CROSS",
+                           "ASOF", "SEMI", "ANTI"):
+                    joins.append(self.parse_join())
+                    continue
+                break
 
         where = self.parse_cond() if self.accept("WHERE") else None
 
@@ -536,6 +545,27 @@ class Parser:
             name = unquote_string(tok.text)
         else:
             name = self._ident_name()
+        if name.upper() in ("GENERATE_SERIES", "RANGE") and \
+                self.peek().kind == "OP" and self.peek().text == "(":
+            # table-valued function: GENERATE_SERIES(a, b[, step]) / RANGE(…)
+            self.next()
+            args = [self.parse_expr()]
+            while self.accept(","):
+                args.append(self.parse_expr())
+            self.expect(")")
+            alias = None
+            col_alias = None
+            if self.accept("AS"):
+                alias = self._ident_name()
+            elif self.peek().kind in ("IDENT", "QIDENT") and \
+                    not self._is_clause_keyword(self.peek()):
+                alias = self._ident_name()
+            if alias is not None and self.peek().kind == "OP" and \
+                    self.peek().text == "(":
+                self.next()
+                col_alias = self._ident_name()
+                self.expect(")")
+            return A.TableFunc(name.upper(), tuple(args), alias, col_alias)
         hints = self.parse_hints()
         alias = None
         if self.accept("AS"):
