@@ -751,6 +751,17 @@ _SQL_QUERIES: dict[str, tuple[str, str | None]] = {
         "FROM qty q LEFT JOIN lineitem l ON CAST(l.l_quantity AS INT) = q.q "
         "GROUP BY q.q ORDER BY q.q",
         None),
+    "lateral_unnest": (
+        # FROM-clause lateral UNNEST (explode against the left frame —
+        # list_parent_indices + take per batch, zero shuffle). MIN/MAX/
+        # COUNT only → bit-stable hash (same idiom as
+        # unnest_embedding_stats, which covers SELECT-level UNNEST).
+        "SELECT vec_id, COUNT(*) AS n, "
+        "ROUND(CAST(MIN(v) AS DOUBLE), 5) AS mn, "
+        "ROUND(CAST(MAX(v) AS DOUBLE), 5) AS mx "
+        "FROM embeddings, UNNEST(embedding) AS u(v) "
+        "GROUP BY vec_id ORDER BY vec_id LIMIT 200",
+        None),
     "implicit_join_series": (
         # SQL-92 implicit (comma) joins — WHERE equality conjuncts promote
         # into real equi-joins (compiler._promote_cross_equi), never a

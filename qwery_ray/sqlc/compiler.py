@@ -640,6 +640,29 @@ class UnpivotBatch:
         return pa.concat_tables(parts)
 
 
+class _LateralUnnest:
+    """Explode one list-valued expression against the batch: parent rows
+    repeat per element (list_parent_indices + take), NULL/empty lists drop
+    their row. Pure Arrow kernels — no row loops, no shuffle."""
+
+    def __init__(self, expr, colname: str, env):
+        self.expr = expr
+        self.colname = colname
+        self.env = env
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ev = make_evaluator(self.env)
+        arr = ev.eval(self.expr, batch)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if not isinstance(arr, (pa.ListArray, pa.LargeListArray)):
+            raise ValueError("UNNEST argument must be a list column")
+        parents = pc.list_parent_indices(arr)
+        flat = pc.list_flatten(arr)
+        out = batch.take(parents)
+        return out.append_column(self.colname, flat)
+
+
 class _SeriesBatch:
     """id → start + id·step for GENERATE_SERIES/RANGE blocks (pure Arrow)."""
 
@@ -3104,6 +3127,22 @@ class Compiler:
         1 arg = stop (start 0, step 1), 2 = start/stop, 3 = +step."""
         ev = make_evaluator(_env(self.session))
         dummy = pa.table({"__d": pa.array([0])})
+        if src.name == "UNNEST":
+            # base-source form: FROM UNNEST([1,2,3]) AS q(x) — a constant
+            # literal list (correlated UNNEST routes through compile_join)
+            v = ev.eval(src.args[0], dummy)
+            if isinstance(v, (pa.Array, pa.ChunkedArray)):
+                v = v[0]
+            if isinstance(v, pa.Scalar):
+                v = v.as_py()
+            if not isinstance(v, (list, tuple)):
+                raise ValueError("FROM UNNEST(…) needs a constant list")
+            colname = src.col_alias or "unnest"
+            frame = Frame(rd.from_arrow(pa.table({colname: pa.array(v)})),
+                          [colname])
+            if src.alias:
+                frame.aliases[src.alias.lower()] = True
+            return frame
         vals = []
         for a in src.args:
             v = ev.eval(a, dummy)
@@ -3266,6 +3305,26 @@ class Compiler:
         return ds
 
     # ---------------------------------------------------------------- joins
+    def _lateral_unnest(self, left: Frame, src: A.TableFunc, env) -> Frame:
+        """FROM … , UNNEST(expr) [AS u(col)] — explode the evaluated list
+        column against the current frame (ray.data-streaming, zero shuffle)."""
+        if len(src.args) != 1:
+            raise ValueError("UNNEST(list-expr) takes exactly one argument")
+        expr = src.args[0]
+        colname = src.col_alias
+        if colname is None:
+            base = expr.name.split(".")[-1] \
+                if isinstance(expr, A.ColumnRef) else "unnest"
+            colname = base
+            k = 1
+            while colname in left.columns:  # DuckDB-style _N dedup
+                colname = f"{base}_{k}"
+                k += 1
+        frame_cols = left.columns + [colname]
+        ds = left.ds.map_batches(_LateralUnnest(expr, colname, env),
+                                 batch_format="pyarrow")
+        return Frame(ds, frame_cols, left.aliases)
+
     def _promote_cross_equi(self, sel: A.Select) -> A.Select:
         """SQL-92 implicit joins: move WHERE equality conjuncts that link a
         CROSS join's right side to earlier tables into that join's ON,
@@ -3353,6 +3412,11 @@ class Compiler:
             return compile_asof_join(self, left, j, sel, needed)
 
         env = _env(self.session)
+        if isinstance(j.right, A.TableFunc) and j.right.name == "UNNEST":
+            # lateral UNNEST: FROM t, UNNEST(t.tags) AS u(tag) — a pure
+            # per-batch explode (list_parent_indices + take), no shuffle;
+            # NULL/empty lists drop rows (DuckDB inner semantics)
+            return self._lateral_unnest(left, j.right, env)
         right = self.compile_source(j.right, columns=needed,
                                     pushdown=pushdown)
         ralias = None

@@ -545,9 +545,10 @@ class Parser:
             name = unquote_string(tok.text)
         else:
             name = self._ident_name()
-        if name.upper() in ("GENERATE_SERIES", "RANGE") and \
+        if name.upper() in ("GENERATE_SERIES", "RANGE", "UNNEST") and \
                 self.peek().kind == "OP" and self.peek().text == "(":
             # table-valued function: GENERATE_SERIES(a, b[, step]) / RANGE(…)
+            # / lateral UNNEST(list-expr) as a join right side
             self.next()
             args = [self.parse_expr()]
             while self.accept(","):

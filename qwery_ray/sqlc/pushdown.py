@@ -134,4 +134,8 @@ def referenced_columns(sel: A.Select) -> Optional[set]:
         collect_column_refs(ob.expr, out)
     for j in sel.joins:
         collect_column_refs(j.on, out)
+        if isinstance(j.right, A.TableFunc):
+            # lateral UNNEST(t.col): the argument reads the LEFT frame
+            for a in j.right.args:
+                collect_column_refs(a, out)
     return out

@@ -92,3 +92,39 @@ class TestImplicitJoins:
 
     def test_pure_cartesian_still_works(self, engine, duck):
         run_both(engine, duck, "SELECT COUNT(*) AS n FROM region, nation")
+
+
+class TestLateralUnnest:
+    def test_comma_unnest_with_alias(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT id, tag FROM (VALUES (1, [10, 20]), (2, []), "
+                 "(3, NULL), (4, [30])) t(id, tags), UNNEST(t.tags) AS "
+                 "u(tag) ORDER BY id, tag")
+
+    def test_cross_join_unnest(self, engine, duck):
+        # (list columns themselves are unhashable for the frame sorter —
+        # compare the scalar projection)
+        run_both(engine, duck,
+                 "SELECT id, tag FROM (VALUES (1, [10, 20]), "
+                 "(4, [30])) t(id, tags) CROSS JOIN UNNEST(t.tags) AS "
+                 "u(tag) ORDER BY id, tag")
+
+    def test_constant_unnest_source(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT * FROM UNNEST([1, 2, 3]) AS q(x) ORDER BY x")
+
+    def test_default_name_dedup(self, engine):
+        # unnamed lateral unnest of `tags` dedups to tags_1 (DuckDB style)
+        out = to_pandas(engine.sql(
+            "SELECT * FROM (VALUES (1, [10, 20])) t(id, tags), "
+            "UNNEST(t.tags)"))
+        assert list(out.columns) == ["id", "tags", "tags_1"]
+        assert sorted(out["tags_1"].tolist()) == [10, 20]
+
+    def test_unnest_embeddings_aggregate(self, engine, duck):
+        # real list<float> column; read prunes to (vec_id, embedding) only
+        run_both(engine, duck,
+                 "SELECT vec_id, COUNT(*) AS n, "
+                 "ROUND(CAST(MIN(v) AS DOUBLE), 5) AS mn "
+                 "FROM embeddings, UNNEST(embedding) AS u(v) "
+                 "GROUP BY vec_id ORDER BY vec_id LIMIT 10")
