@@ -882,6 +882,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_filter": dq.gopher_filter,                  # SQL oracle
         "merge_apply": dq.merge_apply,                      # SQL oracle
         "bm25_scores": dq.bm25_keyword_scores,              # SQL oracle
+        # pack_sequences / lm_quality_score: NO SQL ORACLE (greedy bin
+        # assignment / log-space model scoring); independent naive
+        # references + invariance gates in tests/test_packing.py, and
+        # pack_sequences self-checks its invariants at gate scale.
+        "pack_sequences": dq.pack_sequences_docs,
+        "lm_quality_score": dq.lm_quality_score,
     })
     return _window_order(out)
 

@@ -379,3 +379,218 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
             AND 5 * n_alpha_words >= 4 * n_words AS BIGINT) AS passes
 FROM s
 """
+
+
+# --------------------------------------------------------------------------
+# sequence packing (training-window bin packing)
+# --------------------------------------------------------------------------
+class TokenChunks:
+    """Stage 1 of :func:`pack_sequences`: per-document regex token counts
+    (the ops/text.py tokenizer), documents longer than ``capacity`` split
+    into ⌈n/C⌉ chunks, every chunk tagged with a ``doc_id``-derived shard.
+
+    Only the narrow (doc_id, chunk, n_tokens, shard) int rows leave this
+    stage — the text column never enters the packing shuffle."""
+
+    TOKEN_RE = r"[A-Za-z]+|\d+|[^\w\s]"
+
+    def __init__(self, capacity: int, num_shards: int,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        self.capacity = capacity
+        self.num_shards = num_shards
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        C = self.capacity
+        ntok = pc.count_substring_regex(
+            pc.cast(batch.column(self.text_col), pa.string()),
+            self.TOKEN_RE).to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = pc.cast(batch.column(self.id_col), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        reps = np.maximum(1, (ntok + C - 1) // C)
+        ridx = np.repeat(np.arange(len(ids)), reps)
+        cum = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        chunk = np.arange(int(reps.sum())) - np.repeat(cum, reps)
+        last = reps[ridx] - 1
+        sizes = np.where(chunk < last, C,
+                         ntok[ridx] - last * C).astype(np.int64)
+        return pa.table({
+            self.id_col: pa.array(ids[ridx], pa.int64()),
+            "chunk": pa.array(chunk, pa.int64()),
+            "n_tokens": pa.array(sizes, pa.int64()),
+            "__shard": pa.array(ids[ridx] % self.num_shards, pa.int64()),
+        })
+
+
+class PackShard:
+    """Stage 2: deterministic best-fit-decreasing bin packing within one
+    shard. Items sort by (-n_tokens, doc_id, chunk); each item lands in the
+    open bin with the SMALLEST remaining capacity that still fits (sorted
+    remainders + bisect → O(n log n) per shard), else opens a new bin.
+    BFD shares first-fit-decreasing's ≤ 11/9·OPT + 1 guarantee."""
+
+    def __init__(self, capacity: int, id_col: str = "doc_id"):
+        self.capacity = capacity
+        self.id_col = id_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        import bisect
+
+        d = df.sort_values(["n_tokens", self.id_col, "chunk"],
+                           ascending=[False, True, True],
+                           kind="stable").reset_index(drop=True)
+        toks = d["n_tokens"].to_numpy()
+        assign = np.empty(len(d), dtype=np.int64)
+        rems: list[tuple[int, int]] = []  # sorted (remaining, bin_id)
+        next_bin = 0
+        for i, t in enumerate(toks):
+            t = int(t)
+            j = bisect.bisect_left(rems, (t,))
+            if j == len(rems):
+                b, rem = next_bin, self.capacity - t
+                next_bin += 1
+            else:
+                r0, b = rems.pop(j)
+                rem = r0 - t
+            bisect.insort(rems, (rem, b))
+            assign[i] = b
+        d["bin"] = assign
+        d["shard"] = d.pop("__shard")
+        return d[["shard", "bin", self.id_col, "chunk", "n_tokens"]]
+
+
+def pack_sequences(ds: rd.Dataset, *, capacity: int = 2048,
+                   num_shards: int = 64, text_col: str = "text",
+                   id_col: str = "doc_id") -> rd.Dataset:
+    """Greedy sequence packing: assemble documents (split into ≤capacity
+    token chunks) into fixed-capacity training windows — the standard
+    pre-training batching step (packed sequences waste no pad tokens;
+    e.g. T5, arXiv:1910.10683 §3.1.2 "packing").
+
+    Scale shape: stage 1 streams the corpus once and emits only int rows;
+    the groupby shuffle moves O(#chunks) integers across `num_shards`
+    bounded groups (shard count scales with the cluster, each shard packs
+    independently — global packing is inherently sequential, shard-local
+    BFD is the published practice). Determinism: shard = doc_id mod
+    num_shards, BFD order fully tie-broken."""
+    tc = TokenChunks(capacity, num_shards, text_col, id_col)
+
+    def token_chunks(b, _t=tc):
+        return _t(b)
+
+    chunks = ds.map_batches(token_chunks, batch_format="pyarrow")
+    packer = PackShard(capacity, id_col)
+
+    def pack_one_shard(df: pd.DataFrame, _p=packer) -> pd.DataFrame:
+        return _p(df)
+
+    return chunks.groupby("__shard").map_groups(
+        pack_one_shard, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# character-bigram LM quality scoring (CCNet-style perplexity filter)
+# --------------------------------------------------------------------------
+class BigramCounts:
+    """Sparse per-batch byte-bigram counts over the deterministic training
+    subset (doc_id % train_mod == 0). Emits (pair, cnt) rows — the pair
+    domain is bounded at 256² = 65,536, so the downstream groupby-sum is a
+    bounded-cardinality shuffle at ANY corpus size."""
+
+    def __init__(self, train_mod: int = 50, text_col: str = "text",
+                 id_col: str = "doc_id"):
+        self.train_mod = train_mod
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        ids = pc.cast(batch.column(self.id_col), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        keep = np.flatnonzero(ids % self.train_mod == 0)
+        acc = np.zeros(65536, dtype=np.int64)
+        texts = batch.column(self.text_col).to_pylist()
+        for k in keep:
+            t = texts[k]
+            if not t or len(t) < 2:
+                continue
+            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+            if len(b) < 2:
+                continue
+            pairs = b[:-1].astype(np.int32) * 256 + b[1:]
+            acc += np.bincount(pairs, minlength=65536)
+        nz = np.flatnonzero(acc)
+        return pa.table({"pair": pa.array(nz.astype(np.int64)),
+                         "cnt": pa.array(acc[nz])})
+
+
+class LMScore:
+    """Score every document's bits-per-byte under the broadcast bigram
+    model: -mean(log2 p(b_i | b_{i-1})). Model matrix (512 KB) is ray.put
+    once and fetched once per actor, never re-shipped per batch."""
+
+    def __init__(self, logp_ref, text_col: str = "text",
+                 id_col: str = "doc_id"):
+        self.logp_ref = logp_ref
+        self.text_col = text_col
+        self.id_col = id_col
+        self._logp = None
+
+    def __call__(self, batch: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+
+        if self._logp is None:
+            self._logp = ray.get(self.logp_ref)
+        logp = self._logp
+        texts = batch.column(self.text_col).to_pylist()
+        out = np.empty(len(texts), dtype=np.float64)
+        for i, t in enumerate(texts):
+            b = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
+            if len(b) < 2:
+                out[i] = 0.0
+                continue
+            pairs = b[:-1].astype(np.int32) * 256 + b[1:]
+            out[i] = -logp[pairs].mean()
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "lm_bits": pa.array(out, pa.float64()),
+        })
+
+
+def char_lm_score(ds: rd.Dataset, *, train_mod: int = 50,
+                  alpha: float = 0.5, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  concurrency: int = 4) -> rd.Dataset:
+    """CCNet-style LM quality scoring (Wenzek et al. 2020,
+    arXiv:1911.00359: language-model perplexity ranks web documents for
+    filtering): train a Laplace-smoothed byte-bigram model on the
+    deterministic doc_id-hash subset, then score every document's
+    bits-per-byte against the broadcast model.
+
+    Two passes over the corpus, zero corpus shuffles: pass 1 reduces to a
+    ≤65,536-row count table (bounded-cardinality groupby — constant-size
+    at any corpus scale); pass 2 is an actor-pool map_batches against the
+    ray.put model. The count materialization is bounded at 512 KB."""
+    bc = BigramCounts(train_mod, text_col, id_col)
+
+    def bigram_counts(b, _c=bc):
+        return _c(b)
+
+    counts = ds.map_batches(bigram_counts, batch_format="pyarrow") \
+        .groupby("pair").sum("cnt")
+    tbl = counts.to_pandas()  # bounded: ≤65,536 rows by construction
+    mat = np.zeros((256, 256), dtype=np.float64)
+    if len(tbl):
+        p = tbl["pair"].to_numpy(dtype=np.int64)
+        mat[p // 256, p % 256] = tbl["sum(cnt)"].to_numpy(dtype=np.float64)
+    row = mat.sum(axis=1, keepdims=True)
+    logp = np.log2((mat + alpha) / (row + alpha * 256.0)).ravel()
+    ref = ray.put(logp)
+    return ds.map_batches(LMScore(ref, text_col, id_col),
+                          batch_format="pyarrow", concurrency=concurrency)

@@ -527,3 +527,55 @@ def bm25_keyword_scores(sf_dir: str):
 
     ds = read_docs_parallel(sf_dir, columns=("doc_id", "text"))
     return bm25_scores(ds, ["join", "hash", "vector", "merge"])
+
+
+def pack_sequences_docs(sf_dir: str):
+    """Greedy training-window sequence packing (T5-style, capacity 512) —
+    NO SQL ORACLE (greedy bin assignment isn't SQL-expressible); the
+    independent naive reference + invariant gates live in
+    tests/test_packing.py, and this query SELF-CHECKS the two packing
+    invariants at gate scale (fill ≤ capacity; bin count within the BFD
+    11/9·OPT+1 bound per shard). Integer-only output → stable rows-only
+    driver record."""
+    import pandas as pd
+
+    from ..ops.curation import pack_sequences
+
+    C = 512
+    ds = read_docs_parallel(sf_dir, columns=("doc_id", "text"))
+    packed = pack_sequences(ds, capacity=C, num_shards=16)
+    out = packed.to_pandas()  # narrow int rows: ≤ a few chunks per doc
+    fills = out.groupby(["shard", "bin"])["n_tokens"].sum()
+    if (fills > C).any():
+        raise AssertionError("packing invariant violated: bin over capacity")
+    per_shard = out.groupby("shard").agg(
+        bins=("bin", "nunique"), toks=("n_tokens", "sum"))
+    import math
+
+    for _, r in per_shard.iterrows():
+        lb = math.ceil(r["toks"] / C)
+        if r["bins"] > math.ceil(11 * lb / 9) + 1:
+            raise AssertionError("packing invariant violated: BFD bound")
+    return out.sort_values(["shard", "bin", "doc_id", "chunk"],
+                           ignore_index=True)
+
+
+def lm_quality_score(sf_dir: str):
+    """CCNet-style char-bigram LM bits-per-byte quality score — NO SQL
+    ORACLE (log-space model scoring); gated by the independent pure-python
+    reference + block-layout-invariance tests in tests/test_packing.py.
+    Scores are deterministic (fixed training subset, fixed float64 kernel)
+    and snapped to 1e-6 so the rows-only record is stable."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..ops.curation import char_lm_score
+
+    ds = read_docs_parallel(sf_dir, columns=("doc_id", "text"))
+    scored = char_lm_score(ds, train_mod=50, concurrency=4)
+
+    def snap(b: pa.Table) -> pa.Table:
+        s = pc.divide(pc.round(pc.multiply(b.column("lm_bits"), 1e6)), 1e6)
+        return pa.table({"doc_id": b.column("doc_id"), "lm_bits6": s})
+
+    return scored.map_batches(snap, batch_format="pyarrow").sort("doc_id")
