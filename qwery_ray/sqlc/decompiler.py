@@ -168,6 +168,16 @@ def _source_sql(src) -> str:
         if src.alias:
             out += f" AS {src.alias}"
         return out
+    if isinstance(src, A.TableFunc):
+        args = ", ".join(expr_sql(a) for a in src.args)
+        out = f"{src.name}({args})"
+        if src.alias:
+            out += f" AS {src.alias}"
+            if src.col_alias:
+                out += f"({src.col_alias})"
+        elif src.col_alias:
+            out += f" AS _tf({src.col_alias})"
+        return out
     raise ValueError(f"cannot decompile source {type(src).__name__}")
 
 

@@ -437,7 +437,10 @@ class Parser:
             alias = self.next().text.rstrip(".")
             self.next()
             return A.Star(table_alias=alias)
-        expr = self.parse_expr()
+        # full condition grammar in select items: SELECT a > b AS flag,
+        # x BETWEEN 1 AND 2 AS inside, … (parse_predicate returns the bare
+        # expression when no predicate operator follows)
+        expr = self.parse_cond()
         alias = None
         if self.accept("AS"):
             alias = self._ident_name()

@@ -128,3 +128,24 @@ class TestLateralUnnest:
                  "ROUND(CAST(MIN(v) AS DOUBLE), 5) AS mn "
                  "FROM embeddings, UNNEST(embedding) AS u(v) "
                  "GROUP BY vec_id ORDER BY vec_id LIMIT 10")
+
+
+class TestBooleanSelectItems:
+    def test_comparisons_as_items(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT o_orderkey, o_totalprice > 200000 AS big, "
+                 "o_orderstatus = 'O' AS open_o, "
+                 "o_totalprice BETWEEN 1000 AND 2000 AS mid, "
+                 "o_orderpriority IS NULL AS nop "
+                 "FROM orders ORDER BY o_orderkey LIMIT 20")
+
+    def test_and_or_as_item(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT o_orderkey, o_totalprice > 100000 AND "
+                 "o_orderstatus = 'O' AS both "
+                 "FROM orders ORDER BY o_orderkey LIMIT 10")
+
+    def test_in_list_as_item(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT o_orderkey, o_orderstatus IN ('O', 'P') AS live "
+                 "FROM orders ORDER BY o_orderkey LIMIT 10")
