@@ -32,9 +32,12 @@ def test_every_query_has_oracle_or_reason():
     # rows-only entries, each independently gated: doc_fingerprint by a
     # golden reference test, minhash by its in-query recall self-check,
     # kmeans/semantic_dedup by the naive-numpy references in
-    # tests/test_clustering.py (see __ray_entry__.queries comments)
+    # tests/test_clustering.py, pack_sequences/lm_quality_score by the
+    # naive references + invariance gates in tests/test_packing.py (and
+    # pack_sequences self-checks its invariants in-query)
     assert set(missing) <= {"doc_fingerprint", "minhash_near_dups",
-                            "embedding_kmeans", "semantic_dedup"}
+                            "embedding_kmeans", "semantic_dedup",
+                            "pack_sequences", "lm_quality_score"}
 
 
 @pytest.mark.parametrize("name", ALL_QUERIES)
