@@ -253,6 +253,24 @@ class SubquerySource(Source):
 
 
 @dataclass(frozen=True)
+class SampledSource(Source):
+    """`src USING SAMPLE …` / `src TABLESAMPLE …` wrapper.
+
+    Engine semantics are DETERMINISTIC (documented divergence from
+    DuckDB's RNG sampling): percent methods keep a row iff the seeded
+    xxhash of its full content falls under the rate; ROWS methods keep
+    the N smallest content hashes (an exact-N, layout/retry/partition
+    independent uniform-ish sample — rerunning a 100 TB job reproduces
+    the identical sample)."""
+
+    inner: Source
+    method: str = "BERNOULLI"      # BERNOULLI | SYSTEM | RESERVOIR
+    value: float = 10.0            # percent (0-100) or row count
+    is_percent: bool = True
+    seed: int = 42
+
+
+@dataclass(frozen=True)
 class TableFunc(Source):
     """Table-valued function source — GENERATE_SERIES(a, b[, step])
     (inclusive stop, DuckDB) / RANGE(a, b[, step]) (exclusive stop).

@@ -663,6 +663,55 @@ class _LateralUnnest:
         return out.append_column(self.colname, flat)
 
 
+def _sample_row_hash(batch: pa.Table, seed: int) -> np.ndarray:
+    """Seeded value-stable 64-bit row hash over ALL columns (polars
+    xxhash — pandas hash_array is NOT value-stable across arrays; see
+    ops/sketch.py). List/binary columns hash via their string repr."""
+    import polars as pl
+
+    cols = {}
+    for name in batch.column_names:
+        col = batch.column(name)
+        t = col.type
+        if pa.types.is_nested(t) or pa.types.is_binary(t) or \
+                pa.types.is_large_binary(t):
+            col = pa.array([str(v) for v in col.to_pylist()], pa.string())
+        cols[name] = col
+    df = pl.from_arrow(pa.table(cols))
+    return df.hash_rows(seed=seed).to_numpy().astype(np.uint64)
+
+
+class _SamplePercent:
+    """Deterministic bernoulli/system sampling: keep iff rowhash mod 1e6
+    falls under rate·1e4 (supports fractional percents to 1e-4)."""
+
+    def __init__(self, percent: float, seed: int):
+        self.threshold = int(round(percent * 10_000))
+        self.seed = seed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        h = _sample_row_hash(batch, self.seed)
+        keep = (h % np.uint64(1_000_000)) < np.uint64(self.threshold)
+        return batch.filter(pa.array(keep))
+
+
+class _RowHashCol:
+    """Append the seeded row hash as an int64 helper column (ROWS-n
+    sampling sorts on it)."""
+
+    def __init__(self, seed: int, name: str):
+        self.seed = seed
+        self.name = name
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h = _sample_row_hash(batch, self.seed) if len(batch) else \
+            np.array([], dtype=np.uint64)
+        return batch.append_column(
+            self.name, pa.array(h.view(np.int64), pa.int64()))
+
+
 class _SeriesBatch:
     """id → start + id·step for GENERATE_SERIES/RANGE blocks (pure Arrow)."""
 
@@ -3118,7 +3167,37 @@ class Compiler:
             return self._table_frame(src, columns=columns, pushdown=pushdown)
         if isinstance(src, A.TableFunc):
             return self._table_func_frame(src)
+        if isinstance(src, A.SampledSource):
+            return self._sampled_frame(src)
         raise ValueError(f"unsupported source {type(src).__name__}")
+
+    def _sampled_frame(self, src: A.SampledSource) -> Frame:
+        """USING SAMPLE / TABLESAMPLE — deterministic content-hash sampling
+        (documented divergence from DuckDB's RNG: reruns/retries/layout
+        changes reproduce the IDENTICAL sample, which is what a resumable
+        100 TB pipeline needs).
+
+        percent: streaming filter, zero shuffle — keep iff seeded xxhash of
+        the full row mod 1e6 < rate·1e4. ROWS n: the n smallest row hashes
+        via per-batch top-k then one bounded merge task (n must be
+        driver-reasonable, as with any exact-N sample). The inner source is
+        compiled WITHOUT column pruning: the row hash must cover the
+        source's full schema to be projection-independent."""
+        inner = self.compile_source(src.inner)
+        if src.is_percent:
+            ds = inner.ds.map_batches(
+                _SamplePercent(src.value, src.seed), batch_format="pyarrow")
+            return Frame(ds, inner.columns, inner.aliases)
+        n = max(0, int(src.value))
+        ds = inner.ds.map_batches(_RowHashCol(src.seed, "__srh"),
+                                  batch_format="pyarrow")
+        ds = ds.map_batches(LocalTopK(["__srh"], [False], n),
+                            batch_format="pyarrow")
+        ds = ds.repartition(1).map_batches(
+            LocalTopK(["__srh"], [False], n),
+            batch_format="pyarrow", batch_size=None)
+        ds = ds.map_batches(DropColumns(["__srh"]), batch_format="pyarrow")
+        return Frame(ds, inner.columns, inner.aliases)
 
     def _table_func_frame(self, src: A.TableFunc) -> Frame:
         """GENERATE_SERIES / RANGE as a lazy distributed ray.data.range —

@@ -168,6 +168,10 @@ def _source_sql(src) -> str:
         if src.alias:
             out += f" AS {src.alias}"
         return out
+    if isinstance(src, A.SampledSource):
+        amt = f"{src.value:g}" + ("%" if src.is_percent else " ROWS")
+        return (f"{_source_sql(src.inner)} USING SAMPLE {amt} "
+                f"({src.method}, {src.seed})")
     if isinstance(src, A.TableFunc):
         args = ", ".join(expr_sql(a) for a in src.args)
         out = f"{src.name}({args})"

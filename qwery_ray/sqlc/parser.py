@@ -454,6 +454,7 @@ class Parser:
         "ASOF", "SEMI", "ANTI",
         "KEYED", "WITH", "AND", "OR", "NOT", "ASC", "DESC", "END", "WHEN",
         "OVER", "PARTITION", "QUALIFY", "EXCEPT", "INTERSECT",
+        "USING", "TABLESAMPLE",
         "THEN", "ELSE", "CASE", "VALUES", "SET", "BY", "SELECT", "LIKE",
         "MATCHES", "BETWEEN", "IN", "IS", "NULL", "DISTINCT", "ALL",
         "OFFSET", "ILIKE", "USING", "NATURAL", "WINDOW", "FETCH",
@@ -492,6 +493,59 @@ class Parser:
 
     # ------------------------------------------------------------- sources
     def parse_source(self) -> A.Source:
+        src = self._parse_source_base()
+        if self.accept("TABLESAMPLE"):
+            return self._parse_sample_spec(src)
+        if self.at("USING") and self.peek(1).upper == "SAMPLE":
+            self.next()
+            self.next()
+            return self._parse_sample_spec(src)
+        return src
+
+    def _parse_sample_spec(self, src: A.Source) -> A.Source:
+        """USING SAMPLE / TABLESAMPLE spec (DuckDB grammar): `10%`,
+        `10 PERCENT`, `100 [ROWS]`, `bernoulli(10%)`, `reservoir(100)`,
+        `10% (system, 7)`, trailing `REPEATABLE (seed)`."""
+        method = None
+        seed = 42
+
+        def amount():
+            v = float(self.next().text)
+            if self.peek().kind == "OP" and self.peek().text == "%":
+                self.next()
+                return v, True
+            if self.accept("PERCENT"):
+                return v, True
+            if self.accept("ROWS"):
+                return v, False
+            return v, None  # defaulted by context below
+
+        if self.peek().kind in ("IDENT", "QIDENT") and \
+                self.peek().upper in ("BERNOULLI", "SYSTEM", "RESERVOIR"):
+            method = self.next().upper
+            self.expect("(")
+            value, is_percent = amount()
+            self.expect(")")
+        else:
+            value, is_percent = amount()
+            if self.peek().kind == "OP" and self.peek().text == "(":
+                self.next()
+                method = self.next().upper
+                if self.accept(","):
+                    seed = int(float(self.next().text))
+                self.expect(")")
+        if is_percent is None:
+            # bare numbers: percent for bernoulli/system, rows otherwise
+            is_percent = method in ("BERNOULLI", "SYSTEM")
+        if method is None:
+            method = "BERNOULLI" if is_percent else "RESERVOIR"
+        if self.accept("REPEATABLE"):
+            self.expect("(")
+            seed = int(float(self.next().text))
+            self.expect(")")
+        return A.SampledSource(src, method, value, is_percent, seed)
+
+    def _parse_source_base(self) -> A.Source:
         tok = self.peek()
         if tok.kind == "OP" and tok.text == "(":
             self.next()
