@@ -888,6 +888,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pack_sequences self-checks its invariants at gate scale.
         "pack_sequences": dq.pack_sequences_docs,
         "lm_quality_score": dq.lm_quality_score,
+        # using_sample: NO SQL ORACLE possible (DuckDB samples via RNG;
+        # this engine samples via seeded content hash — deterministic,
+        # so the rows-only record is stable); tests/test_sample.py.
+        "using_sample": dq.using_sample_rows,
     })
     return _window_order(out)
 

@@ -579,3 +579,16 @@ def lm_quality_score(sf_dir: str):
         return pa.table({"doc_id": b.column("doc_id"), "lm_bits6": s})
 
     return scored.map_batches(snap, batch_format="pyarrow").sort("doc_id")
+
+
+def using_sample_rows(sf_dir: str):
+    """Deterministic USING SAMPLE (content-hash) — NO SQL ORACLE possible:
+    DuckDB's TABLESAMPLE is RNG-based, so no cross-engine sample agrees
+    row-for-row by design. The engine's sample is exactly reproducible
+    (seeded xxhash of row content), so the rows-only driver record is
+    stable run to run; determinism/layout-invariance/exact-N gates live in
+    tests/test_sample.py."""
+    eng = engine_for(sf_dir)
+    return eng.sql(
+        "SELECT o_orderkey, o_custkey FROM orders USING SAMPLE 200 ROWS "
+        "ORDER BY o_orderkey")

@@ -37,7 +37,8 @@ def test_every_query_has_oracle_or_reason():
     # pack_sequences self-checks its invariants in-query)
     assert set(missing) <= {"doc_fingerprint", "minhash_near_dups",
                             "embedding_kmeans", "semantic_dedup",
-                            "pack_sequences", "lm_quality_score"}
+                            "pack_sequences", "lm_quality_score",
+                            "using_sample"}
 
 
 @pytest.mark.parametrize("name", ALL_QUERIES)
