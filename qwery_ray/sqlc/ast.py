@@ -88,6 +88,8 @@ class WindowCall(Expr):
     # () = ANSI default (RANGE unbounded preceding → current row's peers)
     frame: tuple = ()
     frame_kind: str = "ROWS"  # "ROWS" | "RANGE" (only read when frame != ())
+    named: Optional[str] = None  # `OVER w` — resolved at parse time against
+    # the statement's WINDOW clause; never reaches the compiler
 
 
 @dataclass(frozen=True)

@@ -297,6 +297,17 @@ class Parser:
         having = self.parse_cond() if self.accept("HAVING") else None
         qualify = self.parse_cond() if self.accept("QUALIFY") else None
 
+        # ANSI named-window clause: WINDOW w AS (PARTITION BY … ORDER BY …
+        # [frame]) [, w2 AS (…)] — `OVER w` references resolve below
+        named_windows: dict[str, tuple] = {}
+        if self.accept("WINDOW"):
+            while True:
+                wname = self._ident_name()
+                self.expect("AS")
+                named_windows[wname.lower()] = self._parse_window_body()
+                if not self.accept(","):
+                    break
+
         order_by: list[A.OrderItem] = []
         if self.accept("ORDER"):
             self.expect("BY")
@@ -339,6 +350,9 @@ class Parser:
             limit=limit, distinct=distinct, qualify=qualify,
             grouping_sets=grouping_sets, offset=offset,
         )
+        # run even with no WINDOW clause so a dangling `OVER w` errors
+        # instead of compiling as an empty window
+        select = _resolve_named_windows(select, named_windows)
 
         # SELECT ... INTO 'target' sugar → Insert (SQLLanguageParser.scala:839-853)
         if self.accept("INTO"):
@@ -1394,6 +1408,14 @@ class Parser:
 
     def _parse_over(self, call: A.FuncCall) -> A.WindowCall:
         self.expect("OVER")
+        if not (self.peek().kind == "OP" and self.peek().text == "("):
+            # named window: `fn() OVER w` — resolved against the WINDOW
+            # clause at the end of parse_select
+            return A.WindowCall(call, named=self._ident_name())
+        pb, ob, frame, kind = self._parse_window_body()
+        return A.WindowCall(call, pb, ob, frame, kind)
+
+    def _parse_window_body(self):
         self.expect("(")
         partition_by: list[A.Expr] = []
         order_by: list[A.OrderItem] = []
@@ -1421,8 +1443,7 @@ class Parser:
                 frame = (lo, hi)
                 frame_kind = kind
         self.expect(")")
-        return A.WindowCall(call, tuple(partition_by), tuple(order_by),
-                            frame, frame_kind)
+        return (tuple(partition_by), tuple(order_by), frame, frame_kind)
 
     def _parse_frame_bound(self, low: bool):
         if self.accept("UNBOUNDED"):
@@ -1505,6 +1526,43 @@ def pivot_to_select(table: A.Source, on: str, values, agg: A.FuncCall,
         items.append(A.SelectItem(call, str(v)))
     return A.Select(items=tuple(items), source=table,
                     group_by=tuple(A.ColumnRef(g) for g in group_by))
+
+
+def _resolve_named_windows(select: "A.Select", windows: dict):
+    """Substitute `OVER w` references with the WINDOW clause's spec.
+    Scope is the single SELECT: recursion stops at nested query nodes
+    (subqueries define their own WINDOW clauses)."""
+    import dataclasses
+
+    def rewrite(node):
+        if isinstance(node, (A.Select, A.Union, A.SetOp, A.WithCtes)) \
+                and node is not select:
+            return node  # window-name scope boundary
+        if isinstance(node, A.WindowCall) and node.named is not None:
+            spec = windows.get(node.named.lower())
+            if spec is None:
+                raise ParseError(f"unknown window name {node.named!r}")
+            pb, ob, frame, kind = spec
+            node = A.WindowCall(node.func, pb, ob, frame, kind)
+        def rew_any(v):
+            if isinstance(v, tuple):
+                return tuple(rew_any(x) for x in v)
+            if dataclasses.is_dataclass(v) and not isinstance(v, type):
+                return rewrite(v)
+            return v
+
+        if dataclasses.is_dataclass(node) and not isinstance(node, type):
+            changes = {}
+            for f in dataclasses.fields(node):
+                v = getattr(node, f.name)
+                nv = rew_any(v)
+                if nv != v:
+                    changes[f.name] = nv
+            if changes:
+                node = dataclasses.replace(node, **changes)
+        return node
+
+    return rewrite(select)
 
 
 def parse(sql: str) -> list[A.Statement]:

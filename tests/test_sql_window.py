@@ -478,3 +478,34 @@ class TestIgnoreNulls:
                "AS v FROM w")
         stmt = P.parse(sql)[0]
         assert P.parse(to_sql(stmt))[0] == stmt
+
+
+class TestNamedWindows:
+    """ANSI WINDOW clause: `fn() OVER w … WINDOW w AS (…)` resolves at
+    parse time (parser._resolve_named_windows); scope is the single
+    SELECT — subqueries keep their own namespaces."""
+
+    def test_two_refs_one_window(self, engine, duck):
+        q = ("SELECT event_id, user_id, ROW_NUMBER() OVER w AS rn, "
+             "RANK() OVER w AS rk FROM events "
+             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) "
+             "ORDER BY event_id LIMIT 50")
+        run_both(engine, duck, q)
+
+    def test_multiple_windows_with_frames(self, engine, duck):
+        q = ("SELECT event_id, SUM(value) OVER w1 AS cum, "
+             "AVG(value) OVER w2 AS m3 FROM events "
+             "WINDOW w1 AS (PARTITION BY user_id ORDER BY ts, event_id), "
+             "w2 AS (PARTITION BY user_id ORDER BY ts, event_id "
+             "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) "
+             "ORDER BY event_id LIMIT 50")
+        run_both(engine, duck, q)
+
+    def test_dangling_name_raises(self, engine):
+        import pytest
+
+        from qwery_ray.sqlc.parser import ParseError
+
+        with pytest.raises(ParseError):
+            engine.sql("SELECT ROW_NUMBER() OVER w AS rn FROM events "
+                       "LIMIT 1")
