@@ -334,6 +334,16 @@ class Parser:
         offset = None
         if self.accept("OFFSET"):
             offset = int(self.next().text)
+            if not self.accept("ROWS"):
+                self.accept("ROW")
+        if self.accept("FETCH"):
+            # ANSI: FETCH {FIRST|NEXT} n {ROWS|ROW} ONLY
+            if not self.accept("FIRST"):
+                self.expect("NEXT")
+            limit = int(self.next().text)
+            if not self.accept("ROWS"):
+                self.accept("ROW")
+            self.expect("ONLY")
 
         if distinct_on:
             rn = A.WindowCall(

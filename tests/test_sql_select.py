@@ -841,3 +841,18 @@ class TestOrderedAggregates:
         with pytest.raises(Exception, match="ORDER BY"):
             engine.sql("SELECT SUM(o_totalprice ORDER BY o_orderkey) "
                        "FROM orders").to_pandas()
+
+
+class TestFetchFirst:
+    def test_offset_rows_fetch_first(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT o_orderkey FROM orders ORDER BY o_orderkey "
+                 "OFFSET 10 ROWS FETCH FIRST 5 ROWS ONLY")
+
+    def test_fetch_next_and_single_row(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT o_orderkey FROM orders ORDER BY o_orderkey "
+                 "FETCH NEXT 3 ROWS ONLY")
+        run_both(engine, duck,
+                 "SELECT o_orderkey FROM orders ORDER BY o_orderkey "
+                 "FETCH FIRST 1 ROW ONLY")
