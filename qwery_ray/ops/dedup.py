@@ -606,10 +606,23 @@ def embedding_dup_pairs(ds: rd.Dataset, *, vec_col: str = "embedding",
                             % np.int64(max(32, ncpu * 4)))
         return df
 
-    pairs = ds.map_batches(Bucket(), batch_format="pandas") \
-        .map_batches(add_group, batch_format="pandas") \
-        .groupby("bucket_grp").map_groups(pairs_in_group,
-                                          batch_format="pandas")
+    bucketed = ds.map_batches(Bucket(), batch_format="pandas")
+    # ADAPTIVE small path: the groupby barrier costs seconds of fixed sort
+    # time even when only thousands of (id, bucket, vec) rows shuffle —
+    # bucketed rows = N × (1 + probes) exactly, so the path choice needs no
+    # materialization barrier. Below the row bound (vector-payload-aware:
+    # 200k × 64-dim float64 ≈ 100 MB) one task runs every bucket locally
+    # (pairs_in_group already iterates buckets within its input). At corpus
+    # scale the real coarse-group exchange runs as before.
+    SMALL_BUCKETED_ROWS = 200_000
+    n_bucketed = ds.count() * (1 + (n_probes if nbits > 1 else 0))
+    if n_bucketed <= SMALL_BUCKETED_ROWS:
+        pairs = bucketed.repartition(1).map_batches(
+            pairs_in_group, batch_format="pandas", batch_size=None)
+    else:
+        pairs = bucketed.map_batches(add_group, batch_format="pandas") \
+            .groupby("bucket_grp").map_groups(
+                pairs_in_group, batch_format="pandas")
     if n_probes == 0:
         return pairs
     from ..sqlc.compiler import distinct_rows
