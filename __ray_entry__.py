@@ -817,11 +817,17 @@ _DRIVER_WINDOW_PRIORITY = [
     # semantic_dedup are golden-gated in tests/test_clustering.py,
     # bm25_scores has a bit-exact self-contained SQL oracle)
     "embedding_kmeans", "semantic_dedup", "bm25_scores",
+    # round-3 session-3 additions (never driver-verified): aggregates/
+    # table-function/sampling SQL surfaces + the two packing/LM ops
+    "covar_regression", "implicit_join_series", "lateral_unnest",
+    "using_sample", "pack_sequences", "lm_quality_score",
     # SQL shapes added after round 2's window closed (never driver-verified)
     "tpch_q19_shape", "tpch_q21_shape", "tpch_q22_shape", "tpch_q11_shape",
     "tpch_q7_shape", "tpch_q8_shape", "tpch_q10_shape", "tpch_q15_shape",
     "corr_max_per_nation",
-    # representative r2-green entries, one per operator family (28 slots)
+    # representative r2-green entries, one per operator family (the first
+    # 12 land inside the 50-row window after the round-3 ops above; the
+    # rest — all r2-green — remain in queries()/gate_sim past the window)
     "q1_pricing_summary", "filter_project", "case_cast",
     "sort_limit_offset", "union_all_names", "distinct_status",
     "global_aggregates", "group_having", "count_distinct_cust",
