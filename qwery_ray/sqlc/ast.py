@@ -90,6 +90,8 @@ class WindowCall(Expr):
     frame_kind: str = "ROWS"  # "ROWS" | "RANGE" (only read when frame != ())
     named: Optional[str] = None  # `OVER w` — resolved at parse time against
     # the statement's WINDOW clause; never reaches the compiler
+    # ANSI frame exclusion: NO OTHERS | CURRENT ROW | GROUP | TIES
+    exclude: str = "NO OTHERS"
 
 
 @dataclass(frozen=True)

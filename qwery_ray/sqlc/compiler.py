@@ -1328,7 +1328,8 @@ class _WindowGroupFn:
     def __init__(self, func: str, arg_col, okeys, odesc, out_name,
                  pkeys=None, lag_offset: int = 1, lag_default=None,
                  ntile_n: int = 0, frame: tuple = (),
-                 frame_kind: str = "ROWS", ignore_nulls: bool = False):
+                 frame_kind: str = "ROWS", ignore_nulls: bool = False,
+                 exclude: str = "NO OTHERS"):
         self.func = func
         self.ignore_nulls = ignore_nulls
         self.arg_col = arg_col
@@ -1340,7 +1341,8 @@ class _WindowGroupFn:
         self.lag_default = lag_default
         self.ntile_n = ntile_n
         self.frame = frame  # explicit frame (lo, hi) or () = default
-        self.frame_kind = frame_kind  # "ROWS" | "RANGE"
+        self.frame_kind = frame_kind  # "ROWS" | "RANGE" | "GROUPS"
+        self.exclude = exclude  # NO OTHERS | CURRENT ROW | GROUP | TIES
 
     _VEC_FUNCS = frozenset({
         "ROW_NUMBER", "RANK", "DENSE_RANK", "PERCENT_RANK", "CUME_DIST",
@@ -1563,6 +1565,19 @@ class _WindowGroupFn:
         lo, hi = self.frame
         s = df[self.arg_col] if self.arg_col else \
             pd.Series(np.ones(n), index=df.index)
+        if self.exclude != "NO OTHERS":
+            # exclusion punches row/peer holes in the frame — route every
+            # shape through the general range-aggregate core
+            notna = s.notna().to_numpy()
+            x = s.to_numpy(dtype=np.float64) if s.dtype.kind in "fiub" else \
+                pd.to_numeric(s, errors="coerce").to_numpy(dtype=np.float64)
+            idx = np.arange(n)
+            ls = np.zeros(n, dtype=np.int64) if lo is None else \
+                np.clip(idx + lo, 0, n)
+            rs = np.full(n, n, dtype=np.int64) if hi is None else \
+                np.clip(idx + hi + 1, 0, n)
+            rs = np.maximum(rs, ls)
+            return self._frame_agg(df, x, notna, ls, rs, fn, n)
 
         def agg_roll(r):
             if fn == "SUM":
@@ -1674,22 +1689,90 @@ class _WindowGroupFn:
         ls[m:] = 0 if lo is None else m
         rs[m:] = n
 
-        return self._agg_ranges(x, notna, ls, rs, fn, n)
+        return self._frame_agg(df, x, notna, ls, rs, fn, n)
+
+    def _groups_frame(self, df: pd.DataFrame, fn: str, n: int) -> np.ndarray:
+        """GROUPS offset frame (lo, hi): PEER-GROUP offsets — row i's frame
+        spans every row whose peer-group index lies in [g_i + lo, g_i + hi].
+        Implemented as a RANGE frame over the group index (one searchsorted
+        pair on the monotone gid array); shares the exclusion-aware
+        aggregate core."""
+        lo, hi = self.frame
+        if not self.okeys:
+            raise ValueError("GROUPS frames require ORDER BY in OVER()")
+        changed = self._order_key_changes(df, n)
+        gid = (changed.cumsum() - 1).astype(np.float64)
+        s = df[self.arg_col] if self.arg_col else \
+            pd.Series(np.ones(n), index=df.index)
+        notna = s.notna().to_numpy()
+        x = s.to_numpy(dtype=np.float64) if s.dtype.kind in "fiub" else \
+            pd.to_numeric(s, errors="coerce").to_numpy(dtype=np.float64)
+        ls = np.zeros(n, dtype=np.int64) if lo is None else \
+            np.searchsorted(gid, gid + lo, side="left")
+        rs = np.full(n, n, dtype=np.int64) if hi is None else \
+            np.searchsorted(gid, gid + hi, side="right")
+        rs = np.maximum(rs, ls)
+        return self._frame_agg(df, x, notna, ls, rs, fn, n)
+
+    def _frame_agg(self, df: pd.DataFrame, x, notna, ls, rs, fn: str,
+                   n: int) -> np.ndarray:
+        """Apply the ANSI EXCLUDE clause to per-row frames [ls, rs) then
+        aggregate: the exclusion interval [a, b) (current row / its peer
+        group) splits each frame into two sub-ranges; TIES re-admits the
+        current row itself."""
+        if self.exclude == "NO OTHERS":
+            return self._agg_multi(x, notna, [(ls, rs)], fn, n)
+        idx = np.arange(n)
+        if self.exclude == "CURRENT ROW":
+            a, b = idx, idx + 1
+            self_mask = None
+        else:  # GROUP / TIES exclude the whole peer group of the row
+            if self.okeys:
+                changed = self._order_key_changes(df, n)
+            else:  # no ORDER BY: the partition is one peer group
+                changed = np.zeros(n, dtype=bool)
+                if n:
+                    changed[0] = True
+            gid = changed.cumsum() - 1
+            starts = np.flatnonzero(changed)
+            ends = np.append(starts[1:], n)
+            a, b = starts[gid], ends[gid]
+            # TIES keeps the current row iff it lies inside its own frame
+            self_mask = ((idx >= ls) & (idx < rs)) \
+                if self.exclude == "TIES" else None
+        a2 = np.clip(a, ls, rs)
+        b2 = np.clip(np.maximum(b, a2), ls, rs)
+        return self._agg_multi(x, notna, [(ls, a2), (b2, rs)], fn, n,
+                               self_mask=self_mask)
 
     @staticmethod
     def _agg_ranges(x: np.ndarray, notna: np.ndarray, ls: np.ndarray,
                     rs: np.ndarray, fn: str, n: int) -> np.ndarray:
-        """Aggregate x over per-row index ranges [ls, rs): SUM/COUNT/AVG
-        via prefix sums, MIN/MAX via an O(n log n) sparse table (fmin/fmax
-        skip NaN = NULL args). Shared by RANGE offset frames and general
-        ROWS frames."""
+        return _WindowGroupFn._agg_multi(x, notna, [(ls, rs)], fn, n)
+
+    @staticmethod
+    def _agg_multi(x: np.ndarray, notna: np.ndarray, ranges, fn: str,
+                   n: int, self_mask=None) -> np.ndarray:
+        """Aggregate x over the UNION of per-row index ranges [ls, rs)
+        (plus the row's own value where self_mask is True — EXCLUDE TIES):
+        SUM/COUNT/AVG via prefix sums, MIN/MAX via an O(n log n) sparse
+        table queried once per range (fmin/fmax skip NaN = NULL args).
+        Shared by ROWS/RANGE/GROUPS frames and the EXCLUDE splitter."""
         ps = np.concatenate([[0.0], np.cumsum(np.where(notna, x, 0.0))])
         pc_ = np.concatenate([[0], np.cumsum(notna.astype(np.int64))])
-        cnt = pc_[rs] - pc_[ls]
+        cnt = np.zeros(n, dtype=np.int64)
+        for ls, rs in ranges:
+            cnt += pc_[rs] - pc_[ls]
+        if self_mask is not None:
+            cnt += (notna & self_mask).astype(np.int64)
         if fn == "COUNT":
             return cnt
         if fn == "SUM" or fn in ("AVG", "MEAN"):
-            tot = ps[rs] - ps[ls]
+            tot = np.zeros(n, dtype=np.float64)
+            for ls, rs in ranges:
+                tot += ps[rs] - ps[ls]
+            if self_mask is not None:
+                tot += np.where(notna & self_mask, np.nan_to_num(x), 0.0)
             if fn in ("AVG", "MEAN"):
                 return np.where(cnt > 0, tot / np.maximum(cnt, 1), np.nan)
             return np.where(cnt > 0, tot, np.nan)
@@ -1704,17 +1787,26 @@ class _WindowGroupFn:
             tables.append(op(prev[:n - (1 << j) + 1],
                              prev[half:n - (1 << j) + 1 + half]))
             j += 1
-        res = np.full(n, np.nan)
-        width = rs - ls
-        valid = width > 0
-        if valid.any():
-            k = np.zeros(n, dtype=np.int64)
-            k[valid] = np.floor(np.log2(width[valid])).astype(np.int64)
-            for kk in np.unique(k[valid]):
-                sel = valid & (k == kk)
-                t = tables[kk]
-                res[sel] = op(t[ls[sel]], t[rs[sel] - (1 << kk)])
-        return res
+
+        def query(ls, rs):
+            res = np.full(n, np.nan)
+            width = rs - ls
+            valid = width > 0
+            if valid.any():
+                k = np.zeros(n, dtype=np.int64)
+                k[valid] = np.floor(np.log2(width[valid])).astype(np.int64)
+                for kk in np.unique(k[valid]):
+                    sel = valid & (k == kk)
+                    t = tables[kk]
+                    res[sel] = op(t[ls[sel]], t[rs[sel] - (1 << kk)])
+            return res
+
+        best = np.full(n, np.nan)
+        for ls, rs in ranges:
+            best = op(best, query(ls, rs))
+        if self_mask is not None:
+            best = op(best, np.where(self_mask, arr, np.nan))
+        return best
 
     def _one(self, df: pd.DataFrame) -> pd.DataFrame:
         if self.okeys:
@@ -1853,7 +1945,9 @@ class _WindowGroupFn:
                 out = df[self.arg_col].shift(shift).to_numpy()
         elif fn in ("SUM", "COUNT", "AVG", "MEAN", "MIN", "MAX") \
                 and self.frame:
-            if self.frame_kind == "RANGE" and self.frame != (None, None):
+            if self.frame_kind == "GROUPS":
+                out = self._groups_frame(df, fn, n)
+            elif self.frame_kind == "RANGE" and self.frame != (None, None):
                 out = self._range_frame(df, fn, n)
             else:
                 out = self._rows_frame(df, fn, n)
@@ -4352,7 +4446,8 @@ class Compiler:
                              pkeys=pkeys, lag_offset=lag_offset,
                              lag_default=lag_default, ntile_n=ntile_n,
                              frame=wc.frame, frame_kind=wc.frame_kind,
-                             ignore_nulls=fn.ignore_nulls)
+                             ignore_nulls=fn.ignore_nulls,
+                             exclude=getattr(wc, "exclude", "NO OTHERS"))
 
         def window_fn(df: pd.DataFrame, _w=win) -> pd.DataFrame:
             return _w(df)

@@ -1422,8 +1422,8 @@ class Parser:
             # named window: `fn() OVER w` — resolved against the WINDOW
             # clause at the end of parse_select
             return A.WindowCall(call, named=self._ident_name())
-        pb, ob, frame, kind = self._parse_window_body()
-        return A.WindowCall(call, pb, ob, frame, kind)
+        pb, ob, frame, kind, excl = self._parse_window_body()
+        return A.WindowCall(call, pb, ob, frame, kind, exclude=excl)
 
     def _parse_window_body(self):
         self.expect("(")
@@ -1441,7 +1441,8 @@ class Parser:
                 order_by.append(self.parse_order_item())
         frame: tuple = ()
         frame_kind = "ROWS"
-        if self.at("ROWS") or self.at("RANGE"):
+        exclude = "NO OTHERS"
+        if self.at("ROWS") or self.at("RANGE") or self.at("GROUPS"):
             kind = self.next().upper
             self.expect("BETWEEN")
             lo = self._parse_frame_bound(low=True)
@@ -1452,8 +1453,21 @@ class Parser:
             else:
                 frame = (lo, hi)
                 frame_kind = kind
+            if self.accept("EXCLUDE"):
+                # ANSI frame exclusion (requires an explicit frame)
+                if self.accept("NO"):
+                    self.expect("OTHERS")
+                elif self.accept("CURRENT"):
+                    self.expect("ROW")
+                    exclude = "CURRENT ROW"
+                elif self.accept("GROUP"):
+                    exclude = "GROUP"
+                else:
+                    self.expect("TIES")
+                    exclude = "TIES"
         self.expect(")")
-        return (tuple(partition_by), tuple(order_by), frame, frame_kind)
+        return (tuple(partition_by), tuple(order_by), frame, frame_kind,
+                exclude)
 
     def _parse_frame_bound(self, low: bool):
         if self.accept("UNBOUNDED"):
@@ -1552,8 +1566,8 @@ def _resolve_named_windows(select: "A.Select", windows: dict):
             spec = windows.get(node.named.lower())
             if spec is None:
                 raise ParseError(f"unknown window name {node.named!r}")
-            pb, ob, frame, kind = spec
-            node = A.WindowCall(node.func, pb, ob, frame, kind)
+            pb, ob, frame, kind, excl = spec
+            node = A.WindowCall(node.func, pb, ob, frame, kind, exclude=excl)
         def rew_any(v):
             if isinstance(v, tuple):
                 return tuple(rew_any(x) for x in v)

@@ -509,3 +509,77 @@ class TestNamedWindows:
         with pytest.raises(ParseError):
             engine.sql("SELECT ROW_NUMBER() OVER w AS rn FROM events "
                        "LIMIT 1")
+
+
+class TestGroupsFramesAndExclude:
+    """ANSI frame completeness: GROUPS mode (peer-group offsets — a RANGE
+    frame over the group index) and the EXCLUDE clause (CURRENT ROW /
+    GROUP / TIES split each frame into two sub-ranges around the
+    exclusion; _WindowGroupFn._frame_agg/_agg_multi). The container's
+    DuckDB predates GROUPS support, so GROUPS is golden-tested by hand;
+    EXCLUDE verifies against DuckDB directly."""
+
+    def test_exclude_current_row_rows_frame(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT event_id, "
+                 "SUM(value) OVER (PARTITION BY user_id ORDER BY ts, "
+                 "event_id ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING "
+                 "EXCLUDE CURRENT ROW) AS s1, "
+                 "MIN(value) OVER (PARTITION BY user_id ORDER BY ts, "
+                 "event_id ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING "
+                 "EXCLUDE CURRENT ROW) AS m1 "
+                 "FROM events WHERE user_id < 30 ORDER BY event_id")
+
+    def test_exclude_group_and_ties_with_peers(self, engine, duck):
+        # duplicate order keys make real peer groups
+        run_both(engine, duck,
+                 "SELECT g, v, "
+                 "SUM(v) OVER (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING "
+                 "AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS xg, "
+                 "AVG(v) OVER (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING "
+                 "AND UNBOUNDED FOLLOWING EXCLUDE TIES) AS xt, "
+                 "COUNT(*) OVER (ORDER BY g RANGE BETWEEN 1 PRECEDING AND "
+                 "1 FOLLOWING EXCLUDE GROUP) AS cg "
+                 "FROM (VALUES (1, 10), (1, 20), (2, 30), (2, 40), (3, 50)"
+                 ") t(g, v) ORDER BY g, v")
+
+    def test_exclude_ties_keeps_self_only_when_in_frame(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT g, v, "
+                 "MAX(v) OVER (ORDER BY g ROWS BETWEEN 1 PRECEDING AND "
+                 "1 FOLLOWING EXCLUDE TIES) AS mt "
+                 "FROM (VALUES (1, 10), (1, 20), (1, 30), (2, 40), (3, 50)"
+                 ") t(g, v) ORDER BY g, v")
+
+    def test_groups_frame_golden(self, engine):
+        # peer groups by g: [1,1], [2,2], [3]; values 10,20 | 30,40 | 50
+        # GROUPS 1 PRECEDING..CURRENT: row's group + previous group
+        out = to_pandas(engine.sql(
+            "SELECT g, v, "
+            "SUM(v) OVER (ORDER BY g GROUPS BETWEEN 1 PRECEDING AND "
+            "CURRENT ROW) AS s, "
+            "COUNT(*) OVER (ORDER BY g GROUPS BETWEEN UNBOUNDED PRECEDING "
+            "AND 1 FOLLOWING) AS c "
+            "FROM (VALUES (1, 10), (1, 20), (2, 30), (2, 40), (3, 50)"
+            ") t(g, v) ORDER BY g, v"))
+        assert out["s"].tolist() == [30, 30, 100, 100, 120]
+        assert out["c"].tolist() == [4, 4, 5, 5, 5]
+
+    def test_groups_frame_with_exclude_golden(self, engine):
+        out = to_pandas(engine.sql(
+            "SELECT g, v, "
+            "SUM(v) OVER (ORDER BY g GROUPS BETWEEN 1 PRECEDING AND "
+            "1 FOLLOWING EXCLUDE GROUP) AS sx "
+            "FROM (VALUES (1, 10), (1, 20), (2, 30), (2, 40), (3, 50)"
+            ") t(g, v) ORDER BY g, v"))
+        # frames: g=1 → groups {1,2} minus own group = 70; g=2 → groups
+        # {1,2,3} minus own = 80; g=3 → groups {2,3} minus own = 70
+        assert out["sx"].tolist() == [70, 70, 80, 80, 70]
+
+    def test_named_window_with_exclude(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT g, v, AVG(v) OVER w AS a FROM (VALUES "
+                 "(1, 10), (1, 20), (2, 30), (3, 40)) t(g, v) "
+                 "WINDOW w AS (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING "
+                 "AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) "
+                 "ORDER BY g, v")
