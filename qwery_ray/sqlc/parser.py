@@ -1380,6 +1380,8 @@ class Parser:
                                   distinct=distinct,
                                   ignore_nulls=ignore_nulls,
                                   order_by=tuple(agg_order))
+                if self.at("WITHIN"):
+                    call = self._parse_within_group(call)
                 if self.at("FILTER"):
                     call = self._maybe_filter(call)
                 if self.at("OVER"):
@@ -1444,10 +1446,15 @@ class Parser:
         exclude = "NO OTHERS"
         if self.at("ROWS") or self.at("RANGE") or self.at("GROUPS"):
             kind = self.next().upper
-            self.expect("BETWEEN")
-            lo = self._parse_frame_bound(low=True)
-            self.expect("AND")
-            hi = self._parse_frame_bound(low=False)
+            if self.accept("BETWEEN"):
+                lo = self._parse_frame_bound(low=True)
+                self.expect("AND")
+                hi = self._parse_frame_bound(low=False)
+            else:
+                # ANSI single-bound shorthand: `ROWS n PRECEDING` ≡
+                # BETWEEN n PRECEDING AND CURRENT ROW
+                lo = self._parse_frame_bound(low=True)
+                hi = 0
             if kind == "RANGE" and lo is None and hi == 0:
                 pass  # the ANSI default frame — () keeps peer semantics
             else:
@@ -1468,6 +1475,44 @@ class Parser:
         self.expect(")")
         return (tuple(partition_by), tuple(order_by), frame, frame_kind,
                 exclude)
+
+    def _parse_within_group(self, call: A.FuncCall) -> A.FuncCall:
+        """ANSI ordered-set syntax: PERCENTILE_CONT(p) WITHIN GROUP
+        (ORDER BY x [ASC|DESC]) — rewritten to the engine's two-argument
+        form fn(x, p); STRING_AGG/ARRAY_AGG take it as their agg ORDER BY.
+        DESC inverts the fraction for CONT (value-continuous symmetry);
+        DISC's rank semantics are not symmetric, so DESC raises there."""
+        self.expect("WITHIN")
+        self.expect("GROUP")
+        self.expect("(")
+        self.expect("ORDER")
+        self.expect("BY")
+        target = self.parse_expr()
+        desc = False
+        if self.accept("DESC"):
+            desc = True
+        else:
+            self.accept("ASC")
+        self.expect(")")
+        name = call.name
+        if name in ("PERCENTILE_CONT", "PERCENTILE_DISC",
+                    "QUANTILE_CONT", "QUANTILE_DISC", "MEDIAN"):
+            p = call.args[0] if call.args else A.Literal(0.5)
+            if desc:
+                if name.endswith("DISC"):
+                    raise ParseError(
+                        f"{name} WITHIN GROUP (… DESC) is not supported "
+                        "(discrete rank is not symmetric)")
+                if not isinstance(p, A.Literal):
+                    raise ParseError(
+                        "WITHIN GROUP … DESC needs a literal fraction")
+                p = A.Literal(1.0 - float(p.value))
+            args = (target,) if name == "MEDIAN" else (target, p)
+            return A.FuncCall(name, args, distinct=call.distinct)
+        if name in ("STRING_AGG", "ARRAY_AGG"):
+            return A.FuncCall(name, call.args, distinct=call.distinct,
+                              order_by=(A.OrderItem(target, not desc),))
+        raise ParseError(f"{name} does not take WITHIN GROUP")
 
     def _parse_frame_bound(self, low: bool):
         if self.accept("UNBOUNDED"):

@@ -583,3 +583,38 @@ class TestGroupsFramesAndExclude:
                  "WINDOW w AS (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING "
                  "AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) "
                  "ORDER BY g, v")
+
+
+class TestWithinGroupAndShortFrames:
+    def test_percentiles_within_group(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT o_orderstatus, PERCENTILE_CONT(0.5) WITHIN GROUP "
+                 "(ORDER BY o_totalprice) AS med, PERCENTILE_DISC(0.25) "
+                 "WITHIN GROUP (ORDER BY o_totalprice) AS q1 FROM orders "
+                 "GROUP BY o_orderstatus ORDER BY o_orderstatus")
+
+    def test_within_group_desc_cont(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT o_orderstatus, PERCENTILE_CONT(0.25) WITHIN GROUP "
+                 "(ORDER BY o_totalprice DESC) AS q3d FROM orders "
+                 "GROUP BY o_orderstatus ORDER BY o_orderstatus")
+
+    def test_string_agg_within_group(self, engine, duck):
+        # DuckDB's grammar takes STRING_AGG order inline, not WITHIN GROUP
+        run_both(engine, duck,
+                 "SELECT o_orderstatus, STRING_AGG(o_orderpriority, ',') "
+                 "WITHIN GROUP (ORDER BY o_orderkey) AS sa FROM orders "
+                 "WHERE o_orderkey < 50 GROUP BY o_orderstatus "
+                 "ORDER BY o_orderstatus",
+                 "SELECT o_orderstatus, STRING_AGG(o_orderpriority, ',' "
+                 "ORDER BY o_orderkey) AS sa FROM orders "
+                 "WHERE o_orderkey < 50 GROUP BY o_orderstatus "
+                 "ORDER BY o_orderstatus")
+
+    def test_single_bound_frame_shorthand(self, engine, duck):
+        run_both(engine, duck,
+                 "SELECT user_id, SUM(value) OVER (PARTITION BY user_id "
+                 "ORDER BY ts ROWS 3 PRECEDING) AS s3, "
+                 "COUNT(*) OVER (PARTITION BY user_id ORDER BY ts "
+                 "ROWS UNBOUNDED PRECEDING) AS rc "
+                 "FROM events WHERE user_id < 10 ORDER BY user_id, ts")
