@@ -751,6 +751,16 @@ _SQL_QUERIES: dict[str, tuple[str, str | None]] = {
         "FROM qty q LEFT JOIN lineitem l ON CAST(l.l_quantity AS INT) = q.q "
         "GROUP BY q.q ORDER BY q.q",
         None),
+    "window_exclude": (
+        # ANSI frame EXCLUDE (CURRENT ROW) over a ROWS frame — integer-cent
+        # sums keep the hash exact; ORDER BY fully tie-broken. GROUPS-mode
+        # frames are golden-tested (this DuckDB predates GROUPS support).
+        "SELECT event_id, "
+        "SUM(ROUND(value * 100, 0)) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING "
+        "EXCLUDE CURRENT ROW) AS s_cents "
+        "FROM events ORDER BY event_id LIMIT 1000",
+        None),
     "lateral_unnest": (
         # FROM-clause lateral UNNEST (explode against the left frame —
         # list_parent_indices + take per batch, zero shuffle). MIN/MAX/
