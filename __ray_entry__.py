@@ -831,6 +831,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # table-function/sampling SQL surfaces + the two packing/LM ops
     "covar_regression", "implicit_join_series", "lateral_unnest",
     "using_sample", "pack_sequences", "lm_quality_score",
+    "chunk_documents",
     # SQL shapes added after round 2's window closed (never driver-verified)
     "tpch_q19_shape", "tpch_q21_shape", "tpch_q22_shape", "tpch_q11_shape",
     "tpch_q7_shape", "tpch_q8_shape", "tpch_q10_shape", "tpch_q15_shape",
@@ -908,6 +909,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # this engine samples via seeded content hash — deterministic,
         # so the rows-only record is stable); tests/test_sample.py.
         "using_sample": dq.using_sample_rows,
+        "chunk_documents": dq.chunk_documents,   # full SQL oracle
     })
     return _window_order(out)
 
@@ -917,6 +919,8 @@ def oracle_sql() -> dict[str, str]:
 
     out = {name: (oracle or mine)
            for name, (mine, oracle) in _SQL_QUERIES.items()}
+    from qwery_ray.ops.curation import chunk_oracle_sql
+    out["chunk_documents"] = chunk_oracle_sql(max_tokens=128, overlap=16)
     out["cdc_replay"] = events_from_documents_sql()
     out["events_lake_lww"] = """
 SELECT e.user_id, e.event_type, e.event_id AS lsn, e.value

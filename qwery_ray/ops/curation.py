@@ -594,3 +594,104 @@ def char_lm_score(ds: rd.Dataset, *, train_mod: int = 50,
     ref = ray.put(logp)
     return ds.map_batches(LMScore(ref, text_col, id_col),
                           batch_format="pyarrow", concurrency=concurrency)
+
+
+# --------------------------------------------------------------------------
+# text chunking (fixed-token overlapping windows)
+# --------------------------------------------------------------------------
+class ChunkText:
+    """Split each document into fixed-token overlapping windows — the
+    standard embedding/RAG pre-pass (and long-document training prep).
+    Chunk k covers tokens [k·(max−overlap), k·(max−overlap)+max); the
+    emitted text is a CHARACTER substring between the first and last
+    covered token, so chunks reconstruct from the original text exactly.
+
+    Streams per batch (one compiled-regex pass per document); only the
+    chunk rows leave — no shuffle anywhere in the op."""
+
+    TOKEN_RE = r"[A-Za-z]+|\d+|[^\w\s]"
+
+    def __init__(self, max_tokens: int = 512, overlap: int = 64,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        import re
+
+        if not 0 <= overlap < max_tokens:
+            raise ValueError("require 0 <= overlap < max_tokens")
+        self.max_tokens = max_tokens
+        self.overlap = overlap
+        self.text_col = text_col
+        self.id_col = id_col
+        self.rx = re.compile(self.TOKEN_RE)
+
+    def __call__(self, batch: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        ids = pc.cast(batch.column(self.id_col), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        texts = batch.column(self.text_col).to_pylist()
+        stride = self.max_tokens - self.overlap
+        o_id, o_chunk, o_text, o_n = [], [], [], []
+        for doc_id, t in zip(ids, texts):
+            t = t or ""
+            spans = [m.span() for m in self.rx.finditer(t)]
+            ntok = len(spans)
+            if ntok == 0:
+                o_id.append(doc_id)
+                o_chunk.append(0)
+                o_text.append("")
+                o_n.append(0)
+                continue
+            k = 0
+            while True:
+                st = k * stride
+                end = min(st + self.max_tokens, ntok)
+                o_id.append(doc_id)
+                o_chunk.append(k)
+                o_text.append(t[spans[st][0]:spans[end - 1][1]])
+                o_n.append(end - st)
+                if end >= ntok:
+                    break
+                k += 1
+        return pa.table({
+            self.id_col: pa.array(o_id, pa.int64()),
+            "chunk": pa.array(o_chunk, pa.int64()),
+            "chunk_text": pa.array(o_text, pa.string()),
+            "n_tokens": pa.array(o_n, pa.int64()),
+        })
+
+
+def chunk_text(ds: rd.Dataset, *, max_tokens: int = 512, overlap: int = 64,
+               text_col: str = "text", id_col: str = "doc_id") -> rd.Dataset:
+    """Fixed-token overlapping text chunking (see :class:`ChunkText`).
+
+    Closed forms make the op exactly SQL-checkable per document:
+    n_chunks = 1 if ntok ≤ max else 1 + ⌈(ntok − max) / (max − overlap)⌉,
+    Σ chunk tokens = ntok + overlap · (n_chunks − 1)."""
+    ct = ChunkText(max_tokens, overlap, text_col, id_col)
+
+    def chunks(b, _c=ct):
+        return _c(b)
+
+    return ds.map_batches(chunks, batch_format="pyarrow")
+
+
+def chunk_oracle_sql(*, max_tokens: int, overlap: int) -> str:
+    """DuckDB oracle for the chunk_documents driver query: per-doc chunk
+    count + token totals from the SAME RE2 regex, via the closed forms."""
+    s = max_tokens - overlap
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\w\\s]')) AS ntok
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CASE WHEN ntok <= {max_tokens} THEN 1
+            ELSE 1 + CAST(ceil((ntok - {max_tokens}) / {s}.0) AS BIGINT)
+       END AS BIGINT) AS n_chunks,
+       CAST(ntok + {overlap} * (CASE WHEN ntok <= {max_tokens} THEN 0
+            ELSE CAST(ceil((ntok - {max_tokens}) / {s}.0) AS BIGINT)
+       END) AS BIGINT) AS sum_tokens
+FROM t ORDER BY doc_id
+"""

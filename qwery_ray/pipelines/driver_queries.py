@@ -592,3 +592,27 @@ def using_sample_rows(sf_dir: str):
     return eng.sql(
         "SELECT o_orderkey, o_custkey FROM orders USING SAMPLE 200 ROWS "
         "ORDER BY o_orderkey")
+
+
+def chunk_documents(sf_dir: str):
+    """Fixed-token overlapping text chunking (embedding/RAG pre-pass) —
+    FULL SQL ORACLE on the per-document closed forms: n_chunks and
+    Σ chunk tokens are exact functions of the regex token count
+    (ops/curation.py chunk_oracle_sql — same RE2 pattern in DuckDB).
+    Chunk-text reconstruction is golden-gated in tests/test_packing.py."""
+    import pandas as pd
+
+    from ..ops.curation import chunk_text
+
+    ds = read_docs_parallel(sf_dir, columns=("doc_id", "text"))
+    chunks = chunk_text(ds, max_tokens=128, overlap=16)
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": [int(df["doc_id"].iloc[0])],
+            "n_chunks": [len(df)],
+            "sum_tokens": [int(df["n_tokens"].sum())],
+        })
+
+    return chunks.groupby("doc_id").map_groups(
+        per_doc, batch_format="pandas").sort("doc_id")

@@ -162,3 +162,67 @@ class TestCharLMScore:
         # garbage-like uniform-random text should score worse than the
         # corpus's own modal text: sanity that the score discriminates
         assert a["lm_bits"].std() > 0
+
+
+class TestChunkText:
+    """chunk_text: fixed-token overlapping windows with exact closed-form
+    counts (driver query chunk_documents carries the full SQL oracle); the
+    gates here check the actual chunk TEXTS against a naive reference and
+    the coverage/overlap invariants."""
+
+    MAX, OVER = 32, 8
+
+    def _naive(self, text, max_tokens, overlap):
+        import re
+
+        rx = re.compile(r"[A-Za-z]+|\d+|[^\w\s]")
+        spans = [m.span() for m in rx.finditer(text or "")]
+        if not spans:
+            return [("", 0)]
+        out = []
+        stride = max_tokens - overlap
+        k = 0
+        while True:
+            st = k * stride
+            end = min(st + max_tokens, len(spans))
+            out.append((text[spans[st][0]:spans[end - 1][1]], end - st))
+            if end >= len(spans):
+                break
+            k += 1
+        return out
+
+    def test_matches_naive_reference(self, ray_session, docs_ds):
+        import pyarrow.parquet as pq
+
+        from qwery_ray.ops.curation import chunk_text
+
+        got = to_pandas(chunk_text(docs_ds, max_tokens=self.MAX,
+                                   overlap=self.OVER))
+        raw = pq.read_table(f"{SF_TINY}/documents.parquet",
+                            columns=["doc_id", "text"]).to_pandas()
+        want = {r["doc_id"]: self._naive(r["text"], self.MAX, self.OVER)
+                for _, r in raw.iterrows()}
+        for doc_id, grp in got.groupby("doc_id"):
+            grp = grp.sort_values("chunk")
+            exp = want[doc_id]
+            assert len(grp) == len(exp), doc_id
+            assert grp["chunk_text"].tolist() == [t for t, _ in exp]
+            assert grp["n_tokens"].tolist() == [n for _, n in exp]
+
+    def test_invariants_and_layout_invariance(self, ray_session, docs_ds):
+        import pandas as pd
+
+        from qwery_ray.ops.curation import chunk_text
+
+        a = to_pandas(chunk_text(docs_ds, max_tokens=self.MAX,
+                                 overlap=self.OVER)) \
+            .sort_values(["doc_id", "chunk"], ignore_index=True)
+        b = to_pandas(chunk_text(docs_ds.repartition(7),
+                                 max_tokens=self.MAX, overlap=self.OVER)) \
+            .sort_values(["doc_id", "chunk"], ignore_index=True)
+        pd.testing.assert_frame_equal(a, b)
+        assert (a["n_tokens"] <= self.MAX).all()
+        # every non-final chunk is full; chunk ids are dense from 0
+        for _, grp in a.groupby("doc_id"):
+            assert grp["chunk"].tolist() == list(range(len(grp)))
+            assert (grp["n_tokens"].iloc[:-1] == self.MAX).all()
