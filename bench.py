@@ -144,7 +144,10 @@ def run_queries() -> dict[str, float]:
                      ("ann_topk", dq.ann_topk),
                      ("minhash_near_dups", dq.minhash_near_dups),
                      ("sliding_window", dq.events_sliding_window),
-                     ("session_window", dq.events_sessions)):
+                     ("session_window", dq.events_sessions),
+                     ("pack_sequences", dq.pack_sequences_docs),
+                     ("lm_quality_score", dq.lm_quality_score),
+                     ("chunk_documents", dq.chunk_documents)):
         t0 = time.perf_counter()
         _consume(fn(SF_DIR))
         times[name] = round(time.perf_counter() - t0, 3)

@@ -607,12 +607,15 @@ def chunk_documents(sf_dir: str):
     ds = read_docs_parallel(sf_dir, columns=("doc_id", "text"))
     chunks = chunk_text(ds, max_tokens=128, overlap=16)
 
-    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "doc_id": [int(df["doc_id"].iloc[0])],
-            "n_chunks": [len(df)],
-            "sum_tokens": [int(df["n_tokens"].sum())],
-        })
+    # a document's chunks are CONTIGUOUS WITHIN ONE BATCH (ChunkText emits
+    # per input batch), so the per-doc rollup is a batch-local pandas
+    # groupby — no shuffle, no groupby barrier
+    def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", sort=False)
+        out = g.agg(n_chunks=("chunk", "size"),
+                    sum_tokens=("n_tokens", "sum")).reset_index()
+        return out.astype({"doc_id": "int64", "n_chunks": "int64",
+                           "sum_tokens": "int64"})
 
-    return chunks.groupby("doc_id").map_groups(
-        per_doc, batch_format="pandas").sort("doc_id")
+    return chunks.map_batches(per_batch, batch_format="pandas") \
+        .sort("doc_id")
