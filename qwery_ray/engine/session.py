@@ -313,6 +313,19 @@ class QweryEngine:
                 ds = ds.map_batches(_PositionalRename(stmt.columns),
                                     batch_format="pyarrow")
         target = self.expand_vars(stmt.target)
+        if stmt.hints.get("create_table"):
+            # CTAS: a bare table name materializes under the session root
+            # so later bare-name reads resolve to it (resolve_table_path
+            # only finds EXISTING paths — build the new path explicitly)
+            if "://" not in target and not os.path.isabs(target) \
+                    and os.sep not in target \
+                    and "." not in os.path.basename(target):
+                target = os.path.join(self.table_root or ".",
+                                      target + ".parquet")
+            if os.path.exists(target) and not stmt.hints.get("or_replace"):
+                raise ValueError(
+                    f"table already exists: {target} "
+                    "(use CREATE OR REPLACE TABLE)")
         # relative paths stay relative to cwd, matching the reference
         inserted = write_sink(ds, target, stmt.hints, overwrite=stmt.overwrite)
         return pa.table({"ROWS_INSERTED": [inserted], "ROWS_REJECTED": [0]})

@@ -1014,12 +1014,20 @@ class Parser:
 
     def parse_create(self) -> A.Statement:
         self.expect("CREATE")
-        self.accept("OR") and self.expect("REPLACE")
+        replace = bool(self.accept("OR") and self.expect("REPLACE"))
         kind = self.next().upper
         name = self._ident_name()
         if kind == "VIEW":
             self.expect("AS")
             return A.CreateView(name, self.parse_select_or_union())
+        if kind == "TABLE":
+            # CTAS sugar: CREATE [OR REPLACE] TABLE t AS q → materialize q
+            # as <root>/t.parquet (bare-name resolution finds it); plain
+            # CREATE errors if the table exists, OR REPLACE overwrites
+            self.expect("AS")
+            query = self.parse_select_or_union()
+            hints = {"create_table": True, "or_replace": replace}
+            return A.Insert(name, (), query, overwrite=replace, hints=hints)
         params: list[str] = []
         if self.accept("("):
             if not self.at(")"):

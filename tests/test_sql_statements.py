@@ -466,3 +466,34 @@ class TestDelete:
 
         stmt = P.parse("DELETE FROM 'x.parquet' WHERE a >= 5")[0]
         assert P.parse(to_sql(stmt))[0] == stmt
+
+
+class TestCreateTableAs:
+    """CTAS sugar: CREATE [OR REPLACE] TABLE t AS q materializes q as
+    <root>/t.parquet (bare-name reads resolve to it); plain CREATE errors
+    on an existing table."""
+
+    def test_ctas_roundtrip(self, ray_session, tmp_path):
+        import shutil
+
+        from qwery_ray import QweryEngine
+
+        from conftest import SF_TINY
+
+        shutil.copy(f"{SF_TINY}/orders.parquet", tmp_path / "orders.parquet")
+        eng = QweryEngine(table_root=str(tmp_path))
+        eng.sql("CREATE TABLE big AS SELECT o_orderkey, o_totalprice "
+                "FROM orders WHERE o_totalprice > 200000")
+        assert (tmp_path / "big.parquet").exists()
+        out = eng.sql("SELECT COUNT(*) AS n FROM big")
+        out = out.to_pandas() if hasattr(out, "to_pandas") else out
+        assert int(out["n"][0]) > 0
+
+        import pytest
+
+        with pytest.raises(ValueError):
+            eng.sql("CREATE TABLE big AS SELECT 1 AS x")
+        eng.sql("CREATE OR REPLACE TABLE big AS SELECT 1 AS x")
+        out = eng.sql("SELECT * FROM big")
+        out = out.to_pandas() if hasattr(out, "to_pandas") else out
+        assert list(out.columns) == ["x"] and len(out) == 1
