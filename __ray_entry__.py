@@ -831,7 +831,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # table-function/sampling SQL surfaces + the two packing/LM ops
     "covar_regression", "implicit_join_series", "lateral_unnest",
     "using_sample", "pack_sequences", "lm_quality_score",
-    "chunk_documents",
+    "chunk_documents", "near_dup_components",
     # SQL shapes added after round 2's window closed (never driver-verified)
     "tpch_q19_shape", "tpch_q21_shape", "tpch_q22_shape", "tpch_q11_shape",
     "tpch_q7_shape", "tpch_q8_shape", "tpch_q10_shape", "tpch_q15_shape",
@@ -910,6 +910,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # so the rows-only record is stable); tests/test_sample.py.
         "using_sample": dq.using_sample_rows,
         "chunk_documents": dq.chunk_documents,   # full SQL oracle
+        "near_dup_components": dq.near_dup_components,  # full SQL oracle
     })
     return _window_order(out)
 
@@ -921,6 +922,21 @@ def oracle_sql() -> dict[str, str]:
            for name, (mine, oracle) in _SQL_QUERIES.items()}
     from qwery_ray.ops.curation import chunk_oracle_sql
     out["chunk_documents"] = chunk_oracle_sql(max_tokens=128, overlap=16)
+    out["near_dup_components"] = """
+WITH RECURSIVE edges AS (
+  SELECT a.doc_id AS s, b.doc_id AS d FROM documents a
+  JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 7 < 3
+), sym AS (
+  SELECT s, d FROM edges UNION SELECT d, s FROM edges
+), reach(x, y) AS (
+  SELECT s, d FROM sym
+  UNION
+  SELECT r.x, e.d FROM reach r JOIN sym e ON e.s = r.y
+)
+SELECT x AS id, LEAST(x, MIN(y)) AS component
+FROM reach GROUP BY x ORDER BY id
+"""
     out["cdc_replay"] = events_from_documents_sql()
     out["events_lake_lww"] = """
 SELECT e.user_id, e.event_type, e.event_id AS lsn, e.value

@@ -628,3 +628,117 @@ def embedding_dup_pairs(ds: rd.Dataset, *, vec_col: str = "embedding",
     from ..sqlc.compiler import distinct_rows
 
     return distinct_rows(pairs, names=["id_a", "id_b", "cosine"])
+
+
+# ------------------------------------------------------- connected components
+def connected_components(pairs: rd.Dataset, *, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         small_limit: int = 2_000_000,
+                         max_rounds: int = 32) -> rd.Dataset:
+    """Transitive closure of near-dup pairs → (id, component) with
+    component = the MINIMUM id reachable from each node — the endgame of
+    pair-based dedup (keep one representative per component, drop the
+    rest).
+
+    Adaptive: below ``small_limit`` edges (the common case — LSH bounds
+    candidate pairs far below corpus size) a single driver union-find with
+    path compression resolves components exactly. Above it, distributed
+    min-label propagation runs (public algorithm family: Kiveris et al.
+    2014, "Connected Components in MapReduce and Beyond" — each round
+    pushes every node's current label across its edges via one vectorized
+    batch join against the broadcast label map, then takes per-node mins;
+    converges in O(log n) rounds on any graph, checked per round).
+    Deterministic either way: min-id labels, no RNG."""
+    import ray
+
+    pairs = pairs.materialize()
+    n_edges = pairs.count()
+    if n_edges == 0:
+        return rd.from_arrow(pa.table({
+            "id": pa.array([], pa.int64()),
+            "component": pa.array([], pa.int64())}))
+    if n_edges <= small_limit:
+        df = pairs.select_columns([id_a, id_b]).to_pandas()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(df[id_a].to_numpy(), df[id_b].to_numpy()):
+            a, b = int(a), int(b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN root keeps labels deterministic
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        nodes = np.unique(np.concatenate(
+            [df[id_a].to_numpy(), df[id_b].to_numpy()]))
+        comp = np.fromiter((find(int(x)) for x in nodes), dtype=np.int64,
+                           count=len(nodes))
+        return rd.from_arrow(pa.table({
+            "id": pa.array(nodes.astype(np.int64)),
+            "component": pa.array(comp)}))
+
+    # ---- distributed min-label propagation (edges too big for a driver)
+    def symmetrize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        a = pc.cast(t.column(id_a), pa.int64())
+        b = pc.cast(t.column(id_b), pa.int64())
+        return pa.table({"src": pa.concat_arrays(
+            [a.combine_chunks(), b.combine_chunks()]),
+            "dst": pa.concat_arrays(
+            [b.combine_chunks(), a.combine_chunks()])})
+
+    edges = pairs.map_batches(symmetrize, batch_format="pyarrow") \
+        .materialize()
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"id": t.column("src"),
+                         "component": t.column("src")})
+
+    labels = edges.map_batches(node_rows, batch_format="pyarrow") \
+        .groupby("id").min("component") \
+        .map_batches(lambda t: t.rename_columns(["id", "component"]),
+                     batch_format="pyarrow").materialize()
+    for _ in range(max_rounds):
+        # push labels across edges: one broadcast-map per round. The label
+        # table is one (int64, int64) row per NODE of the PAIR GRAPH (16
+        # B/node — 100M duplicate-involved docs ≈ 1.6 GB), broadcast once
+        # per round via ray.put while the EDGE set streams distributed; a
+        # corpus whose duplicate graph exceeds that swaps this loop for
+        # per-round Dataset.join at the cost of a join shuffle per round.
+        lab = labels.to_pandas()
+        ids = lab["id"].to_numpy(dtype=np.int64)
+        comps = lab["component"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids_s, comps_s = ids[order], comps[order]
+        ref = ray.put((ids_s, comps_s))
+
+        def push(t: pa.Table, _r=ref) -> pa.Table:
+            sid, scomp = ray.get(_r)
+            src = t.column("src").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(sid, src)
+            return pa.table({"id": t.column("dst"),
+                             "component": pa.array(scomp[pos])})
+
+        cand = edges.map_batches(push, batch_format="pyarrow")
+        base = labels
+        new_labels = base.union(cand).groupby("id").min("component") \
+            .map_batches(lambda t: t.rename_columns(["id", "component"]),
+                         batch_format="pyarrow").materialize()
+        # convergence: any label decreased this round?
+        new_lab = new_labels.to_pandas()
+        nid = new_lab["id"].to_numpy(dtype=np.int64)
+        ncomp = new_lab["component"].to_numpy(dtype=np.int64)
+        no = np.argsort(nid)
+        if np.array_equal(ncomp[no], comps_s):
+            labels = new_labels
+            break
+        labels = new_labels
+    return labels

@@ -619,3 +619,21 @@ def chunk_documents(sf_dir: str):
 
     return chunks.map_batches(per_batch, batch_format="pandas") \
         .sort("doc_id")
+
+
+def near_dup_components(sf_dir: str):
+    """Connected components over a deterministic edge set (doc i → i+1
+    wherever i % 7 < 3, built by the SQL engine's self-join) — FULL SQL
+    ORACLE: DuckDB recursive-CTE transitive closure computes the identical
+    min-id component labels. The op itself (ops/dedup.py
+    connected_components) is what closes minhash/embedding near-dup PAIRS
+    into duplicate clusters at scale; topology + forced-distributed-path
+    gates live in tests/test_components.py."""
+    from ..ops.dedup import connected_components
+
+    eng = engine_for(sf_dir)
+    pairs = eng.sql(
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM documents a "
+        "INNER JOIN documents b ON b.doc_id = a.doc_id + 1 "
+        "WHERE a.doc_id % 7 < 3")
+    return connected_components(pairs).sort("id")
