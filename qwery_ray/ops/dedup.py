@@ -742,3 +742,41 @@ def connected_components(pairs: rd.Dataset, *, id_a: str = "id_a",
             break
         labels = new_labels
     return labels
+
+
+def near_dedup(ds: rd.Dataset, *, text_col: str = "text",
+               id_col: str = "doc_id", **minhash_kw) -> rd.Dataset:
+    """End-to-end near-duplicate removal: MinHash-LSH candidate pairs →
+    connected components → keep each component's min-id representative.
+
+    Composition of the scale-shaped pieces: pairs are LSH-bounded, the
+    component labels are narrow int rows, and the corpus itself streams
+    through one loser-set filter — full rows move at most once, exactly
+    like :func:`exact_dedup`."""
+    import ray
+
+    pairs = minhash_lsh_candidates(ds, text_col=text_col, id_col=id_col,
+                                   **minhash_kw)
+    comp = connected_components(pairs).materialize()
+
+    def losers(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.not_equal(t.column("id"), t.column("component"))
+        return t.filter(keep).select(["id"])
+
+    loser_ds = comp.map_batches(losers, batch_format="pyarrow")
+    loser_ids = np.sort(loser_ds.to_pandas()["id"].to_numpy(
+        dtype=np.int64)) if comp.count() else np.array([], dtype=np.int64)
+    if len(loser_ids) == 0:
+        return ds
+    ref = ray.put(loser_ids)
+
+    def drop(t: pa.Table, _r=ref) -> pa.Table:
+        sorted_ids = ray.get(_r)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(sorted_ids, ids),
+                      0, len(sorted_ids) - 1)
+        return t.filter(pa.array(sorted_ids[pos] != ids))
+
+    return ds.map_batches(drop, batch_format="pyarrow")

@@ -111,3 +111,23 @@ class TestConnectedComponents:
         lab = dict(zip(comp["id"], comp["component"]))
         assert lab.get(9001) == 9000 and lab.get(9002) == 9000
         assert 1 not in lab
+
+
+class TestNearDedup:
+    def test_end_to_end_keeps_representatives(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from qwery_ray.ops.dedup import near_dedup
+
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "runs far away into the deep dark woods tonight") * 3
+        rows = [(9000, base), (9001, base + " extra"),
+                (9002, base + " extra words"),
+                (1, "completely different text about other topics entirely "
+                    "with nothing shared at all here")]
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string())}))
+        kept = sorted(to_pandas(near_dedup(ds))["doc_id"])
+        assert kept == [1, 9000]
