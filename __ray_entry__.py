@@ -802,6 +802,18 @@ _SQL_QUERIES: dict[str, tuple[str, str | None]] = {
         "AS avgx4 "
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
         None),
+    "vocab_topk": (
+        # corpus vocabulary head: lateral UNNEST of a computed list
+        # (SPLIT, the reference's char-class splitter — qwery
+        # StringFunctions Split) feeding a grouped count + top-k. The
+        # oracle spells the same explode in DuckDB syntax (string_split);
+        # single-space delimiter makes the two splitters identical.
+        "SELECT tok AS word, COUNT(*) AS n FROM documents, "
+        "UNNEST(SPLIT(text, ' ')) AS u(tok) "
+        "GROUP BY tok ORDER BY n DESC, word LIMIT 100",
+        "SELECT tok AS word, COUNT(*) AS n FROM (SELECT "
+        "unnest(string_split(text, ' ')) AS tok FROM documents) "
+        "GROUP BY tok ORDER BY n DESC, word LIMIT 100"),
 }
 
 
@@ -832,6 +844,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "covar_regression", "implicit_join_series", "lateral_unnest",
     "using_sample", "pack_sequences", "lm_quality_score",
     "chunk_documents", "near_dup_components",
+    # round-3 session-4 corpus-structure ops (full SQL oracles)
+    "block_dedup_docs", "dup_span_docs", "vocab_topk",
     # SQL shapes added after round 2's window closed (never driver-verified)
     "tpch_q19_shape", "tpch_q21_shape", "tpch_q22_shape", "tpch_q11_shape",
     "tpch_q7_shape", "tpch_q8_shape", "tpch_q10_shape", "tpch_q15_shape",
@@ -911,6 +925,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "using_sample": dq.using_sample_rows,
         "chunk_documents": dq.chunk_documents,   # full SQL oracle
         "near_dup_components": dq.near_dup_components,  # full SQL oracle
+        "block_dedup_docs": dq.block_dedup_docs,  # full SQL oracle
+        "dup_span_docs": dq.dup_span_docs,        # full SQL oracle
     })
     return _window_order(out)
 
@@ -1004,4 +1020,8 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE a.vec_id < 1000 AND b.vec_id < 1000
   AND list_cosine_similarity(a.embedding, b.embedding) >= 0.99
 """
+    from qwery_ray.ops.corpus import (block_dedup_oracle_sql,
+                                      dup_span_oracle_sql)
+    out["block_dedup_docs"] = block_dedup_oracle_sql(block_tokens=16)
+    out["dup_span_docs"] = dup_span_oracle_sql(w=8)
     return _window_order(out)

@@ -637,3 +637,37 @@ def near_dup_components(sf_dir: str):
         "INNER JOIN documents b ON b.doc_id = a.doc_id + 1 "
         "WHERE a.doc_id % 7 < 3")
     return connected_components(pairs).sort("id")
+
+
+def block_dedup_docs(sf_dir: str):
+    """Corpus-wide first-occurrence dedup of non-overlapping 16-token
+    blocks (C4-grain structural dedup, arXiv:1910.10683 §2.2) — FULL SQL
+    ORACLE: the block unit is the space-rejoined token slice, so DuckDB
+    reconstructs every unit (regexp_extract_all + list_slice +
+    array_to_string) and replays the identical min-(doc_id, ord) winner
+    rule. ops/corpus.py: unit text never crosses a shuffle; losers come
+    back as one broadcast set (anti join at scale)."""
+    import pyarrow.parquet as pq
+
+    from ..ops.corpus import token_block_dedup
+
+    n_docs = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    ds = read_docs_parallel(sf_dir, columns=("doc_id", "text"))
+    return token_block_dedup(ds, block_tokens=16, approx_docs=n_docs) \
+        .sort("doc_id")
+
+
+def dup_span_docs(sf_dir: str):
+    """Per-document duplicated-substring coverage (Lee et al. 2021,
+    arXiv:2107.06499): how many token positions sit inside an 8-gram that
+    occurs more than once corpus-wide. FULL SQL ORACLE — all-integer
+    output, DuckDB replays the gram window + interval union exactly."""
+    import pyarrow.parquet as pq
+
+    from ..ops.corpus import dup_span_stats
+
+    n_docs = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    ds = read_docs_parallel(sf_dir, columns=("doc_id", "text"))
+    return dup_span_stats(ds, w=8, approx_docs=n_docs).sort("doc_id")
