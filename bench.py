@@ -147,7 +147,9 @@ def run_queries() -> dict[str, float]:
                      ("session_window", dq.events_sessions),
                      ("pack_sequences", dq.pack_sequences_docs),
                      ("lm_quality_score", dq.lm_quality_score),
-                     ("chunk_documents", dq.chunk_documents)):
+                     ("chunk_documents", dq.chunk_documents),
+                     ("block_dedup", dq.block_dedup_docs),
+                     ("dup_spans", dq.dup_span_docs)):
         t0 = time.perf_counter()
         _consume(fn(SF_DIR))
         times[name] = round(time.perf_counter() - t0, 3)

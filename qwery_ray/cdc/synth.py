@@ -44,11 +44,18 @@ def synth_change_events(
     evolve_after_lsn: int | None = None,
     delete_frac: float = 0.12,
     mean_content_len: int = 400,
+    hot_key_frac: float = 0.0,
 ) -> str:
     """Writes ``events-{i}.parquet`` segment files under out_dir; returns out_dir.
 
     LSNs are globally monotonic across segments; rows within a segment are
     shuffled out of key order (FIXTURES.md §3 required properties).
+
+    ``hot_key_frac`` > 0 redirects that fraction of ALL events onto key 0
+    (one pathologically hot (repo, path)) — the extreme-skew stress shape:
+    the per-batch LWW combiner must collapse the hot key to one row per
+    batch, so replay cost stays flat vs the uniform stream. Default 0
+    leaves the historical stream byte-identical (no extra RNG draws).
     """
     rng = np.random.default_rng(seed)
     os.makedirs(out_dir, exist_ok=True)
@@ -66,6 +73,8 @@ def synth_change_events(
         rng.integers(0, n_keys, max(0, n_events - n_keys)),
     ])[:n_events]
     rng.shuffle(key_seq)
+    if hot_key_frac > 0:
+        key_seq[rng.random(n_events) < hot_key_frac] = 0
 
     lsn = np.arange(1, n_events + 1, dtype=np.int64)
     is_delete = rng.random(n_events) < delete_frac

@@ -5,7 +5,9 @@
 - resume from checkpoint converges to the same state as a full run
 - replaying a committed LSN range is a no-op (exactly-once, manifest stable)
 - additive schema evolution null-backfills old rows
-- salted sub-partitioning (hot-key path) preserves LWW results
+- extreme hot-key skew (one key = half the stream) preserves LWW results:
+  the per-batch combiner collapses the hot key to ≤1 row per map batch, so
+  no salting is needed for last-writer-wins ingest (TestHotKeySkew)
 - determinism: two runs → identical manifest content
 """
 
@@ -706,3 +708,63 @@ class TestVacuum:
         assert parse(to_sql(s))[0] == s
         s2 = parse("VACUUM '/tmp/lake'")[0]
         assert s2.retain is None and parse(to_sql(s2))[0] == s2
+
+
+class TestHotKeySkew:
+    """North-rule hot-key clause: replay must survive pathological key skew
+    (popular repos). This engine needs no salted sub-partitioning for LWW
+    ingest — the per-batch combiner bounds every key's shuffle volume at
+    one row per map batch, so a key holding half the stream ships the same
+    number of shuffle rows as a cold key. These tests pin (a) correctness
+    under 50%-one-key skew incl. deletes + schema evolution, and (b) the
+    combiner's collapse invariant measured on real map batches."""
+
+    @pytest.fixture(scope="class")
+    def skew_events(self, tmp_path_factory):
+        from qwery_ray.cdc.synth import synth_change_events
+
+        d = tmp_path_factory.mktemp("skew_events")
+        synth_change_events(str(d), n_keys=400, n_events=6000, seed=11,
+                            n_segments=6, evolve_after_lsn=4000,
+                            hot_key_frac=0.5)
+        return str(d)
+
+    def test_skewed_replay_matches_oracle(self, ray_session, skew_events,
+                                          tmp_path):
+        from qwery_ray.cdc.oracle import naive_replay, sha256_of_state
+
+        state = naive_replay(skew_events)
+        eng = make_engine(tmp_path, num_partitions=8)
+        eng.replay(skew_events, chunk_lsns=1500)
+        assert lake_sha(eng) == sha256_of_state(state)
+
+    def test_hot_key_really_is_hot(self, skew_events):
+        import pyarrow.parquet as _pq
+
+        n_hot = total = 0
+        for f in sorted(os.listdir(skew_events)):
+            t = _pq.read_table(os.path.join(skew_events, f),
+                               columns=["path"])
+            paths = t.column("path").to_pylist()
+            n_hot += sum(p == paths[0] or p.endswith("file_0.py") or
+                         p.split("/")[-1].startswith("file_0.")
+                         for p in paths)
+            total += len(paths)
+        assert n_hot / total > 0.4  # the stream is genuinely pathological
+
+    def test_combiner_collapses_hot_key(self, ray_session, skew_events):
+        # the scale argument itself: after PartialLww, each batch carries
+        # at most ONE row per key — shuffle volume for the hot key is
+        # O(batches), independent of its event share
+        import pyarrow.parquet as _pq
+
+        from qwery_ray.cdc.engine import PartialLww
+
+        comb = PartialLww(num_partitions=8)
+        for f in sorted(os.listdir(skew_events)):
+            batch = _pq.read_table(os.path.join(skew_events, f))
+            out = comb(batch)
+            keys = list(zip(out.column("repo").to_pylist(),
+                            out.column("path").to_pylist()))
+            assert len(keys) == len(set(keys))
+            assert len(out) <= batch.num_rows
