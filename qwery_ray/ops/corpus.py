@@ -12,7 +12,7 @@ hash:
 - :func:`unit_dedup` — keep the globally FIRST occurrence (min (doc_id,
   ord)) of every distinct unit and rebuild each document from its kept
   units.  Scale shape mirrors ``exact_dedup`` (dedup.py): unit TEXT never
-  crosses a shuffle — one narrow (md5, packed-position) pair stream moves
+  crosses a shuffle — one narrow (hash, packed-position) pair stream moves
   to ~4×cores hash buckets, losers come back as a broadcast set (or one
   anti join when huge), and the rebuild is a second streaming pass over
   the source documents (a document's units are contiguous within a batch,
@@ -21,7 +21,8 @@ hash:
   the same core (newline lines; non-overlapping k-token blocks re-joined
   by a single space so the unit string is reproducible in ANSI SQL).
 - :func:`dup_span_stats` — per document, how many token positions are
-  covered by a w-gram whose md5 occurs more than once in the corpus.
+  covered by a w-gram whose two-lane hash occurs more than once in the
+  corpus.
   Three narrow integer streams (gram hash pairs → duplicated starts →
   per-doc interval-union coverage); gram text never shuffles.
 
@@ -32,7 +33,6 @@ implemented Ray-Data-first.
 
 from __future__ import annotations
 
-import hashlib
 import re
 
 import numpy as np
@@ -50,19 +50,31 @@ LOSER_BROADCAST_LIMIT = 5_000_000
 TOKEN_RE = r"[A-Za-z]+|\d+|[^\w\s]"
 
 
-def _md5_hex(units: list) -> list:
-    """Hex md5 per unit string. 128-bit: no collision handling needed even
-    at 10^10 units (p ≈ 10^-19); per-item hashlib is the same unavoidable
-    narrow-column loop as ContentHash (dedup.py:36)."""
-    return [hashlib.md5(u.encode("utf-8", "surrogatepass")).hexdigest()
-            for u in units]
+# two independently-seeded 64-bit xxhash lanes form the unit/gram key —
+# effectively a 128-bit hash, so expected collisions at 10^10 units are
+# ~n²/2^129 ≈ 10^-19 (same safety class as the previous md5, but computed
+# by ONE vectorized polars call per batch instead of a per-string Python
+# hashlib loop; polars .hash is value-stable across workers, unlike
+# pd.util.hash_array).
+_SEED_A = 0x9E3779B97F4A7C15
+_SEED_B = 0xC2B2AE3D27D4EB4F
+
+
+def _unit_hashes(units: list) -> tuple[np.ndarray, np.ndarray]:
+    """(h_a, h_b) int64 arrays — two-lane vectorized hash per unit string."""
+    import polars as pl
+
+    s = pl.Series("u", units, dtype=pl.Utf8)
+    ha = s.hash(seed=_SEED_A).to_numpy().view(np.int64)
+    hb = s.hash(seed=_SEED_B).to_numpy().view(np.int64)
+    return ha, hb
 
 
 class SplitUnits:
     """Explode documents into separator-delimited units (lines by default).
 
-    Emits (doc_id, ord, unit, uh, dedupable) with one document's rows
-    contiguous — downstream per-doc rollups stay batch-local.  Units
+    Emits (doc_id, ord, unit, uh_a, uh_b, dedupable) with one document's
+    rows contiguous — downstream per-doc rollups stay batch-local.  Units
     shorter than ``min_chars`` are marked non-dedupable (always kept):
     C4-style line dedup does not collapse blank/trivial lines globally.
     """
@@ -94,11 +106,13 @@ class SplitUnits:
         ords = np.arange(int(counts.sum())) - np.repeat(cum, counts)
         lens = np.fromiter((len(u) for u in units), dtype=np.int64,
                            count=len(units))
+        uh_a, uh_b = _unit_hashes(units)
         return pa.table({
             self.id_col: pa.array(out_ids, pa.int64()),
             "ord": pa.array(ords, pa.int64()),
             "unit": pa.array(units, pa.string()),
-            "uh": pa.array(_md5_hex(units), pa.string()),
+            "uh_a": pa.array(uh_a, pa.int64()),
+            "uh_b": pa.array(uh_b, pa.int64()),
             "dedupable": pa.array(lens >= self.min_chars),
         })
 
@@ -147,24 +161,25 @@ def unit_dedup(ds: rd.Dataset, explode, *, id_col: str = "doc_id",
     units = ds.map_batches(explode, batch_format="pyarrow")
     pairs = units.map_batches(
         lambda t: t.filter(t.column("dedupable")).select(
-            ["uh", id_col, "ord"]),
+            ["uh_a", "uh_b", id_col, "ord"]),
         batch_format="pyarrow")
 
     def losers_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
         pos = _packed(df, id_col)
-        m = df.assign(pos=pos).groupby("uh")["pos"].transform("min")
+        m = df.assign(pos=pos).groupby(["uh_a", "uh_b"])["pos"] \
+            .transform("min")
         return pd.DataFrame({"pos": pos[pos != m.to_numpy()]})
 
     # adaptive: tiny corpora resolve losers in one task (no shuffle
-    # barrier); large ones bucket-shuffle the narrow (md5, pos) stream so
-    # every md5 resolves wholly inside one coarse group
+    # barrier); large ones bucket-shuffle the narrow (hash, pos) stream so
+    # every hash key resolves wholly inside one coarse group
     small = approx_docs is not None and approx_docs <= 100_000
     if small:
         losers = pairs.repartition(1).map_batches(
             losers_in_bucket, batch_format="pandas", batch_size=None)
     else:
         losers = pairs.map_batches(
-            AddBucketCol(["uh"], max(32, ncpu * 4), "__db"),
+            AddBucketCol(["uh_a"], max(32, ncpu * 4), "__db"),
             batch_format="pyarrow") \
             .groupby("__db").map_groups(losers_in_bucket,
                                         batch_format="pandas")
@@ -274,12 +289,22 @@ def token_block_dedup(ds: rd.Dataset, *, block_tokens: int = 16,
 
 
 # ------------------------------------------------------------- dup spans
+# odd multipliers for the two rolling-polynomial lanes (invertible mod
+# 2^64, so a window's hash is a bijective fold of its token hashes)
+_POLY_A = np.uint64(0x100000001B3)          # FNV-1a prime
+_POLY_B = np.uint64(0x9E3779B97F4A7C15)     # golden-ratio odd constant
+
+
 class GramHashes:
     """Per batch: explode every w-gram of every document into narrow
-    (gh, doc_id, start, ntok) rows — gh = md5 hex of the space-joined
-    gram, start = 0-based first-token index.  Documents shorter than w
-    emit no gram rows (they appear in the final output via the second
-    streaming tokenize pass)."""
+    (gh_a, gh_b, doc_id, start, ntok) rows — the gram key is a two-lane
+    64-bit rolling polynomial over per-token xxhashes (equal token
+    sequences ⇒ equal keys; 128-bit effective width, see _unit_hashes
+    collision note).  Fully vectorized: ONE polars hash call over the
+    batch's concatenated token stream + w shifted multiply-adds in numpy —
+    no per-gram string construction, no per-gram hashlib call.  Documents
+    shorter than w emit no gram rows (they appear in the final output via
+    the second streaming tokenize pass)."""
 
     def __init__(self, w: int, text_col: str = "text",
                  id_col: str = "doc_id"):
@@ -291,23 +316,50 @@ class GramHashes:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        w = self.w
         ids = pc.cast(batch.column(self.id_col), pa.int64()) \
             .to_numpy(zero_copy_only=False)
         texts = batch.column(self.text_col).to_pylist()
-        o_id, o_start, o_gram, o_ntok = [], [], [], []
-        for doc_id, t in zip(ids, texts):
-            toks = self.rx.findall(t or "")
-            n = len(toks)
-            for i in range(n - self.w + 1):
-                o_id.append(doc_id)
-                o_start.append(i)
-                o_gram.append(" ".join(toks[i:i + self.w]))
-                o_ntok.append(n)
+        tok_lists = [self.rx.findall(t or "") for t in texts]
+        counts = np.fromiter((len(l) for l in tok_lists), dtype=np.int64,
+                             count=len(tok_lists))
+        all_toks = [tok for toks in tok_lists for tok in toks]
+        n = len(all_toks)
+        empty = pa.table({
+            "gh_a": pa.array([], pa.int64()),
+            "gh_b": pa.array([], pa.int64()),
+            self.id_col: pa.array([], pa.int64()),
+            "start": pa.array([], pa.int64()),
+            "ntok": pa.array([], pa.int64()),
+        })
+        if n < w:
+            return empty
+        ha, hb = _unit_hashes(all_toks)
+        ha = ha.view(np.uint64)
+        hb = hb.view(np.uint64)
+        # rolling polynomial over every length-w window of the
+        # concatenated stream (w vectorized passes), computed once for the
+        # whole batch; windows that straddle a document boundary are
+        # masked out below
+        with np.errstate(over="ignore"):
+            acc_a = ha[:n - w + 1].copy()
+            acc_b = hb[:n - w + 1].copy()
+            for j in range(1, w):
+                acc_a = acc_a * _POLY_A + ha[j:n - w + 1 + j]
+                acc_b = acc_b * _POLY_B + hb[j:n - w + 1 + j]
+        doc_of = np.repeat(np.arange(len(counts)), counts)
+        valid = doc_of[:n - w + 1] == doc_of[w - 1:]
+        if not valid.any():
+            return empty
+        gpos = np.flatnonzero(valid)
+        doc_idx = doc_of[gpos]
+        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
         return pa.table({
-            "gh": pa.array(_md5_hex(o_gram), pa.string()),
-            self.id_col: pa.array(o_id, pa.int64()),
-            "start": pa.array(o_start, pa.int64()),
-            "ntok": pa.array(o_ntok, pa.int64()),
+            "gh_a": pa.array(acc_a[gpos].view(np.int64), pa.int64()),
+            "gh_b": pa.array(acc_b[gpos].view(np.int64), pa.int64()),
+            self.id_col: pa.array(ids[doc_idx], pa.int64()),
+            "start": pa.array(gpos - offsets[doc_idx], pa.int64()),
+            "ntok": pa.array(counts[doc_idx], pa.int64()),
         })
 
 
@@ -317,7 +369,7 @@ def dup_span_stats(ds: rd.Dataset, *, w: int = 8, text_col: str = "text",
     """Per-document duplicated-span statistics (Lee et al. 2021 signal).
 
     Output: (doc_id, ntok, dup_tokens) — dup_tokens = |union of [i, i+w)
-    over starts i whose w-gram md5 occurs >1 time corpus-wide| (same-doc
+    over starts i whose w-gram hash occurs >1 time corpus-wide| (same-doc
     repeats count).  All-integer output → exact cross-engine checks.
     """
     import ray
@@ -331,7 +383,7 @@ def dup_span_stats(ds: rd.Dataset, *, w: int = 8, text_col: str = "text",
                            batch_format="pyarrow")
 
     def dup_starts(df: pd.DataFrame) -> pd.DataFrame:
-        c = df.groupby("gh")["gh"].transform("size")
+        c = df.groupby(["gh_a", "gh_b"])["gh_a"].transform("size")
         return df.loc[c.to_numpy() > 1, [id_col, "start"]]
 
     def coverage(df: pd.DataFrame) -> pd.DataFrame:
@@ -355,7 +407,7 @@ def dup_span_stats(ds: rd.Dataset, *, w: int = 8, text_col: str = "text",
     small = approx_docs is not None and approx_docs <= 100_000
     if small:
         pairs = grams.map_batches(
-            lambda t: t.select(["gh", id_col, "start"]),
+            lambda t: t.select(["gh_a", "gh_b", id_col, "start"]),
             batch_format="pyarrow")
         dups = pairs.repartition(1).map_batches(
             dup_starts, batch_format="pandas", batch_size=None)
@@ -364,9 +416,9 @@ def dup_span_stats(ds: rd.Dataset, *, w: int = 8, text_col: str = "text",
     else:
         nb = max(32, ncpu * 4)
         dups = grams.map_batches(
-            lambda t: t.select(["gh", id_col, "start"]),
+            lambda t: t.select(["gh_a", "gh_b", id_col, "start"]),
             batch_format="pyarrow") \
-            .map_batches(AddBucketCol(["gh"], nb, "__db"),
+            .map_batches(AddBucketCol(["gh_a"], nb, "__db"),
                          batch_format="pyarrow") \
             .groupby("__db").map_groups(dup_starts, batch_format="pandas")
         cov = dups.map_batches(AddBucketCol([id_col], nb, "__cb"),
