@@ -42,7 +42,7 @@ def _sf_tag() -> str:
     return os.path.basename(os.path.normpath(SF_DIR)) or "sf"
 
 
-def ensure_events() -> tuple[str, int]:
+def ensure_events(hot_key_frac: float = 0.0) -> tuple[str, int]:
     """Synthesize (once, cached) the deterministic CDC event stream."""
     from qwery_ray.cdc.synth import synth_change_events
 
@@ -52,13 +52,14 @@ def ensure_events() -> tuple[str, int]:
     else:
         n_events = _EVENTS_BY_SF.get(tag, 100_000)
     n_keys = max(1000, n_events // 5)
-    out = os.path.join(BENCH_TMP, tag, f"events_{n_events}")
+    suffix = f"_hot{int(hot_key_frac * 100)}" if hot_key_frac else ""
+    out = os.path.join(BENCH_TMP, tag, f"events_{n_events}{suffix}")
     marker = os.path.join(out, "_complete")
     if not os.path.exists(marker):
         shutil.rmtree(out, ignore_errors=True)
         synth_change_events(out, n_keys=n_keys, n_events=n_events, seed=42,
                             n_segments=64, evolve_after_lsn=n_events * 3 // 4,
-                            mean_content_len=600)
+                            mean_content_len=600, hot_key_frac=hot_key_frac)
         open(marker, "w").write("ok")
     return out, n_events
 
@@ -304,9 +305,46 @@ def _hardware_ceiling(lo: int, hi: int) -> float:
     return (rates[hi] / rates[lo]) / (hi / lo)
 
 
+def run_skew() -> dict:
+    """North-rule hot-key evidence: replay the SAME-size stream twice —
+    uniform keys vs 50% of ALL events on one (repo, path) — and report the
+    throughput penalty.  The per-batch LWW combiner (PartialLww) collapses
+    every key to ≤1 row per map batch before the shuffle, so the hot key
+    ships O(batches) rows regardless of its event share; the penalty should
+    be ~1.0 with NO salting (tests/test_cdc_replay.py::TestHotKeySkew pins
+    final-state correctness vs the naive oracle)."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    out: dict = {"metric": "cdc_replay_hot_key_skew", "sf": _sf_tag(),
+                 "num_cpus": NUM_CPUS}
+    for label, frac in (("uniform", 0.0), ("hot50", 0.5)):
+        events_dir, n_events = ensure_events(hot_key_frac=frac)
+        _warm(events_dir)
+        runs = [run_headline(events_dir, n_events) for _ in range(2)]
+        out[f"sec_{label}"] = round(min(runs), 3)
+        out[f"events_per_sec_{label}"] = round(n_events / min(runs), 1)
+    out["events"] = n_events
+    out["skew_penalty"] = round(out["sec_hot50"] / out["sec_uniform"], 3)
+    try:
+        out["loadavg_1m"] = round(os.getloadavg()[0], 1)
+    except OSError:
+        pass
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--skew" in sys.argv:
+        print(json.dumps(run_skew()))
     else:
         print(json.dumps(main()))
