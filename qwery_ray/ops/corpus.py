@@ -127,7 +127,7 @@ class TokenBlockUnits(SplitUnits):
                  id_col: str = "doc_id"):
         super().__init__(text_col=text_col, id_col=id_col, min_chars=1)
         self.block_tokens = block_tokens
-        self.rx = re.compile(TOKEN_RE)
+        self.rx = re.compile(TOKEN_RE, re.ASCII)
 
     def _units_of(self, text: str) -> list:
         toks = self.rx.findall(text or "")
@@ -311,7 +311,7 @@ class GramHashes:
         self.w = w
         self.text_col = text_col
         self.id_col = id_col
-        self.rx = re.compile(TOKEN_RE)
+        self.rx = re.compile(TOKEN_RE, re.ASCII)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -453,7 +453,7 @@ def dup_span_stats(ds: rd.Dataset, *, w: int = 8, text_col: str = "text",
                       "dup_tokens": pd.Series(dtype="int64")})
     cov_ref = ray.put(cov_df.set_index(id_col)["dup_tokens"])
 
-    def finish(t: pa.Table, _rx=re.compile(TOKEN_RE)) -> pa.Table:
+    def finish(t: pa.Table, _rx=re.compile(TOKEN_RE, re.ASCII)) -> pa.Table:
         import pyarrow.compute as pc
 
         lut = ray.get(cov_ref)
@@ -473,7 +473,7 @@ def dup_span_stats(ds: rd.Dataset, *, w: int = 8, text_col: str = "text",
 
 class _NtokOnly:
     def __init__(self, w, text_col, id_col):
-        self.rx = re.compile(TOKEN_RE)
+        self.rx = re.compile(TOKEN_RE, re.ASCII)
         self.text_col = text_col
         self.id_col = id_col
 

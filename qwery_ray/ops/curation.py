@@ -651,7 +651,7 @@ class ChunkText:
         self.overlap = overlap
         self.text_col = text_col
         self.id_col = id_col
-        self.rx = re.compile(self.TOKEN_RE)
+        self.rx = re.compile(self.TOKEN_RE, re.ASCII)
 
     def __call__(self, batch: "pa.Table") -> "pa.Table":
         import pyarrow as pa

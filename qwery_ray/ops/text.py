@@ -37,9 +37,9 @@ class TextStats:
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
         # BPE-ish pre-tokenizer: word pieces OR single non-space symbols
-        self.token_re = re.compile(r"[A-Za-z]+|\d+|[^\w\s]")
+        self.token_re = re.compile(r"[A-Za-z]+|\d+|[^\w\s]", re.ASCII)
         self.word_re = re.compile(r"[A-Za-z]+")
-        self.punct_re = re.compile(r"[^\w\s]")
+        self.punct_re = re.compile(r"[^\w\s]", re.ASCII)
         self.stop_en = _LANG_STOPWORDS["en"]
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:

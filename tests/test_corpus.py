@@ -135,3 +135,53 @@ class TestDupSpanStats:
             .sort("doc_id").to_pandas().reset_index(drop=True) \
             .astype("int64")
         pd.testing.assert_frame_equal(got, oracle)
+
+
+class TestGramEdgeCases:
+    """Edge shapes for the vectorized rolling-hash gram path: empty docs,
+    docs shorter than w (no gram rows, but a final-output row with
+    dup_tokens=0), exactly-w docs, unicode tokens, and windows that would
+    straddle a document boundary in the concatenated token stream (they
+    must be masked out, never hashed across docs)."""
+
+    @pytest.fixture()
+    def edge_corpus(self, tmp_path_factory):
+        docs = [
+            (0, ""),                                   # empty
+            (1, "one two three"),                      # < w tokens
+            (2, "a b c d e f g h"),                    # exactly w = 8
+            (3, "a b c d e f g h"),                    # exact duplicate of 2
+            # same tokens split across two docs: doc 4 ends with the prefix
+            # doc 5 starts with — a cross-boundary window would fabricate
+            # a duplicate of doc 2/3's gram
+            (4, "x y z a b c d"),
+            (5, "e f g h p q r s"),
+            (6, "héllo wörld … héllo wörld … héllo wörld … héllo wörld"),
+        ]
+        p = tmp_path_factory.mktemp("gramedge") / "d.parquet"
+        pq.write_table(pa.table({
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": [t for _, t in docs]}), str(p))
+        return str(p)
+
+    def test_vs_duckdb(self, ray_session, edge_corpus, duck):
+        import ray.data as rd
+
+        got = dup_span_stats(rd.read_parquet(edge_corpus), w=8,
+                             approx_docs=7) \
+            .sort("doc_id").to_pandas().reset_index(drop=True) \
+            .astype("int64")
+        duck.execute(
+            f"CREATE OR REPLACE VIEW documents AS "
+            f"SELECT * FROM read_parquet('{edge_corpus}')")
+        want = duck.execute(dup_span_oracle_sql(w=8)).df().astype("int64")
+        pd.testing.assert_frame_equal(got, want)
+        # the exact-duplicate pair is fully covered; the boundary-straddle
+        # docs are NOT (a cross-doc window must never count)
+        by_id = got.set_index("doc_id")
+        assert by_id.loc[2, "dup_tokens"] == 8
+        assert by_id.loc[3, "dup_tokens"] == 8
+        assert by_id.loc[4, "dup_tokens"] == 0
+        assert by_id.loc[5, "dup_tokens"] == 0
+        assert by_id.loc[0, "dup_tokens"] == 0 and by_id.loc[0, "ntok"] == 0
+        assert by_id.loc[1, "dup_tokens"] == 0
