@@ -850,21 +850,21 @@ _DRIVER_WINDOW_PRIORITY = [
     "tpch_q19_shape", "tpch_q21_shape", "tpch_q22_shape", "tpch_q11_shape",
     "tpch_q7_shape", "tpch_q8_shape", "tpch_q10_shape", "tpch_q15_shape",
     "corr_max_per_nation",
-    # representative r2-green entries, one per operator family (the first
-    # 12 land inside the 50-row window after the round-3 ops above; the
-    # rest — all r2-green — remain in queries()/gate_sim past the window)
-    "q1_pricing_summary", "filter_project", "case_cast",
-    "sort_limit_offset", "union_all_names", "distinct_status",
-    "global_aggregates", "group_having", "count_distinct_cust",
+    # round-3 SQL surfaces that were previously past the window (never
+    # driver-verified): PIVOT/UNPIVOT, SEMI/ANTI JOIN, ANSI window EXCLUDE,
+    # list functions, UNNEST rollups
+    "pivot_events", "unpivot_events", "semi_anti_join", "window_exclude",
+    "list_membership_counts", "list_string_ops", "unnest_embedding_stats",
+    # representative r1+r2-green entries (driver-verified twice already;
+    # everything below position 50 — all r1/r2-green — remains in
+    # queries()/gate_sim past the window)
+    "q1_pricing_summary", "global_aggregates", "filter_project",
+    "case_cast", "sort_limit_offset", "union_all_names", "distinct_status",
+    "group_having", "count_distinct_cust",
     "join_filter_agg", "join_three_way", "left_join_counts",
     "full_join_keys", "scalar_subquery_filter",
     "semi_join_in_subquery", "exists_semijoin", "not_exists_antijoin",
     "corr_above_cust_avg", "quantified_all_any", "events_hourly_window",
-    # (string_funcs, right_join_parts, window_time_range, stddev_agg,
-    # rollup_pricing, window_latest_per_customer, window_range_frame,
-    # quantile_pricing rotated past the window to make room for the
-    # round-3 ops; all were green in CORRECTNESS_r02 and stay in
-    # queries()/gate_sim)
 ]
 
 
