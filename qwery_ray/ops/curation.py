@@ -582,7 +582,8 @@ class LMScore:
 def char_lm_score(ds: rd.Dataset, *, train_mod: int = 50,
                   alpha: float = 0.5, text_col: str = "text",
                   id_col: str = "doc_id",
-                  concurrency: int = 4) -> rd.Dataset:
+                  concurrency: int = 4,
+                  approx_docs: int | None = None) -> rd.Dataset:
     """CCNet-style LM quality scoring (Wenzek et al. 2020,
     arXiv:1911.00359: language-model perplexity ranks web documents for
     filtering): train a Laplace-smoothed byte-bigram model on the
@@ -600,7 +601,11 @@ def char_lm_score(ds: rd.Dataset, *, train_mod: int = 50,
 
     counts_ds = ds.map_batches(bigram_counts, batch_format="pyarrow")
     mat = np.zeros((256, 256), dtype=np.float64)
-    if ds.count() <= 5_000_000:
+    # approx_docs (parquet footer row count from the caller) avoids an
+    # extra full execution: ds.count() on a repartitioned/mapped dataset
+    # is NOT metadata-only (memory: approx_docs pattern)
+    n_docs = approx_docs if approx_docs is not None else ds.count()
+    if n_docs <= 5_000_000:
         # adaptive small path: stream the ≤65,536-row sparse partials to
         # the driver and fold into the fixed 512 KB matrix — skips the
         # groupby sort barrier entirely. At corpus scale the bounded-key
