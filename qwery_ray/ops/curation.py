@@ -582,7 +582,7 @@ class LMScore:
 def char_lm_score(ds: rd.Dataset, *, train_mod: int = 50,
                   alpha: float = 0.5, text_col: str = "text",
                   id_col: str = "doc_id",
-                  concurrency: int = 4,
+                  concurrency: int | None = None,
                   approx_docs: int | None = None) -> rd.Dataset:
     """CCNet-style LM quality scoring (Wenzek et al. 2020,
     arXiv:1911.00359: language-model perplexity ranks web documents for
@@ -592,8 +592,9 @@ def char_lm_score(ds: rd.Dataset, *, train_mod: int = 50,
 
     Two passes over the corpus, zero corpus shuffles: pass 1 reduces to a
     ≤65,536-row count table (bounded-cardinality groupby — constant-size
-    at any corpus scale); pass 2 is an actor-pool map_batches against the
-    ray.put model. The count materialization is bounded at 512 KB."""
+    at any corpus scale); pass 2 is a task-pool map_batches against the
+    ray.put model (pass concurrency=N for a fixed actor pool). The count
+    materialization is bounded at 512 KB."""
     bc = BigramCounts(train_mod, text_col, id_col)
 
     def bigram_counts(b, _c=bc):
@@ -627,6 +628,15 @@ def char_lm_score(ds: rd.Dataset, *, train_mod: int = 50,
     row = mat.sum(axis=1, keepdims=True)
     logp = np.log2((mat + alpha) / (row + alpha * 256.0)).ravel()
     ref = ray.put(logp)
+    if concurrency is None:
+        # task pool (default): the model is 512 KB, so per-task ray.get is
+        # a zero-copy local object-store fetch — autoscaling tasks beat a
+        # fixed-width actor pool for this state weight (task-pool-vs-actor
+        # policy: state weight decides)
+        def score(batch, _ref=ref, _tc=text_col, _ic=id_col):
+            return LMScore(_ref, _tc, _ic)(batch)
+
+        return ds.map_batches(score, batch_format="pyarrow")
     return ds.map_batches(LMScore(ref, text_col, id_col),
                           batch_format="pyarrow", concurrency=concurrency)
 

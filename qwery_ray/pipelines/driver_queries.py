@@ -576,8 +576,7 @@ def lm_quality_score(sf_dir: str):
     n_docs = _pq.read_metadata(
         os.path.join(sf_dir, "documents.parquet")).num_rows
     ds = read_docs_parallel(sf_dir, columns=("doc_id", "text"))
-    scored = char_lm_score(ds, train_mod=50, concurrency=4,
-                           approx_docs=n_docs)
+    scored = char_lm_score(ds, train_mod=50, approx_docs=n_docs)
 
     def snap(b: pa.Table) -> pa.Table:
         s = pc.divide(pc.round(pc.multiply(b.column("lm_bits"), 1e6)), 1e6)
