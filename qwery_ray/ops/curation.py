@@ -176,6 +176,13 @@ def benchmark_ngrams(bench_texts: pd.Series, n: int) -> frozenset:
         bench_texts.reset_index(drop=True), n))
 
 
+# per-worker-process broadcast cache: map_batches TASKS reuse warm worker
+# processes, so the eval-set frozenset (a pickled Python object — ray.get
+# re-deserializes it on every call, unlike zero-copy numpy) is decoded once
+# per worker, not once per block. Bounded at one eval set per worker.
+_GRAM_CACHE: dict = {}
+
+
 def decontaminate(ds: rd.Dataset, bench_texts: pd.Series, *, n: int = 13,
                   text_col: str = "text", id_col: str = "doc_id",
                   keep_clean_rows: bool = False) -> rd.Dataset:
@@ -184,16 +191,25 @@ def decontaminate(ds: rd.Dataset, bench_texts: pd.Series, *, n: int = 13,
     ``keep_clean_rows`` returns only the rows of clean documents (count 0),
     i.e. the id set of the decontaminated corpus.
 
-    100 TB shape: the corpus streams through one actor-pool map_batches; the
-    benchmark gram set is broadcast once (eval sets are small by nature).
+    100 TB shape: the corpus streams through a task-pool map_batches (the
+    broadcast gram set is lightweight state — task-pool-vs-actor policy:
+    state weight decides; a fixed actor pool paid ~2 s of process spawn +
+    imports per call and capped parallelism at its width); the benchmark
+    gram set is ``ray.put`` once and cached per worker process (eval sets
+    are small by nature).
     """
     bench_ref = ray.put(benchmark_ngrams(bench_texts, n))
-    counts = ds.map_batches(
-        ContaminationCount, batch_format="pandas",
-        fn_constructor_args=(bench_ref,),
-        fn_constructor_kwargs={"n": n, "text_col": text_col,
-                               "id_col": id_col},
-        concurrency=(1, 8))
+
+    def count_batch(batch, _ref=bench_ref, _n=n, _tc=text_col, _ic=id_col):
+        key = _ref.hex()
+        bench = _GRAM_CACHE.get(key)
+        if bench is None:
+            _GRAM_CACHE.clear()
+            bench = _GRAM_CACHE[key] = ray.get(_ref)
+        return ContaminationCount(bench, n=_n, text_col=_tc,
+                                  id_col=_ic)(batch)
+
+    counts = ds.map_batches(count_batch, batch_format="pandas")
     if not keep_clean_rows:
         return counts
     import pyarrow.compute as pc
