@@ -150,7 +150,15 @@ def run_queries() -> dict[str, float]:
                      ("lm_quality_score", dq.lm_quality_score),
                      ("chunk_documents", dq.chunk_documents),
                      ("block_dedup", dq.block_dedup_docs),
-                     ("dup_spans", dq.dup_span_docs)):
+                     ("dup_spans", dq.dup_span_docs),
+                     ("repetition_quality", dq.repetition_quality),
+                     ("decontaminate", dq.decontaminate_docs),
+                     ("gopher_filter", dq.gopher_filter),
+                     ("stratified_sample", dq.stratified_docs),
+                     ("bm25_scores", dq.bm25_keyword_scores),
+                     ("embedding_kmeans", dq.embedding_kmeans),
+                     ("semantic_dedup", dq.semantic_dedup_docs),
+                     ("near_dup_components", dq.near_dup_components)):
         t0 = time.perf_counter()
         _consume(fn(SF_DIR))
         times[name] = round(time.perf_counter() - t0, 3)
