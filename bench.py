@@ -158,7 +158,9 @@ def run_queries() -> dict[str, float]:
                      ("bm25_scores", dq.bm25_keyword_scores),
                      ("embedding_kmeans", dq.embedding_kmeans),
                      ("semantic_dedup", dq.semantic_dedup_docs),
-                     ("near_dup_components", dq.near_dup_components)):
+                     ("near_dup_components", dq.near_dup_components),
+                     ("dsir_weights", dq.dsir_weights_docs),
+                     ("bpe_tokens", dq.bpe_tokens)):
         t0 = time.perf_counter()
         _consume(fn(SF_DIR))
         times[name] = round(time.perf_counter() - t0, 3)

@@ -756,3 +756,213 @@ SELECT doc_id,
        END) AS BIGINT) AS sum_tokens
 FROM t ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# DSIR — data selection with importance resampling (Xie et al. 2023,
+# arXiv:2302.03169): hashed n-gram bag models for a target distribution p
+# and the raw corpus q; per-document importance log-weight
+# Σ_grams (log p_bucket − log q_bucket); resample by weight.
+# --------------------------------------------------------------------------
+
+# per-worker gram→bucket memo (md5 runs once per DISTINCT gram per worker;
+# Zipf makes that a small fraction of total gram occurrences). Keyed by the
+# bucket count so differently-sized models don't collide.
+_DSIR_BUCKET_CACHE: dict = {}
+
+
+def _gram_buckets(grams: pd.Series, n_buckets: int) -> np.ndarray:
+    """md5-hash every gram into [0, n_buckets) — DuckDB
+    ``md5_number_lower(g) % n_buckets`` exactly. Hashes distinct grams only
+    (factorize) through a bounded per-worker memo."""
+    codes, uniq = pd.factorize(grams.to_numpy(dtype=object))
+    memo = _DSIR_BUCKET_CACHE.setdefault(n_buckets, {})
+    ub = np.empty(len(uniq), dtype=np.int64)
+    for i, g in enumerate(uniq):
+        b = memo.get(g)
+        if b is None:
+            if len(memo) > 4_000_000:
+                memo.clear()
+            b = memo[g] = int(
+                int.from_bytes(hashlib.md5(g.encode()).digest()[8:],
+                               "little") % n_buckets)
+        ub[i] = b
+    return ub[codes] if len(codes) else np.empty(0, dtype=np.int64)
+
+
+def _doc_grams(text: pd.Series) -> pd.Series:
+    """Unigrams + word bigrams per row (DSIR's hashed feature set), as one
+    exploded Series indexed by row position. Single-space tokenization —
+    identical to DuckDB string_split."""
+    uni = text.fillna("").str.split(" ").explode()
+    nxt = uni.groupby(level=0).shift(-1)
+    bi = (uni + " " + nxt).dropna()
+    return pd.concat([uni, bi])
+
+
+class _DsirBucketCounts:
+    """Pass 1: per-batch hashed-gram counts for the target subset
+    (doc_id % target_mod == 0) and the full raw corpus. Emits ≤ n_buckets
+    narrow rows per batch — bounded-cardinality at any corpus size."""
+
+    def __init__(self, n_buckets: int, target_mod: int,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        self.n_buckets = n_buckets
+        self.target_mod = target_mod
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)
+        grams = _doc_grams(batch[self.text_col])
+        bkt = _gram_buckets(grams, self.n_buckets)
+        ids = batch[self.id_col].to_numpy(dtype=np.int64)
+        is_tgt = (ids[grams.index.to_numpy()] % self.target_mod == 0)
+        r = np.bincount(bkt, minlength=self.n_buckets)
+        t = np.bincount(bkt[is_tgt], minlength=self.n_buckets)
+        nz = np.flatnonzero(r)
+        return pd.DataFrame({
+            "bucket": nz.astype(np.int64),
+            "t_cnt": t[nz].astype(np.int64),
+            "r_cnt": r[nz].astype(np.int64),
+        })
+
+
+class _DsirScore:
+    """Pass 2: per-document importance log-weight against the broadcast
+    log-ratio vector (ray.put once; 8·n_buckets bytes)."""
+
+    def __init__(self, lr_ref, n_buckets: int, text_col: str = "text",
+                 id_col: str = "doc_id"):
+        self.lr_ref = lr_ref
+        self.n_buckets = n_buckets
+        self.text_col = text_col
+        self.id_col = id_col
+        self._lr = None
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if self._lr is None:
+            self._lr = ray.get(self.lr_ref) if isinstance(
+                self.lr_ref, ray.ObjectRef) else self.lr_ref
+        batch = batch.reset_index(drop=True)
+        grams = _doc_grams(batch[self.text_col])
+        bkt = _gram_buckets(grams, self.n_buckets)
+        rows = grams.index.to_numpy()
+        n = len(batch)
+        lw = np.bincount(rows, weights=self._lr[bkt], minlength=n)
+        ng = np.bincount(rows, minlength=n).astype(np.int64)
+        return pd.DataFrame({
+            self.id_col: batch[self.id_col],
+            "n_grams": ng,
+            "log_weight": lw.astype(np.float64),
+        })
+
+
+def dsir_weights(ds: rd.Dataset, *, target_mod: int = 10,
+                 n_buckets: int = 4096, alpha: float = 1.0,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 approx_docs: int | None = None) -> rd.Dataset:
+    """DSIR importance log-weights for every document.
+
+    Target distribution = the deterministic in-corpus subset
+    ``doc_id % target_mod == 0`` (stand-in for the high-quality target
+    corpus; production passes a real one). Raw distribution = the whole
+    corpus. Both hashed-gram models are Laplace-smoothed with ``alpha``.
+
+    100 TB shape: two streaming passes, zero corpus shuffles. Pass 1
+    reduces to ≤ n_buckets (bucket, t, r) rows per batch — folded on the
+    driver below 5M docs (the vector is KBs), else through a BOUNDED
+    n_buckets-key groupby. Pass 2 scores against the ray.put log-ratio
+    vector. Mirrors ops/curation.py char_lm_score's two-pass plan.
+    """
+    B = int(n_buckets)
+    bc = _DsirBucketCounts(B, target_mod, text_col, id_col)
+
+    def bucket_counts(b, _c=bc):
+        return _c(b)
+
+    counts_ds = ds.map_batches(bucket_counts, batch_format="pandas")
+    t = np.zeros(B, dtype=np.float64)
+    r = np.zeros(B, dtype=np.float64)
+    n_docs = approx_docs if approx_docs is not None else ds.count()
+    if n_docs <= 5_000_000:
+        for tb in counts_ds.iter_batches(batch_size=None,
+                                         batch_format="pandas"):
+            np.add.at(t, tb["bucket"].to_numpy(), tb["t_cnt"].to_numpy())
+            np.add.at(r, tb["bucket"].to_numpy(), tb["r_cnt"].to_numpy())
+    else:
+        agg = counts_ds.groupby("bucket").sum(["t_cnt", "r_cnt"]).to_pandas()
+        if len(agg):
+            k = agg["bucket"].to_numpy(dtype=np.int64)
+            t[k] = agg["sum(t_cnt)"].to_numpy(dtype=np.float64)
+            r[k] = agg["sum(r_cnt)"].to_numpy(dtype=np.float64)
+    T, R = t.sum(), r.sum()
+    lr = (np.log((t + alpha) / (T + alpha * B))
+          - np.log((r + alpha) / (R + alpha * B)))
+    ref = ray.put(lr)
+
+    def score(b, _ref=ref, _B=B, _tc=text_col, _ic=id_col):
+        return _DsirScore(_ref, _B, _tc, _ic)(b)
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+def dsir_oracle_sql(*, target_mod: int = 10, n_buckets: int = 4096,
+                    alpha: float = 1.0, snap: int = 6) -> str:
+    """DuckDB SQL replaying the exact DSIR pipeline (same md5 bucketing,
+    same Laplace smoothing); log-weights snapped to ``snap`` decimals to
+    absorb float-summation-order drift between engines."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS g FROM documents
+),
+bis AS (
+  SELECT d.doc_id, ws[i.i] || ' ' || ws[i.i + 1] AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) d,
+       LATERAL (SELECT unnest(range(1, len(ws))) AS i) i
+),
+grams AS (SELECT * FROM toks UNION ALL SELECT * FROM bis),
+b AS (SELECT doc_id,
+             CAST(md5_number_lower(g) % {n_buckets} AS BIGINT) AS bkt
+      FROM grams),
+rcnt AS (SELECT bkt, count(*) AS c FROM b GROUP BY bkt),
+tcnt AS (SELECT bkt, count(*) AS c FROM b
+         WHERE doc_id % {target_mod} = 0 GROUP BY bkt),
+tot AS (SELECT (SELECT count(*) FROM b WHERE doc_id % {target_mod} = 0)
+               AS t_total,
+               (SELECT count(*) FROM b) AS r_total),
+lr AS (
+  SELECT r.bkt,
+         ln((COALESCE(t.c, 0) + {alpha}) /
+            (tot.t_total + {alpha} * {n_buckets}))
+       - ln((r.c + {alpha}) /
+            (tot.r_total + {alpha} * {n_buckets})) AS lr
+  FROM rcnt r LEFT JOIN tcnt t USING (bkt), tot
+)
+SELECT b.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       ROUND(SUM(lr.lr) * 1e{snap}, 0) / 1e{snap} AS log_weight
+FROM b JOIN lr USING (bkt)
+GROUP BY b.doc_id
+ORDER BY b.doc_id
+"""
+
+
+def dsir_sample(weights: rd.Dataset, k: int, *, id_col: str = "doc_id",
+                weight_col: str = "log_weight") -> rd.Dataset:
+    """Deterministic importance resampling: Gumbel top-k over the
+    log-weights with md5-derived uniforms (the standard weighted-sampling-
+    without-replacement trick) — rerun/retry/partitioning-stable, no RNG
+    state. Selects the k docs with the largest log w + Gumbel(md5(id))."""
+
+    def gumbel_key(batch: pd.DataFrame) -> pd.DataFrame:
+        u = (_md5_bucket(batch[id_col], mod=2**53).astype(np.float64)
+             + 0.5) / 2.0**53
+        g = -np.log(-np.log(u))
+        out = batch[[id_col, weight_col]].copy()
+        out["__gk"] = batch[weight_col].to_numpy() + g
+        return out
+
+    keyed = weights.map_batches(gumbel_key, batch_format="pandas")
+    return keyed.sort("__gk", descending=True).limit(k) \
+        .drop_columns(["__gk"])

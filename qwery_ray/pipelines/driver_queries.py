@@ -675,3 +675,45 @@ def dup_span_docs(sf_dir: str):
         os.path.join(sf_dir, "documents.parquet")).num_rows
     ds = read_docs_parallel(sf_dir, columns=("doc_id", "text"))
     return dup_span_stats(ds, w=8, approx_docs=n_docs).sort("doc_id")
+
+
+def dsir_weights_docs(sf_dir: str):
+    """DSIR hashed-ngram importance log-weights (Xie et al. 2023) — full
+    SQL oracle (ops/curation.py dsir_oracle_sql: same md5 bucketing +
+    Laplace smoothing in DuckDB). Weights snapped at 1e-6 on both sides
+    (float summation order differs across engines)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from ..ops.curation import dsir_weights
+
+    n_docs = _pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    ds = read_docs_parallel(sf_dir, columns=("doc_id", "text"))
+    w = dsir_weights(ds, approx_docs=n_docs)
+
+    def snap(b: pa.Table) -> pa.Table:
+        x = b.column("log_weight").to_numpy(zero_copy_only=False)
+        s = np.copysign(np.floor(np.abs(x) * 1e6 + 0.5), x) / 1e6
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "n_grams": b.column("n_grams"),
+                         "log_weight": pa.array(s, pa.float64())})
+
+    return w.map_batches(snap, batch_format="pyarrow").sort("doc_id")
+
+
+def bpe_tokens(sf_dir: str):
+    """Distributed BPE tokenizer training + encoding (Sennrich 2016) — NO
+    SQL ORACLE (the merge loop is iterative); gated by the independent
+    naive-reference + reconstruction-invariant tests in tests/test_bpe.py.
+    All outputs are integers (bit-stable at any parallelism)."""
+    import pyarrow.parquet as _pq
+
+    from ..ops.bpe import bpe_token_counts, train_bpe
+
+    n_docs = _pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    ds = read_docs_parallel(sf_dir, columns=("doc_id", "text"))
+    merges = train_bpe(ds, num_merges=200, approx_docs=n_docs)
+    return bpe_token_counts(ds, merges).sort("doc_id")

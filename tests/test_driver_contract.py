@@ -35,10 +35,12 @@ def test_every_query_has_oracle_or_reason():
     # tests/test_clustering.py, pack_sequences/lm_quality_score by the
     # naive references + invariance gates in tests/test_packing.py (and
     # pack_sequences self-checks its invariants in-query)
+    # bpe_tokens by the naive-reference + reconstruction-invariant tests
+    # in tests/test_bpe.py
     assert set(missing) <= {"doc_fingerprint", "minhash_near_dups",
                             "embedding_kmeans", "semantic_dedup",
                             "pack_sequences", "lm_quality_score",
-                            "using_sample"}
+                            "using_sample", "bpe_tokens"}
 
 
 @pytest.mark.parametrize("name", ALL_QUERIES)
