@@ -846,14 +846,16 @@ _DRIVER_WINDOW_PRIORITY = [
     "chunk_documents", "near_dup_components",
     # round-3 session-4 corpus-structure ops (full SQL oracles)
     "block_dedup_docs", "dup_span_docs", "vocab_topk",
-    # round-3 session-5 ops: DSIR importance weights (full SQL oracle) +
-    # distributed BPE tokenizer training (rows-only, naive-reference-gated)
-    "dsir_weights", "bpe_tokens",
+    # round-3 session-5 ops: DSIR importance weights (full SQL oracle),
+    # distributed BPE tokenizer training (rows-only, naive-reference-gated),
+    # event-time streaming windows (full SQL oracle via the
+    # infinite-lateness batch equivalence)
+    "dsir_weights", "bpe_tokens", "streaming_window",
     # SQL shapes added after round 2's window closed (never driver-verified;
-    # q7/q8 rotate out of the window — their join/agg shapes overlap the
-    # q3/q5 coverage per the round-2 verdict — and move to the tail)
+    # q7/q8/q10 rotate out of the window — their join/agg shapes overlap
+    # the q3/q5/q13 coverage per the round-2 verdict — and move to the tail)
     "tpch_q19_shape", "tpch_q21_shape", "tpch_q22_shape", "tpch_q11_shape",
-    "tpch_q10_shape", "tpch_q15_shape",
+    "tpch_q15_shape",
     "corr_max_per_nation",
     # round-3 SQL surfaces that were previously past the window (never
     # driver-verified): PIVOT/UNPIVOT, SEMI/ANTI JOIN, ANSI window EXCLUDE,
@@ -870,7 +872,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "full_join_keys", "scalar_subquery_filter",
     "semi_join_in_subquery", "exists_semijoin", "not_exists_antijoin",
     "corr_above_cust_avg", "quantified_all_any", "events_hourly_window",
-    "tpch_q7_shape", "tpch_q8_shape",
+    "tpch_q7_shape", "tpch_q8_shape", "tpch_q10_shape",
 ]
 
 
@@ -934,6 +936,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "block_dedup_docs": dq.block_dedup_docs,  # full SQL oracle
         "dup_span_docs": dq.dup_span_docs,        # full SQL oracle
         "dsir_weights": dq.dsir_weights_docs,     # full SQL oracle
+        "streaming_window": dq.streaming_window,  # full SQL oracle
         # bpe_tokens: NO SQL ORACLE (iterative merge loop); gated by the
         # independent naive-reference + reconstruction-invariant tests in
         # tests/test_bpe.py. Integer-only outputs — rows-only record is
@@ -1005,6 +1008,9 @@ JOIN (SELECT user_id, event_type, MAX(event_id) AS m
     from qwery_ray.ops.curation import dsir_oracle_sql
 
     out["dsir_weights"] = dsir_oracle_sql(target_mod=10, n_buckets=4096)
+    from qwery_ray.pipelines.driver_queries import streaming_window_oracle_sql
+
+    out["streaming_window"] = streaming_window_oracle_sql()
     from qwery_ray.pipelines.driver_queries import merge_apply_oracle_sql
 
     out["merge_apply"] = merge_apply_oracle_sql()

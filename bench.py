@@ -160,7 +160,8 @@ def run_queries() -> dict[str, float]:
                      ("semantic_dedup", dq.semantic_dedup_docs),
                      ("near_dup_components", dq.near_dup_components),
                      ("dsir_weights", dq.dsir_weights_docs),
-                     ("bpe_tokens", dq.bpe_tokens)):
+                     ("bpe_tokens", dq.bpe_tokens),
+                     ("streaming_window", dq.streaming_window)):
         t0 = time.perf_counter()
         _consume(fn(SF_DIR))
         times[name] = round(time.perf_counter() - t0, 3)

@@ -717,3 +717,39 @@ def bpe_tokens(sf_dir: str):
     ds = read_docs_parallel(sf_dir, columns=("doc_id", "text"))
     merges = train_bpe(ds, num_merges=200, approx_docs=n_docs)
     return bpe_token_counts(ds, merges).sort("doc_id")
+
+
+def streaming_window(sf_dir: str):
+    """Event-time streaming tumbling windows (watermark semantics,
+    ops/streaming.py) — the stream is events.parquet replayed as four
+    LSN-ordered transactions (event_id quartiles, each a predicate-pruned
+    parquet read). Infinite lateness ⇒ the emitted windows equal the batch
+    aggregate, giving a FULL SQL oracle; the watermark/late-drop semantics
+    are gated by tests/test_streaming.py."""
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    from ..ops.streaming import stream_window_agg
+
+    path = os.path.join(sf_dir, "events.parquet")
+    n = _pq.read_metadata(path).num_rows
+    cuts = [(n * i) // 4 for i in range(5)]  # event_id is 0-based
+
+    def chunk(lo, hi):
+        import pyarrow.dataset as pds
+        f = (pds.field("event_id") >= lo) & (pds.field("event_id") < hi)
+        return rd.read_parquet(path, columns=["event_id", "ts", "value"],
+                               filter=f)
+
+    chunks = (chunk(lo, hi) for lo, hi in zip(cuts, cuts[1:]))
+    return stream_window_agg(chunks, width_sec=7200, slide_sec=7200)
+
+
+def streaming_window_oracle_sql(width_sec: int = 7200) -> str:
+    return f"""
+SELECT ((epoch_us(ts) // 1000000) // {width_sec}) * {width_sec}
+         AS window_start_sec,
+       COUNT(*) AS n_events,
+       ROUND(SUM(COALESCE(value, 0)) * 100, 0) / 100 AS total_value
+FROM events GROUP BY 1 ORDER BY 1
+"""

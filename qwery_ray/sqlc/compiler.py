@@ -2198,9 +2198,33 @@ def _configure_join_aggregators():
     if ctx.join_operator_actor_num_cpus_per_partition_override:
         return  # respect an explicit user/system setting
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    nparts = max(ncpu * 2, 16)  # the compiler's standard join partitioning
+    nparts = _join_partitions(ncpu)  # the compiler's join partitioning
     ctx.join_operator_actor_num_cpus_per_partition_override = \
         max(0.03, (ncpu / 4.0) / nparts)
+
+
+def _join_partitions(num_cpus: int) -> int:
+    """Hash-shuffle join partition count: 2 per core (floor 16), CAPPED by
+    the cluster's memory resource. Ray 2.49 join aggregators each reserve
+    7 × target_max_block_size of `memory` (join.py
+    _estimate_aggregator_memory_allocation: 2× shuffle inputs + 3× in-task
+    join + 2× output); when the total reservation exceeds the cluster's
+    memory resource the aggregator pool can never be placed and the plan
+    PENDS FOREVER (observed live when stale tmpfs scratch shrank the VM's
+    available memory below 64 × 0.875 GiB). Keeping the reservation under
+    half the memory resource makes the join degrade to fewer/larger
+    partitions instead of deadlocking."""
+    nparts = max(num_cpus * 2, 16)
+    try:
+        mem = float(ray.cluster_resources().get("memory", 0.0))
+        blk = rd.DataContext.get_current().target_max_block_size \
+            or 128 * 1024 * 1024
+        cap = int((mem * 0.5) // (7 * blk))
+        if cap >= 4:
+            nparts = min(nparts, cap)
+    except Exception:
+        pass
+    return nparts
 
 
 def _has_pending_shuffle_join(ds: rd.Dataset) -> bool:
@@ -2375,7 +2399,7 @@ class Compiler:
                                       batch_format="pyarrow")
                 return _tag_columns(out, list(keys))
             out = _shuffle_join(left_enc, right_enc, join_type=join_type,
-                                num_partitions=max(num_cpus * 2, 16),
+                                num_partitions=_join_partitions(num_cpus),
                                 on=enc_keys)
             out = out.map_batches(DropColumns(list(enc_keys)),
                                   batch_format="pyarrow")
@@ -2941,7 +2965,7 @@ class Compiler:
                 right.map_batches(HarmonizeJoinKeys(dkeys),
                                   batch_format="pyarrow").materialize(),
                 join_type="left_anti" if node.negated else "left_semi",
-                num_partitions=max(num_cpus * 2, 16),
+                num_partitions=_join_partitions(num_cpus),
                 on=tuple(okeys), right_on=tuple(dkeys))
         else:
             if not okeys:
@@ -2960,7 +2984,7 @@ class Compiler:
                 right.map_batches(HarmonizeJoinKeys(dkeys),
                                   batch_format="pyarrow").materialize(),
                 join_type="inner",
-                num_partitions=max(num_cpus * 2, 16),
+                num_partitions=_join_partitions(num_cpus),
                 on=tuple(okeys), right_on=tuple(dkeys))
             matched = matched.map_batches(
                 FilterBatch(residual_cond, env), batch_format="pyarrow")
@@ -2970,7 +2994,7 @@ class Compiler:
                 tagged,
                 winners, join_type="left_anti" if node.negated
                 else "left_semi",
-                num_partitions=max(num_cpus * 2, 16),
+                num_partitions=_join_partitions(num_cpus),
                 on=(rid,), right_on=(rid,))
             out = out.map_batches(DropColumns([rid]),
                                   batch_format="pyarrow")
@@ -3036,7 +3060,7 @@ class Compiler:
                 left_ds,
                 right.map_batches(HarmonizeJoinKeys(dkeys),
                                   batch_format="pyarrow").materialize(),
-                join_type="inner", num_partitions=max(num_cpus * 2, 16),
+                join_type="inner", num_partitions=_join_partitions(num_cpus),
                 on=tuple(okeys), right_on=tuple(dkeys))
         cmp = A.Comparison(op, A.ColumnRef(sv), lhs) if flip \
             else A.Comparison(op, lhs, A.ColumnRef(sv))
@@ -3071,7 +3095,7 @@ class Compiler:
         num_cpus = int(ray.cluster_resources().get("CPU", 8))
         out = _shuffle_join(left, right,
                         join_type="left_anti" if node.negated else "left_semi",
-                        num_partitions=max(num_cpus * 2, 16), on=(key,))
+                        num_partitions=_join_partitions(num_cpus), on=(key,))
         out = out.map_batches(DropColumns([key]), batch_format="pyarrow")
         return Frame(out, frame.columns, frame.aliases)
 
@@ -3693,7 +3717,7 @@ class Compiler:
             return Frame(ds, out_cols, aliases)
         ds = _shuffle_join(
             left_ds, right_ds, join_type=ray_type,
-            num_partitions=max(num_cpus * 2, 16),
+            num_partitions=_join_partitions(num_cpus),
             on=tuple(left_keys), right_on=tuple(right_keys))
         if restore:
             ds = ds.map_batches(RestoreKeyNames(restore),
@@ -3734,7 +3758,7 @@ class Compiler:
                     batch_format="pyarrow")
             else:
                 ds = _shuffle_join(left_ds, rkeys, join_type=ray_type,
-                                  num_partitions=max(num_cpus * 2, 16),
+                                  num_partitions=_join_partitions(num_cpus),
                                   on=tuple(left_keys),
                                   right_on=tuple(right_keys))
             return Frame(ds, left.columns, left.aliases)
@@ -3770,7 +3794,7 @@ class Compiler:
         tagged = left_ds.map_batches(AddRandomRowId(lid),
                                      batch_format="pyarrow").materialize()
         pairs = _shuffle_join(tagged, right_ds, join_type="inner",
-                            num_partitions=max(num_cpus * 2, 16),
+                            num_partitions=_join_partitions(num_cpus),
                             on=tuple(left_keys),
                             right_on=tuple(right_keys))
         pairs = pairs.map_batches(FilterBatch(residual, env),
@@ -3778,7 +3802,7 @@ class Compiler:
         winners = _distinct(pairs.select_columns([lid]), names=[lid])
         ds = _shuffle_join(tagged, winners.materialize(),
                            join_type=ray_type,
-                         num_partitions=max(num_cpus * 2, 16), on=(lid,))
+                         num_partitions=_join_partitions(num_cpus), on=(lid,))
         ds = ds.map_batches(DropColumns([lid]), batch_format="pyarrow")
         return Frame(ds, left.columns, left.aliases)
 
@@ -3833,7 +3857,7 @@ class Compiler:
         the residual → ``ok`` = pairs passing the residual → preserved rows
         whose id is absent from ``ok`` re-enter once, null-extended (anti-join
         on the id, null the other side's columns, distinct on the id)."""
-        nparts = max(num_cpus * 2, 16)
+        nparts = _join_partitions(num_cpus)
         lid, rid = "__lrid", "__rrid"
         keep_left = ray_type in ("left_outer", "full_outer")
         keep_right = ray_type in ("right_outer", "full_outer")

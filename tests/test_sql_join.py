@@ -303,3 +303,31 @@ class TestShuffleJoinGuard:
         jj = _shuffle_join(j, c, join_type="inner", num_partitions=4,
                            on=("k",))
         assert int(jj.count()) == 1  # completes (would deadlock unchained)
+
+
+class TestJoinPartitionMemoryCap:
+    """Regression: Ray 2.49 join aggregators reserve 7×block_size of the
+    `memory` resource per partition; 64 partitions on a memory-squeezed VM
+    (observed: stale tmpfs scratch) can exceed the cluster's memory
+    resource and the join PENDS FOREVER. _join_partitions caps the count
+    so the total reservation stays under half the memory resource."""
+
+    def test_cap_tracks_cluster_memory(self, ray_session, monkeypatch):
+        import ray as _ray
+
+        from qwery_ray.sqlc import compiler as C
+
+        blk = (C.rd.DataContext.get_current().target_max_block_size
+               or 128 * 1024 * 1024)
+        # plenty of memory → the 2-per-core default stands
+        monkeypatch.setattr(_ray, "cluster_resources",
+                            lambda: {"memory": 1000 * 7 * blk})
+        assert C._join_partitions(32) == 64
+        # squeezed memory → capped at 0.5 × mem / (7 × block)
+        monkeypatch.setattr(_ray, "cluster_resources",
+                            lambda: {"memory": 60 * 7 * blk})
+        assert C._join_partitions(32) == 30
+        # degenerate (cap < 4) → leave the default; Ray's own warning fires
+        monkeypatch.setattr(_ray, "cluster_resources",
+                            lambda: {"memory": 2 * 7 * blk})
+        assert C._join_partitions(32) == 64
