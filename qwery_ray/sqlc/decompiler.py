@@ -42,6 +42,10 @@ def expr_sql(e) -> str:
             return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
         return repr(v)
     if isinstance(e, A.IntervalLit):
+        if e.months and e.seconds:
+            # mixed calendar+fixed parts only exist via the string form
+            return (f"INTERVAL '{e.months} months "
+                    f"{e.seconds:g} seconds'")
         if e.months:
             if e.months % 12 == 0:
                 return f"INTERVAL {e.months // 12} YEAR"

@@ -853,6 +853,26 @@ def _fn_hour(ev, e, batch):
     return pc.cast(pc.hour(_arg(ev, e, batch, 0)), pa.int64())
 
 
+def _epoch_us_arr(ev, e, batch):
+    d = _arg(ev, e, batch, 0)
+    return pc.cast(pc.cast(d, pa.timestamp("us")), pa.int64())
+
+
+def _fn_epoch(ev, e, batch):
+    # DuckDB extract(epoch from ts) / epoch(ts): DOUBLE seconds
+    return pc.divide(pc.cast(_epoch_us_arr(ev, e, batch), pa.float64()),
+                     pa.scalar(1e6))
+
+
+def _fn_epoch_ms(ev, e, batch):
+    # DuckDB epoch_ms: BIGINT milliseconds
+    return pc.divide(_epoch_us_arr(ev, e, batch), pa.scalar(1000))
+
+
+def _fn_epoch_us(ev, e, batch):
+    return _epoch_us_arr(ev, e, batch)
+
+
 def _fn_md5(ev, e, batch):
     import hashlib
     s = _str_arg(ev, e, batch, 0)
@@ -1297,6 +1317,7 @@ _SCALAR_FUNCS: dict[str, Callable] = {
     "NOW": _fn_now, "RAND": _fn_rand, "UUID": _fn_uuid,
     "DATE_FORMAT": _fn_date_format, "DATE_PARSE": _fn_date_parse,
     "YEAR": _fn_year, "MONTH": _fn_month, "DAY": _fn_day, "HOUR": _fn_hour,
+    "EPOCH": _fn_epoch, "EPOCH_MS": _fn_epoch_ms, "EPOCH_US": _fn_epoch_us,
     "DATE_TRUNC": _fn_date_trunc,
     "MD5": _fn_md5, "SHA256": _fn_sha256,
     "INSTR": _fn_instr, "STRPOS": _fn_instr,

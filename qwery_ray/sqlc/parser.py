@@ -12,6 +12,38 @@ from __future__ import annotations
 from . import ast as A
 from .lexer import Token, tokenize, unquote_ident, unquote_string
 
+_IV_MONTH_UNITS = {"YEAR": 12, "QUARTER": 3, "MONTH": 1, "MON": 1}
+_IV_SECOND_UNITS = {"WEEK": 604800.0, "DAY": 86400.0, "HOUR": 3600.0,
+                    "MINUTE": 60.0, "MIN": 60.0, "SECOND": 1.0,
+                    "SEC": 1.0, "MILLISECOND": 1e-3}
+
+
+def parse_interval_text(s: str):
+    """DuckDB-style interval STRING: '<n> <unit> [<n> <unit> …]' (e.g.
+    '1 hour 30 minutes', '2 days'). Returns an IntervalLit, or None when
+    the string is a bare number ('INTERVAL '1' HOUR' form — the unit
+    follows as a token)."""
+    toks = s.split()
+    if len(toks) < 2 or len(toks) % 2:
+        return None
+    months, secs = 0, 0.0
+    for q, u in zip(toks[::2], toks[1::2]):
+        try:
+            qty = float(q)
+        except ValueError:
+            return None
+        uu = u.upper()
+        if uu.endswith("S") and uu[:-1] in (_IV_MONTH_UNITS
+                                            | _IV_SECOND_UNITS):
+            uu = uu[:-1]
+        if uu in _IV_MONTH_UNITS:
+            months += int(qty * _IV_MONTH_UNITS[uu])
+        elif uu in _IV_SECOND_UNITS:
+            secs += qty * _IV_SECOND_UNITS[uu]
+        else:
+            return None
+    return A.IntervalLit(months=months, seconds=secs)
+
 _TYPE_NAMES = {
     "BOOLEAN", "BYTE", "DATE", "DOUBLE", "FLOAT", "INT", "INTEGER",
     "LONG", "SHORT", "STRING", "UUID", "DECIMAL", "TIMESTAMP",
@@ -1308,8 +1340,16 @@ class Parser:
             if word == "INTERVAL" and self.peek(1).kind in ("NUM", "STR"):
                 self.next()
                 t2 = self.next()
-                qty = float(unquote_string(t2.text)) if t2.kind == "STR" \
-                    else float(t2.text)
+                if t2.kind == "STR":
+                    s = unquote_string(t2.text)
+                    iv = parse_interval_text(s)
+                    if iv is not None:
+                        # DuckDB-style INTERVAL '1 hour 30 minutes' — the
+                        # quantity+unit(s) live inside the string
+                        return iv
+                    qty = float(s)
+                else:
+                    qty = float(t2.text)
                 unit = self.next().upper.rstrip("S")
                 months = {"YEAR": 12, "QUARTER": 3, "MONTH": 1}.get(unit)
                 if months is not None:
@@ -1536,14 +1576,24 @@ class Parser:
             # normalized to SECONDS (the compiler scales to the key's
             # physical resolution)
             tok = self.next()
-            qty = float(unquote_string(tok.text)) if tok.kind == "STR" \
-                else float(tok.text)
-            unit = self.next().upper.rstrip("S")
-            mult = {"SECOND": 1.0, "MINUTE": 60.0, "HOUR": 3600.0,
-                    "DAY": 86400.0}.get(unit)
-            if mult is None:
-                raise ParseError(f"unsupported INTERVAL unit {unit}")
-            n = qty * mult
+            n = None
+            if tok.kind == "STR":
+                iv = parse_interval_text(unquote_string(tok.text))
+                if iv is not None:
+                    if iv.months:
+                        raise ParseError(
+                            "RANGE frame INTERVAL must be a fixed-width "
+                            "unit (not months/years)")
+                    n = iv.seconds
+            if n is None:
+                qty = float(unquote_string(tok.text)) if tok.kind == "STR" \
+                    else float(tok.text)
+                unit = self.next().upper.rstrip("S")
+                mult = {"SECOND": 1.0, "MINUTE": 60.0, "HOUR": 3600.0,
+                        "DAY": 86400.0}.get(unit)
+                if mult is None:
+                    raise ParseError(f"unsupported INTERVAL unit {unit}")
+                n = qty * mult
             word = self.next().upper
             if word == "PRECEDING":
                 return -n

@@ -311,3 +311,53 @@ class TestRegexpTryCastDistinct:
                "AND c IS NOT DISTINCT FROM 5")
         stmt = P.parse(sql)[0]
         assert P.parse(to_sql(stmt))[0] == stmt
+
+
+class TestIntervalEpoch:
+    """Scalar INTERVAL-string arithmetic + EPOCH extraction — DuckDB parity
+    (DuckDB computes the same queries as the oracle)."""
+
+    def _cmp(self, engine, duck, sql, oracle_sql=None):
+        import pandas as pd
+        mine = engine.sql(sql).to_pandas()
+        oracle = duck.execute(oracle_sql or sql).fetch_df()
+        cols = sorted(mine.columns)
+        pd.testing.assert_frame_equal(
+            mine.reindex(cols, axis=1).sort_values(cols, ignore_index=True),
+            oracle.reindex(cols, axis=1).sort_values(cols,
+                                                     ignore_index=True),
+            check_dtype=False, rtol=1e-9)
+
+    def test_interval_string_add_sub(self, engine, duck):
+        self._cmp(engine, duck,
+                  "SELECT MAX(ts + INTERVAL '1 hour') AS a, "
+                  "MIN(ts - INTERVAL '30 minutes') AS b, "
+                  "MAX(ts + INTERVAL '1 hour 30 minutes') AS c, "
+                  "MAX(ts + INTERVAL '2 days') AS d FROM events")
+
+    def test_interval_string_months_calendar_clamp(self, engine, duck):
+        # Jan 31 + 1 month = Feb 29 (leap) on both engines
+        self._cmp(engine, duck,
+                  "SELECT MAX(ts + INTERVAL '1 month') AS m, "
+                  "MAX(ts + INTERVAL '1 year') AS y FROM events")
+
+    def test_interval_in_where(self, engine, duck):
+        self._cmp(engine, duck,
+                  "SELECT COUNT(*) AS n FROM events WHERE "
+                  "ts > TIMESTAMP '2024-01-05 00:00:00' - INTERVAL '2 days'")
+
+    def test_extract_epoch_variants(self, engine, duck):
+        self._cmp(engine, duck,
+                  "SELECT EXTRACT(EPOCH FROM MAX(ts)) AS e, "
+                  "EPOCH_MS(MIN(ts)) AS ems, EPOCH_US(MIN(ts)) AS eus "
+                  "FROM events",
+                  oracle_sql="SELECT EXTRACT(EPOCH FROM MAX(ts)) AS e, "
+                  "epoch_ms(MIN(ts)) AS ems, epoch_us(MIN(ts)) AS eus "
+                  "FROM events")
+
+    def test_range_frame_interval_string(self, engine, duck):
+        # RANGE frame bound given as a DuckDB-style interval STRING
+        self._cmp(engine, duck,
+                  "SELECT event_id, COUNT(*) OVER ("
+                  "ORDER BY ts RANGE BETWEEN INTERVAL '1 hour' PRECEDING "
+                  "AND CURRENT ROW) AS n FROM events WHERE event_id < 200")
