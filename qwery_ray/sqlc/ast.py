@@ -139,12 +139,14 @@ class Like(Cond):
     pattern: Expr
     negated: bool = False
     case_insensitive: bool = False  # ILIKE
+    escape: Optional[str] = None    # LIKE … ESCAPE 'c'
 
 
 @dataclass(frozen=True)
 class Matches(Cond):
     operand: Expr
     pattern: Expr  # raw regex (reference: Condition.scala MATCHES)
+    anchored: bool = False  # SIMILAR TO: regex must span the whole string
 
 
 @dataclass(frozen=True)

@@ -128,8 +128,12 @@ def expr_sql(e) -> str:
     if isinstance(e, A.Like):
         kw = "ILIKE" if e.case_insensitive else "LIKE"
         op = f"NOT {kw}" if e.negated else kw
-        return f"{expr_sql(e.operand)} {op} {expr_sql(e.pattern)}"
+        esc = getattr(e, "escape", None)
+        tail = f" ESCAPE '{esc}'" if esc else ""
+        return f"{expr_sql(e.operand)} {op} {expr_sql(e.pattern)}{tail}"
     if isinstance(e, A.Matches):
+        if getattr(e, "anchored", False):
+            return f"{expr_sql(e.operand)} SIMILAR TO {expr_sql(e.pattern)}"
         return f"{expr_sql(e.operand)} MATCHES {expr_sql(e.pattern)}"
     if isinstance(e, A.IsNull):
         return f"{expr_sql(e.operand)} IS {'NOT ' if e.negated else ''}NULL"

@@ -434,14 +434,23 @@ class Evaluator:
         if not isinstance(pattern, str):
             raise EvalError("LIKE pattern must be a string literal")
         val = _as_array(val, len(batch)) if _is_scalar(val) else val
-        out = pc.match_like(val, pattern,
-                            ignore_case=getattr(e, "case_insensitive", False))
+        ic = getattr(e, "case_insensitive", False)
+        esc = getattr(e, "escape", None)
+        if esc is None:
+            out = pc.match_like(val, pattern, ignore_case=ic)
+        else:
+            # LIKE … ESCAPE: translate to an anchored regex; the escape
+            # char makes the NEXT char literal (incl. % and _)
+            out = pc.match_substring_regex(
+                val, _like_to_regex(pattern, esc), ignore_case=ic)
         return pc.invert(out) if e.negated else out
 
     def _eval_Matches(self, e: A.Matches, batch):
         val = self.eval(e.operand, batch)
         pattern = self.eval(e.pattern, batch)
         val = _as_array(val, len(batch)) if _is_scalar(val) else val
+        if getattr(e, "anchored", False):  # SIMILAR TO: whole-string match
+            pattern = f"^(?:{pattern})$"
         return pc.match_substring_regex(val, pattern)
 
     def _eval_IsNull(self, e: A.IsNull, batch):
@@ -570,8 +579,25 @@ def _fn_len(ev, e, batch):
     return pc.utf8_length(_str_arg(ev, e, batch, 0))
 
 
+def _like_to_regex(pattern: str, esc: str) -> str:
+    """SQL LIKE pattern → anchored RE2 regex honoring the ESCAPE char."""
+    out, i, n = [], 0, len(pattern)
+    while i < n:
+        c = pattern[i]
+        if c == esc and i + 1 < n:
+            out.append(re.escape(pattern[i + 1]))
+            i += 2
+            continue
+        out.append(".*" if c == "%" else "." if c == "_" else re.escape(c))
+        i += 1
+    return "^(?s:" + "".join(out) + ")$"
+
+
 def _fn_trim(ev, e, batch):
-    return pc.utf8_trim_whitespace(_str_arg(ev, e, batch, 0))
+    s = _str_arg(ev, e, batch, 0)
+    if len(e.args) > 1:  # TRIM(s, chars) / TRIM(BOTH chars FROM s)
+        return pc.utf8_trim(s, ev.eval(e.args[1], batch))
+    return pc.utf8_trim_whitespace(s)
 
 
 def _fn_upper(ev, e, batch):
@@ -871,6 +897,69 @@ def _fn_epoch_ms(ev, e, batch):
 
 def _fn_epoch_us(ev, e, batch):
     return _epoch_us_arr(ev, e, batch)
+
+
+_DATE_PART_FNS: dict = {}  # filled after the registry below
+
+
+def _fn_date_part(ev, e, batch):
+    """DuckDB date_part('part', x) — dispatches to the EXTRACT family."""
+    part = ev.eval(e.args[0], batch)
+    if not isinstance(part, str):
+        raise EvalError("DATE_PART part must be a string literal")
+    fn = _DATE_PART_FNS.get(part.upper())
+    if fn is None:
+        raise EvalError(f"unsupported DATE_PART part {part!r}")
+    inner = A.FuncCall("__PART__", (e.args[1],))
+    return fn(ev, inner, batch)
+
+
+def _fn_strftime(ev, e, batch):
+    d = _arg(ev, e, batch, 0)
+    fmt = ev.eval(e.args[1], batch)
+    return pc.strftime(d, format=fmt)
+
+
+def _fn_ltrim(ev, e, batch):
+    s = _str_arg(ev, e, batch, 0)
+    if len(e.args) > 1:
+        return pc.utf8_ltrim(s, ev.eval(e.args[1], batch))
+    return pc.utf8_ltrim_whitespace(s)
+
+
+def _fn_rtrim(ev, e, batch):
+    s = _str_arg(ev, e, batch, 0)
+    if len(e.args) > 1:
+        return pc.utf8_rtrim(s, ev.eval(e.args[1], batch))
+    return pc.utf8_rtrim_whitespace(s)
+
+
+def _fn_array_slice(ev, e, batch):
+    """DuckDB slice semantics (s[a:b] / array_slice): 1-based INCLUSIVE
+    bounds, negative = from the end (-1 = last), 0 treated as 1,
+    out-of-range clamps. Strings slice vectorized via pandas; lists via a
+    per-row loop (projection-only path, not a hot stage)."""
+    val = _arg(ev, e, batch, 0)
+    lo = ev.eval(e.args[1], batch)
+    hi = ev.eval(e.args[2], batch)
+    if not _is_scalar(lo) or not _is_scalar(hi):
+        raise EvalError("slice bounds must be scalars")
+    lo = 1 if lo is None else int(lo)
+    hi = -1 if hi is None else int(hi)
+    start = lo - 1 if lo > 0 else (lo if lo < 0 else 0)
+    stop = hi if hi > 0 else (None if hi == -1 else hi + 1)
+    if isinstance(val, pa.ChunkedArray):
+        val = val.combine_chunks()
+    if pa.types.is_string(val.type) or pa.types.is_large_string(val.type):
+        import pandas as pd
+
+        s = pd.Series(val.to_pandas()).str.slice(start, stop)
+        return pa.Array.from_pandas(s, type=pa.string())
+    if pa.types.is_list(val.type) or pa.types.is_large_list(val.type):
+        out = [None if v is None else v[slice(start, stop)]
+               for v in val.to_pylist()]
+        return pa.array(out, type=val.type)
+    raise EvalError(f"cannot slice type {val.type}")
 
 
 def _fn_md5(ev, e, batch):
@@ -1332,7 +1421,18 @@ _SCALAR_FUNCS: dict[str, Callable] = {
     "DATE_ADD": _fn_date_add,
     "ASCII": _fn_ascii, "CHR": _fn_chr, "REPEAT": _fn_repeat,
     "CONTAINS": _fn_contains, "HASH": _fn_hash,
+    "DATE_PART": _fn_date_part, "DATEPART": _fn_date_part,
+    "STRFTIME": _fn_strftime,
+    "LTRIM": _fn_ltrim, "RTRIM": _fn_rtrim,
+    "ARRAY_SLICE": _fn_array_slice, "LIST_SLICE": _fn_array_slice,
 }
+
+# date_part dispatch table (after the registry so the funcs exist)
+_DATE_PART_FNS.update({
+    "YEAR": _fn_year, "MONTH": _fn_month, "DAY": _fn_day,
+    "HOUR": _fn_hour, "MINUTE": _fn_minute, "SECOND": _fn_second,
+    "EPOCH": _fn_epoch, "DOW": _fn_dayofweek,
+})
 
 AGG_FUNC_NAMES = {"AVG", "COUNT", "MIN", "MAX", "SUM", "STDDEV", "MEAN",
                   "APPROX_COUNT_DISTINCT", "STDDEV_POP", "STDDEV_SAMP",

@@ -1160,13 +1160,29 @@ class Parser:
             "AND", "OR", ")", ";", "THEN", "GROUP", "ORDER", "LIMIT", "HAVING",
         )
 
+    def _like_escape(self):
+        """Optional LIKE … ESCAPE '<char>' clause."""
+        if self.accept("ESCAPE"):
+            tok = self.next()
+            esc = unquote_string(tok.text) if tok.kind == "STR" else tok.text
+            if len(esc) != 1:
+                self.error("ESCAPE must be a single character")
+            return esc
+        return None
+
     def _predicate_tail(self, left: A.Expr) -> A.Cond:
         negated = bool(self.accept("NOT"))
         if self.accept("LIKE"):
-            return A.Like(left, self.parse_expr(), negated)
+            return A.Like(left, self.parse_expr(), negated,
+                          escape=self._like_escape())
         if self.accept("ILIKE"):
             return A.Like(left, self.parse_expr(), negated,
-                          case_insensitive=True)
+                          case_insensitive=True, escape=self._like_escape())
+        if self.accept("SIMILAR"):
+            # ANSI SIMILAR TO: regex match anchored to the WHOLE string
+            self.expect("TO")
+            m = A.Matches(left, self.parse_expr(), anchored=True)
+            return A.Not(m) if negated else m
         if self.accept("MATCHES"):
             m = A.Matches(left, self.parse_expr())
             return A.Not(m) if negated else m
@@ -1254,13 +1270,39 @@ class Parser:
             self.next()
             return A.UnaryOp(tok.text, self.parse_unary())
         expr = self.parse_primary()
-        # postfix subscript: l[2] → LIST_EXTRACT(l, 2)  (1-based, DuckDB)
-        while self.peek().kind == "OP" and self.peek().text == "[":
-            self.next()
-            idx = self.parse_expr()
-            self.expect("]")
-            expr = A.FuncCall("LIST_EXTRACT", (expr, idx))
-        return expr
+        # postfix: l[2] → LIST_EXTRACT (1-based, DuckDB); s[a:b] slices
+        # (1-based inclusive, negative = from end); x::TYPE casts
+        while True:
+            tok = self.peek()
+            if tok.kind == "OP" and tok.text == "[":
+                self.next()
+                lo = None
+                if not (self.peek().kind == "OP"
+                        and self.peek().text == ":"):
+                    lo = self.parse_expr()
+                if self.peek().kind == "OP" and self.peek().text == ":":
+                    self.next()
+                    hi = None
+                    if not (self.peek().kind == "OP"
+                            and self.peek().text == "]"):
+                        hi = self.parse_expr()
+                    self.expect("]")
+                    expr = A.FuncCall("ARRAY_SLICE", (
+                        expr,
+                        lo if lo is not None else A.Literal(1),
+                        hi if hi is not None else A.Literal(-1)))
+                else:
+                    self.expect("]")
+                    expr = A.FuncCall("LIST_EXTRACT", (expr, lo))
+            elif tok.kind == "OP" and tok.text == "::":
+                self.next()
+                type_name = self.next().upper
+                if self.accept("("):  # DECIMAL(p,s) — ignore precision
+                    while not self.accept(")"):
+                        self.next()
+                expr = A.Cast(expr, type_name)
+            else:
+                return expr
 
     def parse_primary(self) -> A.Expr:
         tok = self.peek()
@@ -1392,6 +1434,25 @@ class Parser:
                     inner = self.parse_expr()
                     self.expect(")")
                     return A.FuncCall(part, (inner,))
+                if name.upper() == "POSITION":
+                    # ANSI POSITION(needle IN haystack) → INSTR
+                    needle = self.parse_expr()
+                    self.expect("IN")
+                    hay = self.parse_expr()
+                    self.expect(")")
+                    return A.FuncCall("INSTR", (hay, needle))
+                if name.upper() == "TRIM" and \
+                        self.at("BOTH", "LEADING", "TRAILING"):
+                    # ANSI TRIM([BOTH|LEADING|TRAILING] [chars] FROM s)
+                    side = self.next().upper
+                    chars = None if self.at("FROM") else self.parse_expr()
+                    self.expect("FROM")
+                    s = self.parse_expr()
+                    self.expect(")")
+                    fn = {"BOTH": "TRIM", "LEADING": "LTRIM",
+                          "TRAILING": "RTRIM"}[side]
+                    args = (s,) if chars is None else (s, chars)
+                    return A.FuncCall(fn, args)
                 if self.accept(")"):
                     call = A.FuncCall(name.upper(), ())
                     if self.at("OVER"):
@@ -1456,7 +1517,7 @@ class Parser:
             return call
         self.next()
         self.expect("(")
-        self.expect("WHERE")
+        self.accept("WHERE")  # DuckDB also allows FILTER (cond)
         cond = self.parse_cond()
         self.expect(")")
         inner = A.Literal(1) if call.is_star or not call.args \

@@ -361,3 +361,96 @@ class TestIntervalEpoch:
                   "SELECT event_id, COUNT(*) OVER ("
                   "ORDER BY ts RANGE BETWEEN INTERVAL '1 hour' PRECEDING "
                   "AND CURRENT ROW) AS n FROM events WHERE event_id < 200")
+
+
+class TestSurfaceSugar:
+    """Postgres/DuckDB surface sugar: :: casts, string/list slices,
+    LIKE ESCAPE, SIMILAR TO, POSITION(IN), ANSI TRIM forms, DATE_PART,
+    STRFTIME, bare FILTER(cond). All DuckDB parity."""
+
+    def _cmp(self, engine, duck, sql):
+        import pandas as pd
+        mine = engine.sql(sql).to_pandas()
+        oracle = duck.execute(sql).fetch_df()
+        cols = sorted(mine.columns)
+        pd.testing.assert_frame_equal(
+            mine.reindex(cols, axis=1).sort_values(cols, ignore_index=True),
+            oracle.reindex(cols, axis=1).sort_values(cols,
+                                                     ignore_index=True),
+            check_dtype=False, rtol=1e-9)
+
+    def test_like_escape(self, engine, duck):
+        self._cmp(engine, duck,
+                  "SELECT COUNT(*) AS n FROM part "
+                  "WHERE p_name LIKE '%a!_%' ESCAPE '!'")
+        self._cmp(engine, duck,
+                  "SELECT COUNT(*) AS n FROM part "
+                  "WHERE p_name NOT ILIKE '%A!%%' ESCAPE '!'")
+
+    def test_similar_to(self, engine, duck):
+        self._cmp(engine, duck,
+                  "SELECT COUNT(*) AS n FROM part "
+                  "WHERE p_name SIMILAR TO '[a-m ]+'")
+        self._cmp(engine, duck,
+                  "SELECT COUNT(*) AS n FROM part "
+                  "WHERE p_name NOT SIMILAR TO '.*o.*'")
+
+    def test_position_in(self, engine, duck):
+        self._cmp(engine, duck,
+                  "SELECT p_partkey, POSITION('a' IN p_name) AS p "
+                  "FROM part WHERE p_partkey < 20")
+
+    def test_ansi_trim_forms(self, engine, duck):
+        self._cmp(engine, duck,
+                  "SELECT TRIM(BOTH 'x' FROM 'xxaxx') AS a, "
+                  "TRIM(LEADING ' ' FROM '  a ') AS b, "
+                  "TRIM(TRAILING 'z' FROM 'azz') AS c, "
+                  "TRIM('xxaxx', 'x') AS d, LTRIM('  a ') AS e, "
+                  "RTRIM('  a ', ' ') AS f")
+
+    def test_date_part_strftime(self, engine, duck):
+        self._cmp(engine, duck,
+                  "SELECT DATE_PART('hour', MAX(ts)) AS h, "
+                  "DATE_PART('epoch', MIN(ts)) AS e, "
+                  "STRFTIME(MAX(ts), '%Y-%m %H:%M') AS s, "
+                  "EXTRACT(MINUTE FROM MAX(ts)) AS m, "
+                  "EXTRACT(SECOND FROM MAX(ts)) AS sec FROM events")
+
+    def test_filter_without_where(self, engine, duck):
+        self._cmp(engine, duck,
+                  "SELECT COUNT(*) FILTER (o_totalprice > 1000) AS n, "
+                  "SUM(o_totalprice) FILTER (o_orderpriority = '1-URGENT') "
+                  "AS s FROM orders")
+
+    def test_colon_colon_cast(self, engine, duck):
+        # NOTE: float→int CAST truncates (reference getAsInt parity) while
+        # DuckDB rounds, so compare on a value-preserving cast
+        self._cmp(engine, duck,
+                  "SELECT o_orderkey, o_orderkey::VARCHAR AS s, "
+                  "FLOOR(o_totalprice)::BIGINT AS b "
+                  "FROM orders WHERE o_orderkey < 10")
+        self._cmp(engine, duck, "SELECT '2024-01-01'::TIMESTAMP AS t")
+
+    def test_slices(self, engine, duck):
+        self._cmp(engine, duck,
+                  "SELECT p_partkey, p_name[2:4] AS a, p_name[3:] AS b, "
+                  "p_name[:3] AS c, p_name[-3:] AS d, p_name[2:-2] AS e "
+                  "FROM part WHERE p_partkey < 20")
+        mine = engine.sql(
+            "SELECT ([1,2,3,4])[2:3] AS l1, ([1,2,3,4])[-2:] AS l2, "
+            "ARRAY_SLICE('hello', 2, 4) AS s").to_pandas()
+        assert list(mine.l1.iloc[0]) == [2, 3]
+        assert list(mine.l2.iloc[0]) == [3, 4]
+        assert mine.s.iloc[0] == "ell"
+
+    def test_roundtrips(self):
+        from qwery_ray.sqlc import parser as P
+        from qwery_ray.sqlc.decompiler import to_sql
+
+        for sql in [
+            "SELECT a FROM t WHERE a LIKE 'x!_%' ESCAPE '!'",
+            "SELECT a FROM t WHERE a SIMILAR TO '[a-z]+'",
+            "SELECT CAST(a AS BIGINT) AS b FROM t",
+        ]:
+            stmt = P.parse(sql)[0]
+            assert P.parse(to_sql(stmt))[0] == stmt
