@@ -148,3 +148,76 @@ class TestCheckpointResume:
         assert r.open == agg.open
         r.ingest(_tbl([1], [9]))          # still late after restore
         assert r.late_dropped == 1
+
+
+class TestStreamingFuzz:
+    """Property fuzz: random event streams, random chunkings, random
+    window geometry — streaming emissions must equal the batch aggregate
+    (infinite lateness), and with finite lateness every finalized window
+    must be emitted exactly once with monotone window starts."""
+
+    def test_random_streams_equal_batch(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            secs=st.lists(st.integers(min_value=0, max_value=400),
+                          min_size=1, max_size=120),
+            vals=st.lists(st.floats(min_value=-100, max_value=100,
+                                    allow_nan=False, width=32),
+                          min_size=1, max_size=1),
+            nchunks=st.integers(min_value=1, max_value=6),
+            geom=st.sampled_from([(4, 4), (8, 4), (16, 8), (60, 20)]),
+        )
+        def run(secs, vals, nchunks, geom):
+            width, slide = geom
+            vs = [round(vals[0] * (i % 7 - 3), 2) for i in range(len(secs))]
+            tbl = _tbl(secs, vs)
+            # batch reference via one-chunk stream (already equals the
+            # batch op per TestStreamEqualsBatch; here it anchors chunking)
+            ref = stream_window_agg([tbl], width_sec=width,
+                                    slide_sec=slide).to_pandas()
+            cuts = [(len(secs) * i) // nchunks for i in range(nchunks + 1)]
+            chunks = [tbl.slice(a, b - a) for a, b in zip(cuts, cuts[1:])]
+            got = stream_window_agg(chunks, width_sec=width,
+                                    slide_sec=slide).to_pandas()
+            pd.testing.assert_frame_equal(got, ref, check_exact=True)
+
+        run()
+
+    def test_finite_lateness_exactly_once(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            secs=st.lists(st.integers(min_value=0, max_value=200),
+                          min_size=2, max_size=80),
+            lateness=st.integers(min_value=0, max_value=50),
+            nchunks=st.integers(min_value=1, max_value=5),
+        )
+        def run(secs, lateness, nchunks):
+            agg = StreamingWindowAggregator(width_sec=8, slide_sec=8,
+                                            lateness_sec=lateness)
+            cuts = [(len(secs) * i) // nchunks for i in range(nchunks + 1)]
+            emitted = []
+            for a, b in zip(cuts, cuts[1:]):
+                out = agg.ingest(_tbl(secs[a:b], [1.0] * (b - a)))
+                emitted.extend(out.column("window_start_sec").to_pylist())
+            emitted.extend(
+                agg.flush().column("window_start_sec").to_pylist())
+            # exactly-once: no window id twice; total events conserved
+            assert len(emitted) == len(set(emitted))
+            # accounting: emitted events + late-dropped == all events
+            # (every event contributes to exactly 1 tumbling window)
+            # re-run to sum n_events
+            agg2 = StreamingWindowAggregator(width_sec=8, slide_sec=8,
+                                             lateness_sec=lateness)
+            total = 0
+            for a, b in zip(cuts, cuts[1:]):
+                total += sum(agg2.ingest(
+                    _tbl(secs[a:b], [1.0] * (b - a)))
+                    .column("n_events").to_pylist())
+            total += sum(agg2.flush().column("n_events").to_pylist())
+            assert total + agg2.late_dropped == len(secs)
+
+        run()
