@@ -1243,6 +1243,18 @@ class GroupAggPandas:
             elif kind == "MODE":
                 v = s.dropna()
                 row[res] = [v.mode().iloc[0] if len(v) else None]
+            elif kind == "PRODUCT":
+                v = s.dropna().astype(float)
+                row[res] = [float(v.prod()) if len(v) else None]
+            elif kind == "ENTROPY":
+                # DuckDB: Shannon entropy (log2) of the value histogram;
+                # empty/all-null group → 0.0
+                v = s.dropna()
+                if len(v):
+                    p = v.value_counts(normalize=True).to_numpy()
+                    row[res] = [float(-(p * np.log2(p)).sum())]
+                else:
+                    row[res] = [0.0]
             elif kind == "ANY_VALUE":
                 v = s.dropna()
                 row[res] = [v.iloc[0] if len(v) else None]
@@ -2522,6 +2534,12 @@ class Compiler:
         for k, node in enumerate(exists_nodes):
             frame = self._apply_exists(frame, node, k, env)
 
+        # ANSI: select-item aliases are visible inside QUALIFY and window
+        # specs (e.g. SUM(x) AS s … QUALIFY ROW_NUMBER() OVER (ORDER BY s)).
+        # Resolve alias refs INSIDE WindowCall specs to their expressions
+        # before window compilation; real frame columns win over aliases.
+        sel = self._sub_aliases_in_window_specs(sel, frame)
+
         # window functions: computed after WHERE, before projection/agg;
         # WindowCall nodes are replaced by their materialized __w columns
         wcalls: list[A.WindowCall] = []
@@ -3098,6 +3116,52 @@ class Compiler:
                         num_partitions=_join_partitions(num_cpus), on=(key,))
         out = out.map_batches(DropColumns([key]), batch_format="pyarrow")
         return Frame(out, frame.columns, frame.aliases)
+
+    def _sub_aliases_in_window_specs(self, sel: A.Select,
+                                     frame: "Frame") -> A.Select:
+        """Replace select-alias ColumnRefs inside WindowCall args/
+        PARTITION BY/ORDER BY with the aliased expressions, for aliases
+        that do not name a real frame column (columns shadow aliases)."""
+        from .rewrite import substitute_columns, transform_expr
+
+        cols = set()
+        for c in frame.columns:
+            cols.add(c.lower())
+            cols.add(c.split(".")[-1].lower())
+        amap = {
+            it.alias.lower(): it.expr
+            for it in sel.items
+            if isinstance(it, A.SelectItem) and it.alias
+            and it.alias.lower() not in cols
+            and not isinstance(it.expr, A.WindowCall)
+        }
+        if not amap:
+            return sel
+
+        def fix(node):
+            if isinstance(node, A.WindowCall):
+                return dc_replace(
+                    node,
+                    func=substitute_columns(node.func, amap),
+                    partition_by=tuple(substitute_columns(p, amap)
+                                       for p in node.partition_by),
+                    order_by=tuple(
+                        A.OrderItem(substitute_columns(o.expr, amap),
+                                    o.ascending, o.nulls_first)
+                        for o in node.order_by))
+            return node
+
+        items = tuple(
+            it if isinstance(it, A.Star)
+            else A.SelectItem(transform_expr(it.expr, fix), it.alias)
+            for it in sel.items)
+        qualify = transform_expr(sel.qualify, fix) \
+            if sel.qualify is not None else None
+        order_by = tuple(
+            A.OrderItem(transform_expr(o.expr, fix), o.ascending,
+                        o.nulls_first) for o in sel.order_by)
+        return dc_replace(sel, items=items, qualify=qualify,
+                          order_by=order_by)
 
     def _split_agg_windows(self, sel: A.Select) -> A.Select:
         """Rewrite ``SELECT …, fn() OVER (…), AGG(…) … GROUP BY k`` into
@@ -4474,7 +4538,19 @@ class Compiler:
                              exclude=getattr(wc, "exclude", "NO OTHERS"))
 
         def window_fn(df: pd.DataFrame, _w=win) -> pd.DataFrame:
-            return _w(df)
+            out = _w(df)
+            # list-typed carried columns (e.g. an ARRAY_AGG result riding
+            # through a QUALIFY window) arrive as np.ndarray cells; Ray's
+            # pandas→arrow path routes object ndarrays through its tensor
+            # extension, which cannot encode unicode dtypes — normalize
+            # the cells to Python lists so they convert as ListArrays
+            for c in out.columns:
+                if out[c].dtype == object and len(out):
+                    first = next((v for v in out[c] if v is not None), None)
+                    if isinstance(first, np.ndarray):
+                        out[c] = [None if v is None else list(v)
+                                  for v in out[c]]
+            return out
 
         # ADAPTIVE: below the small limit one task computes every window
         # (the vectorized bucket path sorts once and segments — ~0.1 s for

@@ -920,6 +920,24 @@ def _fn_strftime(ev, e, batch):
     return pc.strftime(d, format=fmt)
 
 
+def _fn_bit_count(ev, e, batch):
+    """Population count over the 64-bit two's-complement representation
+    (DuckDB: bit_count(-1::BIGINT) = 64)."""
+    v = _arg(ev, e, batch, 0)
+    arr = pc.cast(v, pa.int64()).to_numpy(zero_copy_only=False)
+    u = arr.view(np.uint64) if arr.dtype == np.int64 \
+        else arr.astype(np.int64).view(np.uint64)
+    if hasattr(np, "bitwise_count"):
+        out = np.bitwise_count(u).astype(np.int64)
+    else:
+        out = np.array([bin(int(x)).count("1") for x in u], dtype=np.int64)
+    mask = pc.is_null(v)
+    res = pa.array(out, pa.int64())
+    if pc.any(mask).as_py():
+        res = pc.if_else(mask, pa.scalar(None, pa.int64()), res)
+    return res
+
+
 def _fn_ltrim(ev, e, batch):
     s = _str_arg(ev, e, batch, 0)
     if len(e.args) > 1:
@@ -1423,7 +1441,7 @@ _SCALAR_FUNCS: dict[str, Callable] = {
     "CONTAINS": _fn_contains, "HASH": _fn_hash,
     "DATE_PART": _fn_date_part, "DATEPART": _fn_date_part,
     "STRFTIME": _fn_strftime,
-    "LTRIM": _fn_ltrim, "RTRIM": _fn_rtrim,
+    "LTRIM": _fn_ltrim, "RTRIM": _fn_rtrim, "BIT_COUNT": _fn_bit_count,
     "ARRAY_SLICE": _fn_array_slice, "LIST_SLICE": _fn_array_slice,
 }
 
@@ -1449,14 +1467,17 @@ AGG_FUNC_NAMES = {"AVG", "COUNT", "MIN", "MAX", "SUM", "STDDEV", "MEAN",
                   "SKEWNESS", "KURTOSIS", "KURTOSIS_POP",
                   "ARG_MAX", "ARG_MIN", "MAX_BY", "MIN_BY",
                   "BIT_AND", "BIT_OR", "BIT_XOR", "BOOL_AND", "BOOL_OR",
-                  "ANY_VALUE", "MODE"}
+                  "ANY_VALUE", "MODE", "PRODUCT", "ENTROPY"}
 
 # holistic aggregates need every value of the group co-located (no
 # mergeable fixed-size partial exists) — they route through the exact
 # per-group pandas path, like DISTINCT aggregates
 HOLISTIC_AGG_NAMES = {"MEDIAN", "STRING_AGG", "ARRAY_AGG",
                       "QUANTILE_CONT", "QUANTILE_DISC",
-                      "PERCENTILE_CONT", "PERCENTILE_DISC", "MODE"}
+                      "PERCENTILE_CONT", "PERCENTILE_DISC", "MODE",
+                      # PRODUCT is distributive in principle but rare —
+                      # routed holistic for exact float parity with DuckDB
+                      "PRODUCT", "ENTROPY"}
 
 
 def collect_agg_calls(expr: A.Expr) -> list[A.FuncCall]:

@@ -12,6 +12,11 @@ from __future__ import annotations
 from . import ast as A
 from .lexer import Token, tokenize, unquote_ident, unquote_string
 
+# common cross-dialect aggregate spellings → the engine's canonical name
+_FUNC_ALIASES = {"LIST": "ARRAY_AGG", "LIST_AGG": "STRING_AGG",
+                 "LISTAGG": "STRING_AGG", "GROUP_CONCAT": "STRING_AGG",
+                 "STRPOS": "INSTR", "CHARINDEX": "INSTR"}
+
 _IV_MONTH_UNITS = {"YEAR": 12, "QUARTER": 3, "MONTH": 1, "MON": 1}
 _IV_SECOND_UNITS = {"WEEK": 604800.0, "DAY": 86400.0, "HOUR": 3600.0,
                     "MINUTE": 60.0, "MIN": 60.0, "SECOND": 1.0,
@@ -1187,9 +1192,15 @@ class Parser:
             m = A.Matches(left, self.parse_expr())
             return A.Not(m) if negated else m
         if self.accept("BETWEEN"):
+            symmetric = bool(self.accept("SYMMETRIC"))
             low = self.parse_add()
             self.expect("AND")
             high = self.parse_add()
+            if symmetric:
+                # ANSI BETWEEN SYMMETRIC: bounds in either order
+                both = A.Or(A.Between(left, low, high, False),
+                            A.Between(left, high, low, False))
+                return A.Not(both) if negated else both
             return A.Between(left, low, high, negated)
         if self.accept("IN"):
             self.expect("(")
@@ -1485,7 +1496,9 @@ class Parser:
                     while self.accept(","):
                         agg_order.append(self.parse_order_item())
                 self.expect(")")
-                call = A.FuncCall(name.upper(), tuple(args),
+                call = A.FuncCall(_FUNC_ALIASES.get(name.upper(),
+                                                    name.upper()),
+                                  tuple(args),
                                   distinct=distinct,
                                   ignore_nulls=ignore_nulls,
                                   order_by=tuple(agg_order))

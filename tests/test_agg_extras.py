@@ -166,3 +166,91 @@ class TestConditionArgs:
                  "AS big, BOOL_OR(o_totalprice > 400000 AND o_custkey > 0) "
                  "AS any_big FROM orders GROUP BY o_orderstatus",
                  sort_by=["o_orderstatus"])
+
+
+class TestAggAliasesProductEntropy:
+    """LIST/LIST_AGG/LISTAGG/GROUP_CONCAT aliases, PRODUCT, ENTROPY,
+    BETWEEN SYMMETRIC, BIT_COUNT, and alias-visible QUALIFY windows."""
+
+    def _cmp(self, engine, duck, sql, oracle_sql=None, rtol=0.0):
+        import pandas as pd
+        mine = engine.sql(sql).to_pandas()
+        orc = duck.execute(oracle_sql or sql).fetch_df()
+        cols = sorted(mine.columns)
+        pd.testing.assert_frame_equal(
+            mine.reindex(cols, axis=1).sort_values(cols, ignore_index=True),
+            orc.reindex(cols, axis=1).sort_values(cols, ignore_index=True),
+            check_dtype=False, rtol=rtol)
+
+    def test_string_agg_aliases(self, engine, duck):
+        self._cmp(engine, duck,
+                  "SELECT GROUP_CONCAT(o_orderstatus) AS g FROM orders "
+                  "WHERE o_orderkey < 50",
+                  "SELECT STRING_AGG(o_orderstatus, ',') AS g FROM orders "
+                  "WHERE o_orderkey < 50")
+        self._cmp(engine, duck,
+                  "SELECT LISTAGG(o_orderstatus, '|') AS g FROM orders "
+                  "WHERE o_orderkey < 50",
+                  "SELECT STRING_AGG(o_orderstatus, '|') AS g FROM orders "
+                  "WHERE o_orderkey < 50")
+
+    def test_product_entropy(self, engine, duck):
+        self._cmp(engine, duck,
+                  "SELECT PRODUCT(x) AS p FROM (VALUES (2.0),(3.0),(4.0),"
+                  "(NULL)) v(x)")
+        # entropy: float-sum order differs per engine → last-ulp tolerance
+        self._cmp(engine, duck,
+                  "SELECT o_orderstatus, ENTROPY(o_orderpriority) AS e "
+                  "FROM orders GROUP BY 1 ORDER BY 1", rtol=1e-12)
+
+    def test_between_symmetric(self, engine, duck):
+        self._cmp(engine, duck,
+                  "SELECT COUNT(*) AS n FROM orders WHERE o_orderkey "
+                  "BETWEEN SYMMETRIC 100 AND 7",
+                  "SELECT COUNT(*) AS n FROM orders WHERE o_orderkey "
+                  "BETWEEN 7 AND 100")
+        self._cmp(engine, duck,
+                  "SELECT COUNT(*) AS n FROM orders WHERE o_orderkey "
+                  "NOT BETWEEN SYMMETRIC 100 AND 7",
+                  "SELECT COUNT(*) AS n FROM orders WHERE o_orderkey "
+                  "NOT BETWEEN 7 AND 100")
+
+    def test_bit_count(self, engine, duck):
+        # literals are BIGINT in this engine: bit_count(-1) = 64
+        self._cmp(engine, duck,
+                  "SELECT BIT_COUNT(7) AS a, BIT_COUNT(255) AS b, "
+                  "BIT_COUNT(-1) AS c, BIT_COUNT(NULL) AS d",
+                  "SELECT bit_count(7) AS a, bit_count(255) AS b, "
+                  "bit_count(-1::BIGINT) AS c, "
+                  "bit_count(NULL::BIGINT) AS d")
+
+    def test_qualify_sees_select_aliases(self, engine, duck):
+        # alias of an AGGREGATE used inside the QUALIFY window's ORDER BY
+        # rtol: the engine's exact FSum vs DuckDB's drifting float sum
+        self._cmp(engine, duck,
+                  "SELECT o_orderstatus, SUM(o_totalprice) AS s "
+                  "FROM orders GROUP BY o_orderstatus "
+                  "QUALIFY ROW_NUMBER() OVER (ORDER BY s DESC) = 1",
+                  rtol=1e-9)
+        # alias of a scalar EXPRESSION in a select-item window
+        self._cmp(engine, duck,
+                  "SELECT o_orderkey, o_totalprice * 2 AS dbl, "
+                  "ROW_NUMBER() OVER (ORDER BY dbl DESC) AS r "
+                  "FROM orders QUALIFY r <= 3")
+
+    def test_array_agg_rides_through_qualify_window(self, engine, duck):
+        # regression: list-typed agg outputs crossing the pandas window
+        # stage must convert back to Arrow ListArrays (Ray's tensor
+        # extension cannot encode unicode ndarray cells)
+        r = engine.sql(
+            "SELECT o_orderstatus, ARRAY_AGG(o_orderpriority) AS a "
+            "FROM orders WHERE o_orderkey < 20 GROUP BY 1 "
+            "QUALIFY ROW_NUMBER() OVER (ORDER BY o_orderstatus) = 1"
+        ).to_pandas()
+        o = duck.execute(
+            "SELECT o_orderstatus, ARRAY_AGG(o_orderpriority) AS a "
+            "FROM orders WHERE o_orderkey < 20 GROUP BY 1 "
+            "QUALIFY ROW_NUMBER() OVER (ORDER BY o_orderstatus) = 1"
+        ).fetch_df()
+        assert list(r.o_orderstatus) == list(o.o_orderstatus)
+        assert sorted(list(r.a.iloc[0])) == sorted(list(o.a.iloc[0]))
