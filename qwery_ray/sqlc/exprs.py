@@ -920,6 +920,109 @@ def _fn_strftime(ev, e, batch):
     return pc.strftime(d, format=fmt)
 
 
+def _json_path_steps(path: str):
+    """'$.a.b[0]' / 'a.b[0]' → ['a', 'b', 0]."""
+    p = path[2:] if path.startswith("$.") else \
+        path[1:] if path.startswith("$") else path
+    steps: list = []
+    for seg in p.split("."):
+        if not seg:
+            continue
+        while "[" in seg:
+            head, _, rest = seg.partition("[")
+            if head:
+                steps.append(head)
+            idx, _, seg = rest.partition("]")
+            steps.append(int(idx))
+            seg = seg.lstrip(".")
+        if seg:
+            steps.append(seg)
+    return steps
+
+
+def _json_extract_values(ev, e, batch):
+    """Per-row JSON extraction on a narrow string column (no vectorized
+    JSON kernel exists in Arrow; same isolated-loop precedent as md5).
+    Returns raw Python values (None for missing/JSON-null, like DuckDB)."""
+    import json
+
+    s = _str_arg(ev, e, batch, 0)
+    path = ev.eval(e.args[1], batch)
+    if not isinstance(path, str):
+        raise EvalError("JSON path must be a string literal")
+    steps = _json_path_steps(path)
+    out = []
+    for v in s.to_pylist():
+        if v is None:
+            out.append(None)
+            continue
+        try:
+            cur = json.loads(v)
+            for st in steps:
+                if isinstance(st, int):
+                    cur = cur[st] if isinstance(cur, list) \
+                        and -len(cur) <= st < len(cur) else None
+                elif isinstance(cur, dict):
+                    cur = cur.get(st)
+                else:
+                    cur = None
+                if cur is None:
+                    break
+            out.append(cur)
+        except (ValueError, TypeError):
+            out.append(None)
+    return out
+
+
+def _fn_json_extract(ev, e, batch):
+    """DuckDB json_extract / ->: the extracted value as compact JSON text
+    (strings stay quoted); missing / JSON null → NULL."""
+    import json
+
+    vals = _json_extract_values(ev, e, batch)
+    return pa.array(
+        [None if v is None else json.dumps(v, separators=(",", ":"))
+         for v in vals], pa.string())
+
+
+def _fn_json_extract_string(ev, e, batch):
+    """DuckDB json_extract_string / ->>: strings unquoted, scalars as
+    text, containers as compact JSON."""
+    import json
+
+    vals = _json_extract_values(ev, e, batch)
+    out = []
+    for v in vals:
+        if v is None:
+            out.append(None)
+        elif isinstance(v, str):
+            out.append(v)
+        elif isinstance(v, bool):
+            out.append("true" if v else "false")
+        elif isinstance(v, (dict, list)):
+            out.append(json.dumps(v, separators=(",", ":")))
+        else:
+            out.append(json.dumps(v))
+    return pa.array(out, pa.string())
+
+
+def _fn_json_valid(ev, e, batch):
+    import json
+
+    s = _str_arg(ev, e, batch, 0)
+    out = []
+    for v in s.to_pylist():
+        if v is None:
+            out.append(None)
+            continue
+        try:
+            json.loads(v)
+            out.append(True)
+        except ValueError:
+            out.append(False)
+    return pa.array(out, pa.bool_())
+
+
 def _fn_bit_count(ev, e, batch):
     """Population count over the 64-bit two's-complement representation
     (DuckDB: bit_count(-1::BIGINT) = 64)."""
@@ -1442,6 +1545,10 @@ _SCALAR_FUNCS: dict[str, Callable] = {
     "DATE_PART": _fn_date_part, "DATEPART": _fn_date_part,
     "STRFTIME": _fn_strftime,
     "LTRIM": _fn_ltrim, "RTRIM": _fn_rtrim, "BIT_COUNT": _fn_bit_count,
+    "JSON_EXTRACT": _fn_json_extract,
+    "JSON_EXTRACT_STRING": _fn_json_extract_string,
+    "JSON_EXTRACT_PATH_TEXT": _fn_json_extract_string,
+    "JSON_VALID": _fn_json_valid,
     "ARRAY_SLICE": _fn_array_slice, "LIST_SLICE": _fn_array_slice,
 }
 

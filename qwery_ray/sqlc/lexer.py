@@ -31,7 +31,7 @@ _TOKEN_RE = re.compile(
   | (?P<QIDENT>`[^`]*`)
   | (?P<VAR>@@?[A-Za-z_][A-Za-z_0-9]*)
   | (?P<IDENT>[A-Za-z_][A-Za-z_0-9.]*)
-  | (?P<OP>\*\*|\|\||::|<>|!=|>=|<=|=>|[-+*/%^(),=<>.;:\[\]])
+  | (?P<OP>\*\*|\|\||::|->>|->|<>|!=|>=|<=|=>|[-+*/%^(),=<>.;:\[\]])
     """,
     re.VERBOSE | re.DOTALL,
 )

@@ -1305,6 +1305,14 @@ class Parser:
                 else:
                     self.expect("]")
                     expr = A.FuncCall("LIST_EXTRACT", (expr, lo))
+            elif tok.kind == "OP" and tok.text in ("->", "->>"):
+                # JSON extraction operators (DuckDB/Postgres): -> returns
+                # JSON text, ->> returns the unquoted string value
+                self.next()
+                rhs = self.parse_primary()
+                fn = "JSON_EXTRACT" if tok.text == "->" \
+                    else "JSON_EXTRACT_STRING"
+                expr = A.FuncCall(fn, (expr, rhs))
             elif tok.kind == "OP" and tok.text == "::":
                 self.next()
                 type_name = self.next().upper

@@ -454,3 +454,45 @@ class TestSurfaceSugar:
         ]:
             stmt = P.parse(sql)[0]
             assert P.parse(to_sql(stmt))[0] == stmt
+
+
+class TestJsonFunctions:
+    """JSON_EXTRACT / JSON_EXTRACT_STRING / -> / ->> / JSON_VALID over
+    JSON-string columns (events.props) — DuckDB parity."""
+
+    def _cmp(self, engine, duck, sql):
+        import pandas as pd
+        mine = engine.sql(sql).to_pandas()
+        orc = duck.execute(sql).fetch_df()
+        cols = sorted(mine.columns)
+        pd.testing.assert_frame_equal(
+            mine.reindex(cols, axis=1).sort_values(cols, ignore_index=True),
+            orc.reindex(cols, axis=1).sort_values(cols, ignore_index=True),
+            check_dtype=False)
+
+    def test_arrow_operators_on_column(self, engine, duck):
+        self._cmp(engine, duck,
+                  "SELECT event_id, props->'k' AS j, props->>'k' AS t "
+                  "FROM events WHERE event_id < 10")
+
+    def test_grouped_json_metric(self, engine, duck):
+        self._cmp(engine, duck,
+                  "SELECT event_type, "
+                  "CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS s "
+                  "FROM events GROUP BY 1")
+
+    def test_nested_paths_and_types(self, engine, duck):
+        self._cmp(engine, duck,
+                  "SELECT JSON_EXTRACT('{\"a\": {\"b\": [1,2]}, "
+                  "\"s\": \"hi\", \"n\": null}', '$.a.b[1]') AS x, "
+                  "JSON_EXTRACT_STRING('{\"s\": \"hi\"}', '$.s') AS y, "
+                  "JSON_EXTRACT('{\"a\": {\"b\": 1}}', '$.a') AS z, "
+                  "JSON_EXTRACT('{\"n\": null}', '$.n') AS nul, "
+                  "JSON_EXTRACT('{}', '$.missing') AS mis")
+
+    def test_json_valid(self, engine, duck):
+        self._cmp(engine, duck,
+                  "SELECT json_valid(props) AS v, COUNT(*) AS n "
+                  "FROM events GROUP BY 1")
+        self._cmp(engine, duck,
+                  "SELECT json_valid('{bad') AS a, json_valid('3') AS b")
