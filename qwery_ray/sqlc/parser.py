@@ -132,6 +132,11 @@ class Parser:
             target = self.parse_target_name()
             where = self.parse_cond() if self.accept("WHERE") else None
             return A.Delete(target, where)
+        if word == "COPY":
+            return self.parse_copy()
+        if word == "VALUES":
+            # top-level VALUES (…), (…) — a literal-rows query
+            return self.parse_values()
         if word == "DECLARE":
             return self.parse_declare()
         if word == "SET":
@@ -837,6 +842,56 @@ class Parser:
         return A.JoinClause(jt, right, on)
 
     # ------------------------------------------------------- DML statements
+    def parse_values(self) -> A.Values:
+        """Top-level VALUES (…), (…) — a literal-rows query."""
+        self.expect("VALUES")
+        rows = [self._parse_values_row()]
+        while self.accept(","):
+            rows.append(self._parse_values_row())
+        return A.Values(tuple(rows))
+
+    def parse_copy(self) -> A.Insert:
+        """DuckDB-style export: COPY (query)|table TO 'path'
+        [(FORMAT fmt [, HEADER] [, DELIMITER 'c'])] — sugar for the
+        engine's INSERT OVERWRITE '<path>' (format resolved from the
+        option or the path extension by sources/writers.py)."""
+        self.expect("COPY")
+        if self.peek().kind == "OP" and self.peek().text == "(":
+            self.next()
+            src = self.parse_with_ctes() if self.at("WITH") \
+                else self.parse_select_or_union()
+            self.expect(")")
+        else:
+            name = self.parse_target_name()
+            src = A.Select(items=(A.Star(),), source=A.TableRef(name))
+        self.expect("TO")
+        tok = self.next()
+        if tok.kind != "STR":
+            self.error("COPY ... TO expects a quoted path")
+        path = unquote_string(tok.text)
+        hints: dict = {}
+        if self.peek().kind == "OP" and self.peek().text == "(":
+            self.next()
+            while not self.accept(")"):
+                key = self.next().upper
+                if key == "FORMAT":
+                    hints["format"] = self.next().upper.lower()
+                elif key in ("HEADER", "HEADERS"):
+                    hints["headers"] = True
+                    if self.peek().upper in ("TRUE", "FALSE"):
+                        hints["headers"] = self.next().upper == "TRUE"
+                elif key in ("DELIMITER", "DELIM", "SEP"):
+                    hints["delimiter"] = unquote_string(self.next().text)
+                elif key == "COMPRESSION":
+                    if self.next().upper == "GZIP":
+                        hints["gzip"] = True
+                else:
+                    self.error(f"unsupported COPY option {key}")
+                self.accept(",")
+        hints.update(self.parse_hints())
+        return A.Insert(target=path, columns=(), source=src,
+                        overwrite=True, hints=hints)
+
     def parse_target_name(self) -> str:
         tok = self.peek()
         if tok.kind == "STR":

@@ -497,3 +497,37 @@ class TestCreateTableAs:
         out = eng.sql("SELECT * FROM big")
         out = out.to_pandas() if hasattr(out, "to_pandas") else out
         assert list(out.columns) == ["x"] and len(out) == 1
+
+
+class TestCopyToAndTopLevelValues:
+    """DuckDB-style COPY … TO export sugar (desugars to INSERT OVERWRITE)
+    and bare top-level VALUES queries."""
+
+    def test_copy_query_to_parquet(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from qwery_ray import QweryEngine
+
+        eng = QweryEngine(table_root="/root/testdata/sf0.001")
+        out = str(tmp_path / "r.parquet")
+        eng.sql(f"COPY (SELECT r_regionkey, UPPER(r_name) AS name "
+                f"FROM region) TO '{out}' (FORMAT PARQUET)")
+        t = pq.read_table(out)
+        assert t.num_rows == 5 and "name" in t.column_names
+
+    def test_copy_table_to_csv_roundtrip(self, ray_session, tmp_path):
+        from qwery_ray import QweryEngine
+
+        eng = QweryEngine(table_root="/root/testdata/sf0.001")
+        out = str(tmp_path / "region.csv")
+        eng.sql(f"COPY region TO '{out}' (FORMAT CSV, HEADER)")
+        back = eng.sql(f"SELECT COUNT(*) AS n FROM '{out}'").to_pandas()
+        assert back.n.iloc[0] == 5
+
+    def test_top_level_values(self, ray_session):
+        from qwery_ray import QweryEngine
+
+        eng = QweryEngine(table_root="/root/testdata/sf0.001")
+        df = eng.sql("VALUES (1, 'a'), (2, 'b'), (3, NULL)").to_pandas()
+        assert len(df) == 3
+        assert df.iloc[1].tolist() == [2, "b"]
