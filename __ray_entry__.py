@@ -814,6 +814,16 @@ _SQL_QUERIES: dict[str, tuple[str, str | None]] = {
         "SELECT tok AS word, COUNT(*) AS n FROM (SELECT "
         "unnest(string_split(text, ' ')) AS tok FROM documents) "
         "GROUP BY tok ORDER BY n DESC, word LIMIT 100"),
+    "json_props_rollup": (
+        # JSON extraction over the events.props JSON-string column: the
+        # ->> operator feeds a grouped integer metric. Oracle is the SAME
+        # SQL (DuckDB's json extension) with the engine-side SUM cast
+        # spelled identically so the hash matches HUGEINT vs int64.
+        "SELECT event_type, "
+        "CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_total, "
+        "COUNT(*) AS n FROM events WHERE json_valid(props) "
+        "GROUP BY event_type ORDER BY event_type",
+        None),
 }
 
 
