@@ -152,3 +152,23 @@ class TestDistributed:
                                   max_words=2)
             assert list(wf["word"]) == ["aa", "bb"]  # count desc, word asc
             assert list(wf["cnt"]) == [60, 30]
+
+
+class TestBpeForcedScalePath:
+    def test_groupby_topk_path_equals_driver_fold(self, ray_session):
+        # approx_docs above the 5M threshold forces the (word) groupby +
+        # per-block local top-k; the trimmed model must be identical
+        rows = [{"doc_id": i, "text": t} for i, t in enumerate(
+            ["the cat sat", "the dog sat sat", "cat cat the"] * 10)]
+        a = word_frequencies(rd.from_items(rows), approx_docs=30)
+        b = word_frequencies(rd.from_items(rows).repartition(5),
+                             approx_docs=10_000_000)
+        pd.testing.assert_frame_equal(a, b.reset_index(drop=True))
+
+    def test_groupby_path_respects_max_words_and_min_count(self,
+                                                           ray_session):
+        rows = [{"doc_id": 0, "text": "aa aa aa bb bb cc"}]
+        wf = word_frequencies(rd.from_items(rows), max_words=2,
+                              min_count=2, approx_docs=10_000_000)
+        assert list(wf["word"]) == ["aa", "bb"]
+        assert list(wf["cnt"]) == [3, 2]

@@ -129,3 +129,17 @@ class TestDsirSample:
         b = dsir_sample(rd.from_items(boosted), 10).to_pandas()
         assert 99 in set(b.doc_id)
         assert len(set(b.doc_id) - set(base.doc_id) - {99}) == 0
+
+
+class TestDsirForcedScalePath:
+    def test_bounded_groupby_path_equals_driver_fold(self, ray_session,
+                                                     docs):
+        # approx_docs above the 5M threshold forces the bounded
+        # n_buckets-key groupby reduce; results must be identical
+        ds1 = rd.read_parquet(DOCS, columns=["doc_id", "text"])
+        small = dsir_weights(ds1, approx_docs=100).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        ds2 = rd.read_parquet(DOCS, columns=["doc_id", "text"])
+        big = dsir_weights(ds2, approx_docs=10_000_000).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(small, big, check_exact=True)
