@@ -2463,6 +2463,10 @@ class Compiler:
             table = proj(pa.table({"__one": [1]}))
             if unnest_cols:
                 table = ExplodeBatch(unnest_cols)(table)
+            if sel.where is not None:
+                # SELECT 1 WHERE FALSE must yield zero rows (ANSI); the
+                # filter runs against the literal row's own columns
+                table = FilterBatch(sel.where, env)(table)
             return Frame(rd.from_arrow(table), list(table.column_names))
 
         # read-time optimization: prune columns + push WHERE into the scan

@@ -9,6 +9,8 @@ IN/BETWEEN/HAVING/DISTINCT.
 
 from __future__ import annotations
 
+from dataclasses import replace as dc_replace
+
 from . import ast as A
 from .lexer import Token, tokenize, unquote_ident, unquote_string
 
@@ -272,10 +274,40 @@ class Parser:
                 if not all_:
                     self.accept("DISTINCT")
                 left = A.SetOp(word, left, self.parse_select(), all=all_)
-        return left
+        return self._hoist_setop_tail(left)
+
+    @staticmethod
+    def _hoist_setop_tail(stmt: A.Statement) -> A.Statement:
+        """ANSI: a trailing ORDER BY / LIMIT / OFFSET after a set op binds
+        to the WHOLE result, not the last branch — but the branch parser
+        consumes it. Hoist it off the rightmost (unparenthesized) Select
+        onto a wrapper over the set operation."""
+        if not isinstance(stmt, (A.Union, A.SetOp)):
+            return stmt
+        rm = stmt
+        while isinstance(rm.right, (A.Union, A.SetOp)):
+            rm = rm.right
+        tail = rm.right
+        if not isinstance(tail, A.Select) or not (
+                tail.order_by or tail.limit is not None
+                or tail.offset is not None):
+            return stmt
+        order_by, limit, offset = tail.order_by, tail.limit, tail.offset
+        stripped = dc_replace(tail, order_by=(), limit=None, offset=None)
+
+        def rebuild(node):
+            if node is tail:
+                return stripped
+            return dc_replace(node, right=rebuild(node.right))
+
+        return A.Select(items=(A.Star(),),
+                        source=A.SubquerySource(rebuild(stmt), None),
+                        order_by=order_by, limit=limit, offset=offset)
 
     def parse_select(self) -> A.Statement:
         self.expect("SELECT")
+        if self.at("ALL") and self.peek(1).upper not in ("FROM", ",", ")"):
+            self.next()  # ANSI no-op: SELECT ALL = not DISTINCT
         distinct = bool(self.accept("DISTINCT"))
         distinct_on: list[A.Expr] = []
         if distinct and self.accept("ON"):

@@ -856,3 +856,48 @@ class TestFetchFirst:
         run_both(engine, duck,
                  "SELECT o_orderkey FROM orders ORDER BY o_orderkey "
                  "FETCH FIRST 1 ROW ONLY")
+
+
+class TestSetOpTailAndLiteralWhere:
+    """ANSI binding of trailing ORDER BY/LIMIT after set ops (applies to
+    the WHOLE result), WHERE on sourceless literal selects, SELECT ALL."""
+
+    def test_union_trailing_order_limit(self, ray_session):
+        from qwery_ray import QweryEngine
+
+        eng = QweryEngine(table_root="/root/testdata/sf0.001")
+        assert eng.sql("SELECT 'x' AS a UNION ALL SELECT 'y' "
+                       "ORDER BY a DESC").to_pandas().a.tolist() == \
+            ["y", "x"]
+        assert eng.sql("SELECT 2 AS x UNION ALL SELECT 1 UNION ALL "
+                       "SELECT 3 ORDER BY x LIMIT 2") \
+            .to_pandas().x.tolist() == [1, 2]
+        assert eng.sql("SELECT 1 AS x EXCEPT SELECT 2 ORDER BY x") \
+            .to_pandas().x.tolist() == [1]
+
+    def test_parenthesized_branch_keeps_its_order(self, ray_session):
+        from qwery_ray import QweryEngine
+
+        eng = QweryEngine(table_root="/root/testdata/sf0.001")
+        # inner ORDER BY + LIMIT inside parens binds to the branch
+        df = eng.sql(
+            "SELECT o_orderkey AS k FROM (SELECT o_orderkey FROM orders "
+            "ORDER BY o_orderkey DESC LIMIT 1) t "
+            "UNION ALL SELECT 0 ORDER BY k").to_pandas()
+        assert df.k.tolist() == [0, 1499]
+
+    def test_literal_select_where(self, ray_session):
+        from qwery_ray import QweryEngine
+
+        eng = QweryEngine(table_root="/root/testdata/sf0.001")
+        assert len(eng.sql("SELECT 1 AS x WHERE 1 = 2").to_pandas()) == 0
+        assert eng.sql("SELECT 1 AS x WHERE 1 = 1") \
+            .to_pandas().x.tolist() == [1]
+
+    def test_select_all_noop(self, ray_session):
+        from qwery_ray import QweryEngine
+
+        eng = QweryEngine(table_root="/root/testdata/sf0.001")
+        df = eng.sql("SELECT ALL o_orderstatus FROM orders LIMIT 3") \
+            .to_pandas()
+        assert len(df) == 3
