@@ -677,8 +677,8 @@ def _map_statement_exprs(stmt, fix: Callable):
 
         items = tuple(fix_item(it) for it in stmt.items)
         joins = tuple(
-            A.JoinClause(j.join_type,
-                         _map_source(j.right, fix), fix(j.on))
+            dataclasses.replace(j, right=_map_source(j.right, fix),
+                                on=fix(j.on))
             for j in stmt.joins)
         return dataclasses.replace(
             stmt,

@@ -304,6 +304,8 @@ class JoinClause:
     join_type: str  # INNER LEFT RIGHT FULL (reference has INNER only, Join.scala:10)
     right: Source
     on: Cond
+    using: tuple = ()     # JOIN … USING (a, b): equi-keys by shared name
+    natural: bool = False  # NATURAL JOIN: USING = all shared column names
 
 
 @dataclass(frozen=True)

@@ -3696,13 +3696,32 @@ class Compiler:
                 CrossJoinBatch(right_ref, None, env), batch_format="pyarrow")
             return Frame(ds, left.columns + right.columns, left.aliases)
 
-        try:
-            left_keys, right_keys, residual = self._split_on(
-                j.on, left, right, ralias)
-        except ValueError as exc:
-            if "equi-key" not in str(exc):
-                raise
-            return self._compile_theta_join(left, right, j, ralias, env)
+        using = tuple(getattr(j, "using", ()) or ())
+        if getattr(j, "natural", False):
+            # NATURAL JOIN: keys = every shared bare column name
+            rbare = {c.split(".")[-1].lower() for c in right.columns}
+            using = tuple(c for c in left.columns
+                          if c.split(".")[-1].lower() in rbare)
+            if not using:
+                raise ValueError("NATURAL JOIN: no shared column names")
+        if using:
+            def find(cols, name):
+                for c in cols:
+                    if c.lower() == name.lower() or \
+                            c.split(".")[-1].lower() == name.lower():
+                        return c
+                raise ValueError(f"USING column {name!r} not found")
+            left_keys = [find(left.columns, u) for u in using]
+            right_keys = [find(right.columns, u) for u in using]
+            residual = None
+        else:
+            try:
+                left_keys, right_keys, residual = self._split_on(
+                    j.on, left, right, ralias)
+            except ValueError as exc:
+                if "equi-key" not in str(exc):
+                    raise
+                return self._compile_theta_join(left, right, j, ralias, env)
 
         if j.join_type in ("SEMI", "ANTI"):
             return self._compile_semi_anti(left, right, j, ralias,

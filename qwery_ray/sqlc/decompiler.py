@@ -243,8 +243,15 @@ def to_sql(stmt) -> str:
                 parts.append("CROSS JOIN " + _source_sql(j.right))
             else:
                 jt = {"ASOF_LEFT": "ASOF LEFT"}.get(j.join_type, j.join_type)
-                parts.append(f"{jt} JOIN {_source_sql(j.right)} "
-                             f"ON {expr_sql(j.on)}")
+                if getattr(j, "natural", False):
+                    parts.append(f"NATURAL {jt} JOIN "
+                                 f"{_source_sql(j.right)}")
+                elif getattr(j, "using", ()):
+                    parts.append(f"{jt} JOIN {_source_sql(j.right)} "
+                                 f"USING ({', '.join(j.using)})")
+                else:
+                    parts.append(f"{jt} JOIN {_source_sql(j.right)} "
+                                 f"ON {expr_sql(j.on)}")
         if stmt.where is not None:
             parts.append("WHERE " + expr_sql(stmt.where))
         if stmt.group_by and stmt.grouping_sets is not None:

@@ -338,7 +338,7 @@ class Parser:
                                               A.Literal(True)))
                     continue
                 if self.at("INNER", "LEFT", "RIGHT", "FULL", "JOIN", "CROSS",
-                           "ASOF", "SEMI", "ANTI"):
+                           "ASOF", "SEMI", "ANTI", "NATURAL"):
                     joins.append(self.parse_join())
                     continue
                 break
@@ -838,6 +838,7 @@ class Parser:
 
     def parse_join(self) -> A.JoinClause:
         jt = "INNER"
+        natural = bool(self.accept("NATURAL"))
         if self.accept("ASOF"):
             # DuckDB-compatible: ASOF JOIN (inner) / ASOF LEFT [OUTER] JOIN
             jt = "ASOF"
@@ -869,6 +870,18 @@ class Parser:
         right = self.parse_source()
         if jt == "CROSS":
             return A.JoinClause(jt, right, A.Literal(True))
+        if natural:
+            # NATURAL JOIN: keys = all shared column names, resolved by
+            # the compiler against the two frames' schemas
+            return A.JoinClause(jt, right, A.Literal(True), natural=True)
+        if self.accept("USING"):
+            self.expect("(")
+            cols = [self._ident_name()]
+            while self.accept(","):
+                cols.append(self._ident_name())
+            self.expect(")")
+            return A.JoinClause(jt, right, A.Literal(True),
+                                using=tuple(cols))
         self.expect("ON")
         on = self.parse_cond()
         return A.JoinClause(jt, right, on)

@@ -331,3 +331,52 @@ class TestJoinPartitionMemoryCap:
         monkeypatch.setattr(_ray, "cluster_resources",
                             lambda: {"memory": 2 * 7 * blk})
         assert C._join_partitions(32) == 64
+
+
+class TestUsingAndNaturalJoin:
+    """JOIN … USING (cols) and NATURAL JOIN: keys resolved by shared name,
+    ONE key column in the output (ANSI), DuckDB parity."""
+
+    def _cmp(self, engine, duck, sql):
+        import pandas as pd
+        mine = engine.sql(sql).to_pandas()
+        orc = duck.execute(sql).fetch_df()
+        cols = sorted(mine.columns)
+        pd.testing.assert_frame_equal(
+            mine.reindex(cols, axis=1).sort_values(cols, ignore_index=True),
+            orc.reindex(cols, axis=1).sort_values(cols, ignore_index=True),
+            check_dtype=False)
+
+    def test_using_inner(self, engine, duck):
+        self._cmp(engine, duck,
+                  "SELECT rk, COUNT(*) AS n FROM "
+                  "(SELECT n_regionkey AS rk FROM nation) a JOIN "
+                  "(SELECT r_regionkey AS rk, r_name FROM region) b "
+                  "USING (rk) GROUP BY 1")
+
+    def test_using_left_join_star_schema(self, engine, duck):
+        self._cmp(engine, duck,
+                  "SELECT * FROM (SELECT 1 AS k UNION ALL SELECT 99) a "
+                  "LEFT JOIN (SELECT 1 AS k, 'x' AS v) b USING (k)")
+
+    def test_natural_join(self, engine, duck):
+        self._cmp(engine, duck,
+                  "SELECT COUNT(*) AS n FROM "
+                  "(SELECT n_regionkey AS rk FROM nation) a NATURAL JOIN "
+                  "(SELECT r_regionkey AS rk, r_name FROM region) b")
+
+    def test_using_missing_column_errors(self, engine):
+        import pytest
+
+        with pytest.raises(Exception, match="USING column"):
+            engine.sql("SELECT COUNT(*) AS n FROM nation JOIN region "
+                       "USING (nosuchcol)").to_pandas()
+
+    def test_roundtrip(self):
+        from qwery_ray.sqlc import parser as P
+        from qwery_ray.sqlc.decompiler import to_sql
+
+        for sql in ["SELECT a.x FROM t AS a INNER JOIN u AS b USING (k, j)",
+                    "SELECT x FROM t NATURAL INNER JOIN u"]:
+            stmt = P.parse(sql)[0]
+            assert P.parse(to_sql(stmt))[0] == stmt
