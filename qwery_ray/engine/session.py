@@ -103,6 +103,7 @@ class QweryEngine:
             if expr is None:
                 return None
             expr = transform_expr(expr, self._expand_sql_udf)
+            expr = transform_expr(expr, self._resolve_expr_exists)
             expr = transform_expr(expr, self._resolve_scalar_subquery)
             expr = transform_expr(expr, self._resolve_quantified)
             expr = transform_expr(expr, self._resolve_in_subquery)
@@ -204,6 +205,18 @@ class QweryEngine:
         # from at least one of them
         return A.IsNull(L, True) if mn != mx \
             else A.Comparison("!=", L, A.Literal(mn))
+
+    def _resolve_expr_exists(self, node):
+        """UNCORRELATED [NOT] EXISTS anywhere in an expression (CASE arms,
+        select items, …) resolves to a boolean literal via a limit(1)
+        probe; correlated EXISTS stays for the compiler's semi/anti-join
+        decorrelation."""
+        if isinstance(node, A.Exists) and not self._is_correlated(
+                node.query):
+            ds = self.compiler.compile_query(self._prepare(node.query))
+            got = bool(ds.limit(1).take(1))
+            return A.Literal(got != node.negated)
+        return node
 
     def _resolve_scalar_subquery(self, node):
         if isinstance(node, _ScalarSubquery):

@@ -3252,9 +3252,14 @@ class Compiler:
         """GROUP BY 1 / ORDER BY 2 → the corresponding SELECT item."""
         items = [it for it in sel.items]
 
-        def item_expr(pos: int):
-            it = items[pos - 1]
-            if isinstance(it, A.Star):
+        def item_expr(pos: int, for_order: bool = False):
+            it = items[pos - 1] if pos - 1 < len(items) else None
+            if isinstance(it, A.Star) or it is None:
+                if for_order:
+                    # `SELECT * … ORDER BY k`: leave positional — the
+                    # order compiler resolves it against the projected
+                    # frame's k-th column
+                    return None
                 raise ValueError("positional ref cannot target *")
             return it
 
@@ -3262,13 +3267,19 @@ class Compiler:
             item_expr(g.value).expr
             if isinstance(g, A.Literal) and isinstance(g.value, int) else g
             for g in sel.group_by)
-        order_by = tuple(
-            A.OrderItem(A.ColumnRef(self._output_name(
-                item_expr(o.expr.value),
-                o.expr.value - 1)), o.ascending)
-            if isinstance(o.expr, A.Literal) and isinstance(o.expr.value, int)
-            else o
-            for o in sel.order_by)
+
+        def order_item(o):
+            if not (isinstance(o.expr, A.Literal)
+                    and isinstance(o.expr.value, int)):
+                return o
+            it = item_expr(o.expr.value, for_order=True)
+            if it is None:
+                return o  # deferred to _compile_order
+            return A.OrderItem(
+                A.ColumnRef(self._output_name(it, o.expr.value - 1)),
+                o.ascending, o.nulls_first)
+
+        order_by = tuple(order_item(o) for o in sel.order_by)
         if group_by == sel.group_by and order_by == sel.order_by:
             return sel
         return dc_replace(sel, group_by=group_by, order_by=order_by)
@@ -4614,6 +4625,11 @@ class Compiler:
         mapping = getattr(frame, "_agg_mapping", None)
         for i, ob in enumerate(order_by):
             expr = ob.expr
+            if isinstance(expr, A.Literal) and isinstance(expr.value, int) \
+                    and 1 <= expr.value <= len(frame.columns):
+                # ORDER BY k left positional (the projection was `*`, so
+                # item resolution deferred): the k-th output column
+                expr = A.ColumnRef(frame.columns[expr.value - 1])
             if mapping:
                 expr = substitute_nodes(expr, mapping)
             if isinstance(expr, A.ColumnRef) and \

@@ -300,6 +300,27 @@ class Parser:
                 return stripped
             return dc_replace(node, right=rebuild(node.right))
 
+        # positional ORDER BY k can't resolve against the wrapper's `*` —
+        # translate it to the k-th output column name (set-op output names
+        # come from the LEFTMOST branch)
+        lm = stmt
+        while isinstance(lm, (A.Union, A.SetOp)):
+            lm = lm.left
+        def positional(o):
+            if isinstance(o.expr, A.Literal) and isinstance(o.expr.value,
+                                                            int) \
+                    and isinstance(lm, A.Select) \
+                    and 1 <= o.expr.value <= len(lm.items):
+                it = lm.items[o.expr.value - 1]
+                if isinstance(it, A.SelectItem):
+                    name = it.alias or (it.expr.name if isinstance(
+                        it.expr, A.ColumnRef) else None)
+                    if name:
+                        return A.OrderItem(A.ColumnRef(name), o.ascending,
+                                           o.nulls_first)
+            return o
+        order_by = tuple(positional(o) for o in order_by)
+
         return A.Select(items=(A.Star(),),
                         source=A.SubquerySource(rebuild(stmt), None),
                         order_by=order_by, limit=limit, offset=offset)

@@ -184,3 +184,23 @@ class TestExistsResidualFuzz:
             assert len(mine) == len(oracle), sql
             for c in oracle.columns:
                 assert mine[c].tolist() == oracle[c].tolist(), (sql, c)
+
+
+class TestUncorrelatedExistsInExpressions:
+    """Uncorrelated [NOT] EXISTS in CASE arms / select items resolves to a
+    boolean literal at prepare time (limit-1 probe); correlated EXISTS
+    keeps the semi/anti-join decorrelation."""
+
+    def test_case_and_select_item(self, engine, duck):
+        for sql in [
+            "SELECT CASE WHEN EXISTS (SELECT 1 FROM region WHERE "
+            "r_name = 'ASIA') THEN 'yes' ELSE 'no' END AS e",
+            "SELECT CASE WHEN NOT EXISTS (SELECT 1 FROM region WHERE "
+            "r_name = 'NOPE') THEN 'clean' END AS e",
+            "SELECT EXISTS (SELECT 1 FROM region WHERE r_name = 'NOPE') "
+            "AS e",
+        ]:
+            mine = engine.sql(sql).to_pandas()
+            orc = duck.execute(sql).fetch_df()
+            assert mine.e.astype(str).tolist() == \
+                orc.e.astype(str).tolist(), sql

@@ -901,3 +901,33 @@ class TestSetOpTailAndLiteralWhere:
         df = eng.sql("SELECT ALL o_orderstatus FROM orders LIMIT 3") \
             .to_pandas()
         assert len(df) == 3
+
+
+class TestPositionalOrderOnStarAndSetOps:
+    def test_order_by_position_after_union_with_star_branch(self,
+                                                            ray_session):
+        from qwery_ray import QweryEngine
+
+        eng = QweryEngine(table_root="/root/testdata/sf0.001")
+        got = eng.sql(
+            "WITH a AS (SELECT 1 AS x), b AS (SELECT x + 1 AS y FROM a) "
+            "SELECT * FROM b UNION ALL SELECT x FROM a ORDER BY 1"
+        ).to_pandas()
+        assert got.iloc[:, 0].tolist() == [1, 2]
+
+    def test_order_by_position_on_star_select(self, ray_session):
+        from qwery_ray import QweryEngine
+
+        eng = QweryEngine(table_root="/root/testdata/sf0.001")
+        df = eng.sql("SELECT * FROM region ORDER BY 2 LIMIT 2").to_pandas()
+        assert df.r_name.tolist() == ["AFRICA", "AMERICA"]
+
+    def test_mixed_positions_after_union(self, ray_session):
+        from qwery_ray import QweryEngine
+
+        eng = QweryEngine(table_root="/root/testdata/sf0.001")
+        df = eng.sql(
+            "SELECT o_orderkey AS k, o_orderstatus FROM orders "
+            "UNION ALL SELECT 0, 'Z' ORDER BY 2 DESC, 1 LIMIT 2"
+        ).to_pandas()
+        assert df.values.tolist()[0] == [0, "Z"]
