@@ -99,6 +99,51 @@ def update_parquet(ds: rd.Dataset, path: str, keys: list[str],
     return updated
 
 
+def update_where_parquet(path: str, assignments, where, env: dict) -> int:
+    """ANSI in-place UPDATE <file> SET a=e [WHERE cond]: evaluate the SET
+    expressions over the matching rows (NULL predicate skips the row, SQL
+    semantics), rewrite atomically. Returns rows_updated. File targets
+    only — big-data updates flow through the CDC lake as LWW events."""
+    from ..sqlc.compiler import make_evaluator
+
+    if not os.path.exists(path):
+        return 0
+    if os.path.isdir(path):
+        raise ValueError(
+            "UPDATE targets a single parquet file; lake/directory updates "
+            "go through UPSERT INTO ... WITH LAKE")
+    tbl = pq.read_table(path)
+    ev = make_evaluator(env)
+    if where is None:
+        mask = pa.array([True] * len(tbl), pa.bool_())
+    else:
+        mask = ev.eval_mask(where, tbl)
+    n_upd = pc.sum(mask).as_py() or 0
+    if n_upd:
+        import numpy as np
+
+        for name, expr in assignments:
+            if name not in tbl.column_names:
+                raise ValueError(f"UPDATE: unknown column {name!r}")
+            val = ev.eval(expr, tbl)
+            idx = tbl.column_names.index(name)
+            old = tbl.column(idx)
+            if not isinstance(val, (pa.Array, pa.ChunkedArray)):
+                val = pa.array([val] * len(tbl)).cast(old.type)
+            elif val.type != old.type:
+                val = val.cast(old.type)
+            if isinstance(old, pa.ChunkedArray):
+                old = old.combine_chunks()
+            if isinstance(val, pa.ChunkedArray):
+                val = val.combine_chunks()
+            new = pc.if_else(mask, val, old)
+            tbl = tbl.set_column(idx, name, new)
+        tmp = path + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+    return int(n_upd)
+
+
 def delete_parquet(path: str, where, env: dict) -> int:
     """DELETE FROM <file> [WHERE cond]: drop rows where cond is TRUE (NULL
     keeps the row — SQL semantics, eval_mask fills nulls False), rewrite

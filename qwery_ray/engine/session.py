@@ -420,6 +420,15 @@ class QweryEngine:
     def _exec_Update(self, stmt: A.Update):
         from ..cdc.upsert import update_parquet
 
+        if stmt.source is None:
+            # ANSI in-place form: UPDATE t SET a = e [WHERE cond]
+            from ..cdc.upsert import update_where_parquet
+
+            path = self.resolve_table_path(self.expand_vars(stmt.target))
+            updated = update_where_parquet(
+                path, list(stmt.assignments), stmt.where, _env(self))
+            return pa.table({"ROWS_UPDATED": [updated],
+                             "ROWS_REJECTED": [0]})
         ds = self.compiler.compile_query(stmt.source)
         path = self.resolve_table_path(self.expand_vars(stmt.target))
         env = _env(self)
@@ -723,7 +732,9 @@ def _map_statement_exprs(stmt, fix: Callable):
     if isinstance(stmt, A.Update):
         return A.Update(stmt.target,
                         tuple((n, fix(e)) for n, e in stmt.assignments),
-                        _map_statement_exprs(stmt.source, fix), stmt.keyed_on)
+                        _map_statement_exprs(stmt.source, fix)
+                        if stmt.source is not None else None,
+                        stmt.keyed_on, where=fix(stmt.where))
     if isinstance(stmt, A.Delete):
         return A.Delete(stmt.target, fix(stmt.where))
     if isinstance(stmt, A.Values):

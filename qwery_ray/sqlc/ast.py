@@ -419,12 +419,15 @@ class Merge(Statement):
 
 @dataclass(frozen=True)
 class Update(Statement):
-    """UPDATE tgt SET a=expr ... KEYED ON k (reference: ops/sql/Update.scala)."""
+    """UPDATE tgt SET a=expr … FROM src KEYED ON k (reference:
+    ops/sql/Update.scala), or the ANSI in-place form
+    UPDATE tgt SET a=expr [WHERE cond] (source None, where set)."""
 
     target: str
     assignments: tuple[tuple[str, Expr], ...]
-    source: Statement
-    keyed_on: tuple[str, ...]
+    source: Optional[Statement] = None
+    keyed_on: tuple[str, ...] = ()
+    where: Optional[Cond] = None
 
 
 @dataclass(frozen=True)

@@ -1139,6 +1139,10 @@ class Parser:
             name = self._ident_name()
             self.expect("=")
             assignments.append((name, self.parse_expr()))
+        if not self.at("FROM"):
+            # ANSI in-place form: UPDATE t SET a = e [WHERE cond]
+            where = self.parse_cond() if self.accept("WHERE") else None
+            return A.Update(target, tuple(assignments), where=where)
         self.expect("FROM")
         source = self.parse_select_or_union() if self.at("SELECT") else A.Select(
             items=(A.Star(),), source=self.parse_source())

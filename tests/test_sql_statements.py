@@ -531,3 +531,44 @@ class TestCopyToAndTopLevelValues:
         df = eng.sql("VALUES (1, 'a'), (2, 'b'), (3, NULL)").to_pandas()
         assert len(df) == 3
         assert df.iloc[1].tolist() == [2, "b"]
+
+
+class TestUpdateWhereInPlace:
+    """ANSI in-place UPDATE t SET a = e [WHERE cond] (no FROM … KEYED ON):
+    matching rows rewritten atomically, SET expressions may reference the
+    row's own columns."""
+
+    def _mk(self, tmp_path):
+        import shutil
+
+        from qwery_ray import QweryEngine
+
+        shutil.copy("/root/testdata/sf0.001/region.parquet", tmp_path)
+        return QweryEngine(table_root=str(tmp_path)), \
+            f"{tmp_path}/region.parquet"
+
+    def test_update_where(self, ray_session, tmp_path):
+        eng, path = self._mk(tmp_path)
+        out = eng.sql(f"UPDATE '{path}' SET r_name = LOWER(r_name) "
+                      f"WHERE r_regionkey < 2").to_pandas()
+        assert out.ROWS_UPDATED.iloc[0] == 2
+        back = eng.sql(f"SELECT r_name FROM '{path}' "
+                       f"ORDER BY r_regionkey").to_pandas()
+        assert back.r_name.tolist()[:3] == ["africa", "america", "ASIA"]
+
+    def test_update_all_and_null_predicate(self, ray_session, tmp_path):
+        eng, path = self._mk(tmp_path)
+        out = eng.sql(f"UPDATE '{path}' SET r_name = 'X'").to_pandas()
+        assert out.ROWS_UPDATED.iloc[0] == 5
+        # NULL predicate skips the row (SQL semantics)
+        out2 = eng.sql(f"UPDATE '{path}' SET r_name = 'Y' "
+                       f"WHERE NULL").to_pandas()
+        assert out2.ROWS_UPDATED.iloc[0] == 0
+
+    def test_reference_form_still_works(self, ray_session, tmp_path):
+        eng, path = self._mk(tmp_path)
+        eng.sql(f"UPDATE '{path}' SET r_name = 'Z' "
+                f"FROM (SELECT 0 AS r_regionkey) KEYED ON r_regionkey")
+        back = eng.sql(f"SELECT r_name FROM '{path}' WHERE r_regionkey = 0"
+                       ).to_pandas()
+        assert back.r_name.tolist() == ["Z"]
