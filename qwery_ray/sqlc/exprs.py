@@ -1006,6 +1006,46 @@ def _fn_json_extract_string(ev, e, batch):
     return pa.array(out, pa.string())
 
 
+def _fn_to_timestamp(ev, e, batch):
+    """Epoch seconds (fractional ok) → timestamp[us] (naive UTC — this
+    engine carries no timezone, matching its parquet columns)."""
+    v = pc.cast(_arg(ev, e, batch, 0), pa.float64())
+    us = pc.cast(pc.round(pc.multiply(v, pa.scalar(1e6))), pa.int64())
+    return pc.cast(us, pa.timestamp("us"))
+
+
+def _fn_make_date(ev, e, batch):
+    import datetime as _dt
+
+    y, m, d = (ev.eval(a, batch) for a in e.args)
+    if any(x is None for x in (y, m, d)):
+        return None
+    if not all(_is_scalar(x) for x in (y, m, d)):
+        import pandas as pd
+
+        def col(x):
+            if _is_scalar(x):
+                return np.full(len(batch), int(x), dtype=np.int64)
+            return pc.cast(x, pa.int64()).to_numpy(zero_copy_only=False)
+        ys, ms, ds_ = col(y), col(m), col(d)
+        out = [_dt.datetime(int(a), int(b), int(c))
+               for a, b, c in zip(ys, ms, ds_)]
+        return pa.array(out, pa.timestamp("us"))
+    return _dt.datetime(int(y), int(m), int(d))
+
+
+def _fn_make_timestamp(ev, e, batch):
+    import datetime as _dt
+
+    vals = [ev.eval(a, batch) for a in e.args]
+    if any(v is None for v in vals):
+        return None
+    y, m, d, h, mi, s = (vals + [0, 0, 0])[:6]
+    sec = float(s)
+    return _dt.datetime(int(y), int(m), int(d), int(h), int(mi),
+                        int(sec), int(round((sec % 1) * 1e6)))
+
+
 def _fn_json_valid(ev, e, batch):
     import json
 
@@ -1522,7 +1562,9 @@ _SCALAR_FUNCS: dict[str, Callable] = {
     "LPAD": _fn_lpad, "RPAD": _fn_rpad,
     "REPLACE": _fn_replace,
     "COALESCE": _fn_coalesce, "NULLIF": _fn_nullif,
-    "IFNULL": _fn_coalesce, "NVL": _fn_coalesce,
+    "IFNULL": _fn_coalesce, "NVL": _fn_coalesce, "ISNULL": _fn_coalesce,
+    "TO_TIMESTAMP": _fn_to_timestamp, "MAKE_DATE": _fn_make_date,
+    "MAKE_TIMESTAMP": _fn_make_timestamp,
     "CONCAT_WS": _fn_concat_ws,
     "NOW": _fn_now, "RAND": _fn_rand, "UUID": _fn_uuid,
     "DATE_FORMAT": _fn_date_format, "DATE_PARSE": _fn_date_parse,

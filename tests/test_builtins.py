@@ -496,3 +496,28 @@ class TestJsonFunctions:
                   "FROM events GROUP BY 1")
         self._cmp(engine, duck,
                   "SELECT json_valid('{bad') AS a, json_valid('3') AS b")
+
+
+class TestDatetimeConstructors:
+    def test_to_timestamp_make_date_isnull(self, engine, duck):
+        import pandas as pd
+        sql = ("SELECT TO_TIMESTAMP(1704067200.5) AS t, "
+               "MAKE_DATE(2024,2,29) AS d, "
+               "MAKE_TIMESTAMP(2024,2,29,12,30,45.5) AS ts, "
+               "ISNULL(NULL, 5) AS x")
+        mine = engine.sql(sql).to_pandas()
+        # DuckDB to_timestamp is tz-aware UTC; this engine is naive UTC —
+        # compare the wall-clock values (same instant)
+        orc = duck.execute(
+            "SELECT to_timestamp(1704067200.5)::TIMESTAMP AS t, "
+            "make_date(2024,2,29)::TIMESTAMP AS d, "
+            "make_timestamp(2024,2,29,12,30,45.5) AS ts, "
+            "COALESCE(NULL, 5) AS x").fetch_df()
+        pd.testing.assert_frame_equal(mine, orc, check_dtype=False)
+
+    def test_per_row_make_date(self, engine):
+        df = engine.sql(
+            "SELECT MAKE_DATE(2024, CAST(event_id % 12 + 1 AS INT), 1) "
+            "AS d FROM events WHERE event_id < 3 ORDER BY event_id"
+        ).to_pandas()
+        assert df.d.dt.month.tolist() == [1, 2, 3]
