@@ -931,3 +931,41 @@ class TestPositionalOrderOnStarAndSetOps:
             "UNION ALL SELECT 0, 'Z' ORDER BY 2 DESC, 1 LIMIT 2"
         ).to_pandas()
         assert df.values.tolist()[0] == [0, "Z"]
+
+
+class TestFeatureCompositions:
+    """Cross-feature interactions: new surface composing with subqueries,
+    windows, CTEs, COPY."""
+
+    def _eng(self):
+        from qwery_ray import QweryEngine
+
+        return QweryEngine(table_root="/root/testdata/sf0.001")
+
+    def test_parenthesized_union_tail_in_from(self, ray_session):
+        df = self._eng().sql(
+            "SELECT * FROM (SELECT 1 AS x UNION ALL SELECT 3 UNION ALL "
+            "SELECT 2 ORDER BY 1 LIMIT 2) t ORDER BY x DESC").to_pandas()
+        assert df.x.tolist() == [2, 1]
+
+    def test_json_groupby_qualify(self, ray_session):
+        df = self._eng().sql(
+            "SELECT rk, SUM(CAST(props->>'k' AS BIGINT)) AS s FROM "
+            "(SELECT user_id % 3 AS rk, props FROM events) e GROUP BY 1 "
+            "QUALIFY RANK() OVER (ORDER BY s DESC) = 1").to_pandas()
+        assert len(df) == 1
+
+    def test_copy_of_union(self, ray_session, tmp_path):
+        eng = self._eng()
+        out = str(tmp_path / "u.csv")
+        eng.sql(f"COPY (SELECT 1 AS a UNION ALL SELECT 2 ORDER BY 1) "
+                f"TO '{out}' (FORMAT CSV, HEADER)")
+        back = eng.sql(f"SELECT * FROM '{out}' ORDER BY a").to_pandas()
+        assert back.a.astype(int).tolist() == [1, 2]
+
+    def test_slice_in_cte(self, ray_session):
+        df = self._eng().sql(
+            "WITH x AS (SELECT doc_id, text[:20] AS head FROM documents) "
+            "SELECT COUNT(*) AS n FROM x WHERE LENGTH(head) <= 20"
+        ).to_pandas()
+        assert df.n.iloc[0] == 500
