@@ -743,13 +743,34 @@ _SQL_QUERIES: dict[str, tuple[str, str | None]] = {
         # fixpoint iteration is a full distributed query; only the working
         # table materializes. Integer COUNT/SUM keep the value hash exact.
         # Identical text runs on DuckDB (l_quantity is integral, so cast
-        # truncation == rounding).
+        # truncation == rounding). CAST idiom (r3 verdict): literal spines
+        # type as int32 in DuckDB and SUM(INT) widens to HUGEINT/decimal —
+        # spell explicit BIGINT casts on the spine column AND the SUM so
+        # both engines emit int64 (same trap as json_props_rollup; apply to
+        # any future recursive / integer-literal shape).
         "WITH RECURSIVE qty(q) AS (SELECT 1 UNION ALL "
         "SELECT q + 1 FROM qty WHERE q < 50) "
-        "SELECT q.q, COUNT(l.l_orderkey) AS n_items, "
-        "COALESCE(SUM(CAST(l.l_quantity AS INT)), 0) AS sum_qty "
+        "SELECT CAST(q.q AS BIGINT) AS q, COUNT(l.l_orderkey) AS n_items, "
+        "CAST(COALESCE(SUM(CAST(l.l_quantity AS INT)), 0) AS BIGINT) "
+        "AS sum_qty "
         "FROM qty q LEFT JOIN lineitem l ON CAST(l.l_quantity AS INT) = q.q "
         "GROUP BY q.q ORDER BY q.q",
+        None),
+    "recursive_paths": (
+        # Second WITH RECURSIVE shape (r3 verdict item 10): a deterministic
+        # pseudo-random walk accumulating a STRING path (|| concat inside
+        # the recursive term) then joined back to a real table — exercises
+        # recursion state wider than one int and the CAST idiom documented
+        # on recursive_spine (every numeric column spelled BIGINT on both
+        # engines; strings hash identically by construction).
+        "WITH RECURSIVE walk(d, nk, path) AS ("
+        "SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'N0' "
+        "UNION ALL SELECT d + 1, (nk * 7 + 3) % 25, "
+        "path || '>N' || CAST((nk * 7 + 3) % 25 AS VARCHAR) "
+        "FROM walk WHERE d < 20) "
+        "SELECT w.d, w.nk, w.path, n.n_name "
+        "FROM walk w JOIN nation n ON CAST(n.n_nationkey AS BIGINT) = w.nk "
+        "ORDER BY w.d",
         None),
     "window_exclude": (
         # ANSI frame EXCLUDE (CURRENT ROW) over a ROWS frame — integer-cent
@@ -835,46 +856,25 @@ _SQL_QUERIES: dict[str, tuple[str, str | None]] = {
 # operator family. Entries past position 50 all have green CORRECTNESS_r02
 # rows (they were inside round 2's window).
 _DRIVER_WINDOW_PRIORITY = [
-    # training-data / CDC ops (never driver-verified in r2)
-    "cdc_replay", "events_lake_lww", "exact_dedup", "token_count",
-    "text_quality", "doc_fingerprint", "minhash_near_dups",
-    "simhash_signatures", "ann_topk", "embedding_dups",
-    "events_sliding_window", "events_sessions", "pii_redact",
-    # round-3 curation ops (never driver-verified; full SQL oracles)
-    "repetition_quality", "decontaminate_docs", "stratified_sample",
-    "gopher_filter",
-    # round-3 operators (never driver-verified)
-    "asof_join_events", "recursive_spine", "merge_apply",
-    # round-3 clustering/scoring ops (never driver-verified; kmeans and
-    # semantic_dedup are golden-gated in tests/test_clustering.py,
-    # bm25_scores has a bit-exact self-contained SQL oracle)
-    "embedding_kmeans", "semantic_dedup", "bm25_scores",
-    # round-3 session-3 additions (never driver-verified): aggregates/
-    # table-function/sampling SQL surfaces + the two packing/LM ops
-    "covar_regression", "implicit_join_series", "lateral_unnest",
-    "using_sample", "pack_sequences", "lm_quality_score",
-    "chunk_documents", "near_dup_components",
-    # round-3 session-4 corpus-structure ops (full SQL oracles)
-    "block_dedup_docs", "dup_span_docs", "vocab_topk",
-    # round-3 session-5 ops: DSIR importance weights (full SQL oracle),
-    # distributed BPE tokenizer training (rows-only, naive-reference-gated),
-    # event-time streaming windows (full SQL oracle via the
-    # infinite-lateness batch equivalence)
-    "dsir_weights", "bpe_tokens", "streaming_window",
-    # SQL shapes added after round 2's window closed (never driver-verified;
-    # q7/q8/q10 rotate out of the window — their join/agg shapes overlap
-    # the q3/q5/q13 coverage per the round-2 verdict — and move to the tail)
-    "tpch_q19_shape", "tpch_q21_shape", "tpch_q22_shape", "tpch_q11_shape",
-    "tpch_q15_shape",
-    "corr_max_per_nation",
-    # round-3 SQL surfaces that were previously past the window (never
-    # driver-verified): PIVOT/UNPIVOT, SEMI/ANTI JOIN, ANSI window EXCLUDE,
-    # list functions, UNNEST rollups
-    "pivot_events", "unpivot_events", "semi_anti_join", "window_exclude",
-    "list_membership_counts", "list_string_ops", "unnest_embedding_stats",
-    # representative r1+r2-green entries (driver-verified twice already;
-    # everything below position 50 — all r1/r2-green — remains in
-    # queries()/gate_sim past the window)
+    # ROUND-4 WINDOW (r3 verdict item 2): (a) the one red r3 cell, now
+    # CAST-fixed; (b) every _SQL_QUERIES entry that has NEVER had a driver
+    # row (they predate the r2 window and were skipped by the r2/r3
+    # rotations); (c) the 23 entries last driver-verified in r1/r2 — BEFORE
+    # round 3's parser/compiler surface changes; (d) ops whose
+    # implementation changed THIS round (distributed MERGE, kmeans merge,
+    # CC join fallback, IVF auto-scale) for post-change re-verification.
+    # Everything outside the window was driver-green in r3
+    # (CORRECTNESS_r03.json) and stays covered by gate_sim locally.
+    "recursive_spine", "recursive_paths",
+    # (b) never-windowed SQL entries
+    "string_funcs", "quantile_pricing", "stddev_agg", "rollup_pricing",
+    "window_latest_per_customer", "window_running_total",
+    "window_moving_avg", "window_range_frame", "window_centered_frame",
+    "window_time_range",
+    "tpch_q3_shape", "tpch_q4_shape", "tpch_q5_shape", "tpch_q6_shape",
+    "tpch_q13_shape", "tpch_q14_shape", "tpch_q17_shape", "tpch_q18_shape",
+    "json_props_rollup", "subquery_source",
+    # (c) last verified r1/r2, pre-round-3 surface
     "q1_pricing_summary", "global_aggregates", "filter_project",
     "case_cast", "sort_limit_offset", "union_all_names", "distinct_status",
     "group_having", "count_distinct_cust",
@@ -883,6 +883,26 @@ _DRIVER_WINDOW_PRIORITY = [
     "semi_join_in_subquery", "exists_semijoin", "not_exists_antijoin",
     "corr_above_cust_avg", "quantified_all_any", "events_hourly_window",
     "tpch_q7_shape", "tpch_q8_shape", "tpch_q10_shape",
+    # (d) round-4 implementation changes → re-verify post-change
+    "merge_apply", "embedding_kmeans", "semantic_dedup",
+    "near_dup_components", "ann_topk",
+    # --- window boundary (~50) ---
+    # r3-green entries (CORRECTNESS_r03 rows all green), kept in
+    # queries()/gate_sim order below the window
+    "cdc_replay", "events_lake_lww", "exact_dedup", "token_count",
+    "text_quality", "doc_fingerprint", "minhash_near_dups",
+    "simhash_signatures", "embedding_dups",
+    "events_sliding_window", "events_sessions", "pii_redact",
+    "repetition_quality", "decontaminate_docs", "stratified_sample",
+    "gopher_filter", "asof_join_events", "bm25_scores",
+    "covar_regression", "implicit_join_series", "lateral_unnest",
+    "using_sample", "pack_sequences", "lm_quality_score",
+    "chunk_documents", "block_dedup_docs", "dup_span_docs", "vocab_topk",
+    "dsir_weights", "bpe_tokens", "streaming_window",
+    "tpch_q19_shape", "tpch_q21_shape", "tpch_q22_shape", "tpch_q11_shape",
+    "tpch_q15_shape", "corr_max_per_nation",
+    "pivot_events", "unpivot_events", "semi_anti_join", "window_exclude",
+    "list_membership_counts", "list_string_ops", "unnest_embedding_stats",
 ]
 
 
