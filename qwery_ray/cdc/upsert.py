@@ -122,21 +122,37 @@ def update_where_parquet(path: str, assignments, where, env: dict) -> int:
     if n_upd:
         import numpy as np
 
+        # ANSI row semantics: every SET source expression is evaluated
+        # against the PRE-update row (UPDATE t SET a=b, b=a swaps), and only
+        # over the WHERE-selected rows (an expression that errors on an
+        # excluded row must not fail the statement). So: filter first,
+        # evaluate ALL expressions against that snapshot, then scatter.
+        sel = tbl.filter(mask)
+        evaluated: list[tuple[str, pa.Array]] = []
         for name, expr in assignments:
             if name not in tbl.column_names:
                 raise ValueError(f"UPDATE: unknown column {name!r}")
-            val = ev.eval(expr, tbl)
-            idx = tbl.column_names.index(name)
-            old = tbl.column(idx)
+            val = ev.eval(expr, sel)
             if not isinstance(val, (pa.Array, pa.ChunkedArray)):
-                val = pa.array([val] * len(tbl)).cast(old.type)
-            elif val.type != old.type:
-                val = val.cast(old.type)
-            if isinstance(old, pa.ChunkedArray):
-                old = old.combine_chunks()
+                val = pa.array([val] * len(sel))
             if isinstance(val, pa.ChunkedArray):
                 val = val.combine_chunks()
-            new = pc.if_else(mask, val, old)
+            evaluated.append((name, val))
+
+        mask_np = mask.to_numpy(zero_copy_only=False)
+        # position of each selected row within `sel` (garbage where ~mask,
+        # masked out by if_else below)
+        gather = pa.array(np.where(mask_np, np.cumsum(mask_np) - 1, 0),
+                          pa.int64())
+        for name, val in evaluated:
+            idx = tbl.column_names.index(name)
+            old = tbl.column(idx)
+            if isinstance(old, pa.ChunkedArray):
+                old = old.combine_chunks()
+            if val.type != old.type:
+                val = val.cast(old.type)
+            expanded = val.take(gather)
+            new = pc.if_else(mask, expanded, old)
             tbl = tbl.set_column(idx, name, new)
         tmp = path + ".tmp"
         pq.write_table(tbl, tmp)

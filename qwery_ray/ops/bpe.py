@@ -246,6 +246,14 @@ class BPEEncode:
         self.text_col = text_col
         self.id_col = id_col
         self.emit = emit
+        # content-derived cache key for the local-dict path: id() can be
+        # reused by a different dict after GC and serve stale tokenizations
+        if not isinstance(ranks_ref, ray.ObjectRef):
+            import hashlib
+            h = hashlib.sha256()
+            for pair, rank in sorted(ranks_ref.items()):
+                h.update(repr((pair, rank)).encode())
+            self._local_key = "local:" + h.hexdigest()
 
     def _memo(self):
         if isinstance(self.ranks_ref, ray.ObjectRef):
@@ -255,11 +263,10 @@ class BPEEncode:
                 _ENCODE_CACHE.clear()
                 ent = _ENCODE_CACHE[key] = (ray.get(self.ranks_ref), {})
             return ent
-        key = id(self.ranks_ref)
-        ent = _ENCODE_CACHE.get(key)
+        ent = _ENCODE_CACHE.get(self._local_key)
         if ent is None:
             _ENCODE_CACHE.clear()
-            ent = _ENCODE_CACHE[key] = (self.ranks_ref, {})
+            ent = _ENCODE_CACHE[self._local_key] = (self.ranks_ref, {})
         return ent
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -234,7 +234,8 @@ def stream_window_agg(chunks, *, width_sec: int = 3600,
         ts_col=ts_col, value_col=value_col)
     outs = [agg.ingest(c) for c in chunks]
     outs.append(agg.flush())
-    tbl = pa.concat_tables([t for t in outs if len(t)])
-    if len(tbl) == 0:
+    parts = [t for t in outs if len(t)]
+    if not parts:  # fully-empty stream: concat_tables([]) raises
         return _empty_out()
+    tbl = pa.concat_tables(parts)
     return tbl.sort_by("window_start_sec")

@@ -3253,13 +3253,21 @@ class Compiler:
         items = [it for it in sel.items]
 
         def item_expr(pos: int, for_order: bool = False):
-            it = items[pos - 1] if pos - 1 < len(items) else None
+            it = items[pos - 1] if 0 < pos <= len(items) else None
             if isinstance(it, A.Star) or it is None:
                 if for_order:
-                    # `SELECT * … ORDER BY k`: leave positional — the
-                    # order compiler resolves it against the projected
-                    # frame's k-th column
-                    return None
+                    if any(isinstance(x, A.Star) for x in items):
+                        # `SELECT * … ORDER BY k`: leave positional — the
+                        # order compiler resolves it against the projected
+                        # frame's k-th column
+                        return None
+                    # explicit item list: out-of-range is an error (ANSI/
+                    # DuckDB), never a silent pre-projection column pick
+                    raise ValueError(
+                        f"ORDER BY position {pos} is out of range")
+                if it is None:
+                    raise ValueError(
+                        f"GROUP BY position {pos} is out of range")
                 raise ValueError("positional ref cannot target *")
             return it
 

@@ -584,7 +584,10 @@ def _like_to_regex(pattern: str, esc: str) -> str:
     out, i, n = [], 0, len(pattern)
     while i < n:
         c = pattern[i]
-        if c == esc and i + 1 < n:
+        if c == esc:
+            if i + 1 >= n:  # ANSI/DuckDB: escape with nothing following
+                raise EvalError(
+                    f"LIKE pattern ends with escape character {esc!r}")
             out.append(re.escape(pattern[i + 1]))
             i += 2
             continue
