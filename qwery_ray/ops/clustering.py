@@ -14,10 +14,16 @@ Scale shape (the part that matters at 100 TB):
   sums per batch (a BLAS one-hot matmul, no Python row loop); the driver
   merges O(k × num_blocks) small partial rows — the corpus never shuffles;
 - centroids travel by `ray.put` broadcast, fetched once per task;
-- the driver merge uses `math.fsum` per (cluster, dim) over the partials
-  (exactly-rounded ⇒ independent of the order Ray delivers them); the
-  remaining sensitivity is the block layout itself, and assignment argmins
-  are verified layout-invariant in tests (margins ≫ one ulp);
+- the partial merge sums each (cluster, dim) column in SORTED-VALUE order
+  (numpy lexsort + add.reduceat — a pure function of the partial multiset,
+  so independent of the order Ray delivers them); the remaining
+  sensitivity is the block layout itself, and assignment argmins are
+  verified layout-invariant in tests (margins ≫ one ulp);
+- when k × num_blocks partial rows would swamp the driver (SemDeDup's
+  default k = N/512 on a real corpus), a `groupby("cluster")` tree-reduce
+  collapses the partials to exactly k rows BEFORE the driver sees them;
+  because the group merge uses the same sorted-order sum over the same
+  per-cluster multiset, the tree path is bit-identical to the driver path;
 - SemDeDup's per-cluster pairwise pass runs inside
   `groupby(cluster).map_groups` — per-task memory is O(cap**2) because
   oversized clusters are compared in id-ordered chunks against the kept
@@ -117,42 +123,87 @@ class KMeansResult:
     sizes: np.ndarray          # (k,) final member counts
 
 
+def _merge_partials(cluster: np.ndarray, n: np.ndarray,
+                    vsum: np.ndarray) -> tuple[np.ndarray, np.ndarray,
+                                               np.ndarray]:
+    """Merge partial (cluster, n, vsum) rows → one row per present cluster.
+
+    Each (cluster, dim) column is summed in ascending-VALUE order
+    (lexsort by (cluster, value) + add.reduceat): the result is a pure
+    function of the partial multiset, so it is identical no matter what
+    order Ray delivered the blocks in — and identical whether the merge
+    runs on the driver or inside a per-cluster groupby task (same
+    multiset, same sorted order → bit-equal). Vectorized: dim lexsorts of
+    len(partials) elements, no Python per-(cluster, dim) loop."""
+    order = np.argsort(cluster, kind="stable")
+    c = cluster[order]
+    n = n[order]
+    vsum = vsum[order]
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(c)) + 1])
+    present = c[starts]
+    counts = np.add.reduceat(n, starts)
+    sums = np.empty((len(starts), vsum.shape[1]), dtype=np.float64)
+    for d in range(vsum.shape[1]):
+        o = np.lexsort((vsum[:, d], c))
+        sums[:, d] = np.add.reduceat(vsum[o, d], starts)
+    return present, counts, sums
+
+
+def _merge_partials_group(df: pd.DataFrame) -> pd.DataFrame:
+    """groupby(cluster).map_groups tree-reduce stage: collapse ONE
+    cluster's partials to a single row with the same sorted-order sum the
+    driver merge uses (bit-identical by construction)."""
+    present, counts, sums = _merge_partials(
+        df["cluster"].to_numpy(np.int64), df["n"].to_numpy(np.int64),
+        np.stack([np.asarray(v, dtype=np.float64) for v in df["vsum"]]))
+    return pd.DataFrame({"cluster": present, "n": counts,
+                         "vsum": list(sums)})
+
+
+#: above this many expected partial rows (k × num_blocks), each Lloyd
+#: iteration tree-reduces the partials to k rows via groupby("cluster")
+#: before the driver merge; below it, the driver merges directly.
+#: 1 M rows × (dim × 8 B) ≈ 0.5 GB at dim=64 — a safe driver bound.
+TREE_REDUCE_ROWS = 1 << 20
+
+
 def kmeans(ds: rd.Dataset, k: int, *, iters: int = 5,
            vec_col: str = "embedding", id_col: str = "vec_id",
-           batch_size: int = 4096) -> KMeansResult:
+           batch_size: int = 4096,
+           tree_reduce_rows: int = TREE_REDUCE_ROWS) -> KMeansResult:
     """Distributed Lloyd iteration to a fixed (deterministic) step count.
 
     Empty clusters keep their previous centroid (standard Lloyd
     convention). Partial volume per iteration is O(k × num_blocks × dim)
-    small rows — fine for k into the tens of thousands; beyond that a
-    tree-reduce over the partials would replace the driver merge."""
+    small rows; when that exceeds ``tree_reduce_rows`` a per-cluster
+    groupby tree-reduce collapses it to k rows before the driver merge
+    (bit-identical result — see :func:`_merge_partials`)."""
     work = ds.select_columns([id_col, vec_col]).materialize()
     centroids = init_centroids(work, k, vec_col=vec_col, id_col=id_col)
     if len(centroids) < k:
         raise ValueError(f"kmeans: corpus has fewer than k={k} rows")
-    dim = centroids.shape[1]
 
+    est_partial_rows = k * work.num_blocks()
     sizes = np.zeros(k, dtype=np.int64)
     for _ in range(iters):
         cref = ray.put(centroids)
-        partials = work.map_batches(
+        partials_ds = work.map_batches(
             _PartialSums(cref, vec_col), batch_format="pandas",
-            batch_size=batch_size).take_all()
+            batch_size=batch_size)
+        if est_partial_rows > tree_reduce_rows:
+            partials_ds = partials_ds.groupby("cluster").map_groups(
+                _merge_partials_group, batch_format="pandas")
+        # driver pull is bounded: ≤ min(est_partial_rows, tree_reduce_rows)
+        # rows on the direct path, exactly ≤ k rows on the tree path
+        pdf = partials_ds.to_pandas()
+        present, counts_p, sums = _merge_partials(
+            pdf["cluster"].to_numpy(np.int64), pdf["n"].to_numpy(np.int64),
+            np.stack([np.asarray(v, dtype=np.float64)
+                      for v in pdf["vsum"]]))
         counts = np.zeros(k, dtype=np.int64)
-        bucket: list[list[list[float]]] = [[] for _ in range(k)]
-        for row in partials:
-            c = int(row["cluster"])
-            counts[c] += int(row["n"])
-            bucket[c].append(row["vsum"])
+        counts[present] = counts_p
         new = centroids.copy()
-        for c in range(k):
-            if counts[c] == 0:
-                continue
-            terms = bucket[c]
-            # fsum per dimension over the per-batch partials: exactly
-            # rounded, so the merge order Ray delivered them in is moot
-            new[c] = [math.fsum(t[d] for t in terms) / counts[c]
-                      for d in range(dim)]
+        new[present] = sums / counts_p[:, None]
         centroids, sizes = new, counts
 
     cref = ray.put(centroids)

@@ -106,6 +106,44 @@ class TestKMeans:
             outs.append(df["cluster"].to_numpy())
         assert (outs[0] == outs[1]).all()
 
+    def test_tree_reduce_path_bit_equal(self):
+        """Forcing the groupby tree-reduce (threshold 0) must give the
+        BIT-identical centroids of the direct driver merge: both sum each
+        cluster's partial multiset in the same sorted-value order."""
+        import ray.data as rd
+
+        from qwery_ray.ops.clustering import kmeans
+
+        outs = []
+        for thresh in (1 << 20, 0):
+            ds = rd.read_parquet(f"{SF_SMALL}/embeddings.parquet",
+                                 columns=["vec_id", "embedding"],
+                                 override_num_blocks=8)
+            res = kmeans(ds, 8, iters=3, batch_size=64,
+                         tree_reduce_rows=thresh)
+            outs.append(res)
+        assert (outs[0].centroids == outs[1].centroids).all()
+        assert (outs[0].sizes == outs[1].sizes).all()
+
+    def test_large_k_tree_path_matches_naive(self):
+        """SemDeDup-style large k (k = N/8 here) through the forced tree
+        path still matches the naive fsum reference within 1e-12."""
+        import ray.data as rd
+
+        from qwery_ray.ops.clustering import kmeans
+
+        ids, vecs = _load_embeddings()
+        k = max(2, len(ids) // 8)
+        ref_cent, ref_assign = naive_kmeans(ids, vecs, k=k, iters=2)
+        ds = rd.read_parquet(f"{SF_SMALL}/embeddings.parquet",
+                             columns=["vec_id", "embedding"],
+                             override_num_blocks=4)
+        res = kmeans(ds, k, iters=2, tree_reduce_rows=0)
+        np.testing.assert_allclose(res.centroids, ref_cent, rtol=1e-12)
+        got = res.assignments.to_pandas().sort_values("vec_id")[
+            "cluster"].to_numpy()
+        assert (got == ref_assign).all()
+
     def test_k_larger_than_corpus_raises(self):
         import ray.data as rd
 
