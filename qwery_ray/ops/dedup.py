@@ -42,6 +42,58 @@ class ContentHash:
 LOSER_BROADCAST_LIMIT = 5_000_000  # duplicate-id sets below this broadcast
 
 
+def _drop_ids(ds: rd.Dataset, losers, id_col: str,
+              *, broadcast_limit: int | None = None) -> rd.Dataset:
+    """Remove rows whose ``id_col`` is in the loser set — the shared
+    endgame of every dedup flavor (exact / minhash / simhash / semantic).
+
+    ``losers`` is either a sorted-unique numpy id array (already
+    collected) or a single-column Dataset named ``id_col``. Small sets
+    broadcast once via ray.put and filter with a vectorized searchsorted
+    (a plain task pool: the zero-copy object-store read ships the set once
+    per node, not once per batch); sets above ``broadcast_limit`` fall
+    back to ONE hash-partitioned left_anti join so the driver never holds
+    them. Full rows move at most once either way."""
+    import ray
+
+    if broadcast_limit is None:  # read at call time (tests monkeypatch it)
+        broadcast_limit = LOSER_BROADCAST_LIMIT
+    if isinstance(losers, np.ndarray):
+        n_losers = len(losers)
+        loser_arr = losers
+        loser_ds = None
+    else:
+        loser_ds = losers.materialize()
+        n_losers = loser_ds.count()
+        loser_arr = None
+    if n_losers == 0:
+        return ds
+    if n_losers <= broadcast_limit:
+        if loser_arr is None:
+            loser_arr = np.unique(
+                loser_ds.to_pandas()[id_col].to_numpy())
+        ref = ray.put(loser_arr)
+
+        def drop_losers(t: pa.Table) -> pa.Table:
+            sorted_ids = ray.get(ref)  # sorted unique ids, zero-copy
+            ids = t.column(id_col).to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(sorted_ids, ids)
+            pos = np.clip(pos, 0, len(sorted_ids) - 1)
+            keep = sorted_ids[pos] != ids
+            return t.filter(pa.array(keep))
+
+        return ds.map_batches(drop_losers, batch_format="pyarrow")
+    # large duplicate set: one hash-partitioned anti join on the id column
+    from ..sqlc.compiler import _shuffle_join
+
+    if loser_ds is None:
+        loser_ds = rd.from_arrow(pa.table({id_col: pa.array(losers)}))
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    return _shuffle_join(ds, loser_ds, join_type="left_anti",
+                         num_partitions=max(ncpu * 2, 16), on=(id_col,))
+
+
 def exact_dedup(ds: rd.Dataset, text_col: str = "text",
                 id_col: str = "doc_id") -> rd.Dataset:
     """Keep the min-id row per distinct content (deterministic 'first').
@@ -59,7 +111,6 @@ def exact_dedup(ds: rd.Dataset, text_col: str = "text",
 
     ncpu = int(ray.cluster_resources().get("CPU", 8)) \
         if ray.is_initialized() else 8
-    nparts = max(ncpu * 2, 16)
 
     pairs = ds.select_columns([id_col, text_col]) \
         .map_batches(ContentHash(text_col), batch_format="pyarrow") \
@@ -80,39 +131,15 @@ def exact_dedup(ds: rd.Dataset, text_col: str = "text",
         df = pairs.to_pandas()
         m = df.groupby("content_sha")[id_col].transform("min")
         loser_arr = np.unique(df.loc[df[id_col] != m, id_col].to_numpy())
-        n_losers = len(loser_arr)
     else:
         losers = pairs.map_batches(
             AddBucketCol(["content_sha"], max(32, ncpu * 4), "__db"),
             batch_format="pyarrow") \
             .groupby("__db") \
-            .map_groups(losers_in_bucket, batch_format="pandas") \
-            .materialize()
-        n_losers = losers.count()
+            .map_groups(losers_in_bucket, batch_format="pandas")
 
-    if n_losers == 0:
-        return ds
-    if n_losers <= LOSER_BROADCAST_LIMIT:
-        ref = ray.put(loser_arr if loser_arr is not None else np.unique(
-            losers.to_pandas()[id_col].to_numpy()))
-
-        # plain task pool: ray.get of a numpy array from the object store is
-        # a zero-copy shared-memory read per task — no actor-pool startup
-        # cost, and the loser set ships once per node, not once per batch
-        def drop_losers(t: pa.Table) -> pa.Table:
-            sorted_ids = ray.get(ref)  # sorted unique ids, zero-copy
-            ids = t.column(id_col).to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(sorted_ids, ids)
-            pos = np.clip(pos, 0, len(sorted_ids) - 1)
-            keep = sorted_ids[pos] != ids
-            return t.filter(pa.array(keep))
-
-        return ds.map_batches(drop_losers, batch_format="pyarrow")
-    # large duplicate set: one hash-partitioned anti join on the id column
-    from ..sqlc.compiler import _shuffle_join
-
-    return _shuffle_join(ds, losers, join_type="left_anti",
-                         num_partitions=nparts, on=(id_col,))
+    return _drop_ids(ds, loser_arr if loser_arr is not None else losers,
+                     id_col)
 
 
 # --------------------------------------------------------------- MinHash LSH
@@ -631,10 +658,18 @@ def embedding_dup_pairs(ds: rd.Dataset, *, vec_col: str = "embedding",
 
 
 # ------------------------------------------------------- connected components
+#: nodes above this per-round-broadcast bound (16 B/node → ≈1 GB at 64M)
+#: switch min-label propagation from driver-broadcast pushes to
+#: Dataset.join pushes — the driver never holds the label table.
+LABEL_BROADCAST_LIMIT = 64_000_000
+
+
 def connected_components(pairs: rd.Dataset, *, id_a: str = "id_a",
                          id_b: str = "id_b",
                          small_limit: int = 2_000_000,
-                         max_rounds: int = 32) -> rd.Dataset:
+                         max_rounds: int = 32,
+                         label_broadcast_limit: int =
+                         LABEL_BROADCAST_LIMIT) -> rd.Dataset:
     """Transitive closure of near-dup pairs → (id, component) with
     component = the MINIMUM id reachable from each node — the endgame of
     pair-based dedup (keep one representative per component, drop the
@@ -706,13 +741,22 @@ def connected_components(pairs: rd.Dataset, *, id_a: str = "id_a",
         .groupby("id").min("component") \
         .map_batches(lambda t: t.rename_columns(["id", "component"]),
                      batch_format="pyarrow").materialize()
+
+    if labels.count() > label_broadcast_limit:
+        # label table too big to broadcast each round: push labels across
+        # edges with a hash-partitioned join per round instead — the
+        # driver never sees a label row. Convergence check without
+        # collecting labels either: min-label propagation only DECREASES
+        # labels (new = min(old, pushed)), so Σ component is strictly
+        # decreasing until the fixed point — equal sums ⇔ converged.
+        return _cc_join_rounds(edges, labels, max_rounds)
+
     for _ in range(max_rounds):
         # push labels across edges: one broadcast-map per round. The label
         # table is one (int64, int64) row per NODE of the PAIR GRAPH (16
-        # B/node — 100M duplicate-involved docs ≈ 1.6 GB), broadcast once
-        # per round via ray.put while the EDGE set streams distributed; a
-        # corpus whose duplicate graph exceeds that swaps this loop for
-        # per-round Dataset.join at the cost of a join shuffle per round.
+        # B/node), broadcast once per round via ray.put while the EDGE set
+        # streams distributed; above label_broadcast_limit the join-push
+        # loop (_cc_join_rounds) replaces this.
         lab = labels.to_pandas()
         ids = lab["id"].to_numpy(dtype=np.int64)
         comps = lab["component"].to_numpy(dtype=np.int64)
@@ -744,6 +788,62 @@ def connected_components(pairs: rd.Dataset, *, id_a: str = "id_a",
     return labels
 
 
+def _drop_empty_blocks(mat: rd.Dataset) -> rd.Dataset:
+    """Strip zero-row blocks from a MATERIALIZED dataset (metadata-only:
+    block refs stay in the object store, nothing is fetched or moved).
+
+    Ray 2.49's hash-shuffle groupby emits a block per hash partition, and
+    EMPTY partitions come out with a zero-column `()` schema; map_batches
+    then SKIPS empty blocks, so per-block renames never normalize them and
+    any later Dataset.join chokes on the mixed schema ("No match or
+    multiple matches for key field reference"). Dropping the empties fixes
+    the schema and sheds dead blocks."""
+    refs = [ref for bundle in mat.iter_internal_ref_bundles()
+            for ref, meta in bundle.blocks if meta.num_rows]
+    if not refs:
+        return mat.limit(0)
+    return rd.from_arrow_refs(refs)
+
+
+def _cc_join_rounds(edges: rd.Dataset, labels: rd.Dataset,
+                    max_rounds: int) -> rd.Dataset:
+    """Min-label propagation rounds where the label push is a
+    hash-partitioned ``Dataset.join`` (edges ⋈ labels on src=id) instead
+    of a driver broadcast — the scale path when the duplicate graph's node
+    set exceeds :data:`LABEL_BROADCAST_LIMIT`. One join shuffle + one
+    groupby per round over narrow (int64, int64) rows only."""
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    nparts = max(ncpu * 2, 16)
+
+    def pushed_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"id": t.column("dst"),
+                         "component": t.column("component")})
+
+    def renamed(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["id", "component"])
+
+    labels = _drop_empty_blocks(labels)
+    cur_sum = labels.sum("component")
+    for _ in range(max_rounds):
+        cand = edges.join(
+            labels, join_type="inner", num_partitions=nparts,
+            on=("src",), right_on=("id",)) \
+            .map_batches(pushed_rows, batch_format="pyarrow") \
+            .materialize()  # barrier: keep the join out of the groupby plan
+        labels = _drop_empty_blocks(
+            labels.union(_drop_empty_blocks(cand))
+            .groupby("id").min("component")
+            .map_batches(renamed, batch_format="pyarrow").materialize())
+        new_sum = labels.sum("component")
+        if new_sum == cur_sum:  # labels only decrease ⇒ fixed point
+            break
+        cur_sum = new_sum
+    return labels
+
+
 def near_dedup(ds: rd.Dataset, *, text_col: str = "text",
                id_col: str = "doc_id", **minhash_kw) -> rd.Dataset:
     """End-to-end near-duplicate removal: MinHash-LSH candidate pairs →
@@ -751,32 +851,18 @@ def near_dedup(ds: rd.Dataset, *, text_col: str = "text",
 
     Composition of the scale-shaped pieces: pairs are LSH-bounded, the
     component labels are narrow int rows, and the corpus itself streams
-    through one loser-set filter — full rows move at most once, exactly
-    like :func:`exact_dedup`."""
-    import ray
-
+    through :func:`_drop_ids` — broadcast-set filter when the loser set is
+    small, one left_anti hash join above ``LOSER_BROADCAST_LIMIT`` — so
+    full rows move at most once, exactly like :func:`exact_dedup`."""
     pairs = minhash_lsh_candidates(ds, text_col=text_col, id_col=id_col,
                                    **minhash_kw)
-    comp = connected_components(pairs).materialize()
+    comp = connected_components(pairs)
 
     def losers(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         keep = pc.not_equal(t.column("id"), t.column("component"))
-        return t.filter(keep).select(["id"])
+        return t.filter(keep).select(["id"]).rename_columns([id_col])
 
     loser_ds = comp.map_batches(losers, batch_format="pyarrow")
-    loser_ids = np.sort(loser_ds.to_pandas()["id"].to_numpy(
-        dtype=np.int64)) if comp.count() else np.array([], dtype=np.int64)
-    if len(loser_ids) == 0:
-        return ds
-    ref = ray.put(loser_ids)
-
-    def drop(t: pa.Table, _r=ref) -> pa.Table:
-        sorted_ids = ray.get(_r)
-        ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        pos = np.clip(np.searchsorted(sorted_ids, ids),
-                      0, len(sorted_ids) - 1)
-        return t.filter(pa.array(sorted_ids[pos] != ids))
-
-    return ds.map_batches(drop, batch_format="pyarrow")
+    return _drop_ids(ds, loser_ds, id_col)

@@ -70,6 +70,32 @@ class TestConnectedComponents:
             .sort_values("id", ignore_index=True)
         pd.testing.assert_frame_equal(a, b)
 
+    @pytest.mark.parametrize("name", sorted(TOPOLOGIES))
+    def test_join_push_path_matches_driver(self, ray_session, name):
+        """FORCED label-join path (label_broadcast_limit=0): per-round
+        pushes run as Dataset.join, convergence checked via the
+        monotone Σcomponent — no driver label collection anywhere."""
+        from qwery_ray.ops.dedup import connected_components
+
+        edges = TOPOLOGIES[name]
+        a = to_pandas(connected_components(_pairs_ds(edges))) \
+            .sort_values("id", ignore_index=True)
+        b = to_pandas(connected_components(
+            _pairs_ds(edges), small_limit=0, label_broadcast_limit=0)) \
+            .sort_values("id", ignore_index=True)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_random_graph_join_push_path(self, ray_session):
+        from qwery_ray.ops.dedup import connected_components
+
+        rng = np.random.default_rng(11)
+        edges = [(int(a), int(b)) for a, b in
+                 rng.integers(0, 120, size=(200, 2)) if a != b]
+        want = _naive_components(edges)
+        got = to_pandas(connected_components(
+            _pairs_ds(edges), small_limit=0, label_broadcast_limit=0))
+        assert dict(zip(got["id"], got["component"])) == want
+
     def test_random_graph_both_paths(self, ray_session):
         from qwery_ray.ops.dedup import connected_components
 
@@ -131,3 +157,38 @@ class TestNearDedup:
             "text": pa.array([r[1] for r in rows], pa.string())}))
         kept = sorted(to_pandas(near_dedup(ds))["doc_id"])
         assert kept == [1, 9000]
+
+
+class TestDropIdsFallback:
+    """The shared loser filter (_drop_ids) used by exact_dedup AND
+    near_dedup: forced anti-join path ≡ broadcast path."""
+
+    def _corpus(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        n = 50
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array([f"doc {i % 17}" for i in range(n)])}))
+
+    def test_forced_anti_join_equals_broadcast(self, ray_session):
+        import numpy as np
+
+        from qwery_ray.ops.dedup import _drop_ids
+
+        ds = self._corpus()
+        losers = np.array([3, 7, 20, 33, 41], dtype=np.int64)
+        a = sorted(to_pandas(_drop_ids(ds, losers, "doc_id"))["doc_id"])
+        b = sorted(to_pandas(_drop_ids(
+            ds, losers, "doc_id", broadcast_limit=0))["doc_id"])
+        assert a == b == [i for i in range(50) if i not in set(losers)]
+
+    def test_near_dedup_forced_anti_join(self, ray_session, monkeypatch):
+        import qwery_ray.ops.dedup as dd
+
+        ds = self._corpus()  # 17 distinct texts, ids 0..49
+        baseline = sorted(to_pandas(dd.exact_dedup(ds))["doc_id"])
+        monkeypatch.setattr(dd, "LOSER_BROADCAST_LIMIT", 0)
+        forced = sorted(to_pandas(dd.exact_dedup(ds))["doc_id"])
+        assert forced == baseline == list(range(17))
