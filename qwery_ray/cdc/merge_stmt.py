@@ -5,13 +5,28 @@ Superset over the reference's UPSERT/UPDATE row-at-a-time semantics
 insert-else-update-else-delete with per-arm conditions, the canonical CDC
 apply step.
 
-Scale contract (same as cdc/upsert.py): the SOURCE is a full distributed
-query; the TARGET is a single parquet file materialized driver-side —
-dimension-table scale. Lake-scale merges flow through the exactly-once
-CDC engine (``UPSERT INTO ... WITH LAKE`` / ``CDCLakeEngine.replay``),
-which implements the same matched/not-matched semantics via LWW events.
+Scale contract: the SOURCE is always a full distributed query. The TARGET
+path is adaptive:
 
-ANSI semantics implemented:
+- below :data:`MERGE_DISTRIBUTED_BYTES` the target parquet materializes
+  driver-side and the whole merge is one vectorized pandas pass
+  (dimension-table scale, atomic single-file replace);
+- above it, the merge runs DISTRIBUTED: target and source are widened to
+  one combined schema with presence markers, hash-bucketed by the ON equi
+  key (one shuffle, no join operator), and each bucket runs the identical
+  :func:`_apply_merge` semantics in a ``groupby(bucket).map_groups`` task.
+  The driver never materializes the target — final rows stream back
+  batch-by-batch into the output file. The distributed path requires the
+  target's ON key to be UNIQUE over non-null keys (checked; the
+  row-identity bookkeeping that duplicate-key targets need is inherently
+  driver-side — use the small path or the lake engine for those).
+
+Lake-scale merges flow through the exactly-once CDC engine
+(``UPSERT INTO ... WITH LAKE`` / ``CDCLakeEngine.replay``), which
+implements the same matched/not-matched semantics via LWW events.
+
+ANSI semantics implemented (both paths — the bucket task calls the same
+function the driver path does):
 - ON must contain at least one target-column = source-column equality;
   remaining conjuncts become a residual filter on the joined pairs.
 - A target row matched by MORE than one source row raises a cardinality
@@ -34,6 +49,13 @@ import pyarrow.parquet as pq
 
 from ..sqlc import ast as A
 from .upsert import _collect
+
+#: target files above this byte size merge distributed (hash-bucketed
+#: map_groups) instead of materializing on the driver. Tests monkeypatch
+#: the module global, so read it at call time.
+MERGE_DISTRIBUTED_BYTES = 256 << 20
+
+_ACTION = "__mrg_action"  # k=kept, u=updated, d=deleted, i=inserted
 
 
 def _conjuncts(cond) -> list:
@@ -60,33 +82,9 @@ def _classify(ref: A.ColumnRef, ta: str, sa: str, tcols, scols):
     return "t" if in_t else ("s" if in_s else None)
 
 
-def merge_into_parquet(session, stmt: A.Merge) -> pa.Table:
-    from ..sqlc.compiler import make_evaluator
-
-    src_ds = session.compiler.compile_query(stmt.source)
-    src = _collect(src_ds)
-    if src.shape[1] == 0:
-        # empty source: _collect saw no batches, so recover the column
-        # names from the dataset schema (an all-arms merge against an
-        # empty source is still well-defined — NOT MATCHED BY SOURCE fires)
-        schema = src_ds.schema(fetch_if_missing=True)
-        names = list(schema.names) if schema is not None else []
-        src = pd.DataFrame({n: pd.Series([], dtype="object") for n in names})
-    path = session.resolve_table_path(session.expand_vars(stmt.target))
-    if not os.path.exists(path):
-        raise ValueError(f"MERGE target {stmt.target!r} does not exist")
-    target = pq.read_table(path).to_pandas()
-
-    base = os.path.splitext(os.path.basename(stmt.target))[0]
-    ta = stmt.target_alias or base
-    sa = stmt.source_alias or "src"
-    tcols = {c.lower() for c in target.columns}
-    scols = {c.lower() for c in src.columns}
-    tmap = {c.lower(): c for c in target.columns}
-    smap = {c.lower(): c for c in src.columns}
-
-    # ---- split ON into equi keys + residual ---------------------------
-    keys: list[tuple[str, str]] = []   # (target_col, source_col)
+def _split_on(stmt: A.Merge, ta: str, sa: str, tcols, scols, tmap, smap):
+    """ON condition → equi (target_col, source_col) keys + residual list."""
+    keys: list[tuple[str, str]] = []
     residual: list = []
     for c in _conjuncts(stmt.on):
         if (isinstance(c, A.Comparison) and c.op == "="
@@ -107,8 +105,25 @@ def merge_into_parquet(session, stmt: A.Merge) -> pa.Table:
         raise ValueError(
             "MERGE ON requires at least one target-column = source-column "
             "equality (theta-only merges would be a full cross product)")
+    return keys, residual
 
-    ev = make_evaluator(_env(session))
+
+def _apply_merge(target: pd.DataFrame, src: pd.DataFrame, stmt: A.Merge,
+                 ta: str, sa: str, env: dict) -> pd.DataFrame:
+    """The full ANSI merge over two in-memory frames → the final target
+    rows (target schema) plus an ``__mrg_action`` tag column
+    (k/u/d/i; deleted rows are RETAINED and tagged so callers can both
+    count and drop them). Pure function of its inputs — the driver path
+    calls it once with the whole table, the distributed path calls it per
+    key-hash bucket (key-equality makes the semantics bucket-local)."""
+    from ..sqlc.compiler import make_evaluator
+
+    ev = make_evaluator(env)
+    tcols = {c.lower() for c in target.columns}
+    scols = {c.lower() for c in src.columns}
+    tmap = {c.lower(): c for c in target.columns}
+    smap = {c.lower(): c for c in src.columns}
+    keys, residual = _split_on(stmt, ta, sa, tcols, scols, tmap, smap)
 
     # ---- candidate pairs (inner merge on the equi keys) ----------------
     t = target.reset_index(drop=True).copy()
@@ -149,7 +164,6 @@ def merge_into_parquet(session, stmt: A.Merge) -> pa.Table:
     matched_tids = set(pairs["__tid"].tolist())
     matched_sids = set(pairs["__sid"].tolist())
 
-    n_upd = n_del = n_ins = 0
     deletes: set[int] = set()
     updates: dict[int, dict[str, object]] = {}
 
@@ -169,7 +183,6 @@ def merge_into_parquet(session, stmt: A.Merge) -> pa.Table:
                 continue
             if arm.action == "delete":
                 deletes.update(int(pairs["__tid"].iloc[i]) for i in rows)
-                n_del += len(rows)
             else:  # update
                 for name, expr in arm.assignments:
                     col = tmap.get(name.lower())
@@ -183,7 +196,6 @@ def merge_into_parquet(session, stmt: A.Merge) -> pa.Table:
                     for i in rows:
                         updates.setdefault(
                             int(pairs["__tid"].iloc[i]), {})[col] = vals[i]
-                n_upd += len(rows)
 
     # ---- WHEN NOT MATCHED (source side) --------------------------------
     anti_s = s[~s["__sid"].isin(matched_sids)].reset_index(drop=True)
@@ -228,7 +240,6 @@ def merge_into_parquet(session, stmt: A.Merge) -> pa.Table:
                         else np.full(len(anti_s), vals, dtype=object)
                     new[col] = vals[rows]
             inserts.append(new)
-            n_ins += len(rows)
 
     # ---- WHEN NOT MATCHED BY SOURCE (target side) -----------------------
     anti_t_mask = ~t["__tid"].isin(matched_tids)
@@ -250,7 +261,6 @@ def merge_into_parquet(session, stmt: A.Merge) -> pa.Table:
                 continue
             if arm.action == "delete":
                 deletes.update(int(anti_t["__tid"].iloc[i]) for i in rows)
-                n_del += len(rows)
             else:
                 for name, expr in arm.assignments:
                     col = tmap.get(name.lower())
@@ -264,17 +274,54 @@ def merge_into_parquet(session, stmt: A.Merge) -> pa.Table:
                     for i in rows:
                         updates.setdefault(
                             int(anti_t["__tid"].iloc[i]), {})[col] = vals[i]
-                n_upd += len(rows)
 
-    # ---- materialize the final state, atomic replace --------------------
+    # ---- assemble tagged final state -------------------------------------
     out = target.reset_index(drop=True).copy()
+    action = np.full(len(out), "k", dtype=object)
     for tid, cols in updates.items():
+        action[tid] = "u"
         for col, val in cols.items():
             out.at[tid, col] = val
     if deletes:
-        out = out[~out.index.isin(deletes)]
+        action[list(deletes)] = "d"
+    out[_ACTION] = action
     if inserts:
+        for new in inserts:
+            new[_ACTION] = "i"
         out = pd.concat([out] + inserts, ignore_index=True)
+    return out
+
+
+def merge_into_parquet(session, stmt: A.Merge) -> pa.Table:
+    from ..sqlc.compiler import _env as compiler_env
+
+    src_ds = session.compiler.compile_query(stmt.source)
+    path = session.resolve_table_path(session.expand_vars(stmt.target))
+    if not os.path.exists(path):
+        raise ValueError(f"MERGE target {stmt.target!r} does not exist")
+    base = os.path.splitext(os.path.basename(stmt.target))[0]
+    ta = stmt.target_alias or base
+    sa = stmt.source_alias or "src"
+    env = compiler_env(session)
+
+    if _path_bytes(path) > MERGE_DISTRIBUTED_BYTES:
+        return _merge_distributed(stmt, path, src_ds, ta, sa, env)
+
+    src = _collect(src_ds)
+    if src.shape[1] == 0:
+        # empty source: _collect saw no batches, so recover the column
+        # names from the dataset schema (an all-arms merge against an
+        # empty source is still well-defined — NOT MATCHED BY SOURCE fires)
+        schema = src_ds.schema(fetch_if_missing=True)
+        names = list(schema.names) if schema is not None else []
+        src = pd.DataFrame({n: pd.Series([], dtype="object") for n in names})
+    target = pq.read_table(path).to_pandas()
+
+    tagged = _apply_merge(target, src, stmt, ta, sa, env)
+    n_ins = int((tagged[_ACTION] == "i").sum())
+    n_upd = int((tagged[_ACTION] == "u").sum())
+    n_del = int((tagged[_ACTION] == "d").sum())
+    out = tagged[tagged[_ACTION] != "d"].drop(columns=[_ACTION])
     tmp = path + ".tmp"
     pq.write_table(pa.Table.from_pandas(out.reset_index(drop=True),
                                         preserve_index=False), tmp)
@@ -283,7 +330,161 @@ def merge_into_parquet(session, stmt: A.Merge) -> pa.Table:
                      "ROWS_DELETED": [n_del], "ROWS_REJECTED": [0]})
 
 
-def _env(session) -> dict:
-    from ..engine.session import _env as session_env
+def _path_bytes(path: str) -> int:
+    if os.path.isdir(path):
+        return sum(os.path.getsize(os.path.join(r, f))
+                   for r, _, fs in os.walk(path) for f in fs)
+    return os.path.getsize(path)
 
-    return session_env(session)
+
+def _merge_distributed(stmt: A.Merge, path: str, src_ds, ta: str, sa: str,
+                       env: dict) -> pa.Table:
+    """Hash-bucketed distributed MERGE for large file targets.
+
+    Shape: widen target and source to ONE combined schema (target columns
+    + ``__s_``-prefixed source columns + int8 presence markers), union the
+    two streams, bucket by the polars value-stable hash of the COALESCEd
+    ON key, and run :func:`_apply_merge` per bucket — key equality makes
+    every MERGE decision (pairing, residual, cardinality, all arms)
+    bucket-local, so the per-bucket result is exactly the driver path's.
+    ONE all-to-all shuffle total (the groupby); no join operator. Final
+    rows stream back through ``iter_batches`` into the output file, so
+    driver memory stays O(batch), never O(target).
+
+    Requires unique non-null target ON keys (checked distributed): with
+    duplicate target keys, two physically distinct but value-identical
+    target rows in one bucket cannot be told apart without driver-side
+    row identity. Those targets use the small path / lake engine."""
+    import ray
+    import ray.data as rd
+
+    from ..ops.dedup import _drop_empty_blocks
+    from ..sqlc.compiler import AddBucketCol
+
+    if os.path.isdir(path):
+        raise ValueError(
+            "MERGE INTO a directory target is not supported — large "
+            "multi-file targets belong in the lake engine "
+            "(UPSERT ... WITH LAKE)")
+    tschema = pq.read_schema(path)
+    ds_t = rd.read_parquet(path)
+    src_mat = _drop_empty_blocks(src_ds.materialize())
+    s_base = src_mat.schema(fetch_if_missing=True)
+    sschema = s_base.base_schema if s_base is not None else pa.schema([])
+
+    tcols = {f.lower() for f in tschema.names}
+    scols = {f.lower() for f in sschema.names}
+    tmap = {f.lower(): f for f in tschema.names}
+    smap = {f.lower(): f for f in sschema.names}
+    keys, _ = _split_on(stmt, ta, sa, tcols, scols, tmap, smap)
+    tkeys = [k[0] for k in keys]
+    skeys = [k[1] for k in keys]
+
+    # ---- unique-key precondition (column-pruned, distributed) -----------
+    def key_rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        valid = pc.is_valid(t.column(tkeys[0]))
+        for k in tkeys[1:]:
+            valid = pc.and_(valid, pc.is_valid(t.column(k)))
+        return t.filter(valid)
+
+    kcounts = rd.read_parquet(path, columns=tkeys) \
+        .map_batches(key_rows, batch_format="pyarrow") \
+        .groupby(tkeys).count()
+    if (kcounts.max("count()") or 0) > 1:
+        raise ValueError(
+            "distributed MERGE requires unique target ON keys — this "
+            "target has duplicate non-null key rows; run it through the "
+            "lake engine (UPSERT ... WITH LAKE) or shrink the target "
+            "below MERGE_DISTRIBUTED_BYTES")
+
+    # ---- widen both sides to the combined schema ------------------------
+    tfields = [(f.name, f.type) for f in tschema]
+    sfields = [(f.name, f.type) for f in sschema]
+    order = [n for n, _ in tfields] + ["__t1"] \
+        + [f"__s_{n}" for n, _ in sfields] + ["__s1"]
+
+    def widen_t(t: pa.Table) -> pa.Table:
+        n = len(t)
+        cols = {name: t.column(name) for name, _ in tfields}
+        cols["__t1"] = pa.array(np.ones(n, dtype=np.int8))
+        for name, typ in sfields:
+            cols[f"__s_{name}"] = pa.nulls(n, typ)
+        cols["__s1"] = pa.nulls(n, pa.int8())
+        return pa.table({k: cols[k] for k in order})
+
+    def widen_s(t: pa.Table) -> pa.Table:
+        n = len(t)
+        cols = {name: pa.nulls(n, typ) for name, typ in tfields}
+        cols["__t1"] = pa.nulls(n, pa.int8())
+        for name, _ in sfields:
+            cols[f"__s_{name}"] = t.column(name)
+        cols["__s1"] = pa.array(np.ones(n, dtype=np.int8))
+        return pa.table({k: cols[k] for k in order})
+
+    def add_bucket_key(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        for i, (tk, sk) in enumerate(zip(tkeys, skeys)):
+            t = t.append_column(
+                f"__bk{i}",
+                pc.coalesce(t.column(tk), t.column(f"__s_{sk}")))
+        return t
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    nbuckets = max(32, ncpu * 4)
+    bkcols = [f"__bk{i}" for i in range(len(tkeys))]
+    unioned = ds_t.map_batches(widen_t, batch_format="pyarrow") \
+        .union(src_mat.map_batches(widen_s, batch_format="pyarrow")) \
+        .map_batches(add_bucket_key, batch_format="pyarrow") \
+        .map_batches(AddBucketCol(bkcols, nbuckets, "__mb"),
+                     batch_format="pyarrow")
+
+    out_schema = pa.schema(list(tschema) + [pa.field(_ACTION, pa.string())])
+    t_names = [n for n, _ in tfields]
+    s_names = [n for n, _ in sfields]
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        tmask = pc.is_valid(g.column("__t1"))
+        smask = pc.is_valid(g.column("__s1"))
+        tpart = g.filter(tmask).select(t_names).to_pandas()
+        spart = g.filter(smask) \
+            .select([f"__s_{n}" for n in s_names]).rename_columns(s_names) \
+            .to_pandas()
+        tagged = _apply_merge(tpart, spart, stmt, ta, sa, env)
+        return pa.Table.from_pandas(tagged, schema=out_schema,
+                                    preserve_index=False)
+
+    tagged_ds = _drop_empty_blocks(
+        unioned.groupby("__mb").map_groups(
+            merge_bucket, batch_format="pyarrow").materialize())
+
+    # stream the final rows to disk; counts fold batch-by-batch — driver
+    # memory is O(batch) regardless of target size
+    n_ins = n_upd = n_del = 0
+    tmp = path + ".tmp"
+    writer = None
+    try:
+        for b in tagged_ds.iter_batches(batch_size=65536,
+                                        batch_format="pyarrow"):
+            acts = b.column(_ACTION).to_pylist()
+            n_ins += sum(1 for a in acts if a == "i")
+            n_upd += sum(1 for a in acts if a == "u")
+            n_del += sum(1 for a in acts if a == "d")
+            keep = b.filter(
+                pa.array([a != "d" for a in acts])).drop_columns([_ACTION])
+            if writer is None:
+                writer = pq.ParquetWriter(tmp, keep.schema)
+            writer.write_table(keep)
+        if writer is None:  # fully-empty result: write an empty file
+            writer = pq.ParquetWriter(tmp, tschema)
+    finally:
+        if writer is not None:
+            writer.close()
+    os.replace(tmp, path)  # atomic visibility point
+    return pa.table({"ROWS_INSERTED": [n_ins], "ROWS_UPDATED": [n_upd],
+                     "ROWS_DELETED": [n_del], "ROWS_REJECTED": [0]})

@@ -275,3 +275,142 @@ class TestMergeFuzz:
             n_all = res  # counts sanity: every source row is accounted for
             assert int(n_all.ROWS_INSERTED[0]) + int(n_all.ROWS_UPDATED[0]) \
                 + int(n_all.ROWS_DELETED[0]) >= 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMergeDistributed:
+    """Forced distributed path (MERGE_DISTRIBUTED_BYTES=0): same semantics
+    as the driver path, target never materialized on the driver."""
+
+    @pytest.fixture(autouse=True)
+    def _force_distributed(self, monkeypatch):
+        import qwery_ray.cdc.merge_stmt as ms
+
+        monkeypatch.setattr(ms, "MERGE_DISTRIBUTED_BYTES", 0)
+
+    def test_three_arm_merge_distributed(self, workdir):
+        eng = _engine(workdir)
+        res = eng.sql("""
+            MERGE INTO inv AS t USING delta AS s ON t.id = s.id
+            WHEN MATCHED AND s.qty = 0 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET qty = s.qty, status = 'merged'
+            WHEN NOT MATCHED THEN INSERT (id, qty, status)
+                VALUES (s.id, s.qty, 'new')
+        """).to_pandas()
+        assert res.ROWS_UPDATED[0] == 1
+        assert res.ROWS_DELETED[0] == 1
+        assert res.ROWS_INSERTED[0] == 2
+        final = pq.read_table(
+            str(workdir / "inv.parquet")).to_pandas().sort_values("id")
+        assert final.id.tolist() == [1, 2, 4, 5, 6, 7]
+        assert final.qty.tolist() == [10, 99, 40, 50, 60, 70]
+        assert sorted(final.status.tolist()) == \
+            ["merged", "new", "new", "old", "old", "old"]
+
+    def test_residual_and_not_matched_by_source(self, workdir):
+        eng = _engine(workdir)
+        eng.sql("""
+            MERGE INTO inv AS t USING delta AS s
+            ON t.id = s.id AND s.qty > 50
+            WHEN MATCHED THEN UPDATE SET qty = s.qty
+            WHEN NOT MATCHED THEN INSERT (id, qty, status)
+                VALUES (s.id, s.qty, 'new')
+            WHEN NOT MATCHED BY SOURCE AND t.id = 1 THEN DELETE
+        """)
+        final = pq.read_table(
+            str(workdir / "inv.parquet")).to_pandas()
+        assert sorted(final.id.tolist()) == [2, 3, 3, 4, 5, 6, 7]
+        assert final[final.id == 2].qty.tolist() == [99]
+        assert sorted(final[final.id == 3].qty.tolist()) == [0, 30]
+
+    def test_driver_never_reads_target(self, workdir, monkeypatch):
+        """Bounded driver memory: the distributed path must never call
+        pq.read_table (the driver-side whole-target materialization)."""
+        import qwery_ray.cdc.merge_stmt as ms
+
+        def boom(*a, **k):
+            raise AssertionError("driver materialized the MERGE target")
+
+        monkeypatch.setattr(ms.pq, "read_table", boom)
+        eng = _engine(workdir)
+        res = eng.sql("""
+            MERGE INTO inv AS t USING delta AS s ON t.id = s.id
+            WHEN MATCHED THEN UPDATE SET qty = s.qty
+        """).to_pandas()
+        assert res.ROWS_UPDATED[0] == 2
+
+    def test_cardinality_violation_distributed(self, workdir):
+        dup = pd.DataFrame({"id": [2, 2], "qty": [1, 2]})
+        pq.write_table(pa.Table.from_pandas(dup, preserve_index=False),
+                       str(workdir / "dup.parquet"))
+        eng = _engine(workdir)
+        with pytest.raises(Exception, match="cardinality"):
+            eng.sql("""
+                MERGE INTO inv AS t USING dup AS s ON t.id = s.id
+                WHEN MATCHED THEN UPDATE SET qty = s.qty
+            """)
+
+    def test_duplicate_target_keys_rejected(self, workdir):
+        dup_t = pd.DataFrame({"id": [1, 1, 2], "qty": [5, 6, 7],
+                              "status": ["a", "b", "c"]})
+        pq.write_table(pa.Table.from_pandas(dup_t, preserve_index=False),
+                       str(workdir / "dupt.parquet"))
+        eng = _engine(workdir)
+        with pytest.raises(Exception, match="unique target ON keys"):
+            eng.sql("""
+                MERGE INTO dupt AS t USING delta AS s ON t.id = s.id
+                WHEN MATCHED THEN UPDATE SET qty = s.qty
+            """)
+
+    def test_randomized_equivalence_with_driver_path(self, tmp_path,
+                                                     monkeypatch):
+        """Same inputs through BOTH paths → identical final tables and
+        counts (distributed row order is free; compare sorted)."""
+        import numpy as np
+
+        import qwery_ray.cdc.merge_stmt as ms
+
+        rng = np.random.default_rng(23)
+        eng = _engine(tmp_path)
+        sql_tpl = """
+            MERGE INTO {tgt} AS t USING {src} AS s
+            ON t.id = s.id AND s.w <> 13
+            WHEN MATCHED AND s.w > 10 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET v = s.w + t.v
+            WHEN NOT MATCHED AND s.w < 0 THEN INSERT (id, v)
+                VALUES (s.id, 0 - s.w)
+            WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.w)
+            WHEN NOT MATCHED BY SOURCE AND t.v < 0 THEN UPDATE SET v = 0
+        """
+        for trial in range(4):
+            tgt = pd.DataFrame({
+                "id": rng.choice(300, size=120, replace=False),
+                "v": rng.integers(-50, 50, size=120),
+            })
+            src = pd.DataFrame({
+                "id": rng.choice(300, size=80, replace=False),
+                "w": rng.integers(-50, 50, size=80),
+            })
+            outs = {}
+            for mode, thresh in (("driver", 1 << 60), ("dist", 0)):
+                monkeypatch.setattr(ms, "MERGE_DISTRIBUTED_BYTES", thresh)
+                tname = f"t_{trial}_{mode}"
+                pq.write_table(
+                    pa.Table.from_pandas(tgt, preserve_index=False),
+                    str(tmp_path / f"{tname}.parquet"))
+                pq.write_table(
+                    pa.Table.from_pandas(src, preserve_index=False),
+                    str(tmp_path / f"s_{trial}_{mode}.parquet"))
+                res = eng.sql(sql_tpl.format(
+                    tgt=tname, src=f"s_{trial}_{mode}")).to_pandas()
+                final = pq.read_table(str(tmp_path / f"{tname}.parquet")) \
+                    .to_pandas().sort_values(["id", "v"],
+                                             ignore_index=True)
+                outs[mode] = (res, final)
+            rd_, fd = outs["driver"]
+            rx, fx = outs["dist"]
+            assert rd_.ROWS_INSERTED[0] == rx.ROWS_INSERTED[0], trial
+            assert rd_.ROWS_UPDATED[0] == rx.ROWS_UPDATED[0], trial
+            assert rd_.ROWS_DELETED[0] == rx.ROWS_DELETED[0], trial
+            assert fd.id.astype(int).tolist() == fx.id.astype(int).tolist()
+            assert fd.v.astype(int).tolist() == fx.v.astype(int).tolist()
