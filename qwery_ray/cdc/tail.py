@@ -218,6 +218,8 @@ def resolve_tail(src) -> EventTail:
         return src
     if isinstance(src, str) and "://" in src:
         scheme = src.split("://", 1)[0].lower()
+        if scheme == "kafka" and scheme not in _TAIL_FACTORIES:
+            from . import kafka_tail  # noqa: F401 — registers kafka://
         if scheme in _TAIL_FACTORIES:
             return _TAIL_FACTORIES[scheme](src)
         if scheme not in ("file", "local", "tail"):
@@ -243,6 +245,8 @@ def resolve_sink(dst) -> EventSink:
         return dst  # duck-typed sink (e.g. ArrowTail as its own sink)
     if isinstance(dst, str) and "://" in dst:
         scheme = dst.split("://", 1)[0].lower()
+        if scheme == "kafka" and scheme not in _SINK_FACTORIES:
+            from . import kafka_tail  # noqa: F401 — registers kafka://
         if scheme in _SINK_FACTORIES:
             return _SINK_FACTORIES[scheme](dst)
         if scheme not in ("file", "local", "tail"):
@@ -258,6 +262,6 @@ def sink_scheme(path) -> Optional[str]:
     the built-in ``tail``), else None — the writers' dispatch hook."""
     if isinstance(path, str) and "://" in path:
         scheme = path.split("://", 1)[0].lower()
-        if scheme == "tail" or scheme in _SINK_FACTORIES:
+        if scheme in ("tail", "kafka") or scheme in _SINK_FACTORIES:
             return scheme
     return None

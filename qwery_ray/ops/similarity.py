@@ -88,12 +88,30 @@ class IvfAssign:
         return batch
 
 
+def choose_num_cells(n: int, *, target_cell: int = 1024) -> int:
+    """num_cells ≈ N / target_cell (clamped to [1, 65536]): cells stay
+    ~target_cell vectors as the corpus grows, so per-query probe work is
+    O(nprobe × target_cell) at ANY corpus size — the same corpus-derived
+    auto-scaling idea as dedup.choose_nbits."""
+    return int(min(65536, max(1, round(n / target_cell))))
+
+
 def ivf_topk(ds: rd.Dataset, query_ids, query_matrix: np.ndarray,
              k: int = 10, *, vec_col: str = "embedding", id_col: str = "vec_id",
-             num_cells: int = 16, nprobe: int = 4, seed: int = 42) -> rd.Dataset:
+             num_cells: int | None = None, nprobe: int = 4,
+             target_cell: int = 1024, seed: int = 42,
+             approx_count: int | None = None) -> rd.Dataset:
     """IVF-style ANN: sample centroids (seeded) from the corpus, assign each
-    vector to its cell, probe only the nprobe closest cells per query."""
-    sample = ds.random_sample(min(1.0, (num_cells * 8) / max(1, ds.count())),
+    vector to its cell, probe only the nprobe closest cells per query.
+
+    ``num_cells`` defaults to :func:`choose_num_cells` of the corpus size
+    (pass ``approx_count`` — e.g. parquet footer row counts — to skip the
+    counting pass)."""
+    n = approx_count if approx_count is not None else ds.count()
+    if num_cells is None:
+        num_cells = choose_num_cells(n, target_cell=target_cell)
+    nprobe = min(nprobe, num_cells)
+    sample = ds.random_sample(min(1.0, (num_cells * 8) / max(1, n)),
                               seed=seed).take(num_cells * 8)
     cand = _as_matrix([r[vec_col] for r in sample])
     rng = np.random.default_rng(seed)

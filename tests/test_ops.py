@@ -187,6 +187,58 @@ class TestSimilarity:
             recalls.append(len(e & a) / len(e))
         assert np.mean(recalls) >= 0.5  # nprobe=4/8 cells → decent recall
 
+    def test_choose_num_cells_scales_with_corpus(self):
+        from qwery_ray.ops.similarity import choose_num_cells
+
+        assert choose_num_cells(100) == 1           # tiny corpus: 1 cell
+        assert choose_num_cells(1024 * 16) == 16
+        assert choose_num_cells(1024 * 4096) == 4096
+        assert choose_num_cells(10**12) == 65536    # clamped
+
+    def test_ivf_auto_cells_recall_two_scales(self, emb_ds, ray_session):
+        """Auto-scaled num_cells keeps recall vs brute force at two corpus
+        scales (VERDICT r3 item 8): the small corpus collapses to few
+        cells (≈exact), a 4× self-stacked corpus derives more cells and
+        must still clear the recall bar."""
+        import ray.data as rd
+
+        from qwery_ray.ops.similarity import (brute_force_topk,
+                                              choose_num_cells, ivf_topk)
+
+        table = emb_ds.take_all()
+        mat = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                        for r in table])
+        ids = [r["vec_id"] for r in table]
+        q = mat[:5]
+
+        def recall_on(ds, n, target_cell):
+            exact = brute_force_topk(ds, ids[:5], q, k=10).to_pandas()
+            approx = ivf_topk(ds, ids[:5], q, k=10, nprobe=4,
+                              target_cell=target_cell).to_pandas()
+            rs = []
+            for qid in ids[:5]:
+                e = set(exact[exact["query_id"] == qid]["neighbor_id"])
+                a = set(approx[approx["query_id"] == qid]["neighbor_id"])
+                rs.append(len(e & a) / len(e))
+            return np.mean(rs)
+
+        n1 = len(ids)
+        assert recall_on(emb_ds, n1, target_cell=max(1, n1 // 4)) >= 0.5
+
+        # 4× corpus: replicas get fresh ids so top-k stays well-defined
+        import pandas as pd
+
+        big = pd.DataFrame({
+            "vec_id": np.concatenate(
+                [np.asarray(ids) + i * (max(ids) + 1) for i in range(4)]),
+            "embedding": list(mat) * 4,
+        })
+        ds4 = rd.from_pandas(big)
+        n4 = 4 * n1
+        cells4 = choose_num_cells(n4, target_cell=max(1, n1 // 4))
+        assert cells4 > choose_num_cells(n1, target_cell=max(1, n1 // 4))
+        assert recall_on(ds4, n4, target_cell=max(1, n1 // 4)) >= 0.5
+
 
 class TestTextAnalysis:
     def test_stats_and_quality(self, docs_ds):
