@@ -130,6 +130,109 @@ class JobBoard:
             return slave
 
 
+def _esc(v) -> str:
+    from html import escape
+    return escape("" if v is None else str(v))
+
+
+def _fmt_age(ts: Optional[float]) -> str:
+    if not ts:
+        return "—"
+    d = max(0.0, time.time() - ts)
+    if d < 120:
+        return f"{d:.0f}s ago"
+    if d < 7200:
+        return f"{d / 60:.0f}m ago"
+    return f"{d / 3600:.1f}h ago"
+
+
+def render_dashboard(board: JobBoard) -> str:
+    """Server-rendered supervisor dashboard (the reference's Scala.js
+    "transgress" web client, app/js/client DashboardController.scala /
+    JobHandling.scala + supervisor routes, re-expressed as one
+    self-contained HTML page over the same board state the /api routes
+    serve). Auto-refreshes every 5 s — the reference client's poll/WebSocket
+    cadence — with zero client-side dependencies so it works in the
+    stdlib-only deployment this engine targets."""
+    with board._lock:
+        jobs = [dict(j) for j in board.jobs.values()]
+        slaves = [dict(s) for s in board.slaves.values()]
+    jobs.sort(key=lambda j: j.get("createdTime") or 0, reverse=True)
+    counts = {s: 0 for s in JOB_STATES}
+    for j in jobs:
+        counts[j["state"]] = counts.get(j["state"], 0) + 1
+    badges = " ".join(
+        f'<span class="badge {s.lower()}">{s} {counts.get(s, 0)}</span>'
+        for s in JOB_STATES)
+    job_rows = []
+    for j in jobs[:200]:
+        stats = j.get("statistics") or []
+        last = stats[-1] if stats else {}
+        # reference StatisticsLike fields (models/StatisticsLike.scala:10-17)
+        # with the engine's own snapshot keys accepted as fallbacks
+        rps = last.get("recordsPerSecond") or last.get("records_per_sec")
+        rows = last.get("totalInserted") or last.get("rows")
+        pct = last.get("pctComplete")
+        stat_txt = " · ".join(x for x in (
+            f"{int(rows):,} rows" if rows is not None else None,
+            f"{rps:,.0f}/s" if rps else None,
+            f"{pct:.0f}%" if pct is not None else None) if x) or "—"
+        job_rows.append(
+            f'<tr><td><code>{_esc(j["_id"])}</code></td>'
+            f'<td>{_esc(j.get("workflowName"))}</td>'
+            f'<td>{_esc(os.path.basename(j.get("input") or ""))}</td>'
+            f'<td><span class="badge {j["state"].lower()}">'
+            f'{_esc(j["state"])}</span></td>'
+            f'<td>{_esc(j.get("slaveID") or "—")}</td>'
+            f'<td>{stat_txt}</td>'
+            f'<td>{_fmt_age(j.get("createdTime"))}</td>'
+            f'<td class="msg">{_esc(j.get("message") or "")}</td></tr>')
+    slave_rows = []
+    for s in sorted(slaves, key=lambda x: x.get("lastHeartbeat") or 0,
+                    reverse=True):
+        load = s.get("cpuLoad")
+        load_txt = f"{load:.2f}" if isinstance(load, (int, float)) else "—"
+        alive = (time.time() - (s.get("lastHeartbeat") or 0)) < 60
+        slave_rows.append(
+            f'<tr><td><code>{_esc(s["_id"])}</code></td>'
+            f'<td>{_esc(s.get("host"))}</td>'
+            f'<td>{load_txt}</td>'
+            f'<td>{_fmt_age(s.get("lastHeartbeat"))}</td>'
+            f'<td><span class="badge {"success" if alive else "failed"}">'
+            f'{"LIVE" if alive else "STALE"}</span></td></tr>')
+    return f"""<!doctype html>
+<html><head><meta charset="utf-8">
+<meta http-equiv="refresh" content="5">
+<title>qwery-ray supervisor</title>
+<style>
+ body{{font:14px/1.5 system-ui,sans-serif;margin:2rem;color:#222}}
+ h1{{font-size:1.3rem}} h2{{font-size:1.05rem;margin-top:2rem}}
+ table{{border-collapse:collapse;width:100%}}
+ th,td{{text-align:left;padding:.3rem .6rem;border-bottom:1px solid #ddd}}
+ th{{background:#f5f5f5}} code{{font-size:.85em}}
+ .msg{{color:#777;max-width:28rem;overflow:hidden;text-overflow:ellipsis}}
+ .badge{{padding:.1rem .5rem;border-radius:.6rem;font-size:.8em;
+        background:#eee}}
+ .badge.running{{background:#cce5ff}} .badge.success{{background:#d4edda}}
+ .badge.failed{{background:#f8d7da}} .badge.queued{{background:#fff3cd}}
+</style></head><body>
+<h1>qwery-ray ETL supervisor</h1>
+<p>{badges} &nbsp;·&nbsp; {len(slaves)} slave(s) &nbsp;·&nbsp;
+refreshes every 5 s &nbsp;·&nbsp; JSON: <a href="/api/jobs">/api/jobs</a>
+<a href="/api/slaves">/api/slaves</a></p>
+<h2>Jobs ({len(jobs)})</h2>
+<table><tr><th>id</th><th>workflow</th><th>input</th><th>state</th>
+<th>slave</th><th>last stats</th><th>created</th><th>message</th></tr>
+{''.join(job_rows) or '<tr><td colspan="8">no jobs yet</td></tr>'}
+</table>
+<h2>Slaves ({len(slaves)})</h2>
+<table><tr><th>id</th><th>host</th><th>cpu load</th><th>heartbeat</th>
+<th>status</th></tr>
+{''.join(slave_rows) or '<tr><td colspan="5">no slaves registered</td></tr>'}
+</table>
+</body></html>"""
+
+
 def _make_handler(board: JobBoard):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -147,9 +250,19 @@ def _make_handler(board: JobBoard):
             n = int(self.headers.get("Content-Length") or 0)
             return json.loads(self.rfile.read(n) or b"{}") if n else {}
 
+        def _send_html(self, html: str, code: int = 200):
+            body = html.encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_GET(self):
             parts = self.path.strip("/").split("/")
-            if parts[:2] == ["api", "jobs"]:
+            if parts == [""] or parts == ["dashboard"]:
+                self._send_html(render_dashboard(board))
+            elif parts[:2] == ["api", "jobs"]:
                 self._send(list(board.jobs.values()))
             elif parts[:2] == ["api", "job"] and len(parts) == 3:
                 job = board.jobs.get(parts[2])

@@ -221,3 +221,65 @@ class TestJobSupervisorREST:
             assert done[0]["state"] == "FAILED"
         finally:
             sup.stop()
+
+
+class TestDashboard:
+    """Supervisor web dashboard (the reference's Scala.js transgress client,
+    app/js/client/.../DashboardController.scala + JobHandling.scala,
+    re-expressed as a server-rendered page over the same board state)."""
+
+    def _get(self, url: str) -> tuple[int, str, str]:
+        import urllib.request
+        with urllib.request.urlopen(url, timeout=10) as r:
+            return r.status, r.headers.get("Content-Type", ""), \
+                r.read().decode()
+
+    def test_dashboard_renders_board_state(self):
+        from qwery_ray.etl.rest import JobClient, JobSupervisor
+
+        sup = JobSupervisor().start()
+        try:
+            client = JobClient(sup.base_url)
+            slave = client.register_slave("node-7")
+            client.heartbeat(slave["_id"], 0.42)
+            job = client.create_job("/inbox/companylist.csv", "company-lists")
+            client.checkout_job(slave["_id"])
+            client.change_state(job["_id"], "RUNNING")
+            client.update_statistics(job["_id"], [{
+                "rows": 1234, "recordsPerSecond": 567.0,
+                "pctComplete": 50.0}])
+
+            for path in ("/", "/dashboard"):
+                code, ctype, html = self._get(sup.base_url + path)
+                assert code == 200 and ctype.startswith("text/html")
+                assert job["_id"] in html
+                assert "company-lists" in html
+                assert "companylist.csv" in html
+                assert "RUNNING" in html
+                assert "node-7" in html
+                assert "0.42" in html          # slave cpu load
+                assert "1,234 rows" in html    # latest statistics snapshot
+                assert "567/s" in html
+                assert "50%" in html
+                assert "LIVE" in html
+        finally:
+            sup.stop()
+
+    def test_dashboard_empty_board_and_escaping(self):
+        from qwery_ray.etl.rest import JobClient, JobSupervisor
+
+        sup = JobSupervisor().start()
+        try:
+            code, _, html = self._get(sup.base_url + "/dashboard")
+            assert code == 200
+            assert "no jobs yet" in html and "no slaves registered" in html
+            # HTML injection via job fields must be escaped
+            client = JobClient(sup.base_url)
+            client.create_job("/inbox/<script>alert(1)<x>.csv",
+                              "<b>wf</b>")
+            _, _, html = self._get(sup.base_url + "/")
+            assert "<script>alert(1)" not in html
+            assert "&lt;script&gt;" in html
+            assert "<b>wf</b>" not in html and "&lt;b&gt;wf&lt;/b&gt;" in html
+        finally:
+            sup.stop()
