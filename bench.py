@@ -227,9 +227,32 @@ def main() -> dict:
         "events_per_sec": round(n_events / headline, 1),
         "headline_runs": [round(r, 3) for r in runs],
         "loadavg_1m": load1,
+        # absolute single-core host speed at measurement time — engine-free,
+        # so round-over-round headline deltas can be attributed to host
+        # windows vs engine changes (this shared VM's per-core speed swings
+        # 1.5-2x between rounds; see BASELINE.md host-window notes)
+        "host_decode_mrows_s": _host_decode_rate(events_dir),
     }
     ray.shutdown()
     return out
+
+
+def _host_decode_rate(events_dir: str) -> float:
+    """Single-process parquet-decode rate (M rows/s) over one cached events
+    segment: a pure-pyarrow, engine-free probe of this host's current
+    per-core speed, recorded alongside every headline so cross-round
+    comparisons can separate host-window drift from engine changes."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(events_dir, "*.parquet")))
+    if not files:
+        return 0.0
+    n, t0 = 0, time.perf_counter()
+    while time.perf_counter() - t0 < 3.0:
+        n += len(pq.read_table(files[0]))
+    return round(n / (time.perf_counter() - t0) / 1e6, 2)
 
 
 def _warm(path: str):
