@@ -2679,7 +2679,10 @@ class Compiler:
                                              batch_format="pyarrow"),
                         [dequal.get(c, c) for c in frame.columns])
             if sel.distinct:
-                frame = Frame(_distinct(frame.ds), frame.columns)
+                # pass the known names: schema() is None on a lazy pipeline
+                # whose filter removed every row
+                frame = Frame(_distinct(frame.ds, names=list(frame.columns)),
+                              frame.columns)
 
         drop_cols = getattr(frame, "_drop_cols", None)
         fetch = None if sel.limit is None else sel.limit + (sel.offset or 0)
@@ -4130,6 +4133,21 @@ class Compiler:
                         name = on
                         break
                 key_names.append(name)
+        if sel.grouping_sets is None and len(set(key_names)) < len(key_names):
+            # GROUP BY the same expression more than once (e.g. GROUP BY 1, 2
+            # where both positions alias one column) is the same grouping —
+            # keep the first occurrence so downstream key columns stay unique;
+            # the projection re-emits the single key under every alias.
+            # (skipped under ROLLUP/CUBE/GROUPING SETS, whose set masks are
+            # positional over the full key list)
+            uniq_e, uniq_n = [], []
+            for g, nm in zip(key_exprs, key_names):
+                if any(nm == n2 and g == g2
+                       for g2, n2 in zip(uniq_e, uniq_n)):
+                    continue
+                uniq_e.append(g)
+                uniq_n.append(nm)
+            key_exprs, key_names = uniq_e, uniq_n
 
         # HAVING may reference select aliases (HAVING n > 5) — resolve them
         # to their expressions before aggregate collection
@@ -5074,7 +5092,8 @@ def _distinct(ds: rd.Dataset, names: Optional[list] = None) -> rd.Dataset:
     bench and a 100×-scale killer). Pass ``names`` when known to avoid a
     schema() call on a lazy pipeline."""
     if names is None:
-        names = ds.schema().names
+        sch = ds.schema()
+        names = sch.names if sch is not None else []
     ncpu = int(ray.cluster_resources().get("CPU", 8)) \
         if ray.is_initialized() else 8
     nbuckets = max(32, ncpu * 4)

@@ -1,0 +1,286 @@
+"""Grammar-based random-query fuzzer: generate SQL from a weighted grammar
+over the sf0.001 tables, run it through BOTH this engine and DuckDB, and
+compare results (sorted rows, 1e-9 relative float tolerance, NULL-safe).
+
+Every query uses only the ANSI surface both dialects share, with explicit
+CAST/alias discipline so schemas line up. Deterministic per seed.
+
+Usage:
+    python scripts/fuzz_vs_duckdb.py [--n 300] [--seed 7] [--sf DIR]
+
+Prints one line per mismatch/error and a summary; exit 1 on any mismatch.
+Found bugs get distilled into pinned regression tests (tests/test_fuzz_regressions.py).
+"""
+import argparse
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = {
+    "lineitem": {
+        "int": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+        "float": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "str": ["l_returnflag", "l_linestatus"],
+        "ts": ["l_shipdate"],
+    },
+    "orders": {
+        "int": ["o_orderkey", "o_custkey"],
+        "float": ["o_totalprice"],
+        "str": ["o_orderstatus", "o_orderpriority"],
+        "ts": ["o_orderdate"],
+    },
+    "customer": {
+        "int": ["c_custkey", "c_nationkey"],
+        "float": ["c_acctbal"],
+        "str": ["c_name", "c_mktsegment"],
+        "ts": [],
+    },
+    "events": {
+        "int": ["event_id", "user_id"],
+        "float": ["value"],
+        "str": ["event_type"],
+        "ts": ["ts"],
+    },
+}
+
+
+class Gen:
+    def __init__(self, rng: random.Random, table: str):
+        self.rng, self.t = rng, TABLES[table]
+
+    def col(self, kind=None):
+        kinds = [k for k in ("int", "float", "str", "ts") if self.t[k]]
+        kind = kind or self.rng.choice(kinds)
+        return self.rng.choice(self.t[kind]) if self.t[kind] else None
+
+    # ---- scalar expressions -------------------------------------------
+    def num_expr(self, depth=0):
+        r = self.rng.random()
+        if depth >= 2 or r < 0.35:
+            c = self.col("float" if self.rng.random() < 0.6 else "int")
+            return f"CAST({c} AS DOUBLE)"
+        if r < 0.45:
+            return str(self.rng.randint(-5, 100))
+        a, b = self.num_expr(depth + 1), self.num_expr(depth + 1)
+        op = self.rng.choice(["+", "-", "*"])
+        return f"({a} {op} {b})"
+
+    def str_expr(self, depth=0):
+        r = self.rng.random()
+        c = self.col("str")
+        if depth >= 2 or r < 0.5:
+            return c
+        if r < 0.65:
+            return f"SUBSTRING({self.str_expr(depth+1)}, 1, " \
+                   f"{self.rng.randint(1, 4)})"
+        if r < 0.8:
+            return f"UPPER({self.str_expr(depth+1)})"
+        return f"({self.str_expr(depth+1)} || '{self.rng.choice('xyz')}')"
+
+    def case_expr(self):
+        cond = self.predicate(depth=1)
+        return (f"CASE WHEN {cond} THEN {self.num_expr(1)} "
+                f"ELSE {self.num_expr(1)} END")
+
+    def scalar(self):
+        r = self.rng.random()
+        if r < 0.45:
+            return self.num_expr()
+        if r < 0.7:
+            return self.str_expr()
+        if r < 0.85:
+            return self.case_expr()
+        c = self.col("int")
+        return f"CAST({c} % {self.rng.randint(2, 13)} AS BIGINT)"
+
+    # ---- predicates ----------------------------------------------------
+    def predicate(self, depth=0):
+        r = self.rng.random()
+        if depth >= 2 or r < 0.45:
+            return self.simple_pred()
+        a, b = self.predicate(depth + 1), self.predicate(depth + 1)
+        if r < 0.65:
+            return f"({a} AND {b})"
+        if r < 0.85:
+            return f"({a} OR {b})"
+        return f"(NOT {a})"
+
+    def simple_pred(self):
+        r = self.rng.random()
+        if r < 0.35:
+            return f"{self.num_expr(1)} {self.rng.choice(['<','<=','>','>=','=','<>'])} {self.num_expr(1)}"
+        if r < 0.5:
+            c = self.col("int")
+            lo = self.rng.randint(0, 50)
+            return f"{c} BETWEEN {lo} AND {lo + self.rng.randint(0, 40)}"
+        if r < 0.65:
+            c = self.col("str")
+            return f"{c} LIKE '%{self.rng.choice('AOFRN135')}%'"
+        if r < 0.8:
+            c = self.col("str")
+            return f"{c} IN ('A', 'O', 'F', 'N', 'R')"
+        c = self.col()
+        return f"{c} IS NOT NULL"
+
+    # ---- aggregates ----------------------------------------------------
+    def agg(self, i):
+        kind = self.rng.choice(["SUM", "AVG", "MIN", "MAX", "COUNT",
+                                "COUNT_STAR", "COUNT_DISTINCT"])
+        if kind == "COUNT_STAR":
+            return f"COUNT(*) AS a{i}", f"COUNT(*) AS a{i}"
+        if kind == "COUNT_DISTINCT":
+            c = self.col("str") or self.col("int")
+            return (f"COUNT(DISTINCT {c}) AS a{i}",) * 2
+        if kind == "COUNT":
+            c = self.col()
+            return (f"COUNT({c}) AS a{i}",) * 2
+        e = self.num_expr(1)
+        if kind in ("MIN", "MAX"):
+            return (f"{kind}({e}) AS a{i}",) * 2
+        # SUM/AVG over DOUBLE on both sides so types line up
+        return (f"{kind}({e}) AS a{i}",) * 2
+
+
+def gen_query(rng: random.Random):
+    table = rng.choice(list(TABLES))
+    g = Gen(rng, table)
+    shape = rng.random()
+    where = f" WHERE {g.predicate()}" if rng.random() < 0.7 else ""
+    if shape < 0.45:
+        # flat projection
+        ncols = rng.randint(1, 4)
+        items = ", ".join(f"{g.scalar()} AS c{i}" for i in range(ncols))
+        order = ""
+        limit = ""
+        if rng.random() < 0.5:
+            # order by EVERY output column so LIMIT selects a deterministic
+            # multiset (ordering one column leaves ties at the cut, where
+            # both engines are free to pick different rows)
+            order = " ORDER BY " + ", ".join(f"c{i}" for i in range(ncols))
+            if rng.random() < 0.5:
+                limit = f" LIMIT {rng.randint(1, 50)}"
+        q = f"SELECT {items} FROM {table}{where}{order}{limit}"
+        return q, q, True
+    if shape < 0.85:
+        # grouped aggregate
+        nkeys = rng.randint(1, 2)
+        keys = []
+        for _ in range(nkeys):
+            if rng.random() < 0.6:
+                keys.append(g.col("str"))
+            else:
+                keys.append(f"CAST({g.col('int')} % {rng.randint(2, 7)} AS BIGINT)")
+        keysel = ", ".join(f"{k} AS k{i}" for i, k in enumerate(keys))
+        mine_aggs, oracle_aggs = zip(*(g.agg(i)
+                                       for i in range(rng.randint(1, 3))))
+        gb = ", ".join(str(i + 1) for i in range(nkeys))
+        having = ""
+        if rng.random() < 0.3:
+            having = f" HAVING COUNT(*) > {rng.randint(0, 3)}"
+        q_mine = (f"SELECT {keysel}, {', '.join(mine_aggs)} FROM {table}"
+                  f"{where} GROUP BY {gb}{having}")
+        q_ora = (f"SELECT {keysel}, {', '.join(oracle_aggs)} FROM {table}"
+                 f"{where} GROUP BY {gb}{having}")
+        return q_mine, q_ora, True
+    # distinct / set op. NOTE the documented dialect split: this engine's
+    # bare UNION is UNION ALL (reference ops/sql/Union.scala parity), so
+    # spell UNION ALL / UNION DISTINCT explicitly on the engine side and
+    # the matching ANSI form on the DuckDB side.
+    c1, c2 = g.col("str"), g.col("str")
+    q = f"SELECT DISTINCT {c1} AS c0 FROM {table}{where}"
+    r = rng.random()
+    if r < 0.33:
+        both = (f"SELECT {c1} AS c0 FROM {table}{where} "
+                f"UNION ALL SELECT {c2} AS c0 FROM {table}")
+        return both, both, True
+    if r < 0.66:
+        mine = (f"SELECT {c1} AS c0 FROM {table}{where} "
+                f"UNION DISTINCT SELECT {c2} AS c0 FROM {table}")
+        ora = (f"SELECT {c1} AS c0 FROM {table}{where} "
+               f"UNION SELECT {c2} AS c0 FROM {table}")
+        return mine, ora, True
+    return q, q, True
+
+
+def compare(mine: pd.DataFrame, ora: pd.DataFrame) -> str:
+    if sorted(map(str.lower, mine.columns)) != sorted(map(str.lower, ora.columns)):
+        return f"SCHEMA {sorted(mine.columns)} vs {sorted(ora.columns)}"
+    mine = mine.reindex(sorted(mine.columns), axis=1)
+    ora = ora.rename(columns={c: c.lower() for c in ora.columns})
+    ora = ora.reindex(sorted(ora.columns), axis=1)
+    if len(mine) != len(ora):
+        return f"ROWS {len(mine)} vs {len(ora)}"
+    if not len(mine):
+        return ""
+    key = [c for c in mine.columns]
+    a = mine.sort_values(key, ignore_index=True, na_position="last")
+    e = ora.sort_values(key, ignore_index=True, na_position="last")
+    for c in a.columns:
+        av, ev = a[c], e[c]
+        try:
+            avf = av.astype(float).to_numpy()
+            evf = ev.astype(float).to_numpy()
+            ok = np.isclose(avf, evf, rtol=1e-9, atol=1e-9, equal_nan=True)
+            if not ok.all():
+                i = int(np.argmin(ok))
+                return f"VALUE col {c} row {i}: {avf[i]!r} vs {evf[i]!r}"
+        except (ValueError, TypeError):
+            avs = av.astype("string").fillna("\0null")
+            evs = ev.astype("string").fillna("\0null")
+            if not (avs == evs).all():
+                i = int((avs != evs).to_numpy().argmax())
+                return f"VALUE col {c} row {i}: {avs[i]!r} vs {evs[i]!r}"
+    return ""
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=300)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    args = ap.parse_args()
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    from qwery_ray.engine.session import QweryEngine
+    sess = QweryEngine(table_root=args.sf)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{args.sf}/{t}.parquet')")
+
+    rng = random.Random(args.seed)
+    bad = 0
+    for i in range(args.n):
+        q_mine, q_ora, _sortable = gen_query(rng)
+        try:
+            res = sess.sql(q_mine)
+            mine = res.to_pandas() if hasattr(res, "to_pandas") else res
+        except Exception as ex:
+            print(f"[{i}] ENGINE-ERR {type(ex).__name__}: {str(ex)[:100]}\n    {q_mine}")
+            bad += 1
+            continue
+        try:
+            ora = con.execute(q_ora).df()
+        except Exception as ex:
+            print(f"[{i}] ORACLE-ERR {type(ex).__name__}: {str(ex)[:100]}\n    {q_ora}")
+            continue  # oracle rejected the query — grammar bug, not engine
+        diff = compare(mine, ora)
+        if diff:
+            print(f"[{i}] MISMATCH {diff}\n    {q_mine}")
+            bad += 1
+    print(f"\n{args.n} queries, {bad} failures (seed={args.seed})")
+    ray.shutdown()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
