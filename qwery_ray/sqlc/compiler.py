@@ -2355,6 +2355,27 @@ class Compiler:
                 enc, batch_format="pyarrow").materialize()
             right_enc = right_ds.map_batches(
                 enc, batch_format="pyarrow").materialize()
+            # an empty side crashes Ray 2.49's hash-shuffle join
+            # (HashShuffleAggregator.finalize ArrowInvalid) and an empty
+            # RESULT would lose its schema (zero blocks) — short-circuit
+            # empty sides and keep an explicitly-typed empty table in the
+            # plan so downstream consumers always see the output columns
+            empty_tbl = pa.table({k: [] for k in keys})
+            for s in (left_enc.schema(), right_enc.schema()):
+                bs = getattr(s, "base_schema", None)
+                if bs is not None and all(c in bs.names for c in keys):
+                    empty_tbl = pa.schema(
+                        [bs.field(c) for c in keys]).empty_table()
+                    break
+            if left_enc.count() == 0 or \
+                    (stmt.op == "INTERSECT" and right_enc.count() == 0):
+                return _tag_columns(rd.from_arrow(empty_tbl), list(keys))
+            if stmt.op == "EXCEPT" and right_enc.count() == 0 \
+                    and not stmt.all:
+                out = left_enc.map_batches(DropColumns(list(enc_keys)),
+                                           batch_format="pyarrow")
+                return _tag_columns(_distinct(out, names=list(keys)),
+                                    list(keys))
             if stmt.all:
                 # EXCEPT ALL / INTERSECT ALL: bag semantics — per-row-value
                 # multiplicities on each side; a row appears max(l-r, 0)
@@ -2416,7 +2437,13 @@ class Compiler:
             out = out.map_batches(DropColumns(list(enc_keys)),
                                   batch_format="pyarrow")
             # ANSI EXCEPT/INTERSECT emit distinct rows
-            return _distinct(out, names=list(keys))
+            res = _distinct(out, names=list(keys))
+            if res.schema() is None:
+                # an all-matched anti join leaves only zero-row blocks,
+                # which Ray drops at materialize — the empty result must
+                # still report its typed output columns
+                res = rd.from_arrow(empty_tbl)
+            return res
         if isinstance(stmt, A.Values):
             return self.compile_values(stmt, ())
         raise ValueError(f"not a query: {type(stmt).__name__}")

@@ -147,7 +147,99 @@ class Gen:
         return (f"{kind}({e}) AS a{i}",) * 2
 
 
+JOINS = [
+    # (left, right, on, extra cols usable from both sides)
+    ("orders", "customer", "o_custkey = c_custkey"),
+    ("lineitem", "orders", "l_orderkey = o_orderkey"),
+    ("customer", "nation", "c_nationkey = n_nationkey"),
+]
+
+
+def gen_join_query(rng: random.Random):
+    lt, rt, on = rng.choice(JOINS)
+    gl, gr = Gen(rng, lt), Gen(rng, rt if rt != "nation" else "customer")
+    jt = rng.choice(["JOIN", "LEFT JOIN", "INNER JOIN"])
+    # nation has no Gen entry — use customer cols for the right side then
+    rcol = {"orders": "o_orderstatus", "customer": "c_mktsegment",
+            "nation": "n_name"}[rt]
+    lkey = on.split(" = ")[0]
+    where = f" WHERE {gl.predicate()}" if rng.random() < 0.5 else ""
+    if rng.random() < 0.5:
+        # joined grouped aggregate
+        q = (f"SELECT {rcol} AS k0, COUNT(*) AS a0, "
+             f"SUM(CAST({lkey} AS DOUBLE)) AS a1 "
+             f"FROM {lt} {jt} {rt} ON {on}{where} GROUP BY 1")
+        return q, q, True
+    q = (f"SELECT {lkey} AS c0, {rcol} AS c1 "
+         f"FROM {lt} {jt} {rt} ON {on}{where}")
+    return q, q, True
+
+
+def gen_subquery_query(rng: random.Random):
+    table = rng.choice(list(TABLES))
+    g = Gen(rng, table)
+    ic = g.col("int")
+    shape = rng.random()
+    if shape < 0.4:
+        # FROM (subquery) with an outer aggregate
+        inner_where = f" WHERE {g.predicate()}" if rng.random() < 0.6 else ""
+        q = (f"SELECT k0, COUNT(*) AS a0, SUM(v) AS a1 FROM ("
+             f"SELECT {g.col('str')} AS k0, {g.num_expr(1)} AS v "
+             f"FROM {table}{inner_where}) t GROUP BY 1")
+        return q, q, True
+    if shape < 0.7:
+        # scalar subquery in WHERE
+        q = (f"SELECT {g.col('str')} AS c0, CAST({ic} AS BIGINT) AS c1 "
+             f"FROM {table} WHERE CAST({ic} AS DOUBLE) > "
+             f"(SELECT AVG(CAST({ic} AS DOUBLE)) FROM {table})")
+        return q, q, True
+    # IN (SELECT ...)
+    sc = g.col("str")
+    q = (f"SELECT {sc} AS c0, COUNT(*) AS a0 FROM {table} "
+         f"WHERE {ic} IN (SELECT {ic} FROM {table} WHERE {g.predicate()}) "
+         f"GROUP BY 1")
+    return q, q, True
+
+
+def gen_window_query(rng: random.Random):
+    table = rng.choice(list(TABLES))
+    g = Gen(rng, table)
+    part, order = g.col("str"), g.col("int")
+    # no ROW_NUMBER: order keys can tie (l_orderkey repeats per line) and
+    # ROW_NUMBER is nondeterministic under ties; RANK/aggregates are not
+    fn = rng.choice([
+        "RANK()", "DENSE_RANK()",
+        f"SUM(CAST({g.col('float') or order} AS DOUBLE))",
+        "COUNT(*)", f"MIN(CAST({order} AS DOUBLE))",
+    ])
+    # deterministic frame: order by a unique-ish int + the partition col
+    q = (f"SELECT {part} AS c0, CAST({order} AS BIGINT) AS c1, "
+         f"{fn} OVER (PARTITION BY {part} ORDER BY {order}, {part}) AS c2 "
+         f"FROM {table}")
+    return q, q, True
+
+
+def gen_setop_query(rng: random.Random):
+    table = rng.choice(list(TABLES))
+    g = Gen(rng, table)
+    c1, c2 = g.col("str"), g.col("str")
+    op = rng.choice(["EXCEPT", "INTERSECT"])
+    w1 = f" WHERE {g.predicate()}" if rng.random() < 0.6 else ""
+    q = (f"SELECT {c1} AS c0 FROM {table}{w1} "
+         f"{op} SELECT {c2} AS c0 FROM {table}")
+    return q, q, True
+
+
 def gen_query(rng: random.Random):
+    r = rng.random()
+    if r < 0.12:
+        return gen_join_query(rng)
+    if r < 0.24:
+        return gen_subquery_query(rng)
+    if r < 0.33:
+        return gen_window_query(rng)
+    if r < 0.40:
+        return gen_setop_query(rng)
     table = rng.choice(list(TABLES))
     g = Gen(rng, table)
     shape = rng.random()
@@ -253,7 +345,7 @@ def main():
     from qwery_ray.engine.session import QweryEngine
     sess = QweryEngine(table_root=args.sf)
     con = duckdb.connect()
-    for t in TABLES:
+    for t in list(TABLES) + ["nation", "region"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{args.sf}/{t}.parquet')")
 

@@ -80,3 +80,44 @@ class TestFuzzRegressions:
             "SELECT c_mktsegment AS k0, COUNT(*) AS n "
             "FROM customer GROUP BY ROLLUP(1)"))
         assert len(df) == 6  # 5 segments + grand total
+
+    def test_setop_empty_result_keeps_schema(self, sess):
+        # was: EXCEPT/INTERSECT whose result is empty returned a frame with
+        # NO columns (Ray drops zero-row blocks at materialize; the join's
+        # anti-side emits zero-column blocks when everything matches)
+        for q in (
+            "SELECT o_orderstatus AS c0 FROM orders "
+            "EXCEPT SELECT o_orderstatus AS c0 FROM orders",
+            "SELECT c_mktsegment AS c0 FROM customer "
+            "INTERSECT SELECT c_name AS c0 FROM customer",
+        ):
+            df = _df(sess.sql(q))
+            assert len(df) == 0 and list(df.columns) == ["c0"], q
+
+    def test_setop_empty_side_no_crash(self, sess):
+        # was: an EMPTY side crashed Ray 2.49's hash-shuffle join
+        # (HashShuffleAggregator.finalize ArrowInvalid)
+        df = _df(sess.sql(
+            "SELECT c_name AS c0 FROM customer WHERE c_nationkey IS NULL "
+            "INTERSECT SELECT c_name AS c0 FROM customer"))
+        assert len(df) == 0 and list(df.columns) == ["c0"]
+        df = _df(sess.sql(
+            "SELECT c_name AS c0 FROM customer WHERE c_nationkey IS NULL "
+            "EXCEPT SELECT c_name AS c0 FROM customer"))
+        assert len(df) == 0 and list(df.columns) == ["c0"]
+        # empty RIGHT side: EXCEPT degenerates to DISTINCT(left)
+        df = _df(sess.sql(
+            "SELECT c_mktsegment AS c0 FROM customer EXCEPT "
+            "SELECT c_name AS c0 FROM customer WHERE c_nationkey IS NULL"))
+        assert len(df) == 5 and list(df.columns) == ["c0"]
+
+    def test_setop_nonempty_still_correct(self, sess):
+        df = _df(sess.sql(
+            "SELECT o_orderstatus AS c0 FROM orders INTERSECT "
+            "SELECT o_orderstatus AS c0 FROM orders WHERE o_orderkey < 50"))
+        ora = duckdb.sql(
+            f"SELECT o_orderstatus AS c0 FROM "
+            f"read_parquet('{SF}/orders.parquet') INTERSECT "
+            f"SELECT o_orderstatus AS c0 FROM "
+            f"read_parquet('{SF}/orders.parquet') WHERE o_orderkey < 50").df()
+        assert sorted(df["c0"]) == sorted(ora["c0"])
