@@ -227,11 +227,15 @@ def main() -> dict:
         "events_per_sec": round(n_events / headline, 1),
         "headline_runs": [round(r, 3) for r in runs],
         "loadavg_1m": load1,
-        # absolute single-core host speed at measurement time — engine-free,
-        # so round-over-round headline deltas can be attributed to host
-        # windows vs engine changes (this shared VM's per-core speed swings
-        # 1.5-2x between rounds; see BASELINE.md host-window notes)
+        # absolute host speed at measurement time — engine-free, so
+        # round-over-round headline deltas can be attributed to host windows
+        # vs engine changes. Single-core rate isolates per-core speed;
+        # the NUM_CPUS-process aggregate isolates the shared-memory-bandwidth
+        # window (co-tenant bursts crush the aggregate while leaving the
+        # single-core rate intact; see BASELINE.md host-window notes)
         "host_decode_mrows_s": _host_decode_rate(events_dir),
+        "host_parallel_decode_mrows_s": _host_parallel_decode_rate(
+            events_dir, NUM_CPUS),
     }
     ray.shutdown()
     return out
@@ -253,6 +257,23 @@ def _host_decode_rate(events_dir: str) -> float:
     while time.perf_counter() - t0 < 3.0:
         n += len(pq.read_table(files[0]))
     return round(n / (time.perf_counter() - t0) / 1e6, 2)
+
+
+def _host_parallel_decode_rate(events_dir: str, procs: int) -> float:
+    """Aggregate parquet-decode rate (M rows/s) across ``procs`` plain
+    processes — the engine-free probe of the box's CURRENT parallel
+    memory-bandwidth window (the quantity co-tenant bursts consume)."""
+    import glob
+    import multiprocessing as mp
+
+    files = sorted(glob.glob(os.path.join(events_dir, "*.parquet")))
+    if not files:
+        return 0.0
+    _decode_worker.path = files[0]
+    with mp.Pool(procs) as pool:
+        t0 = time.perf_counter()
+        total = sum(pool.map(_decode_worker, range(procs)))
+    return round(total / (time.perf_counter() - t0) / 1e6, 2)
 
 
 def _warm(path: str):
