@@ -4487,6 +4487,12 @@ class Compiler:
         finest = self._null_safe_groupby_agg(ds2, key_names, ray_aggs) \
             .materialize()
         schema = finest.schema()
+        if schema is None:
+            # WHERE filtered every row: keyed sets contribute 0 rows; each
+            # () grand-total set still emits one row (COUNT partials NULL →
+            # 0 in CombinePartials, other aggs NULL) — DuckDB parity.
+            return self._empty_grouping_sets(ds2, grouping_sets, key_names,
+                                             ray_aggs)
         types = dict(zip(schema.names, schema.types))
         partial_names = [n for n in schema.names if n not in key_names]
         full = frozenset(range(len(key_names)))
@@ -4512,6 +4518,38 @@ class Compiler:
         if len(pieces) > 1:
             out = out.union(*pieces[1:])
         return out
+
+    def _empty_grouping_sets(self, ds2: rd.Dataset, grouping_sets,
+                             key_names, ray_aggs) -> rd.Dataset:
+        """ROLLUP/CUBE/GROUPING SETS over ZERO input rows. Synthesize the
+        canonical aligned schema (keys + partials + __gm masks) from the
+        pre-agg input — partial alias names equal their input column names
+        — and emit one all-NULL-keyed row per () set, zero rows otherwise."""
+        in_schema = ds2.schema()
+        in_types = dict(zip(in_schema.names, in_schema.types)) \
+            if in_schema is not None else {}
+        partial_names = [a.name for a in ray_aggs]
+        fields = [pa.field(k, in_types.get(k, pa.string()))
+                  for k in key_names]
+        for n in partial_names:
+            if n.endswith(("_cnt", "_star", "_bit")):
+                t = pa.int64()
+            else:
+                t = in_types.get(n, pa.float64())
+            fields.append(pa.field(n, t))
+        fields += [pa.field(f"__gm{j}", pa.int64())
+                   for j in range(len(key_names))]
+        schema = pa.schema(fields)
+        n_rows = sum(1 for gs in grouping_sets if not gs)
+        if not n_rows:
+            return rd.from_arrow(schema.empty_table())
+        cols = {}
+        for f in fields:
+            if f.name.startswith("__gm"):
+                cols[f.name] = pa.array([1] * n_rows, type=pa.int64())
+            else:
+                cols[f.name] = pa.nulls(n_rows, type=f.type)
+        return rd.from_arrow(pa.table(cols))
 
     # --------------------------------------------------------------- window
     def _compile_windows(self, frame: Frame, wcalls, env):

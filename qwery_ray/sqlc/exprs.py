@@ -689,18 +689,42 @@ def _fn_padright(ev, e, batch):
     return pc.utf8_slice_codeunits(pc.utf8_rpad(s, w, " "), 0, w)
 
 
-def _fn_lpad(ev, e, batch):
+def _pad(ev, e, batch, left: bool):
+    """DuckDB/Postgres LPAD/RPAD: truncates (keeping the LEFT w chars) when
+    the input is longer than w; negative w yields ''; a multi-char fill
+    repeats cyclically; an empty fill errors only when padding is needed."""
     s = _str_arg(ev, e, batch, 0)
     w = int(ev.eval(e.args[1], batch))
     fill = ev.eval(e.args[2], batch) if len(e.args) > 2 else " "
-    return pc.utf8_lpad(s, w, fill)
+    fill = " " if fill is None else str(fill)
+    w = max(w, 0)
+    if len(fill) == 1:  # pyarrow kernel path (the common case)
+        padded = (pc.utf8_lpad if left else pc.utf8_rpad)(s, w, fill)
+        return pc.utf8_slice_codeunits(padded, 0, w)
+    # multi-char / empty fill: cyclic repetition — per-row variable-length
+    # prefixes have no pc kernel; python loop is fine for this rare form
+    out = []
+    for v in s.to_pylist():
+        if v is None:
+            out.append(None)
+            continue
+        if len(v) >= w:
+            out.append(v[:w])
+            continue
+        if not fill:
+            raise EvalError("Insufficient padding in LPAD/RPAD "
+                            "(empty fill with pad needed)")
+        pad = (fill * w)[: w - len(v)]
+        out.append(pad + v if left else v + pad)
+    return pa.array(out, type=pa.string())
+
+
+def _fn_lpad(ev, e, batch):
+    return _pad(ev, e, batch, left=True)
 
 
 def _fn_rpad(ev, e, batch):
-    s = _str_arg(ev, e, batch, 0)
-    w = int(ev.eval(e.args[1], batch))
-    fill = ev.eval(e.args[2], batch) if len(e.args) > 2 else " "
-    return pc.utf8_rpad(s, w, fill)
+    return _pad(ev, e, batch, left=False)
 
 
 def _fn_replace(ev, e, batch):

@@ -230,16 +230,111 @@ def gen_setop_query(rng: random.Random):
     return q, q, True
 
 
+def gen_cte_query(rng: random.Random):
+    table = rng.choice(list(TABLES))
+    g = Gen(rng, table)
+    where = f" WHERE {g.predicate()}" if rng.random() < 0.6 else ""
+    if rng.random() < 0.5:
+        # single CTE feeding a grouped aggregate
+        q = (f"WITH base AS (SELECT {g.col('str')} AS k0, "
+             f"{g.num_expr(1)} AS v FROM {table}{where}) "
+             f"SELECT k0, COUNT(*) AS a0, SUM(v) AS a1 FROM base GROUP BY 1")
+        return q, q, True
+    # chained CTEs: second references the first
+    q = (f"WITH base AS (SELECT {g.col('str')} AS k0, "
+         f"{g.num_expr(1)} AS v FROM {table}{where}), "
+         f"agg AS (SELECT k0, SUM(v) AS s FROM base GROUP BY 1) "
+         f"SELECT k0, s FROM agg WHERE s > {rng.randint(-5, 50)}")
+    return q, q, True
+
+
+def gen_rollup_query(rng: random.Random):
+    table = rng.choice(list(TABLES))
+    g = Gen(rng, table)
+    k1 = g.col("str")
+    k2 = f"CAST({g.col('int')} % {rng.randint(2, 5)} AS BIGINT)"
+    where = f" WHERE {g.predicate()}" if rng.random() < 0.5 else ""
+    form = rng.random()
+    if form < 0.5:
+        gb = f"ROLLUP({k1}, {k2})"
+    elif form < 0.8:
+        gb = f"CUBE({k1}, {k2})"
+    else:
+        gb = f"GROUPING SETS(({k1}), ({k2}), ())"
+    q = (f"SELECT {k1} AS k0, {k2} AS k1, COUNT(*) AS a0, "
+         f"SUM({g.num_expr(1)}) AS a1 FROM {table}{where} GROUP BY {gb}")
+    return q, q, True
+
+
+def gen_datefn_query(rng: random.Random):
+    choices = [t for t, c in TABLES.items() if c["ts"]]
+    table = rng.choice(choices)
+    g = Gen(rng, table)
+    ts = g.col("ts")
+    part = rng.choice(["year", "month", "day"])
+    fn = rng.choice([
+        f"CAST(DATE_PART('{part}', {ts}) AS BIGINT)",
+        f"CAST(YEAR({ts}) AS BIGINT)",
+        f"CAST(MONTH({ts}) AS BIGINT)",
+        f"CAST(EXTRACT({part} FROM {ts}) AS BIGINT)",
+    ])
+    where = f" WHERE {g.predicate()}" if rng.random() < 0.5 else ""
+    q = (f"SELECT {fn} AS k0, COUNT(*) AS a0, "
+         f"SUM({g.num_expr(1)}) AS a1 FROM {table}{where} GROUP BY 1")
+    return q, q, True
+
+
+def gen_strfn_query(rng: random.Random):
+    table = rng.choice(list(TABLES))
+    g = Gen(rng, table)
+    c = g.col("str")
+    e = rng.choice([
+        f"REPLACE({c}, 'A', 'z')",
+        f"LPAD({c}, {rng.randint(3, 8)}, '.')",
+        f"RPAD({c}, {rng.randint(3, 8)}, '.')",
+        f"REVERSE({c})",
+        f"CAST(INSTR({c}, '{rng.choice('AOFRN')}') AS BIGINT)",
+        f"LOWER({c}) || '-' || UPPER({c})",
+        f"TRIM(LPAD({c}, 6, ' '))",
+        f"COALESCE(NULLIF({c}, 'A'), 'fallback')",
+    ])
+    where = f" WHERE {g.predicate()}" if rng.random() < 0.5 else ""
+    q = f"SELECT {e} AS c0, COUNT(*) AS a0 FROM {table}{where} GROUP BY 1"
+    return q, q, True
+
+
+def gen_three_way_join(rng: random.Random):
+    g = Gen(rng, "lineitem")
+    where = f" WHERE {g.predicate()}" if rng.random() < 0.5 else ""
+    jt1 = rng.choice(["JOIN", "LEFT JOIN"])
+    q = (f"SELECT c_mktsegment AS k0, o_orderstatus AS k1, COUNT(*) AS a0, "
+         f"SUM(CAST(l_quantity AS DOUBLE)) AS a1 "
+         f"FROM lineitem {jt1} orders ON l_orderkey = o_orderkey "
+         f"JOIN customer ON o_custkey = c_custkey"
+         f"{where} GROUP BY 1, 2")
+    return q, q, True
+
+
 def gen_query(rng: random.Random):
     r = rng.random()
-    if r < 0.12:
+    if r < 0.10:
         return gen_join_query(rng)
-    if r < 0.24:
+    if r < 0.19:
         return gen_subquery_query(rng)
-    if r < 0.33:
+    if r < 0.27:
         return gen_window_query(rng)
-    if r < 0.40:
+    if r < 0.33:
         return gen_setop_query(rng)
+    if r < 0.39:
+        return gen_cte_query(rng)
+    if r < 0.45:
+        return gen_rollup_query(rng)
+    if r < 0.50:
+        return gen_datefn_query(rng)
+    if r < 0.55:
+        return gen_strfn_query(rng)
+    if r < 0.58:
+        return gen_three_way_join(rng)
     table = rng.choice(list(TABLES))
     g = Gen(rng, table)
     shape = rng.random()

@@ -121,3 +121,33 @@ class TestFuzzRegressions:
             f"SELECT o_orderstatus AS c0 FROM "
             f"read_parquet('{SF}/orders.parquet') WHERE o_orderkey < 50").df()
         assert sorted(df["c0"]) == sorted(ora["c0"])
+
+    def test_rollup_over_empty_input(self, sess):
+        # was: AttributeError 'NoneType' has no attribute 'names' —
+        # _compile_grouping_sets read schema() of an empty finest agg.
+        # DuckDB parity: keyed sets emit 0 rows; each () set (present in
+        # ROLLUP/CUBE) emits ONE grand-total row with COUNT=0 / SUM NULL.
+        df = _df(sess.sql(
+            "SELECT o_orderstatus AS k0, CAST(o_orderkey % 3 AS BIGINT) AS "
+            "k1, COUNT(*) AS a0, SUM(CAST(o_totalprice AS DOUBLE)) AS a1 "
+            "FROM orders WHERE o_orderkey < 0 "
+            "GROUP BY ROLLUP(o_orderstatus, CAST(o_orderkey % 3 AS BIGINT))"))
+        assert len(df) == 1
+        assert df["k0"].isna().all() and df["k1"].isna().all()
+        assert df["a0"].iloc[0] == 0 and pd.isna(df["a1"].iloc[0])
+        # GROUPING SETS without a () set stays fully empty
+        df = _df(sess.sql(
+            "SELECT o_orderstatus AS k0, COUNT(*) AS a0 FROM orders "
+            "WHERE o_orderkey < 0 GROUP BY GROUPING SETS((o_orderstatus))"))
+        assert len(df) == 0 and list(df.columns) == ["k0", "a0"]
+
+    def test_lpad_rpad_truncate(self, sess):
+        # was: LPAD/RPAD only padded; DuckDB/Postgres truncate to the LEFT
+        # w chars when the input is longer (lpad('3-MEDIUM',6)='3-MEDI')
+        df = _df(sess.sql(
+            "SELECT LPAD(o_orderpriority, 6, ' ') AS c0, "
+            "RPAD(o_orderpriority, 3, '.') AS c1, "
+            "LPAD('ab', 5, 'xy') AS c2, RPAD('ab', 5, 'xy') AS c3, "
+            "LPAD('ab', 0, ' ') AS c4 "
+            "FROM orders WHERE o_orderpriority = '3-MEDIUM' LIMIT 1"))
+        assert list(df.iloc[0]) == ["3-MEDI", "3-M", "xyxab", "abxyx", ""]
