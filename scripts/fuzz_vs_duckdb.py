@@ -315,7 +315,64 @@ def gen_three_way_join(rng: random.Random):
     return q, q, True
 
 
+def gen_exists_query(rng: random.Random):
+    # correlated EXISTS / NOT EXISTS between orders and lineitem
+    g = Gen(rng, "orders")
+    neg = rng.choice(["", "NOT "])
+    inner_pred = rng.choice([
+        "l_quantity > 45", "l_discount > 0.08", "l_linenumber >= 6"])
+    where = f" AND {g.predicate()}" if rng.random() < 0.5 else ""
+    q = (f"SELECT o_orderstatus AS k0, COUNT(*) AS a0 FROM orders "
+         f"WHERE {neg}EXISTS (SELECT 1 FROM lineitem "
+         f"WHERE l_orderkey = o_orderkey AND {inner_pred}){where} "
+         f"GROUP BY 1")
+    return q, q, True
+
+
+def gen_qualify_query(rng: random.Random):
+    table = rng.choice(list(TABLES))
+    g = Gen(rng, table)
+    part, order = g.col("str"), g.col("int")
+    q = (f"SELECT {part} AS c0, CAST({order} AS BIGINT) AS c1 "
+         f"FROM {table} "
+         f"QUALIFY RANK() OVER (PARTITION BY {part} ORDER BY {order}) "
+         f"<= {rng.randint(1, 3)}")
+    return q, q, True
+
+
+def gen_nulls_order_query(rng: random.Random):
+    # LEFT JOIN produces NULLs on the right; order them explicitly
+    nd = rng.choice(["NULLS FIRST", "NULLS LAST"])
+    direction = rng.choice(["ASC", "DESC"])
+    q = (f"SELECT o_orderkey AS c0, c_mktsegment AS c1 "
+         f"FROM orders LEFT JOIN customer "
+         f"ON o_custkey = c_custkey AND c_acctbal > 9000 "
+         f"ORDER BY c1 {direction} {nd}, c0 LIMIT {rng.randint(5, 40)} "
+         f"OFFSET {rng.randint(0, 10)}")
+    return q, q, True
+
+
+def gen_having_unselected(rng: random.Random):
+    table = rng.choice(list(TABLES))
+    g = Gen(rng, table)
+    k = g.col("str")
+    # HAVING references aggregates that are NOT in the select list
+    q = (f"SELECT {k} AS k0, COUNT(*) AS a0 FROM {table} GROUP BY 1 "
+         f"HAVING SUM({g.num_expr(1)}) > {rng.randint(-10, 100)} "
+         f"AND MIN(CAST({g.col('int')} AS DOUBLE)) < 10000")
+    return q, q, True
+
+
 def gen_query(rng: random.Random):
+    r = rng.random()
+    if r < 0.035:
+        return gen_exists_query(rng)
+    if r < 0.065:
+        return gen_qualify_query(rng)
+    if r < 0.09:
+        return gen_nulls_order_query(rng)
+    if r < 0.115:
+        return gen_having_unselected(rng)
     r = rng.random()
     if r < 0.10:
         return gen_join_query(rng)
