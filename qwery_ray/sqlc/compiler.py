@@ -36,6 +36,10 @@ BROADCAST_ROW_LIMIT = 500_000  # right sides below this are ray.put-broadcast
 BROADCAST_BYTE_LIMIT = 96 * 1024 * 1024  # …or below this pruned-column size
 BROADCAST_ROW_HARD_CAP = 8_000_000  # …but never beyond this many rows
 # the moments family shares (sum, cnt, sq) partials; finalize differs
+# sentinel for "argument is not a (signed) literal" — None is a valid
+# literal value (NULL), so constant folding can't use None to mean failure
+_NOT_CONST = object()
+
 MOMENT_AGGS = ("STDDEV", "STDDEV_SAMP", "STDDEV_POP",
                "VARIANCE", "VAR_SAMP", "VAR_POP")
 # two-argument (co)moment family: fn(y, x) over PAIR-complete rows (a row
@@ -4611,16 +4615,30 @@ class Compiler:
                 if lag_offset < 1:
                     raise ValueError("NTH_VALUE n must be >= 1")
             if fn.name in ("LAG", "LEAD") and len(fn.args) > 1:
-                # LAG/LEAD(expr, offset [, default]) — constant args only
-                if not isinstance(fn.args[1], A.Literal):
+                # LAG/LEAD(expr, offset [, default]) — constant args only.
+                # Signed literals parse as UnaryOp(-, Literal), so fold
+                # the sign here rather than rejecting e.g. LAG(x, 2, -1).
+                def _const(e):
+                    if isinstance(e, A.Literal):
+                        return e.value
+                    if (isinstance(e, A.UnaryOp) and e.op in ("-", "+")
+                            and isinstance(e.operand, A.Literal)
+                            and isinstance(e.operand.value, (int, float))):
+                        v = e.operand.value
+                        return -v if e.op == "-" else v
+                    return _NOT_CONST
+
+                off = _const(fn.args[1])
+                if off is _NOT_CONST:
                     raise ValueError(
                         f"{fn.name} offset must be a literal integer")
-                lag_offset = int(fn.args[1].value)
+                lag_offset = int(off)
                 if len(fn.args) > 2:
-                    if not isinstance(fn.args[2], A.Literal):
+                    dflt = _const(fn.args[2])
+                    if dflt is _NOT_CONST:
                         raise ValueError(
                             f"{fn.name} default must be a literal")
-                    lag_default = fn.args[2].value
+                    lag_default = dflt
 
         ds = frame.ds
         if prep_exprs:
@@ -4849,7 +4867,11 @@ class CombinePartials:
                                    pa.scalar(None, pa.float64()), denom)
                 var = pc.divide(
                     pc.subtract(sq, pc.divide(pc.multiply(s, s), c)), denom)
-                var = pc.max_element_wise(var, 0.0)
+                # clamp FP-negative variances to 0 but KEEP nulls null:
+                # max_element_wise skips nulls by default, which silently
+                # turned the n==1 VAR_SAMP/STDDEV_SAMP NULL into 0.0
+                var = pc.if_else(pc.less(var, 0.0),
+                                 pa.scalar(0.0, pa.float64()), var)
                 cols[f"__r{i}"] = var if kind in (
                     "VARIANCE", "VAR_SAMP", "VAR_POP") else pc.sqrt(var)
             elif kind in BIMOMENT_AGGS:

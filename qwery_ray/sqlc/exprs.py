@@ -461,12 +461,26 @@ class Evaluator:
         return pc.is_valid(val) if e.negated else pc.is_null(val)
 
     def _eval_InList(self, e: A.InList, batch):
+        # ANSI three-valued IN: TRUE on a match, NULL (not FALSE) when the
+        # operand is NULL or when there is no match but the list contains a
+        # NULL (x NOT IN (..., NULL) is therefore never TRUE — DuckDB parity)
         val = self.eval(e.operand, batch)
         items = [self.eval(v, batch) for v in e.values]
         if any(not _is_scalar(i) for i in items):
             raise EvalError("IN list must be scalars")
         val = _as_array(val, len(batch)) if _is_scalar(val) else val
-        out = pc.is_in(val, value_set=pa.array([i for i in items if i is not None]))
+        non_null = [i for i in items if i is not None]
+        has_null_item = len(non_null) < len(items)
+        if non_null:
+            out = pc.is_in(val, value_set=pa.array(non_null))
+        else:
+            out = pa.array([False] * len(val), pa.bool_())
+        null_b = pa.scalar(None, pa.bool_())
+        if has_null_item:
+            # every non-match compared against the NULL item → unknown
+            out = pc.if_else(out, out, null_b)
+        else:
+            out = pc.if_else(pc.is_null(val), null_b, out)
         return pc.invert(out) if e.negated else out
 
     def _eval_Between(self, e: A.Between, batch):

@@ -76,7 +76,10 @@ def to_dataset_expression(cond, schema: dict[str, pa.DataType],
         if isinstance(cond.operand, A.ColumnRef):
             name = _ref_name(cond.operand, schema, alias, require_alias)
             vals = [v.value for v in cond.values if isinstance(v, A.Literal)]
+            # a NULL in the list needs three-valued IN (x NOT IN (..., NULL)
+            # is never TRUE) — leave it to the exact batch evaluator
             if name and len(vals) == len(cond.values) and \
+                    all(v is not None for v in vals) and \
                     all(_lit_ok(v, schema[name.lower()]) for v in vals):
                 expr = pc.field(name).isin(vals)
                 return ~expr if cond.negated else expr

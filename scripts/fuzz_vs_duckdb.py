@@ -363,6 +363,166 @@ def gen_having_unselected(rng: random.Random):
     return q, q, True
 
 
+# Per-table keys that totally order the rows — window shapes that read
+# neighboring rows (LAG/LEAD/frames) are only deterministic under a total
+# order, so these are the mandatory ORDER BY tail for those generators.
+UNIQUE_ORDER = {
+    # NOTE: lineitem is deliberately absent — the synthetic testdata has
+    # duplicate (l_orderkey, l_linenumber) pairs (1161 at sf0.001), so no
+    # short column list totally orders it, and ROWS frames / LAG over a
+    # non-unique ORDER BY are legitimately nondeterministic between engines.
+    "orders": ["o_orderkey"],
+    "customer": ["c_custkey"],
+    "events": ["event_id"],
+}
+
+
+def gen_frame_window_query(rng: random.Random):
+    # aggregate OVER a ROWS frame; total order via the table's unique key
+    table = rng.choice(list(UNIQUE_ORDER))
+    g = Gen(rng, table)
+    part = g.col("str")
+    order = ", ".join(UNIQUE_ORDER[table])
+    lo = rng.randint(0, 4)
+    hi = rng.randint(0, 3)
+    frame = rng.choice([
+        f"ROWS BETWEEN {lo} PRECEDING AND {hi} FOLLOWING",
+        f"ROWS BETWEEN {lo} PRECEDING AND CURRENT ROW",
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        f"ROWS BETWEEN CURRENT ROW AND {hi} FOLLOWING",
+    ])
+    agg = rng.choice([
+        f"SUM(CAST({g.col('float') or g.col('int')} AS DOUBLE))",
+        f"MIN(CAST({g.col('int')} AS DOUBLE))",
+        f"MAX(CAST({g.col('int')} AS DOUBLE))",
+        "COUNT(*)",
+        f"AVG(CAST({g.col('float') or g.col('int')} AS DOUBLE))",
+    ])
+    q = (f"SELECT {part} AS c0, {UNIQUE_ORDER[table][0]} AS c1, "
+         f"{agg} OVER (PARTITION BY {part} ORDER BY {order} {frame}) AS c2 "
+         f"FROM {table}")
+    return q, q, True
+
+
+def gen_leadlag_query(rng: random.Random):
+    table = rng.choice(list(UNIQUE_ORDER))
+    g = Gen(rng, table)
+    part = g.col("str")
+    order = ", ".join(UNIQUE_ORDER[table])
+    v = f"CAST({g.col('int')} AS BIGINT)"
+    off = rng.randint(1, 3)
+    fn = rng.choice([
+        f"LAG({v}, {off})", f"LEAD({v}, {off})",
+        f"LAG({v}, {off}, -1)", f"LEAD({v})", f"LAG({v})",
+        f"FIRST_VALUE({v})",
+        f"LAST_VALUE({v})",  # default frame: unbounded preceding..current
+        f"NTILE({rng.randint(2, 5)})",
+    ])
+    q = (f"SELECT {part} AS c0, {UNIQUE_ORDER[table][0]} AS c1, "
+         f"{fn} OVER (PARTITION BY {part} ORDER BY {order}) AS c2 "
+         f"FROM {table}")
+    return q, q, True
+
+
+def gen_stats_agg_query(rng: random.Random):
+    table = rng.choice(list(TABLES))
+    g = Gen(rng, table)
+    k = g.col("str")
+    x = f"CAST({g.col('float') or g.col('int')} AS DOUBLE)"
+    y = f"CAST({g.col('int')} AS DOUBLE)"
+    aggs = rng.sample([
+        f"STDDEV_SAMP({x})", f"STDDEV_POP({x})",
+        f"VAR_SAMP({x})", f"VAR_POP({x})",
+        f"COVAR_POP({x}, {y})", f"COVAR_SAMP({x}, {y})",
+        f"CORR({x}, {y})", f"MEDIAN({y})",
+    ], k=rng.randint(1, 2))
+    sel = ", ".join(f"{a} AS a{i}" for i, a in enumerate(aggs))
+    where = f" WHERE {g.predicate()}" if rng.random() < 0.5 else ""
+    q = f"SELECT {k} AS k0, {sel} FROM {table}{where} GROUP BY 1"
+    return q, q, True
+
+
+def gen_math_query(rng: random.Random):
+    table = rng.choice(list(TABLES))
+    g = Gen(rng, table)
+    x = f"CAST({g.col('float') or g.col('int')} AS DOUBLE)"
+    i = g.col("int")
+    e = rng.choice([
+        f"ABS({x} - 50)", f"ROUND({x}, {rng.randint(0, 3)})",
+        f"FLOOR({x})", f"CEIL({x})",
+        f"POWER(GREATEST({x}, 0.5), 2)",
+        f"LN(ABS({x}) + 1)", f"EXP(LEAST({x}, 1.0) * 0.01)",
+        f"SQRT(ABS({x}))",
+        f"CAST(MOD({i}, {rng.randint(2, 9)}) AS BIGINT)",
+        f"GREATEST({x}, CAST({i} AS DOUBLE))",
+        f"LEAST({x}, CAST({i} AS DOUBLE))",
+        f"SIGN({x} - 10)",
+        f"{x} / NULLIF(CAST({i} % {rng.randint(2, 5)} AS DOUBLE), 0.0)",
+    ])
+    where = f" WHERE {g.predicate()}" if rng.random() < 0.5 else ""
+    if rng.random() < 0.5:
+        q = (f"SELECT {g.col('str')} AS k0, SUM({e}) AS a0, COUNT({e}) AS a1 "
+             f"FROM {table}{where} GROUP BY 1")
+    else:
+        q = (f"SELECT {e} AS c0 FROM {table}{where} "
+             f"ORDER BY c0 NULLS LAST LIMIT {rng.randint(5, 30)}")
+    return q, q, True
+
+
+def gen_datearith_query(rng: random.Random):
+    choices = [t for t, c in TABLES.items() if c["ts"]]
+    table = rng.choice(choices)
+    g = Gen(rng, table)
+    ts = g.col("ts")
+    unit = rng.choice(["day", "month", "year", "hour"])
+    shape = rng.random()
+    if shape < 0.5:
+        q = (f"SELECT DATE_TRUNC('{unit}', {ts}) AS k0, COUNT(*) AS a0, "
+             f"SUM({g.num_expr(1)}) AS a1 FROM {table} GROUP BY 1")
+        return q, q, True
+    n = rng.randint(1, 30)
+    q = (f"SELECT COUNT(*) AS a0 FROM {table} "
+         f"WHERE {ts} + INTERVAL '{n}' DAY > "
+         f"(SELECT MAX({ts}) FROM {table})")
+    return q, q, True
+
+
+def gen_case_simple_query(rng: random.Random):
+    table = rng.choice(list(TABLES))
+    g = Gen(rng, table)
+    c = g.col("str")
+    vals = rng.sample(["A", "O", "F", "N", "R", "P"], k=2)
+    tail = rng.choice(["", "ELSE 'z' "])
+    e = (f"CASE {c} WHEN '{vals[0]}' THEN 'x' WHEN '{vals[1]}' THEN 'y' "
+         f"{tail}END")
+    q = f"SELECT {e} AS k0, COUNT(*) AS a0 FROM {table} GROUP BY 1"
+    return q, q, True
+
+
+def gen_notin_null_query(rng: random.Random):
+    # NOT IN whose list contains NULL ⇒ never true (tri-state semantics);
+    # IN with NULL in the list ⇒ true only for listed values
+    table = rng.choice(list(TABLES))
+    g = Gen(rng, table)
+    c = g.col("str")
+    neg = rng.choice(["", "NOT "])
+    q = (f"SELECT COUNT(*) AS a0 FROM {table} "
+         f"WHERE {c} {neg}IN ('A', 'O', NULL)")
+    return q, q, True
+
+
+def gen_nested_setop_query(rng: random.Random):
+    table = rng.choice(list(TABLES))
+    g = Gen(rng, table)
+    c = g.col("str")
+    w = f" WHERE {g.predicate()}" if rng.random() < 0.5 else ""
+    op = rng.choice(["INTERSECT", "EXCEPT"])
+    q = (f"SELECT c0 FROM (SELECT {c} AS c0 FROM {table}{w} "
+         f"UNION ALL SELECT {c} AS c0 FROM {table}) u "
+         f"{op} SELECT {g.col('str')} AS c0 FROM {table}")
+    return q, q, True
+
+
 def gen_query(rng: random.Random):
     r = rng.random()
     if r < 0.035:
@@ -373,6 +533,22 @@ def gen_query(rng: random.Random):
         return gen_nulls_order_query(rng)
     if r < 0.115:
         return gen_having_unselected(rng)
+    if r < 0.165:
+        return gen_frame_window_query(rng)
+    if r < 0.215:
+        return gen_leadlag_query(rng)
+    if r < 0.255:
+        return gen_stats_agg_query(rng)
+    if r < 0.295:
+        return gen_math_query(rng)
+    if r < 0.325:
+        return gen_datearith_query(rng)
+    if r < 0.345:
+        return gen_case_simple_query(rng)
+    if r < 0.365:
+        return gen_notin_null_query(rng)
+    if r < 0.385:
+        return gen_nested_setop_query(rng)
     r = rng.random()
     if r < 0.10:
         return gen_join_query(rng)

@@ -151,3 +151,75 @@ class TestFuzzRegressions:
             "LPAD('ab', 0, ' ') AS c4 "
             "FROM orders WHERE o_orderpriority = '3-MEDIUM' LIMIT 1"))
         assert list(df.iloc[0]) == ["3-MEDI", "3-M", "xyxab", "abxyx", ""]
+
+    def test_var_samp_null_for_single_row_groups(self, sess):
+        # was: CombinePartials clamped FP-negative variances with
+        # pc.max_element_wise(var, 0.0), which SKIPS nulls — so the n==1
+        # group's NULL VAR_SAMP/STDDEV_SAMP silently became 0.0
+        df = _df(sess.sql(
+            "SELECT o_orderstatus AS k0, VAR_SAMP(o_totalprice) AS v, "
+            "STDDEV_SAMP(o_totalprice) AS s "
+            "FROM (SELECT * FROM orders LIMIT 1) GROUP BY 1"))
+        assert len(df) == 1
+        assert pd.isna(df["v"].iloc[0]) and pd.isna(df["s"].iloc[0])
+        # population variants of a single row are 0, not NULL
+        df2 = _df(sess.sql(
+            "SELECT VAR_POP(o_totalprice) AS v "
+            "FROM (SELECT * FROM orders LIMIT 1)"))
+        assert df2["v"].iloc[0] == 0.0
+
+    def test_lag_lead_signed_literal_args(self, sess):
+        # was: LAG(x, 2, -1) rejected — the -1 parses as UnaryOp(-, Literal)
+        # and the compiler demanded a bare Literal for offset/default
+        df = _df(sess.sql(
+            "SELECT o_orderkey AS k, "
+            "LAG(o_orderkey, 2, -1) OVER (ORDER BY o_orderkey) AS lg, "
+            "LEAD(o_orderkey, +1, -7) OVER (ORDER BY o_orderkey) AS ld "
+            "FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 3)"))
+        df = df.sort_values("k", ignore_index=True)
+        assert df["lg"].tolist()[:2] == [-1, -1]
+        assert df["ld"].iloc[-1] == -7
+
+    def test_rows_frame_exact_over_unique_key(self, sess):
+        # pin: ROWS BETWEEN frames match DuckDB exactly when the ORDER BY
+        # is a true total order (a fuzz "mismatch" on lineitem turned out
+        # to be duplicate (l_orderkey, l_linenumber) sort keys — frames
+        # over ties are legitimately nondeterministic, see UNIQUE_ORDER
+        # note in scripts/fuzz_vs_duckdb.py)
+        q = ("SELECT o_orderkey AS k, AVG(o_totalprice) OVER "
+             "(PARTITION BY o_orderstatus ORDER BY o_orderkey "
+             "ROWS BETWEEN 3 PRECEDING AND 2 FOLLOWING) AS w FROM orders")
+        mine = _df(sess.sql(q)).sort_values("k", ignore_index=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                    f"'{SF}/orders.parquet'")
+        ora = con.execute(q + " ORDER BY k").df()
+        assert len(mine) == len(ora)
+        pd.testing.assert_series_equal(
+            mine["w"].astype(float), ora["w"].astype(float),
+            check_names=False, rtol=1e-9)
+
+    def test_in_list_with_null_three_valued(self, sess):
+        # was: NOT IN ('A','O',NULL) returned every row — the NULL item was
+        # dropped from the value set and the result inverted; ANSI says the
+        # predicate is never TRUE (match→FALSE, non-match→NULL)
+        df = _df(sess.sql(
+            "SELECT COUNT(*) AS a0 FROM orders "
+            "WHERE o_orderpriority NOT IN ('A', 'O', NULL)"))
+        assert df["a0"].iloc[0] == 0
+        # positive IN with a NULL item still matches normally
+        df2 = _df(sess.sql(
+            "SELECT COUNT(*) AS a0 FROM orders "
+            "WHERE o_orderpriority IN ('3-MEDIUM', NULL)"))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                    f"'{SF}/orders.parquet'")
+        exp = con.execute("SELECT COUNT(*) FROM orders WHERE "
+                          "o_orderpriority IN ('3-MEDIUM', NULL)").fetchone()
+        assert df2["a0"].iloc[0] == exp[0] > 0
+        # projection position: non-match with NULL item projects NULL
+        df3 = _df(sess.sql(
+            "SELECT (o_orderpriority IN ('NOPE', NULL)) AS p, "
+            "(o_orderpriority NOT IN ('NOPE', NULL)) AS np "
+            "FROM orders LIMIT 1"))
+        assert pd.isna(df3["p"].iloc[0]) and pd.isna(df3["np"].iloc[0])
