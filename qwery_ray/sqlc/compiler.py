@@ -2569,6 +2569,46 @@ class Compiler:
         for k, node in enumerate(exists_nodes):
             frame = self._apply_exists(frame, node, k, env)
 
+        # correlated scalar subqueries in the SELECT list (uncorrelated ones
+        # were already folded to literals by the session) decorrelate into a
+        # LEFT JOIN against the grouped derived table; each aggregate call
+        # is rebuilt outside the join so ANSI empty-group values survive
+        # (COUNT ⇒ 0 via COALESCE, every other aggregate ⇒ NULL extension)
+        from .parser import _ScalarSubquery
+
+        sub_nodes: list = []
+
+        def _collect_subq(node):
+            if isinstance(node, _ScalarSubquery) and \
+                    not any(node is s for s in sub_nodes):
+                sub_nodes.append(node)
+            return node
+
+        for it in sel.items:
+            if isinstance(it, A.SelectItem):
+                transform_expr(it.expr, _collect_subq)
+        if sub_nodes:
+            if sel.group_by or sel.grouping_sets or any(
+                    collect_agg_calls(it.expr) for it in sel.items
+                    if isinstance(it, A.SelectItem)):
+                raise ValueError(
+                    "correlated scalar subquery in the SELECT list of an "
+                    "aggregate query is not supported")
+            smap: dict = {}
+            for k, node in enumerate(sub_nodes):
+                frame, repl = self._decorrelate_select_scalar(
+                    frame, node, k, env)
+                smap[id(node)] = repl
+            new_items = tuple(
+                it if isinstance(it, A.Star)
+                else A.SelectItem(
+                    transform_expr(
+                        it.expr,
+                        lambda n: smap.get(id(n), n)),
+                    it.alias)
+                for it in sel.items)
+            sel = dc_replace(sel, items=new_items)
+
         # ANSI: select-item aliases are visible inside QUALIFY and window
         # specs (e.g. SUM(x) AS s … QUALIFY ROW_NUMBER() OVER (ORDER BY s)).
         # Resolve alias refs INSIDE WindowCall specs to their expressions
@@ -3125,6 +3165,85 @@ class Compiler:
         out = out.map_batches(DropColumns([sv] + dkeys),
                               batch_format="pyarrow")
         return Frame(out, frame.columns, frame.aliases)
+
+    def _decorrelate_select_scalar(self, frame: Frame, subnode, k: int,
+                                   env):
+        """Decorrelate a SELECT-list ``(SELECT <expr-over-aggs> FROM u
+        WHERE u.c = t.c [AND local…])`` into a LEFT JOIN against the
+        subquery grouped by its correlation columns. The derived table
+        carries ONE column per aggregate call; the item expression is
+        rebuilt OUTSIDE the join with each aggregate replaced by its
+        joined column — COUNT wrapped in COALESCE(…, 0) — so the ANSI
+        empty-group values (COUNT→0, everything else→NULL) fall out of
+        the join's null extension. Returns (new frame, replacement expr).
+        Reference parity: Executable.scala:27-32 (scalar subquery = first
+        column of first row), here per outer row."""
+        sub = subnode.query
+        item_ok = (len(sub.items) == 1
+                   and isinstance(sub.items[0], A.SelectItem))
+        aggs = collect_agg_calls(sub.items[0].expr) if item_ok else []
+        if sub.joins or sub.group_by or not item_ok or not aggs:
+            raise ValueError(
+                "correlated scalar subquery in SELECT too complex to "
+                "decorrelate (single aggregate item, no joins/GROUP BY)")
+        corr_pairs, local_where, residuals = \
+            self._split_correlation(sub, frame)
+        if residuals:
+            raise ValueError(
+                "correlated scalar subquery with non-equality correlation "
+                "is not supported (only equality predicates decorrelate "
+                "to a grouped join)")
+        if not corr_pairs:
+            raise ValueError(
+                "correlated scalar subquery needs at least one equality "
+                "between an inner and an outer column")
+        uniq_aggs: list[A.FuncCall] = []
+        for a in aggs:
+            if a not in uniq_aggs:
+                uniq_aggs.append(a)
+        acols = [f"__sa{k}_{j}" for j in range(len(uniq_aggs))]
+        dkeys = [f"__sk{k}_{i}" for i in range(len(corr_pairs))]
+        derived = A.Select(
+            items=tuple(
+                [A.SelectItem(A.ColumnRef(ic), dk)
+                 for dk, (ic, _) in zip(dkeys, corr_pairs)]
+                + [A.SelectItem(a, ac)
+                   for ac, a in zip(acols, uniq_aggs)]),
+            source=sub.source, where=local_where,
+            group_by=tuple(A.ColumnRef(ic) for ic, _ in corr_pairs))
+        right = self._select_frame(derived).ds.materialize()
+        okeys = [_resolve_name(o.name, frame.columns)
+                 for _, o in corr_pairs]
+        left_ds = frame.ds.map_batches(HarmonizeJoinKeys(okeys),
+                                       batch_format="pyarrow")
+        if right.count() <= BROADCAST_ROW_LIMIT:
+            tbl = _harmonize_keys(_materialize_small(right), dkeys)
+            ref = ray.put(tbl)
+            joined = left_ds.map_batches(
+                BroadcastJoinBatch(ref, okeys, dkeys, "left outer",
+                                   None, env),
+                batch_format="pyarrow")
+        else:
+            num_cpus = int(ray.cluster_resources().get("CPU", 8))
+            joined = _shuffle_join(
+                left_ds,
+                right.map_batches(HarmonizeJoinKeys(dkeys),
+                                  batch_format="pyarrow").materialize(),
+                join_type="left outer",
+                num_partitions=_join_partitions(num_cpus),
+                on=tuple(okeys), right_on=tuple(dkeys))
+        joined = joined.map_batches(DropColumns(dkeys),
+                                    batch_format="pyarrow")
+        amap = {}
+        for ac, a in zip(acols, uniq_aggs):
+            ref_expr: A.Expr = A.ColumnRef(ac)
+            if a.name == "COUNT":
+                ref_expr = A.FuncCall(
+                    "COALESCE", (ref_expr, A.Literal(0)))
+            amap[a] = ref_expr
+        repl = substitute_nodes(sub.items[0].expr, amap)
+        new_frame = Frame(joined, frame.columns + acols, frame.aliases)
+        return new_frame, repl
 
     def _apply_in_semijoin(self, frame: Frame, node, k: int, env) -> Frame:
         """WHERE <expr> [NOT] IN (SELECT …) with a key set too large to

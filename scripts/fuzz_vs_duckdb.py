@@ -523,7 +523,109 @@ def gen_nested_setop_query(rng: random.Random):
     return q, q, True
 
 
+def gen_corr_scalar_subquery(rng: random.Random):
+    # correlated scalar subquery in the SELECT list
+    agg = rng.choice(["COUNT(*)", "SUM(CAST(o_totalprice AS DOUBLE))",
+                      "MAX(o_orderkey)", "MIN(CAST(o_totalprice AS DOUBLE))"])
+    cmp_ = rng.choice(["", f" AND o_orderkey % {rng.randint(2, 7)} = 0"])
+    q = (f"SELECT c_custkey AS k0, "
+         f"(SELECT {agg} FROM orders WHERE o_custkey = c_custkey{cmp_}) AS s0 "
+         f"FROM customer WHERE c_custkey < {rng.randint(20, 120)}")
+    return q, q, True
+
+
+def gen_cond_agg_query(rng: random.Random):
+    # pivot-style conditional aggregation: FILTER(WHERE) and SUM(CASE …)
+    table = rng.choice(list(TABLES))
+    g = Gen(rng, table)
+    k = g.col("str")
+    p1, p2 = g.predicate(depth=1), g.predicate(depth=1)
+    e = g.num_expr(1)
+    q = (f"SELECT {k} AS k0, "
+         f"COUNT(*) FILTER (WHERE {p1}) AS a0, "
+         f"SUM(CASE WHEN {p2} THEN {e} ELSE 0 END) AS a1, "
+         f"AVG(CASE WHEN {p1} THEN {e} END) AS a2 "
+         f"FROM {table} GROUP BY 1")
+    return q, q, True
+
+
+def gen_nullif_chain_query(rng: random.Random):
+    # NULLIF manufactures NULLs; COALESCE/GREATEST/LEAST consume them
+    table = rng.choice(list(TABLES))
+    g = Gen(rng, table)
+    c = g.col("int")
+    m = rng.randint(2, 9)
+    inner = f"NULLIF(CAST({c} % {m} AS BIGINT), {rng.randint(0, m - 1)})"
+    outer = rng.choice([
+        f"COALESCE({inner}, -1)",
+        f"COALESCE({inner}, NULLIF(1, 1), -2)",
+        f"GREATEST({inner}, 2)",
+        f"LEAST({inner}, 2)",
+    ])
+    q = (f"SELECT {outer} AS c0, COUNT(*) AS a0 FROM {table} "
+         f"GROUP BY 1")
+    return q, q, True
+
+
+def gen_window_in_derived_query(rng: random.Random):
+    # window inside a derived table, aggregated outside
+    table = rng.choice(list(UNIQUE_ORDER))
+    g = Gen(rng, table)
+    part = g.col("str")
+    order = ", ".join(UNIQUE_ORDER[table])
+    wfn = rng.choice([
+        f"ROW_NUMBER() OVER (PARTITION BY {part} ORDER BY {order})",
+        f"RANK() OVER (PARTITION BY {part} ORDER BY {order})",
+        f"SUM(CAST({g.col('int')} AS DOUBLE)) OVER "
+        f"(PARTITION BY {part} ORDER BY {order})",
+    ])
+    q = (f"SELECT k0, COUNT(*) AS a0, SUM(w) AS a1 FROM "
+         f"(SELECT {part} AS k0, {wfn} AS w FROM {table}) d "
+         f"WHERE w <= {rng.randint(3, 40)} GROUP BY 1")
+    return q, q, True
+
+
+def gen_multi_distinct_query(rng: random.Random):
+    table = rng.choice(list(TABLES))
+    g = Gen(rng, table)
+    k = g.col("str")
+    c1, c2 = g.col("int"), g.col("int")
+    q = (f"SELECT {k} AS k0, COUNT(DISTINCT {c1}) AS a0, "
+         f"COUNT(DISTINCT CAST({c2} % {rng.randint(2, 11)} AS BIGINT)) AS a1, "
+         f"SUM(DISTINCT CAST({c1} % {rng.randint(2, 7)} AS BIGINT)) AS a2 "
+         f"FROM {table} GROUP BY 1")
+    return q, q, True
+
+
+def gen_string_agg_query(rng: random.Random):
+    # STRING_AGG with an in-aggregate ORDER BY (deterministic)
+    table = rng.choice(list(UNIQUE_ORDER))
+    g = Gen(rng, table)
+    k = g.col("str")
+    uid = UNIQUE_ORDER[table][0]
+    lim = rng.randint(20, 60)
+    q = (f"SELECT {k} AS k0, "
+         f"STRING_AGG(CAST({uid} AS VARCHAR), ',' ORDER BY {uid}) AS a0 "
+         f"FROM (SELECT * FROM {table} ORDER BY {uid} LIMIT {lim}) d "
+         f"GROUP BY 1")
+    return q, q, True
+
+
 def gen_query(rng: random.Random):
+    r = rng.random()
+    if r < 0.10:
+        r2 = rng.random()
+        if r2 < 1 / 6:
+            return gen_corr_scalar_subquery(rng)
+        if r2 < 2 / 6:
+            return gen_cond_agg_query(rng)
+        if r2 < 3 / 6:
+            return gen_nullif_chain_query(rng)
+        if r2 < 4 / 6:
+            return gen_window_in_derived_query(rng)
+        if r2 < 5 / 6:
+            return gen_multi_distinct_query(rng)
+        return gen_string_agg_query(rng)
     r = rng.random()
     if r < 0.035:
         return gen_exists_query(rng)

@@ -223,3 +223,40 @@ class TestFuzzRegressions:
             "(o_orderpriority NOT IN ('NOPE', NULL)) AS np "
             "FROM orders LIMIT 1"))
         assert pd.isna(df3["p"].iloc[0]) and pd.isna(df3["np"].iloc[0])
+
+    def test_correlated_scalar_subquery_in_select(self, sess):
+        # was: EvalError "scalar subquery must be resolved by the compiler"
+        # — correlated scalar subqueries in the SELECT list now decorrelate
+        # into a LEFT JOIN against the grouped subquery, with COUNT's
+        # empty-group 0 restored via COALESCE
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                    f"'{SF}/orders.parquet'")
+        con.execute(f"CREATE VIEW customer AS SELECT * FROM "
+                    f"'{SF}/customer.parquet'")
+        for q in [
+            "SELECT c_custkey AS k0, (SELECT MAX(o_orderkey) FROM orders "
+            "WHERE o_custkey = c_custkey) AS s0 FROM customer "
+            "WHERE c_custkey < 61 ORDER BY k0",
+            # COUNT over an empty group is 0, and arithmetic on top works
+            "SELECT c_custkey AS k0, (SELECT COUNT(*) + 1 FROM orders "
+            "WHERE o_custkey = c_custkey AND o_orderkey % 7 = 0) AS s0 "
+            "FROM customer WHERE c_custkey < 74 ORDER BY k0",
+            # SUM over an empty group stays NULL
+            "SELECT c_custkey AS k0, (SELECT SUM(CAST(o_totalprice AS "
+            "DOUBLE)) FROM orders WHERE o_custkey = c_custkey) AS s0 "
+            "FROM customer WHERE c_custkey < 40 ORDER BY k0",
+            # two independent subqueries in one item list
+            "SELECT c_custkey AS k0, (SELECT COUNT(*) FROM orders WHERE "
+            "o_custkey = c_custkey) AS s0, (SELECT MIN(o_orderkey) FROM "
+            "orders WHERE o_custkey = c_custkey) AS s1 FROM customer "
+            "WHERE c_custkey < 40 ORDER BY k0",
+        ]:
+            mine = _df(sess.sql(q)).reset_index(drop=True)
+            ora = con.execute(q).df()
+            assert len(mine) == len(ora), q
+            for c in mine.columns:
+                a = mine[c].astype(float)
+                b = ora[c].astype(float)
+                pd.testing.assert_series_equal(
+                    a, b, check_names=False, rtol=1e-9), q
