@@ -2272,7 +2272,41 @@ def _shuffle_join(left_ds: rd.Dataset, right_ds: rd.Dataset,
         left_ds = left_ds.materialize()
     if _has_pending_shuffle_join(right_ds):
         right_ds = right_ds.materialize()
-    return left_ds.join(right_ds, **kw)
+    return _drop_empty_blocks(left_ds).join(
+        _drop_empty_blocks(right_ds), **kw)
+
+
+def _drop_empty_blocks(ds: rd.Dataset) -> rd.Dataset:
+    """Rebuild an already-materialized dataset without its zero-row blocks.
+
+    Ray 2.49 never runs map UDFs on empty blocks and stores them as
+    ZERO-COLUMN tables, so an empty-result subplan (e.g. a union arm whose
+    filter dropped every row) leaves schema-less empty blocks in the
+    stream; pyarrow's hash join inside Ray's shuffle aggregator then dies
+    with "No match for key field …". Only block REFS move here —
+    from_arrow_refs re-wraps the surviving object-store blocks without
+    copying data through the driver. Lazy inputs pass through untouched
+    (no forced materialization barrier)."""
+    if not isinstance(ds, rd.dataset.MaterializedDataset):
+        return ds
+    try:
+        pairs = list(ds._plan.execute().blocks)
+    except Exception:
+        return ds
+    keep = [ref for ref, meta in pairs if meta.num_rows]
+    if len(keep) == len(pairs):
+        return ds
+    if not keep:
+        # all-empty: keep a single typed empty block when the schema is
+        # known so downstream consumers still see the output columns
+        try:
+            sch = getattr(ds.schema(), "base_schema", None)
+        except Exception:
+            sch = None
+        if sch is not None and len(sch.names):
+            return rd.from_arrow(sch.empty_table())
+        return ds
+    return rd.from_arrow_refs(keep)
 
 
 class Compiler:

@@ -260,3 +260,21 @@ class TestFuzzRegressions:
                 b = ora[c].astype(float)
                 pd.testing.assert_series_equal(
                     a, b, check_names=False, rtol=1e-9), q
+
+    def test_setop_with_empty_union_arm(self, sess):
+        # was: ArrowInvalid "No match or multiple matches for key field
+        # __nf0" — a union arm whose filter dropped every row leaves
+        # ZERO-COLUMN empty blocks (Ray 2.49 skips map UDFs on empty
+        # blocks), which crashed the hash-shuffle join behind EXCEPT;
+        # _drop_empty_blocks now strips them from materialized join inputs
+        df = _df(sess.sql(
+            "SELECT c0 FROM (SELECT o_orderstatus AS c0 FROM orders "
+            "WHERE o_orderkey < 0 UNION ALL SELECT o_orderstatus AS c0 "
+            "FROM orders) u EXCEPT SELECT o_orderstatus AS c0 FROM orders"))
+        assert len(df) == 0 and list(df.columns) == ["c0"]
+        df2 = _df(sess.sql(
+            "SELECT c0 FROM (SELECT o_orderstatus AS c0 FROM orders "
+            "WHERE o_orderkey < 0 UNION ALL SELECT o_orderstatus AS c0 "
+            "FROM orders) u INTERSECT SELECT o_orderstatus AS c0 "
+            "FROM orders"))
+        assert sorted(df2["c0"]) == ["F", "O", "P"]
