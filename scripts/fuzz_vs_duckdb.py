@@ -611,7 +611,118 @@ def gen_string_agg_query(rng: random.Random):
     return q, q, True
 
 
+def gen_setop_all_query(rng: random.Random):
+    # EXCEPT ALL / INTERSECT ALL bag semantics (multiplicities max(l-r,0)
+    # and min(l,r)); arms differ by a predicate so counts actually diverge
+    table = rng.choice(list(TABLES))
+    g = Gen(rng, table)
+    c = g.col("str")
+    op = rng.choice(["EXCEPT ALL", "INTERSECT ALL"])
+    w1 = f" WHERE {g.predicate()}" if rng.random() < 0.7 else ""
+    w2 = f" WHERE {g.predicate()}" if rng.random() < 0.7 else ""
+    q = (f"SELECT {c} AS c0 FROM {table}{w1} "
+         f"{op} SELECT {c} AS c0 FROM {table}{w2}")
+    return q, q, True
+
+
+def gen_leftjoin_agg_query(rng: random.Random):
+    # aggregates over a LEFT JOIN: COUNT(col) must skip null-extended
+    # rows while COUNT(*) counts them
+    pred = rng.choice(["", f" AND o_orderkey % {rng.randint(2, 9)} = 0"])
+    q = (f"SELECT c_mktsegment AS k0, COUNT(*) AS a0, "
+         f"COUNT(o_orderkey) AS a1, "
+         f"SUM(CAST(o_totalprice AS DOUBLE)) AS a2, "
+         f"MIN(o_orderkey) AS a3 "
+         f"FROM customer LEFT JOIN orders "
+         f"ON o_custkey = c_custkey{pred} GROUP BY 1")
+    return q, q, True
+
+
+def gen_round_math_query(rng: random.Random):
+    table = rng.choice(list(TABLES))
+    g = Gen(rng, table)
+    x = f"CAST({g.col('float') or g.col('int')} AS DOUBLE)"
+    nd = rng.randint(0, 3)
+    exprs = rng.sample([
+        f"ROUND({x}, {nd})", f"FLOOR({x})", f"CEIL({x})",
+        f"ABS({x} - {rng.randint(0, 500)})",
+        f"ROUND({x} * 0.01, {nd})",
+        f"CAST(FLOOR({x} / {rng.randint(2, 50)}) AS BIGINT)",
+    ], 3)
+    q = (f"SELECT {exprs[0]} AS c0, {exprs[1]} AS c1, {exprs[2]} AS c2 "
+         f"FROM {table} WHERE {g.predicate()} "
+         f"ORDER BY c0, c1, c2 LIMIT 40")
+    return q, q, True
+
+
+def gen_datetrunc_group_query(rng: random.Random):
+    table = rng.choice([t for t in TABLES if TABLES[t]["ts"]])
+    g = Gen(rng, table)
+    ts = g.col("ts")
+    part = rng.choice(["year", "month", "week", "day"])
+    q = (f"SELECT DATE_TRUNC('{part}', {ts}) AS k0, COUNT(*) AS a0, "
+         f"MIN(EXTRACT(month FROM {ts})) AS a1 "
+         f"FROM {table} GROUP BY 1")
+    return q, q, True
+
+
+def gen_groupby_expr_query(rng: random.Random):
+    # GROUP BY a computed expression (not a bare column)
+    table = rng.choice(list(TABLES))
+    g = Gen(rng, table)
+    c = g.col("int")
+    m = rng.randint(2, 9)
+    key = rng.choice([
+        f"CAST({c} % {m} AS BIGINT)",
+        f"SUBSTRING({g.col('str')}, 1, {rng.randint(1, 2)})",
+        f"CASE WHEN {c} % 2 = 0 THEN 'even' ELSE 'odd' END",
+    ])
+    q = (f"SELECT {key} AS k0, COUNT(*) AS a0, "
+         f"SUM(CAST({g.col('int')} AS DOUBLE)) AS a1 "
+         f"FROM {table} GROUP BY {key}")
+    return q, q, True
+
+
+def gen_limit_offset_query(rng: random.Random):
+    table = rng.choice(list(UNIQUE_ORDER))
+    g = Gen(rng, table)
+    uid = UNIQUE_ORDER[table][0]
+    lim = rng.randint(1, 30)
+    off = rng.randint(0, 50)
+    desc = rng.choice(["", " DESC"])
+    q = (f"SELECT {uid} AS c0, {g.col('str')} AS c1 FROM {table} "
+         f"WHERE {g.predicate()} ORDER BY {uid}{desc} "
+         f"LIMIT {lim} OFFSET {off}")
+    return q, q, True
+
+
+def gen_exists_residual_query(rng: random.Random):
+    # correlated EXISTS with an extra NON-equality correlation predicate
+    neg = rng.choice(["", "NOT "])
+    cmp_ = rng.choice(["<", ">", "<>"])
+    q = (f"SELECT COUNT(*) AS a0 FROM customer WHERE {neg}EXISTS ("
+         f"SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+         f"AND o_orderkey {cmp_} c_custkey * {rng.randint(2, 20)})")
+    return q, q, True
+
+
 def gen_query(rng: random.Random):
+    r = rng.random()
+    if r < 0.12:
+        r2 = rng.random()
+        if r2 < 1 / 7:
+            return gen_setop_all_query(rng)
+        if r2 < 2 / 7:
+            return gen_leftjoin_agg_query(rng)
+        if r2 < 3 / 7:
+            return gen_round_math_query(rng)
+        if r2 < 4 / 7:
+            return gen_datetrunc_group_query(rng)
+        if r2 < 5 / 7:
+            return gen_groupby_expr_query(rng)
+        if r2 < 6 / 7:
+            return gen_limit_offset_query(rng)
+        return gen_exists_residual_query(rng)
     r = rng.random()
     if r < 0.10:
         r2 = rng.random()
