@@ -73,6 +73,22 @@ _SQL_QUERIES: dict[str, tuple[str, str | None]] = {
         "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders "
         "WHERE o_totalprice > 200000 AND o_orderstatus = 'O'",
         None),
+    "corr_scalar_select": (
+        # correlated scalar subqueries in the SELECT list — decorrelated
+        # into LEFT JOINs against grouped subqueries (compiler
+        # _decorrelate_select_scalar). COUNT over customers with no
+        # matching orders must be 0, MAX stays NULL; the SUM uses the
+        # ROUND-snap idiom (see float-sum note above)
+        "SELECT c_custkey, c_mktsegment, "
+        "(SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) "
+        "AS n_orders, "
+        "(SELECT MAX(o_orderkey) FROM orders WHERE o_custkey = c_custkey) "
+        "AS max_ok, "
+        "(SELECT ROUND(SUM(o_totalprice) * 100, 0) / 100 FROM orders "
+        "WHERE o_custkey = c_custkey AND o_orderstatus = 'O') "
+        "AS open_total "
+        "FROM customer WHERE c_custkey % 3 = 0 ORDER BY c_custkey",
+        None),
     "computed_column": (
         "SELECT l_orderkey, l_linenumber, "
         "l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge "
@@ -875,7 +891,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "tpch_q13_shape", "tpch_q14_shape", "tpch_q17_shape", "tpch_q18_shape",
     "json_props_rollup", "subquery_source",
     # (c) last verified r1/r2, pre-round-3 surface
-    "q1_pricing_summary", "global_aggregates", "filter_project",
+    "q1_pricing_summary", "global_aggregates",
     "case_cast", "sort_limit_offset", "union_all_names", "distinct_status",
     "group_having", "count_distinct_cust",
     "join_filter_agg", "join_three_way", "left_join_counts",
@@ -886,6 +902,10 @@ _DRIVER_WINDOW_PRIORITY = [
     # (d) round-4 implementation changes → re-verify post-change
     "merge_apply", "embedding_kmeans", "semantic_dedup",
     "near_dup_components", "ann_topk",
+    # (e) round-4 NEW feature: SELECT-list correlated scalar decorrelation
+    # (filter_project moved below the boundary to make room — it is the
+    # lowest-risk twice-green entry and stays gate_sim-covered)
+    "corr_scalar_select",
     # --- window boundary (~50) ---
     # r3-green entries (CORRECTNESS_r03 rows all green), kept in
     # queries()/gate_sim order below the window
@@ -903,6 +923,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "tpch_q15_shape", "corr_max_per_nation",
     "pivot_events", "unpivot_events", "semi_anti_join", "window_exclude",
     "list_membership_counts", "list_string_ops", "unnest_embedding_stats",
+    "filter_project",
 ]
 
 
