@@ -1255,6 +1255,49 @@ def _fn_dayofweek(ev, e, batch):
                    pa.int64())
 
 
+def _fn_isodow(ev, e, batch):
+    # ISO day of week: Monday = 1 … Sunday = 7
+    return pc.cast(pc.day_of_week(_arg(ev, e, batch, 0),
+                                  count_from_zero=False, week_start=1),
+                   pa.int64())
+
+
+def _fn_week(ev, e, batch):
+    # DuckDB week = ISO-8601 week number
+    return pc.cast(pc.iso_week(_arg(ev, e, batch, 0)), pa.int64())
+
+
+def _fn_doy(ev, e, batch):
+    return pc.cast(pc.day_of_year(_arg(ev, e, batch, 0)), pa.int64())
+
+
+def _fn_quarter(ev, e, batch):
+    return pc.cast(pc.quarter(_arg(ev, e, batch, 0)), pa.int64())
+
+
+def _fn_decade(ev, e, batch):
+    # Postgres/DuckDB decade: year / 10 (floor)
+    y = pc.year(_arg(ev, e, batch, 0))
+    return pc.cast(_floor_div(y, 10), pa.int64())
+
+
+def _fn_century(ev, e, batch):
+    # Postgres/DuckDB century of 2026 = 21: (year + 99) / 100 for CE
+    y = pc.year(_arg(ev, e, batch, 0))
+    return pc.cast(_floor_div(pc.add(y, 99), 100), pa.int64())
+
+
+def _fn_millennium(ev, e, batch):
+    y = pc.year(_arg(ev, e, batch, 0))
+    return pc.cast(_floor_div(pc.add(y, 999), 1000), pa.int64())
+
+
+def _floor_div(a, n: int):
+    # floor division on a (possibly negative) int array
+    return pc.cast(pc.floor(pc.divide(pc.cast(a, pa.float64()),
+                                      pa.scalar(float(n)))), pa.int64())
+
+
 def _fn_last_day(ev, e, batch):
     import pandas as pd
 
@@ -1621,6 +1664,10 @@ _SCALAR_FUNCS: dict[str, Callable] = {
     "REVERSE": _fn_reverse, "INITCAP": _fn_initcap,
     "MINUTE": _fn_minute, "SECOND": _fn_second,
     "DAYOFWEEK": _fn_dayofweek, "LAST_DAY": _fn_last_day,
+    "ISODOW": _fn_isodow, "WEEK": _fn_week, "WEEKOFYEAR": _fn_week,
+    "DAYOFYEAR": _fn_doy, "DOY": _fn_doy, "DOW": _fn_dayofweek,
+    "QUARTER": _fn_quarter, "DECADE": _fn_decade,
+    "CENTURY": _fn_century, "MILLENNIUM": _fn_millennium,
     "DATEDIFF": _fn_datediff, "DATE_DIFF": _fn_datediff,
     "DATE_ADD": _fn_date_add,
     "ASCII": _fn_ascii, "CHR": _fn_chr, "REPEAT": _fn_repeat,
@@ -1640,6 +1687,14 @@ _DATE_PART_FNS.update({
     "YEAR": _fn_year, "MONTH": _fn_month, "DAY": _fn_day,
     "HOUR": _fn_hour, "MINUTE": _fn_minute, "SECOND": _fn_second,
     "EPOCH": _fn_epoch, "DOW": _fn_dayofweek,
+    "DAYOFWEEK": _fn_dayofweek, "WEEKDAY": _fn_dayofweek,
+    "ISODOW": _fn_isodow,
+    "WEEK": _fn_week, "WEEKOFYEAR": _fn_week,
+    "DOY": _fn_doy, "DAYOFYEAR": _fn_doy,
+    "QUARTER": _fn_quarter,
+    "DECADE": _fn_decade, "CENTURY": _fn_century,
+    "MILLENNIUM": _fn_millennium,
+    "DAYOFMONTH": _fn_day,
 })
 
 AGG_FUNC_NAMES = {"AVG", "COUNT", "MIN", "MAX", "SUM", "STDDEV", "MEAN",

@@ -706,7 +706,99 @@ def gen_exists_residual_query(rng: random.Random):
     return q, q, True
 
 
+def gen_distinct_from_query(rng: random.Random):
+    # IS [NOT] DISTINCT FROM — null-safe comparison in WHERE and SELECT
+    table = rng.choice(list(TABLES))
+    g = Gen(rng, table)
+    c = g.col("int")
+    m = rng.randint(2, 7)
+    lhs = f"NULLIF(CAST({c} % {m} AS BIGINT), 0)"
+    rhs = rng.choice(["1", "NULL", f"NULLIF(CAST({g.col('int')} % {m} AS BIGINT), 0)"])
+    neg = rng.choice(["", "NOT "])
+    q = (f"SELECT ({lhs} IS {neg}DISTINCT FROM {rhs}) AS c0, "
+         f"COUNT(*) AS a0 FROM {table} GROUP BY 1")
+    return q, q, True
+
+
+def gen_trycast_query(rng: random.Random):
+    table = rng.choice(list(TABLES))
+    g = Gen(rng, table)
+    s = g.col("str")
+    i = g.col("int")
+    q = (f"SELECT TRY_CAST({s} AS INTEGER) AS c0, "
+         f"TRY_CAST(CAST({i} AS VARCHAR) AS BIGINT) AS c1, "
+         f"TRY_CAST(SUBSTRING({s}, {rng.randint(1, 3)}, 2) AS INTEGER) AS c2,"
+         f" COUNT(*) AS a0 FROM {table} GROUP BY 1, 2, 3")
+    return q, q, True
+
+
+def gen_like_escape_query(rng: random.Random):
+    table = rng.choice(list(TABLES))
+    g = Gen(rng, table)
+    s = g.col("str")
+    pat, esc = rng.choice([
+        ("%!_%", "!"), ("%x!%%", "!"), ("!_%", "!"), ("%a#_b%", "#"),
+    ])
+    neg = rng.choice(["", "NOT "])
+    q = (f"SELECT COUNT(*) AS a0 FROM {table} "
+         f"WHERE {s} {neg}LIKE '{pat}' ESCAPE '{esc}'")
+    return q, q, True
+
+
+def gen_regexp_query(rng: random.Random):
+    table = rng.choice(list(TABLES))
+    g = Gen(rng, table)
+    s = g.col("str")
+    pat = rng.choice(["^[A-F]", "[0-9]+$", "a.*e", "^.{3,8}$", "(o|i)n"])
+    q = (f"SELECT REGEXP_MATCHES({s}, '{pat}') AS c0, "
+         f"REGEXP_REPLACE({s}, '{pat}', '_') AS c1, COUNT(*) AS a0 "
+         f"FROM {table} GROUP BY 1, 2")
+    return q, q, True
+
+
+def gen_strcase_query(rng: random.Random):
+    table = rng.choice(list(TABLES))
+    g = Gen(rng, table)
+    s = g.col("str")
+    exprs = rng.sample([
+        f"REVERSE({s})", f"REPLACE({s}, 'a', 'X')",
+        f"INSTR({s}, '{rng.choice('aeo#-')}')",
+        f"LOWER({s})", f"UPPER(SUBSTRING({s}, 2, 3))",
+        f"LENGTH(TRIM({s}))",
+    ], 3)
+    q = (f"SELECT {exprs[0]} AS c0, {exprs[1]} AS c1, {exprs[2]} AS c2, "
+         f"COUNT(*) AS a0 FROM {table} GROUP BY 1, 2, 3")
+    return q, q, True
+
+
+def gen_datepart_query(rng: random.Random):
+    table = rng.choice([t for t in TABLES if TABLES[t]["ts"]])
+    g = Gen(rng, table)
+    ts = g.col("ts")
+    parts = rng.sample(["year", "month", "day", "dow", "doy", "week",
+                        "quarter", "hour"], 3)
+    q = (f"SELECT DATE_PART('{parts[0]}', {ts}) AS c0, "
+         f"DATE_PART('{parts[1]}', {ts}) AS c1, "
+         f"EXTRACT({parts[2]} FROM {ts}) AS c2, COUNT(*) AS a0 "
+         f"FROM {table} GROUP BY 1, 2, 3")
+    return q, q, True
+
+
 def gen_query(rng: random.Random):
+    r = rng.random()
+    if r < 0.10:
+        r2 = rng.random()
+        if r2 < 1 / 6:
+            return gen_distinct_from_query(rng)
+        if r2 < 2 / 6:
+            return gen_trycast_query(rng)
+        if r2 < 3 / 6:
+            return gen_like_escape_query(rng)
+        if r2 < 4 / 6:
+            return gen_regexp_query(rng)
+        if r2 < 5 / 6:
+            return gen_strcase_query(rng)
+        return gen_datepart_query(rng)
     r = rng.random()
     if r < 0.12:
         r2 = rng.random()

@@ -278,3 +278,27 @@ class TestFuzzRegressions:
             "FROM orders) u INTERSECT SELECT o_orderstatus AS c0 "
             "FROM orders"))
         assert sorted(df2["c0"]) == ["F", "O", "P"]
+
+    def test_date_part_extended_parts(self, sess):
+        # was: EvalError "unsupported DATE_PART part 'doy'" — week/doy/
+        # quarter/isodow/decade/century/millennium now implemented with
+        # DuckDB/Postgres semantics (week = ISO-8601, century of 2026 = 21)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                    f"'{SF}/orders.parquet'")
+        q = ("SELECT DATE_PART('doy', o_orderdate) AS c0, "
+             "EXTRACT(week FROM o_orderdate) AS c1, "
+             "DATE_PART('quarter', o_orderdate) AS c2, "
+             "DATE_PART('isodow', o_orderdate) AS c3, "
+             "DATE_PART('decade', o_orderdate) AS c4, "
+             "DATE_PART('century', o_orderdate) AS c5, "
+             "DATE_PART('millennium', o_orderdate) AS c6, "
+             "EXTRACT(dow FROM o_orderdate) AS c7, COUNT(*) AS a0 "
+             "FROM orders GROUP BY 1,2,3,4,5,6,7,8 "
+             "ORDER BY 1,2,3,4,5,6,7,8")
+        mine = _df(sess.sql(q)).reset_index(drop=True)
+        ora = con.execute(q).df()
+        assert len(mine) == len(ora)
+        for c in mine.columns:
+            assert (mine[c].astype(float).to_numpy()
+                    == ora[c].astype(float).to_numpy()).all(), c
