@@ -315,7 +315,9 @@ def merge_into_parquet(session, stmt: A.Merge) -> pa.Table:
         schema = src_ds.schema(fetch_if_missing=True)
         names = list(schema.names) if schema is not None else []
         src = pd.DataFrame({n: pd.Series([], dtype="object") for n in names})
-    target = pq.read_table(path).to_pandas()
+    # ArrowDtype read: plain to_pandas() flips int64-with-NULL to float64
+    # and the rewrite would silently change the FILE's column type
+    target = pq.read_table(path).to_pandas(types_mapper=pd.ArrowDtype)
 
     tagged = _apply_merge(target, src, stmt, ta, sa, env)
     n_ins = int((tagged[_ACTION] == "i").sum())

@@ -24,8 +24,13 @@ import ray.data as rd
 
 
 def _collect(ds: rd.Dataset) -> pd.DataFrame:
-    frames = [b.to_pandas() for b in ds.iter_batches(batch_size=65536,
-                                                     batch_format="pyarrow")]
+    # Arrow-backed dtypes: plain to_pandas() turns an int64 column with any
+    # NULL into float64, and the rewrite would silently flip the FILE's
+    # column type to double (breaking later appends against the original
+    # schema). ArrowDtype round-trips losslessly.
+    frames = [b.to_pandas(types_mapper=pd.ArrowDtype)
+              for b in ds.iter_batches(batch_size=65536,
+                                       batch_format="pyarrow")]
     if not frames:
         return pd.DataFrame()
     return pd.concat(frames, ignore_index=True)
@@ -40,7 +45,7 @@ def upsert_into_parquet(ds: rd.Dataset, path: str, keys: list[str]) -> tuple[int
     deduped = new.drop_duplicates(subset=keys, keep="last")
 
     if os.path.exists(path):
-        existing = pq.read_table(path).to_pandas()
+        existing = pq.read_table(path).to_pandas(types_mapper=pd.ArrowDtype)
     else:
         existing = pd.DataFrame(columns=deduped.columns)
 
@@ -79,10 +84,12 @@ def update_parquet(ds: rd.Dataset, path: str, keys: list[str],
         val = ev.eval(expr, batch)
         if not isinstance(val, (pa.Array, pa.ChunkedArray)):
             val = pa.array([val] * len(batch))
-        src[name] = val.to_pandas()
+        if isinstance(val, pa.ChunkedArray):
+            val = val.combine_chunks()
+        src[name] = pd.Series(val, dtype=pd.ArrowDtype(val.type))
     src = src.drop_duplicates(subset=keys, keep="last")
 
-    target = pq.read_table(path).to_pandas()
+    target = pq.read_table(path).to_pandas(types_mapper=pd.ArrowDtype)
     assigned_cols = [n for n, _ in assignments]
     idx = src.set_index(keys)
     tkeys = target[keys].apply(tuple, axis=1) if len(keys) > 1 else target[keys[0]]

@@ -1,0 +1,211 @@
+"""Randomized DML-sequence differ for the statement surface.
+
+Applies ONE randomized sequence of INSERT / ANSI-UPDATE / DELETE /
+UPSERT…KEYED ON statements to (a) a parquet file target through the
+engine's SQL surface and (b) an in-memory DuckDB table, comparing the
+full sorted table state after EVERY statement — any drift pinpoints the
+exact statement that diverged. This exercises the CDC-adjacent keyed-
+mutation path end-to-end (parse → compile → upsert/update/delete →
+atomic file rewrite), complementing scripts/fuzz_vs_duckdb.py (SELECT
+surface) and the lake-engine property tests (tests/test_cdc_replay.py).
+
+MERGE INTO is excluded here: the installed DuckDB has no MERGE, and
+tests/test_merge.py already fuzzes it against a naive reference.
+
+Usage:
+    python scripts/fuzz_dml_vs_duckdb.py [--steps 60] [--seed 7] [--runs 5]
+"""
+import argparse
+import os
+import random
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+COLS = ["k", "v", "s", "t"]
+
+
+def seed_rows(rng: random.Random, n: int) -> list[tuple]:
+    return [(i, rng.randint(-50, 200), rng.choice("abcdef") * rng.randint(1, 3),
+             round(rng.uniform(-10, 1000), 2)) for i in range(n)]
+
+
+def lit(x) -> str:
+    if x is None:
+        return "NULL"
+    if isinstance(x, str):
+        return "'" + x + "'"
+    return repr(x)
+
+
+def row_sql(r) -> str:
+    return "(" + ", ".join(lit(x) for x in r) + ")"
+
+
+def gen_rows(rng: random.Random, m: int, allow_null: bool = True):
+    rows = []
+    for _ in range(m):
+        k = rng.randint(0, 80)
+        v = None if allow_null and rng.random() < 0.1 else rng.randint(-50, 200)
+        s = None if allow_null and rng.random() < 0.1 else \
+            rng.choice("abcdef") * rng.randint(1, 3)
+        t = round(rng.uniform(-10, 1000), 2)
+        rows.append((k, v, s, t))
+    return rows
+
+
+def gen_pred(rng: random.Random) -> str:
+    return rng.choice([
+        f"k % {rng.randint(2, 7)} = {rng.randint(0, 1)}",
+        f"v > {rng.randint(-20, 150)}",
+        f"t < {rng.randint(0, 900)}",
+        f"s LIKE '{rng.choice('abc')}%'",
+        f"k BETWEEN {rng.randint(0, 30)} AND {rng.randint(30, 80)}",
+        "v IS NULL",
+        f"k > {rng.randint(60, 90)}",  # often empty — empty-match paths
+    ])
+
+
+def gen_assignments(rng: random.Random) -> str:
+    # at most one assignment per column (DuckDB rejects duplicates)
+    opts = {
+        "v": [f"v = v + {rng.randint(1, 9)}",
+              f"v = v * 2 - {rng.randint(0, 5)}",
+              "v = k"],    # cross-column: must read the PRE-update row
+        "t": ["t = t / 2", f"t = t + {rng.randint(1, 50)}"],
+        "s": ["s = UPPER(s)", "s = s || 'x'", "s = COALESCE(s, 'z')"],
+    }
+    cols = rng.sample(list(opts), rng.randint(1, 2))
+    return ", ".join(rng.choice(opts[c]) for c in cols)
+
+
+def gen_step(rng: random.Random, path: str):
+    """(engine_sql, duckdb_sql_or_callable) for one random statement."""
+    r = rng.random()
+    if r < 0.3:
+        rows = gen_rows(rng, rng.randint(1, 5))
+        eng = (f"INSERT INTO '{path}' (k, v, s, t) "
+               + " ".join("VALUES " + row_sql(x) for x in rows))
+        ora = ("INSERT INTO t (k, v, s, t) VALUES "
+               + ", ".join(row_sql(x) for x in rows))
+        return eng, ora
+    if r < 0.55:
+        pred = gen_pred(rng)
+        sets = gen_assignments(rng)
+        return (f"UPDATE '{path}' SET {sets} WHERE {pred}",
+                f"UPDATE t SET {sets} WHERE {pred}")
+    if r < 0.75:
+        pred = gen_pred(rng) if rng.random() < 0.9 else None
+        w = f" WHERE {pred}" if pred else ""
+        return f"DELETE FROM '{path}'{w}", f"DELETE FROM t{w}"
+    # UPSERT … KEYED ON k: engine replaces ALL target rows sharing an
+    # incoming key with the statement's LAST row for that key
+    rows = gen_rows(rng, rng.randint(1, 4), allow_null=False)
+    eng = (f"UPSERT INTO '{path}' (k, v, s, t) "
+           + " ".join("VALUES " + row_sql(x) for x in rows)
+           + " KEYED ON k")
+    deduped = list({x[0]: x for x in rows}.values())  # last per key wins
+    keys = ", ".join(str(x[0]) for x in deduped)
+    ora = (f"DELETE FROM t WHERE k IN ({keys}); "
+           "INSERT INTO t (k, v, s, t) VALUES "
+           + ", ".join(row_sql(x) for x in deduped))
+    return eng, ora
+
+
+def table_state(path: str) -> pd.DataFrame:
+    df = pq.read_table(path).to_pandas()
+    return df[COLS].sort_values(COLS, ignore_index=True, na_position="last")
+
+
+def oracle_state(con) -> pd.DataFrame:
+    df = con.execute("SELECT k, v, s, t FROM t").df()
+    return df.sort_values(COLS, ignore_index=True, na_position="last")
+
+
+def compare(a: pd.DataFrame, b: pd.DataFrame) -> str:
+    if len(a) != len(b):
+        return f"ROWS {len(a)} vs {len(b)}"
+    for c in COLS:
+        av, bv = a[c], b[c]
+        if c in ("v", "t"):
+            x = av.astype(float).to_numpy()
+            y = bv.astype(float).to_numpy()
+            ok = np.isclose(x, y, rtol=0, atol=0, equal_nan=True)
+            if not ok.all():
+                i = int(np.argmin(ok))
+                return f"VALUE col {c} row {i}: {x[i]!r} vs {y[i]!r}"
+        else:
+            x = av.astype("string").fillna("\0null")
+            y = bv.astype("string").fillna("\0null")
+            if not (x == y).all():
+                i = int((x != y).to_numpy().argmax())
+                return f"VALUE col {c} row {i}: {x[i]!r} vs {y[i]!r}"
+    return ""
+
+
+def run_sequence(run: int, seed: int, steps: int, sess) -> int:
+    rng = random.Random(seed * 1000 + run)
+    rows = seed_rows(rng, rng.randint(10, 40))
+    tmp = tempfile.mkdtemp(prefix="dmlfuzz_")
+    path = os.path.join(tmp, "t.parquet")
+    tbl = pa.table({
+        "k": pa.array([r[0] for r in rows], pa.int64()),
+        "v": pa.array([r[1] for r in rows], pa.int64()),
+        "s": pa.array([r[2] for r in rows], pa.string()),
+        "t": pa.array([r[3] for r in rows], pa.float64()),
+    })
+    pq.write_table(tbl, path)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k BIGINT, v BIGINT, s VARCHAR, t DOUBLE)")
+    con.execute("INSERT INTO t SELECT * FROM tbl")
+    bad = 0
+    for i in range(steps):
+        eng_sql, ora_sql = gen_step(rng, path)
+        try:
+            sess.sql(eng_sql)
+        except Exception as ex:
+            print(f"[run {run} step {i}] ENGINE-ERR {type(ex).__name__}: "
+                  f"{str(ex)[:120]}\n    {eng_sql}")
+            bad += 1
+            break
+        for stmt in ora_sql.split("; "):
+            con.execute(stmt)
+        diff = compare(table_state(path), oracle_state(con))
+        if diff:
+            print(f"[run {run} step {i}] MISMATCH {diff}\n    {eng_sql}")
+            bad += 1
+            break
+    con.close()
+    return bad
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=60)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--runs", type=int, default=5)
+    args = ap.parse_args()
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    from qwery_ray.engine.session import QweryEngine
+    sess = QweryEngine()
+    bad = sum(run_sequence(r, args.seed, args.steps, sess)
+              for r in range(args.runs))
+    print(f"\n{args.runs} runs x {args.steps} steps, {bad} failures "
+          f"(seed={args.seed})")
+    ray.shutdown()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

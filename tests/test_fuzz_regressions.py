@@ -302,3 +302,26 @@ class TestFuzzRegressions:
         for c in mine.columns:
             assert (mine[c].astype(float).to_numpy()
                     == ora[c].astype(float).to_numpy()).all(), c
+
+    def test_dml_preserves_int_column_type_with_nulls(self, sess, tmp_path):
+        # was: UPSERT/keyed-UPDATE round-tripped the target through plain
+        # to_pandas(), so an int64 column containing any NULL came back
+        # float64 and the rewrite silently flipped the FILE's column type
+        # to double — the next INSERT append then failed schema unification
+        # (found by scripts/fuzz_dml_vs_duckdb.py)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        p = str(tmp_path / "t.parquet")
+        pq.write_table(pa.table({
+            "k": pa.array([1, 2, 3], pa.int64()),
+            "v": pa.array([10, None, 30], pa.int64()),
+        }), p)
+        sess.sql(f"UPSERT INTO '{p}' (k, v) VALUES (2, 20) VALUES (4, 40) "
+                 "KEYED ON k")
+        assert pq.read_schema(p).field("v").type == pa.int64()
+        # append against the original schema must still work
+        sess.sql(f"INSERT INTO '{p}' (k, v) VALUES (5, NULL)")
+        t = pq.read_table(p)
+        assert t.schema.field("v").type == pa.int64()
+        got = dict(zip(t.column("k").to_pylist(), t.column("v").to_pylist()))
+        assert got == {1: 10, 2: 20, 3: 30, 4: 40, 5: None}
