@@ -154,16 +154,22 @@ def _write_single_parquet(ds: rd.Dataset, path: str, overwrite: bool) -> int:
         tables.append(pq.read_table(path))
     writer = None
     try:
+        from ..sqlc.asof import PadToSchema
+
+        pad = None
         for batch in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
             count += len(batch)
             if writer is None:
                 schema = batch.schema
                 if tables:
+                    # additive schema evolution: a new column on either
+                    # side null-backfills the other (lake-engine parity)
                     schema = pa.unify_schemas([tables[0].schema, schema])
                 writer = pq.ParquetWriter(path + ".tmp", schema)
+                pad = PadToSchema(schema)
                 for t in tables:
-                    writer.write_table(t.cast(schema))
-            writer.write_table(batch.cast(writer.schema))
+                    writer.write_table(pad(t).cast(schema))
+            writer.write_table(pad(batch).cast(schema))
     finally:
         if writer is not None:
             writer.close()

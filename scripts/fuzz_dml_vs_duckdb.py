@@ -86,9 +86,25 @@ def gen_assignments(rng: random.Random) -> str:
     return ", ".join(rng.choice(opts[c]) for c in cols)
 
 
-def gen_step(rng: random.Random, path: str):
+def gen_step(rng: random.Random, path: str, state: dict):
     """(engine_sql, duckdb_sql_or_callable) for one random statement."""
     r = rng.random()
+    if r < 0.05 and state["ncols"] < 3:
+        # additive schema evolution: INSERT carrying a brand-new column;
+        # existing rows null-backfill (DuckDB mirror: ALTER TABLE ADD)
+        state["ncols"] += 1
+        col = f"x{state['ncols']}"
+        state["cols"].append(col)
+        rows = gen_rows(rng, rng.randint(1, 3), allow_null=False)
+        extra = [rng.randint(0, 9) for _ in rows]
+        eng = (f"INSERT INTO '{path}' (k, v, s, t, {col}) "
+               + " ".join("VALUES " + row_sql(x + (e,))
+                          for x, e in zip(rows, extra)))
+        ora = (f"ALTER TABLE t ADD COLUMN {col} BIGINT; "
+               f"INSERT INTO t (k, v, s, t, {col}) VALUES "
+               + ", ".join(row_sql(x + (e,))
+                           for x, e in zip(rows, extra)))
+        return eng, ora
     if r < 0.3:
         rows = gen_rows(rng, rng.randint(1, 5))
         eng = (f"INSERT INTO '{path}' (k, v, s, t) "
@@ -119,22 +135,22 @@ def gen_step(rng: random.Random, path: str):
     return eng, ora
 
 
-def table_state(path: str) -> pd.DataFrame:
+def table_state(path: str, cols) -> pd.DataFrame:
     df = pq.read_table(path).to_pandas()
-    return df[COLS].sort_values(COLS, ignore_index=True, na_position="last")
+    return df[cols].sort_values(cols, ignore_index=True, na_position="last")
 
 
-def oracle_state(con) -> pd.DataFrame:
-    df = con.execute("SELECT k, v, s, t FROM t").df()
-    return df.sort_values(COLS, ignore_index=True, na_position="last")
+def oracle_state(con, cols) -> pd.DataFrame:
+    df = con.execute("SELECT " + ", ".join(cols) + " FROM t").df()
+    return df.sort_values(cols, ignore_index=True, na_position="last")
 
 
-def compare(a: pd.DataFrame, b: pd.DataFrame) -> str:
+def compare(a: pd.DataFrame, b: pd.DataFrame, cols) -> str:
     if len(a) != len(b):
         return f"ROWS {len(a)} vs {len(b)}"
-    for c in COLS:
+    for c in cols:
         av, bv = a[c], b[c]
-        if c in ("v", "t"):
+        if c not in ("s",):
             x = av.astype(float).to_numpy()
             y = bv.astype(float).to_numpy()
             ok = np.isclose(x, y, rtol=0, atol=0, equal_nan=True)
@@ -165,9 +181,10 @@ def run_sequence(run: int, seed: int, steps: int, sess) -> int:
     con = duckdb.connect()
     con.execute("CREATE TABLE t (k BIGINT, v BIGINT, s VARCHAR, t DOUBLE)")
     con.execute("INSERT INTO t SELECT * FROM tbl")
+    state = {"ncols": 0, "cols": list(COLS)}
     bad = 0
     for i in range(steps):
-        eng_sql, ora_sql = gen_step(rng, path)
+        eng_sql, ora_sql = gen_step(rng, path, state)
         try:
             sess.sql(eng_sql)
         except Exception as ex:
@@ -177,7 +194,8 @@ def run_sequence(run: int, seed: int, steps: int, sess) -> int:
             break
         for stmt in ora_sql.split("; "):
             con.execute(stmt)
-        diff = compare(table_state(path), oracle_state(con))
+        diff = compare(table_state(path, state["cols"]),
+                       oracle_state(con, state["cols"]), state["cols"])
         if diff:
             print(f"[run {run} step {i}] MISMATCH {diff}\n    {eng_sql}")
             bad += 1

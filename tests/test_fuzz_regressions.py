@@ -325,3 +325,22 @@ class TestFuzzRegressions:
         assert t.schema.field("v").type == pa.int64()
         got = dict(zip(t.column("k").to_pylist(), t.column("v").to_pylist()))
         assert got == {1: 10, 2: 20, 3: 30, 4: 40, 5: None}
+
+    def test_insert_additive_schema_evolution(self, sess, tmp_path):
+        # was: INSERT with a column the target lacks failed Table.cast
+        # ("field names are not matching"); appends now null-backfill new
+        # columns on either side (lake-engine additive-evolution parity)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        p = str(tmp_path / "t.parquet")
+        pq.write_table(pa.table({
+            "k": pa.array([1, 2], pa.int64()),
+            "v": pa.array([10, 20], pa.int64())}), p)
+        sess.sql(f"INSERT INTO '{p}' (k, v, w) VALUES (3, 30, 'new')")
+        t = pq.read_table(p)
+        assert t.column_names == ["k", "v", "w"]
+        assert t.column("w").to_pylist() == [None, None, "new"]
+        sess.sql(f"INSERT INTO '{p}' (k) VALUES (4)")
+        t = pq.read_table(p)
+        assert t.column("v").to_pylist() == [10, 20, 30, None]
+        assert t.schema.field("v").type == pa.int64()
