@@ -5147,6 +5147,10 @@ def _finalize_bimoment(kind: str, batch: pa.Table, i: int) -> pa.Array:
         cxy = sxy - sx * sy / safe_n          # n · covar_pop
         vx = np.maximum(sxx - sx * sx / safe_n, 0.0)   # n · var_pop(x)
         vy = np.maximum(syy - sy * sy / safe_n, 0.0)
+        # a zero-variance side forces covariance to EXACTLY 0 — the raw-
+        # moment formula otherwise leaks ~1e-9 absolute cancellation
+        # residue on constant columns (DuckDB's Welford path gets 0.0)
+        cxy = np.where((vx <= 0.0) | (vy <= 0.0), 0.0, cxy)
         if kind == "COVAR_POP":
             r = cxy / safe_n
         elif kind == "COVAR_SAMP":

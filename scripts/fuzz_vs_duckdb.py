@@ -706,6 +706,60 @@ def gen_exists_residual_query(rng: random.Random):
     return q, q, True
 
 
+def gen_range_frame_query(rng: random.Random):
+    # RANGE BETWEEN <value> PRECEDING/FOLLOWING over a numeric ORDER BY
+    table = rng.choice(list(UNIQUE_ORDER))
+    g = Gen(rng, table)
+    part = g.col("str")
+    uid = UNIQUE_ORDER[table][0]
+    lo, hi = rng.randint(1, 50), rng.randint(1, 30)
+    frame = rng.choice([
+        f"RANGE BETWEEN {lo} PRECEDING AND {hi} FOLLOWING",
+        f"RANGE BETWEEN {lo} PRECEDING AND CURRENT ROW",
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+    ])
+    agg = rng.choice(["COUNT(*)", f"SUM(CAST({g.col('int')} AS DOUBLE))",
+                      f"MIN(CAST({uid} AS DOUBLE))"])
+    q = (f"SELECT {part} AS c0, {uid} AS c1, "
+         f"{agg} OVER (PARTITION BY {part} ORDER BY {uid} {frame}) AS c2 "
+         f"FROM {table}")
+    return q, q, True
+
+
+def gen_cube_query(rng: random.Random):
+    table = rng.choice(list(TABLES))
+    g = Gen(rng, table)
+    a = g.col("str")
+    b = f"CAST({g.col('int')} % {rng.randint(2, 5)} AS BIGINT)"
+    form = rng.choice([
+        f"CUBE ({a}, {b})", f"ROLLUP ({a}, {b})",
+        f"GROUPING SETS (({a}), ({b}), ())",
+        f"GROUPING SETS (({a}, {b}), ())",
+    ])
+    q = (f"SELECT {a} AS k0, {b} AS k1, COUNT(*) AS a0, "
+         f"SUM(CAST({g.col('int')} AS DOUBLE)) AS a1, "
+         f"GROUPING({a}) AS g0 "
+         f"FROM {table} GROUP BY {form}")
+    return q, q, True
+
+
+def gen_multicol_setop_query(rng: random.Random):
+    table = rng.choice(list(TABLES))
+    g = Gen(rng, table)
+    a, b = g.col("str"), g.col("int")
+    m = rng.randint(2, 6)
+    # NOTE: bare UNION is deliberately UNION ALL in this dialect
+    # (reference parity, ops/sql/Union.scala) — spell DISTINCT explicitly
+    op = rng.choice(["EXCEPT", "INTERSECT", "UNION DISTINCT", "UNION ALL"])
+    w1 = f" WHERE {g.predicate()}" if rng.random() < 0.6 else ""
+    w2 = f" WHERE {g.predicate()}" if rng.random() < 0.6 else ""
+    q = (f"SELECT {a} AS c0, CAST({b} % {m} AS BIGINT) AS c1 "
+         f"FROM {table}{w1} {op} "
+         f"SELECT {a} AS c0, CAST({b} % {m} AS BIGINT) AS c1 "
+         f"FROM {table}{w2}")
+    return q, q, True
+
+
 def gen_distinct_from_query(rng: random.Random):
     # IS [NOT] DISTINCT FROM — null-safe comparison in WHERE and SELECT
     table = rng.choice(list(TABLES))
@@ -785,6 +839,14 @@ def gen_datepart_query(rng: random.Random):
 
 
 def gen_query(rng: random.Random):
+    r = rng.random()
+    if r < 0.08:
+        r2 = rng.random()
+        if r2 < 1 / 3:
+            return gen_range_frame_query(rng)
+        if r2 < 2 / 3:
+            return gen_cube_query(rng)
+        return gen_multicol_setop_query(rng)
     r = rng.random()
     if r < 0.10:
         r2 = rng.random()

@@ -344,3 +344,14 @@ class TestFuzzRegressions:
         t = pq.read_table(p)
         assert t.column("v").to_pylist() == [10, 20, 30, None]
         assert t.schema.field("v").type == pa.int64()
+
+    def test_covar_constant_column_exact_zero(self, sess):
+        # was: COVAR_POP over a constant x leaked ~1e-9 cancellation
+        # residue from the raw-moment formula; a zero-variance side now
+        # forces covariance to exactly 0 (DuckDB Welford parity)
+        df = _df(sess.sql(
+            "SELECT o_orderpriority AS k0, "
+            "COVAR_POP(CAST(o_totalprice AS DOUBLE), "
+            "CAST(o_custkey AS DOUBLE)) AS a0 "
+            "FROM orders WHERE o_custkey BETWEEN 47 AND 47 GROUP BY 1"))
+        assert (df["a0"].dropna() == 0.0).all()
