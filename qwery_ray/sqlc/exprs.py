@@ -479,8 +479,9 @@ class Evaluator:
         if has_null_item:
             # every non-match compared against the NULL item → unknown
             out = pc.if_else(out, out, null_b)
-        else:
+        elif getattr(val, "null_count", 0):
             out = pc.if_else(pc.is_null(val), null_b, out)
+        # no NULLs anywhere → two-valued is_in result is already exact
         return pc.invert(out) if e.negated else out
 
     def _eval_Between(self, e: A.Between, batch):
