@@ -706,6 +706,39 @@ def gen_exists_residual_query(rng: random.Random):
     return q, q, True
 
 
+def gen_kitchen_sink_query(rng: random.Random):
+    # compositional stress: CTE over a join → window in a derived table →
+    # QUALIFY / outer aggregate / set-op tail, all in one statement
+    m = rng.randint(2, 6)
+    inner = (
+        "WITH j AS (SELECT c_mktsegment AS seg, o_orderkey AS ok, "
+        "CAST(o_totalprice AS DOUBLE) AS tp "
+        "FROM orders JOIN customer ON o_custkey = c_custkey"
+        + (f" WHERE o_orderkey % {m} = 0" if rng.random() < 0.6 else "")
+        + ") ")
+    shape = rng.random()
+    if shape < 0.35:
+        # window + QUALIFY over the CTE
+        k = rng.randint(2, 6)
+        q = (inner + "SELECT seg, ok, tp FROM j "
+             "QUALIFY ROW_NUMBER() OVER (PARTITION BY seg ORDER BY ok) "
+             f"<= {k}")
+        return q, q, True
+    if shape < 0.65:
+        # derived-table window → outer aggregate
+        q = (inner + "SELECT seg AS k0, COUNT(*) AS a0, "
+             "ROUND(SUM(rk * 1.0), 2) AS a1 FROM "
+             "(SELECT seg, RANK() OVER (PARTITION BY seg ORDER BY ok) "
+             "AS rk FROM j) d "
+             f"WHERE rk <= {rng.randint(5, 40)} GROUP BY 1")
+        return q, q, True
+    # CTE + set-op tail with an aggregate arm
+    q = (inner + "SELECT seg AS c0 FROM j WHERE tp > "
+         f"{rng.randint(50000, 300000)} "
+         "INTERSECT SELECT seg AS c0 FROM j")
+    return q, q, True
+
+
 def gen_range_frame_query(rng: random.Random):
     # RANGE BETWEEN <value> PRECEDING/FOLLOWING over a numeric ORDER BY
     table = rng.choice(list(UNIQUE_ORDER))
@@ -840,13 +873,15 @@ def gen_datepart_query(rng: random.Random):
 
 def gen_query(rng: random.Random):
     r = rng.random()
-    if r < 0.08:
+    if r < 0.10:
         r2 = rng.random()
-        if r2 < 1 / 3:
+        if r2 < 0.25:
             return gen_range_frame_query(rng)
-        if r2 < 2 / 3:
+        if r2 < 0.5:
             return gen_cube_query(rng)
-        return gen_multicol_setop_query(rng)
+        if r2 < 0.75:
+            return gen_multicol_setop_query(rng)
+        return gen_kitchen_sink_query(rng)
     r = rng.random()
     if r < 0.10:
         r2 = rng.random()
