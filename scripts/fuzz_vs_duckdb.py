@@ -1040,9 +1040,24 @@ def compare(mine: pd.DataFrame, ora: pd.DataFrame) -> str:
         return f"ROWS {len(mine)} vs {len(ora)}"
     if not len(mine):
         return ""
-    key = [c for c in mine.columns]
-    a = mine.sort_values(key, ignore_index=True, na_position="last")
-    e = ora.sort_values(key, ignore_index=True, na_position="last")
+    # sort keys: non-float columns FIRST, float columns last and ROUNDED
+    # for ordering only — engine fsum vs DuckDB SIMD sums differ in the
+    # last ulp, and a float sort key ahead of the group key would swap
+    # tie order between the two sides (false k0 "mismatches")
+    def sortable(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.copy()
+        for c in s.columns:
+            if s[c].dtype.kind == "f":
+                s["__sort_" + c] = s[c].round(6)
+        return s
+
+    nonf = [c for c in mine.columns if mine[c].dtype.kind != "f"]
+    fl = ["__sort_" + c for c in mine.columns if mine[c].dtype.kind == "f"]
+    key = nonf + fl
+    a = sortable(mine).sort_values(key, ignore_index=True,
+                                   na_position="last")[list(mine.columns)]
+    e = sortable(ora).sort_values(key, ignore_index=True,
+                                  na_position="last")[list(ora.columns)]
     for c in a.columns:
         av, ev = a[c], e[c]
         try:
