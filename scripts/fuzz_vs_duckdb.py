@@ -706,6 +706,33 @@ def gen_exists_residual_query(rng: random.Random):
     return q, q, True
 
 
+def gen_holistic_agg_query(rng: random.Random):
+    # holistic aggregates: MEDIAN / QUANTILE_CONT / PERCENTILE_CONT
+    # WITHIN GROUP / ARRAY_AGG(ORDER BY) / STRING_AGG(ORDER BY)
+    table = rng.choice(list(UNIQUE_ORDER))
+    g = Gen(rng, table)
+    k = g.col("str")
+    x = f"CAST({g.col('int')} AS DOUBLE)"
+    pq_ = round(rng.choice([0.1, 0.25, 0.5, 0.75, 0.9]), 2)
+    uid = UNIQUE_ORDER[table][0]
+    shape = rng.random()
+    if shape < 0.4:
+        q = (f"SELECT {k} AS k0, MEDIAN({x}) AS a0, "
+             f"QUANTILE_CONT({x}, {pq_}) AS a1 "
+             f"FROM {table} GROUP BY 1")
+    elif shape < 0.7:
+        q = (f"SELECT {k} AS k0, "
+             f"PERCENTILE_CONT({pq_}) WITHIN GROUP (ORDER BY {x}) AS a0, "
+             f"COUNT(*) AS a1 FROM {table} GROUP BY 1")
+    else:
+        lim = rng.randint(15, 40)
+        q = (f"SELECT {k} AS k0, "
+             f"ARRAY_TO_STRING(ARRAY_AGG({uid} ORDER BY {uid}), ',') AS a0 "
+             f"FROM (SELECT * FROM {table} ORDER BY {uid} LIMIT {lim}) d "
+             f"GROUP BY 1")
+    return q, q, True
+
+
 def gen_kitchen_sink_query(rng: random.Random):
     # compositional stress: CTE over a join → window in a derived table →
     # QUALIFY / outer aggregate / set-op tail, all in one statement
@@ -879,9 +906,11 @@ def gen_query(rng: random.Random):
             return gen_range_frame_query(rng)
         if r2 < 0.5:
             return gen_cube_query(rng)
-        if r2 < 0.75:
+        if r2 < 0.6:
             return gen_multicol_setop_query(rng)
-        return gen_kitchen_sink_query(rng)
+        if r2 < 0.8:
+            return gen_kitchen_sink_query(rng)
+        return gen_holistic_agg_query(rng)
     r = rng.random()
     if r < 0.10:
         r2 = rng.random()
