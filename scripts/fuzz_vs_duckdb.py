@@ -706,6 +706,27 @@ def gen_exists_residual_query(rng: random.Random):
     return q, q, True
 
 
+def gen_named_window_query(rng: random.Random):
+    # WINDOW w AS (…) named specs + IGNORE NULLS nav functions (NULLIF
+    # manufactures the nulls the testdata lacks)
+    table = rng.choice(list(UNIQUE_ORDER))
+    g = Gen(rng, table)
+    part = g.col("str")
+    uid = UNIQUE_ORDER[table][0]
+    m = rng.randint(2, 5)
+    v = f"NULLIF(CAST({g.col('int')} % {m} AS BIGINT), 0)"
+    fn = rng.choice([
+        f"FIRST_VALUE({v} IGNORE NULLS)",
+        f"LAST_VALUE({v} IGNORE NULLS)",
+        f"LAG({v}, 1) ",
+        "ROW_NUMBER()",
+        f"SUM({v})",
+    ])
+    q = (f"SELECT {part} AS c0, {uid} AS c1, {fn} OVER w AS c2 "
+         f"FROM {table} WINDOW w AS (PARTITION BY {part} ORDER BY {uid})")
+    return q, q, True
+
+
 def gen_holistic_agg_query(rng: random.Random):
     # holistic aggregates: MEDIAN / QUANTILE_CONT / PERCENTILE_CONT
     # WITHIN GROUP / ARRAY_AGG(ORDER BY) / STRING_AGG(ORDER BY)
@@ -908,9 +929,11 @@ def gen_query(rng: random.Random):
             return gen_cube_query(rng)
         if r2 < 0.6:
             return gen_multicol_setop_query(rng)
-        if r2 < 0.8:
+        if r2 < 0.73:
             return gen_kitchen_sink_query(rng)
-        return gen_holistic_agg_query(rng)
+        if r2 < 0.87:
+            return gen_holistic_agg_query(rng)
+        return gen_named_window_query(rng)
     r = rng.random()
     if r < 0.10:
         r2 = rng.random()
@@ -1073,15 +1096,19 @@ def compare(mine: pd.DataFrame, ora: pd.DataFrame) -> str:
     # for ordering only — engine fsum vs DuckDB SIMD sums differ in the
     # last ulp, and a float sort key ahead of the group key would swap
     # tie order between the two sides (false k0 "mismatches")
+    # a column counts as float if EITHER side types it float (the engine
+    # may emit int64 where DuckDB picks double, or vice versa)
+    floatish = {c for c in mine.columns
+                if mine[c].dtype.kind == "f" or ora[c].dtype.kind == "f"}
+
     def sortable(df: pd.DataFrame) -> pd.DataFrame:
         s = df.copy()
-        for c in s.columns:
-            if s[c].dtype.kind == "f":
-                s["__sort_" + c] = s[c].round(6)
+        for c in floatish:
+            s["__sort_" + c] = s[c].astype(float).round(6)
         return s
 
-    nonf = [c for c in mine.columns if mine[c].dtype.kind != "f"]
-    fl = ["__sort_" + c for c in mine.columns if mine[c].dtype.kind == "f"]
+    nonf = [c for c in mine.columns if c not in floatish]
+    fl = ["__sort_" + c for c in mine.columns if c in floatish]
     key = nonf + fl
     a = sortable(mine).sort_values(key, ignore_index=True,
                                    na_position="last")[list(mine.columns)]
