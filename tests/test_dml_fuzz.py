@@ -15,3 +15,15 @@ def test_dml_sequence_matches_duckdb(ray_session):
     bad = F.run_sequence(run=0, seed=7, steps=25, sess=sess)
     bad += F.run_sequence(run=1, seed=13, steps=25, sess=sess)
     assert bad == 0
+
+
+def test_lake_sequence_matches_lww_oracle(ray_session):
+    """Fixed-seed smoke of the lake-sequence differ (scripts/
+    fuzz_lake_vs_oracle.py): multi-statement UPSERT INTO ... WITH LAKE
+    with watermark resume, state checked after every transaction."""
+    sys.path.insert(0, "/root/repo/scripts")
+    import fuzz_lake_vs_oracle as L
+    from qwery_ray.engine.session import QweryEngine
+
+    sess = QweryEngine()
+    assert L.run_sequence(run=0, seed=7, steps=8, sess=sess) == 0
