@@ -39,20 +39,24 @@ def run_sequence(run: int, seed: int, steps: int, sess) -> int:
             k = rng.randint(0, 30)
             v = rng.randint(-100, 100)
             s = rng.choice("abcdef") * rng.randint(1, 3)
-            rows.append((lsn, k, v, s))
-        vals = ", ".join(f"({l}, {k}, {v}, '{s}')" for l, k, v, s in rows)
+            op = "delete" if rng.random() < 0.15 else "upsert"
+            rows.append((lsn, k, v, s, op))
+        vals = ", ".join(f"({l}, {k}, {v}, '{s}', '{op}')"
+                         for l, k, v, s, op in rows)
         with_lake = " WITH LAKE" if i == 0 else ""  # resume path after txn 1
         sess.sql(
             f"UPSERT INTO '{lake}'{with_lake} "
-            f"SELECT * FROM (VALUES {vals}) t(lsn, k, v, s) KEYED ON k")
-        for l, k, v, s in rows:  # LWW oracle
+            f"SELECT * FROM (VALUES {vals}) t(lsn, k, v, s, op) KEYED ON k")
+        for l, k, v, s, op in rows:  # LWW oracle; tombstones stay in the
+            # dict (a later lower-LSN upsert must not resurrect the key)
             if k not in oracle or oracle[k][0] < l:
-                oracle[k] = (l, v, s)
+                oracle[k] = (l, v, s) if op == "upsert" else (l, None, None)
         back = sess.sql(f"SELECT k, v, s FROM '{lake}' WITH LAKE")
         got = (back.to_pandas() if hasattr(back, "to_pandas") else back) \
             .sort_values("k", ignore_index=True)
         want = pd.DataFrame(
-            [(k, v, s) for k, (l, v, s) in sorted(oracle.items())],
+            [(k, v, s) for k, (l, v, s) in sorted(oracle.items())
+             if v is not None],
             columns=["k", "v", "s"])
         if len(got) != len(want) or \
                 not (got["k"].to_numpy() == want["k"].to_numpy()).all() or \
