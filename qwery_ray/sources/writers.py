@@ -163,8 +163,16 @@ def _write_single_parquet(ds: rd.Dataset, path: str, overwrite: bool) -> int:
                 schema = batch.schema
                 if tables:
                     # additive schema evolution: a new column on either
-                    # side null-backfills the other (lake-engine parity)
-                    schema = pa.unify_schemas([tables[0].schema, schema])
+                    # side null-backfills the other (lake-engine parity);
+                    # permissive promotion widens numeric mismatches
+                    # (int32 file + int64 insert → int64) instead of
+                    # failing the append
+                    try:
+                        schema = pa.unify_schemas([tables[0].schema, schema])
+                    except pa.ArrowTypeError:
+                        schema = pa.unify_schemas(
+                            [tables[0].schema, schema],
+                            promote_options="permissive")
                 writer = pq.ParquetWriter(path + ".tmp", schema)
                 pad = PadToSchema(schema)
                 for t in tables:

@@ -355,3 +355,18 @@ class TestFuzzRegressions:
             "CAST(o_custkey AS DOUBLE)) AS a0 "
             "FROM orders WHERE o_custkey BETWEEN 47 AND 47 GROUP BY 1"))
         assert (df["a0"].dropna() == 0.0).all()
+
+    def test_insert_numeric_widening_append(self, sess, tmp_path):
+        # int32/float32 file + int64/double insert: the append widens the
+        # file's columns (permissive promotion) instead of failing
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        p = str(tmp_path / "t.parquet")
+        pq.write_table(pa.table({
+            "k": pa.array([1, 2], pa.int32()),
+            "v": pa.array([1.5, 2.5], pa.float32())}), p)
+        sess.sql(f"INSERT INTO '{p}' (k, v) VALUES (3, 3.5)")
+        t = pq.read_table(p)
+        assert t.schema.field("k").type == pa.int64()
+        assert t.schema.field("v").type == pa.float64()
+        assert t.column("k").to_pylist() == [1, 2, 3]
