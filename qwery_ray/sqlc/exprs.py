@@ -902,7 +902,20 @@ def _fn_date_parse(ev, e, batch):
 def _fn_date_trunc(ev, e, batch):
     unit = ev.eval(e.args[0], batch)
     d = _arg(ev, e, batch, 1)
-    return pc.floor_temporal(d, unit=unit.lower())
+    u = unit.lower()
+    if u in ("decade", "century", "millennium"):
+        # Arrow floor_temporal stops at 'year'; DuckDB truncates these to
+        # Jan 1 of year - year % {10,100,1000} (century of 2026 → 2000)
+        m = {"decade": 10, "century": 100, "millennium": 1000}[u]
+        y = pc.year(d).to_numpy(zero_copy_only=False).astype("float64")
+        mask = np.isnan(y)
+        ty = (np.nan_to_num(y).astype("int64") // m) * m
+        out = (np.datetime64("1970", "Y")
+               + (ty - 1970).astype("timedelta64[Y]")).astype("datetime64[D]")
+        arr = pa.array(out, pa.date32(), mask=mask)
+        t = d.type if hasattr(d, "type") else pa.date32()
+        return arr if pa.types.is_date(t) else pc.cast(arr, t)
+    return pc.floor_temporal(d, unit=u)
 
 
 def _fn_year(ev, e, batch):
