@@ -153,6 +153,17 @@ def _write_single_parquet(ds: rd.Dataset, path: str, overwrite: bool) -> int:
     if os.path.exists(path) and not overwrite:
         tables.append(pq.read_table(path))
     writer = None
+
+    def _unify(a: "pa.Schema", b: "pa.Schema") -> "pa.Schema":
+        # additive schema evolution: a new column on either side
+        # null-backfills the other (lake-engine parity); permissive
+        # promotion widens numeric mismatches (int32 file + int64 insert
+        # → int64) instead of failing the append
+        try:
+            return pa.unify_schemas([a, b])
+        except pa.ArrowTypeError:
+            return pa.unify_schemas([a, b], promote_options="permissive")
+
     try:
         from ..sqlc.asof import PadToSchema
 
@@ -162,21 +173,27 @@ def _write_single_parquet(ds: rd.Dataset, path: str, overwrite: bool) -> int:
             if writer is None:
                 schema = batch.schema
                 if tables:
-                    # additive schema evolution: a new column on either
-                    # side null-backfills the other (lake-engine parity);
-                    # permissive promotion widens numeric mismatches
-                    # (int32 file + int64 insert → int64) instead of
-                    # failing the append
-                    try:
-                        schema = pa.unify_schemas([tables[0].schema, schema])
-                    except pa.ArrowTypeError:
-                        schema = pa.unify_schemas(
-                            [tables[0].schema, schema],
-                            promote_options="permissive")
+                    schema = _unify(tables[0].schema, schema)
                 writer = pq.ParquetWriter(path + ".tmp", schema)
                 pad = PadToSchema(schema)
                 for t in tables:
                     writer.write_table(pad(t).cast(schema))
+            elif set(batch.schema.names) - set(schema.names) or any(
+                    batch.schema.field(n).type != schema.field(n).type
+                    for n in batch.schema.names):
+                # a LATER batch introduces a new column or wider type
+                # (heterogeneous-schema source): widen the output schema
+                # and restart the writer over the rows already written —
+                # bounded by the single output file, never silently drop
+                # the new column (PadToSchema alone would).
+                widened = _unify(schema, batch.schema)
+                if widened != schema:
+                    writer.close()
+                    written = pq.read_table(path + ".tmp")
+                    schema = widened
+                    writer = pq.ParquetWriter(path + ".tmp", schema)
+                    pad = PadToSchema(schema)
+                    writer.write_table(pad(written).cast(schema))
             writer.write_table(pad(batch).cast(schema))
     finally:
         if writer is not None:

@@ -2293,7 +2293,20 @@ def _drop_empty_blocks(ds: rd.Dataset) -> rd.Dataset:
         pairs = list(ds._plan.execute().blocks)
     except Exception:
         return ds
-    keep = [ref for ref, meta in pairs if meta.num_rows]
+    # from_arrow_refs below assumes every block is an Arrow table; a
+    # pandas-format dataset (base_schema is a PandasBlockSchema, not
+    # pa.Schema) would be mistyped and fail later outside this function's
+    # guard — leave such datasets untouched
+    try:
+        base = getattr(ds.schema(), "base_schema", None)
+    except Exception:
+        base = None
+    if base is not None and not isinstance(base, pa.Schema):
+        return ds
+    # num_rows is Optional in Ray BlockMetadata: None means UNKNOWN count,
+    # so conservatively keep those blocks (only drop a provably-0 block)
+    keep = [ref for ref, meta in pairs
+            if meta.num_rows is None or meta.num_rows]
     if len(keep) == len(pairs):
         return ds
     if not keep:
@@ -2306,7 +2319,10 @@ def _drop_empty_blocks(ds: rd.Dataset) -> rd.Dataset:
         if sch is not None and len(sch.names):
             return rd.from_arrow(sch.empty_table())
         return ds
-    return rd.from_arrow_refs(keep)
+    try:
+        return rd.from_arrow_refs(keep)
+    except Exception:
+        return ds
 
 
 class Compiler:
