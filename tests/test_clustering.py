@@ -208,3 +208,66 @@ class TestSemanticDedup:
         b = semantic_dedup(ds, tau=0.9, k=4, iters=2, cap=16) \
             .to_pandas().sort_values("vec_id").reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+def naive_first_order_dedup(ids, vecs, assign, tau):
+    """Reference for the ORACLE-ABLE variant: a row drops iff ANY lower-id
+    cluster-mate (kept or not) has cosine >= tau; rep = the max-cosine
+    such row (ties -> lowest id)."""
+    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = vecs / norms
+    keep, rep = {}, {}
+    for c in np.unique(assign):
+        idx = np.where(assign == c)[0]  # ids ascending already
+        for pos, i in enumerate(idx):
+            best_j, best_s = -1, -np.inf
+            for j in idx[:pos]:
+                s = float(unit[i] @ unit[j])
+                if s > best_s:
+                    best_j, best_s = j, s
+            if best_j >= 0 and best_s >= tau:
+                keep[ids[i]], rep[ids[i]] = False, ids[best_j]
+            else:
+                keep[ids[i]], rep[ids[i]] = True, -1
+    return keep, rep
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFixedCentroidDedup:
+    """The r5 driver-checkable variant (pinned centroids, first-order
+    winner) — the ops gate behind the `semantic_dedup` driver row."""
+
+    def test_matches_naive_reference(self):
+        import ray.data as rd
+
+        from qwery_ray.ops.clustering import fixed_centroid_dedup
+
+        ids, vecs = _load_embeddings()
+        # pinned init = the 8 smallest-id vectors, zero Lloyd iterations
+        c = vecs[:8]
+        scores = vecs @ c.T - 0.5 * np.einsum("ij,ij->i", c, c)
+        assign = np.argmax(scores, axis=1)
+        ref_keep, ref_rep = naive_first_order_dedup(ids, vecs, assign, 0.45)
+
+        ds = rd.read_parquet(f"{SF_SMALL}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        out = fixed_centroid_dedup(ds, tau=0.45, k=8).to_pandas() \
+            .sort_values("vec_id")
+        assert out["is_kept"].map(bool).tolist() == \
+            [ref_keep[i] for i in out["vec_id"]]
+        assert out["rep_id"].tolist() == [ref_rep[i] for i in out["vec_id"]]
+        assert (~out["is_kept"]).sum() > 0  # real drops at gate scale
+
+    def test_chunked_cap_invariant(self):
+        import ray.data as rd
+
+        from qwery_ray.ops.clustering import fixed_centroid_dedup
+
+        ds = rd.read_parquet(f"{SF_SMALL}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        big = fixed_centroid_dedup(ds, tau=0.45, k=8, cap=4096).to_pandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+        small = fixed_centroid_dedup(ds, tau=0.45, k=8, cap=7).to_pandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(big, small)
