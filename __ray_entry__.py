@@ -872,43 +872,20 @@ _SQL_QUERIES: dict[str, tuple[str, str | None]] = {
 # operator family. Entries past position 50 all have green CORRECTNESS_r02
 # rows (they were inside round 2's window).
 _DRIVER_WINDOW_PRIORITY = [
-    # ROUND-4 WINDOW (r3 verdict item 2): (a) the one red r3 cell, now
-    # CAST-fixed; (b) every _SQL_QUERIES entry that has NEVER had a driver
-    # row (they predate the r2 window and were skipped by the r2/r3
-    # rotations); (c) the 23 entries last driver-verified in r1/r2 — BEFORE
-    # round 3's parser/compiler surface changes; (d) ops whose
-    # implementation changed THIS round (distributed MERGE, kmeans merge,
-    # CC join fallback, IVF auto-scale) for post-change re-verification.
-    # Everything outside the window was driver-green in r3
-    # (CORRECTNESS_r03.json) and stays covered by gate_sim locally.
-    "recursive_spine", "recursive_paths",
-    # (b) never-windowed SQL entries
-    "string_funcs", "quantile_pricing", "stddev_agg", "rollup_pricing",
-    "window_latest_per_customer", "window_running_total",
-    "window_moving_avg", "window_range_frame", "window_centered_frame",
-    "window_time_range",
-    "tpch_q3_shape", "tpch_q4_shape", "tpch_q5_shape", "tpch_q6_shape",
-    "tpch_q13_shape", "tpch_q14_shape", "tpch_q17_shape", "tpch_q18_shape",
-    "json_props_rollup", "subquery_source",
-    # (c) last verified r1/r2, pre-round-3 surface
-    "q1_pricing_summary", "global_aggregates",
-    "case_cast", "sort_limit_offset", "union_all_names", "distinct_status",
-    "group_having", "count_distinct_cust",
-    "join_filter_agg", "join_three_way", "left_join_counts",
-    "full_join_keys", "scalar_subquery_filter",
-    "semi_join_in_subquery", "exists_semijoin", "not_exists_antijoin",
-    "corr_above_cust_avg", "quantified_all_any", "events_hourly_window",
-    "tpch_q7_shape", "tpch_q8_shape", "tpch_q10_shape",
-    # (d) round-4 implementation changes → re-verify post-change
-    "merge_apply", "embedding_kmeans", "semantic_dedup",
-    "near_dup_components", "ann_topk",
-    # (e) round-4 NEW feature: SELECT-list correlated scalar decorrelation
-    # (filter_project moved below the boundary to make room — it is the
-    # lowest-risk twice-green entry and stays gate_sim-covered)
-    "corr_scalar_select",
-    # --- window boundary (~50) ---
-    # r3-green entries (CORRECTNESS_r03 rows all green), kept in
-    # queries()/gate_sim order below the window
+    # ROUND-5 WINDOW (r4 verdict item 1): (a) the two previously-no_oracle
+    # rows, now given full DuckDB oracles via pinned centroids, plus
+    # merge_apply, whose file-target source side was re-bounded this round
+    # — all three re-verify post-change; (b) the two set-op rows touched
+    # by this round's _drop_empty_blocks hardening; (c) the 45 entries
+    # last driver-verified in r3 — BEFORE round 4's fuzz-driven compiler
+    # fixes (empty set-op sides, IN three-valued NULLs, LPAD/RPAD,
+    # grouping-sets-empty, LAG/LEAD signed literals) — rotated back in for
+    # a post-fix record. Everything below the boundary was driver-green in
+    # r4 (CORRECTNESS_r04.json) and stays covered by gate_sim locally.
+    "embedding_kmeans", "semantic_dedup", "merge_apply",
+    # (b) set-op rows over the hardened empty-block path
+    "union_all_names", "distinct_status",
+    # (c) the r3-verified tail, in r3 window order
     "cdc_replay", "events_lake_lww", "exact_dedup", "token_count",
     "text_quality", "doc_fingerprint", "minhash_near_dups",
     "simhash_signatures", "embedding_dups",
@@ -924,6 +901,26 @@ _DRIVER_WINDOW_PRIORITY = [
     "pivot_events", "unpivot_events", "semi_anti_join", "window_exclude",
     "list_membership_counts", "list_string_ops", "unnest_embedding_stats",
     "filter_project",
+    # --- window boundary (50) ---
+    # r4-green entries (CORRECTNESS_r04.json rows all green), kept below
+    # the window in r4 order; gate_sim still checks them locally
+    "recursive_spine", "recursive_paths",
+    "string_funcs", "quantile_pricing", "stddev_agg", "rollup_pricing",
+    "window_latest_per_customer", "window_running_total",
+    "window_moving_avg", "window_range_frame", "window_centered_frame",
+    "window_time_range",
+    "tpch_q3_shape", "tpch_q4_shape", "tpch_q5_shape", "tpch_q6_shape",
+    "tpch_q13_shape", "tpch_q14_shape", "tpch_q17_shape", "tpch_q18_shape",
+    "json_props_rollup", "subquery_source",
+    "q1_pricing_summary", "global_aggregates",
+    "case_cast", "sort_limit_offset",
+    "group_having", "count_distinct_cust",
+    "join_filter_agg", "join_three_way", "left_join_counts",
+    "full_join_keys", "scalar_subquery_filter",
+    "semi_join_in_subquery", "exists_semijoin", "not_exists_antijoin",
+    "corr_above_cust_avg", "quantified_all_any", "events_hourly_window",
+    "tpch_q7_shape", "tpch_q8_shape", "tpch_q10_shape",
+    "near_dup_components", "ann_topk", "corr_scalar_select",
 ]
 
 
