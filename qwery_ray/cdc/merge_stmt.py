@@ -304,16 +304,34 @@ def merge_into_parquet(session, stmt: A.Merge) -> pa.Table:
     sa = stmt.source_alias or "src"
     env = compiler_env(session)
 
-    if _path_bytes(path) > MERGE_DISTRIBUTED_BYTES:
-        return _merge_distributed(stmt, path, src_ds, ta, sa, env)
+    # route to the distributed path when EITHER side is big: a 10 TB CDC
+    # source merged into a 100 MB dimension table must never materialize
+    # the source on the driver (the distributed path streams the source
+    # through the bucket shuffle; driver memory stays O(batch)).
+    # Schema FIRST: materializing an all-empty source stores zero-column
+    # blocks, so the lazy plan is the only place the column names survive.
+    lazy_schema = src_ds.schema(fetch_if_missing=True)
+    src_ds = src_ds.materialize()
+    big_target = _path_bytes(path) > MERGE_DISTRIBUTED_BYTES
+    big_source = (src_ds.size_bytes() or 0) > MERGE_DISTRIBUTED_BYTES
+    if big_target or big_source:
+        try:
+            return _merge_distributed(stmt, path, src_ds, ta, sa, env)
+        except ValueError:
+            if big_target:
+                raise
+            # big source into a SMALL duplicate-key target: the
+            # distributed path's unique-key precondition failed, and only
+            # the driver path can tell value-identical target rows apart —
+            # documented limitation: this fallback collects the source.
 
     src = _collect(src_ds)
     if src.shape[1] == 0:
         # empty source: _collect saw no batches, so recover the column
-        # names from the dataset schema (an all-arms merge against an
-        # empty source is still well-defined — NOT MATCHED BY SOURCE fires)
-        schema = src_ds.schema(fetch_if_missing=True)
-        names = list(schema.names) if schema is not None else []
+        # names from the pre-materialization schema (an all-arms merge
+        # against an empty source is still well-defined — NOT MATCHED BY
+        # SOURCE fires)
+        names = list(lazy_schema.names) if lazy_schema is not None else []
         src = pd.DataFrame({n: pd.Series([], dtype="object") for n in names})
     # ArrowDtype read: plain to_pandas() flips int64-with-NULL to float64
     # and the rewrite would silently change the FILE's column type

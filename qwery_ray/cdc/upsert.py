@@ -36,13 +36,97 @@ def _collect(ds: rd.Dataset) -> pd.DataFrame:
     return pd.concat(frames, ignore_index=True)
 
 
+#: above this estimated source size, UPSERT/UPDATE pre-reduce the source
+#: per key DISTRIBUTED (last stream occurrence wins) before any driver
+#: collect — driver memory then scales with DISTINCT source keys (i.e.
+#: with the OUTPUT file, which is inherently driver-bounded for the
+#: single-parquet target path), never with raw source row count.
+SOURCE_PREREDUCE_BYTES = 128 << 20
+
+
+def _last_in_table(t: pa.Table, keys: list[str]) -> pa.Table:
+    """Keep each key's max-__pos row of one Arrow table. Key/pos columns
+    go through pandas (narrow); CONTENT moves by take() — zero type
+    mangling on payload columns."""
+    import numpy as np
+
+    kdf = t.select(keys + ["__pos"]).to_pandas(types_mapper=pd.ArrowDtype)
+    idx = kdf.groupby(keys, dropna=False, sort=False)["__pos"].idxmax() \
+        .to_numpy()
+    return t.take(pa.array(np.sort(idx)))
+
+
+def _last_per_key_distributed(mat: rd.Dataset, keys: list[str]) -> pd.DataFrame:
+    """Distributed last-occurrence-per-key reduction of a LARGE source.
+
+    The implicit stream position ("last wins" = last in SELECT order,
+    matching the reference's sequential row-at-a-time application,
+    ops/sql/Upsert.scala:14-32) is made explicit as a __pos column from
+    per-block offsets of the materialized metadata; each batch
+    pre-combines (PartialLww shape — shuffle volume is bounded by
+    distinct-keys-per-batch), then ONE groupby shuffle keeps the global
+    max-__pos row per key. Only the reduced stream reaches the driver."""
+    import numpy as np
+    import ray
+
+    blocks = list(mat._plan.execute().blocks)
+    counts = [meta.num_rows for _, meta in blocks]
+    if any(c is None for c in counts):
+        counts = [len(b) for b in ray.get([ref for ref, _ in blocks])]
+    offsets = np.cumsum([0] + counts[:-1])
+
+    @ray.remote
+    def _tag(block, off: int) -> pa.Table:
+        import numpy as np
+
+        if not isinstance(block, pa.Table):  # pandas-format block
+            block = pa.Table.from_pandas(block, preserve_index=False)
+        return block.append_column(
+            "__pos", pa.array(np.arange(off, off + len(block),
+                                        dtype=np.int64)))
+
+    tagged = rd.from_arrow_refs(
+        [_tag.remote(ref, int(off))
+         for (ref, _), off in zip(blocks, offsets)])
+
+    def combine(batch: pa.Table) -> pa.Table:
+        return _last_in_table(batch, keys) if len(batch) else batch
+
+    def group_last(g: pa.Table) -> pa.Table:
+        return _last_in_table(g, keys) if len(g) else g
+
+    reduced = tagged.map_batches(combine, batch_format="pyarrow") \
+        .groupby(keys).map_groups(group_last, batch_format="pyarrow")
+    out = _collect(reduced)
+    if out.empty:
+        return out.drop(columns=["__pos"], errors="ignore")
+    # restore stream order so the rewritten file's row order matches the
+    # sequential-application order the small path produces
+    return out.sort_values("__pos", ignore_index=True) \
+        .drop(columns=["__pos"])
+
+
+def _collect_last_per_key(ds: rd.Dataset, keys: list[str]) -> pd.DataFrame:
+    """Collect a source with last-occurrence-per-key semantics: small
+    sources collect directly (the caller dedups); large sources reduce
+    distributed first so the driver never holds raw source rows."""
+    mat = ds.materialize()
+    size = mat.size_bytes() or 0
+    if size > SOURCE_PREREDUCE_BYTES:
+        return _last_per_key_distributed(mat, keys)
+    new = _collect(mat)
+    if new.empty:
+        return new
+    return new.drop_duplicates(subset=keys, keep="last", ignore_index=True)
+
+
 def upsert_into_parquet(ds: rd.Dataset, path: str, keys: list[str]) -> tuple[int, int]:
     """Returns (rows_inserted, rows_updated)."""
-    new = _collect(ds)
-    if new.empty:
+    # last occurrence per key wins within the incoming stream; a large
+    # source LWW-reduces per key DISTRIBUTED before the driver sees it
+    deduped = _collect_last_per_key(ds, keys)
+    if deduped.empty:
         return 0, 0
-    # last occurrence per key wins within the incoming stream
-    deduped = new.drop_duplicates(subset=keys, keep="last")
 
     if os.path.exists(path):
         existing = pq.read_table(path).to_pandas(types_mapper=pd.ArrowDtype)
@@ -75,7 +159,10 @@ def update_parquet(ds: rd.Dataset, path: str, keys: list[str],
     rows with a matching key. Returns rows_updated."""
     from ..sqlc.compiler import make_evaluator
 
-    src = _collect(ds)
+    # per-key last-wins reduction commutes with the row-wise SET
+    # evaluation below, so a large source reduces DISTRIBUTED first and
+    # the driver only ever evaluates one row per distinct key
+    src = _collect_last_per_key(ds, keys)
     if src.empty or not os.path.exists(path):
         return 0
     ev = make_evaluator(env)
@@ -87,7 +174,6 @@ def update_parquet(ds: rd.Dataset, path: str, keys: list[str],
         if isinstance(val, pa.ChunkedArray):
             val = val.combine_chunks()
         src[name] = pd.Series(val, dtype=pd.ArrowDtype(val.type))
-    src = src.drop_duplicates(subset=keys, keep="last")
 
     target = pq.read_table(path).to_pandas(types_mapper=pd.ArrowDtype)
     assigned_cols = [n for n, _ in assignments]

@@ -414,3 +414,146 @@ class TestMergeDistributed:
             assert rd_.ROWS_DELETED[0] == rx.ROWS_DELETED[0], trial
             assert fd.id.astype(int).tolist() == fx.id.astype(int).tolist()
             assert fd.v.astype(int).tolist() == fx.v.astype(int).tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBigSourceBounded:
+    """r4 verdict item 3: a LARGE source into a SMALL file target must not
+    materialize raw source rows on the driver — MERGE routes to the
+    distributed path on source size; UPSERT/UPDATE LWW-reduce the source
+    per key distributed before any collect."""
+
+    def test_merge_routes_distributed_on_source_size(self, workdir,
+                                                     monkeypatch):
+        import qwery_ray.cdc.merge_stmt as ms
+
+        # target ~tiny; force the SOURCE (not the target) over the gate
+        tgt_bytes = os.path.getsize(str(workdir / "inv.parquet"))
+        monkeypatch.setattr(ms, "MERGE_DISTRIBUTED_BYTES", tgt_bytes + 1)
+        called = {}
+        real = ms._merge_distributed
+
+        def spy(*a, **k):
+            called["yes"] = True
+            return real(*a, **k)
+
+        monkeypatch.setattr(ms, "_merge_distributed", spy)
+        # a source comfortably larger than tgt_bytes+1 in memory
+        big = pd.DataFrame({
+            "id": list(range(1, 5001)),
+            "qty": [i % 100 for i in range(1, 5001)],
+        })
+        pq.write_table(pa.Table.from_pandas(big, preserve_index=False),
+                       str(workdir / "bigdelta.parquet"))
+        eng = _engine(workdir)
+        res = eng.sql("""
+            MERGE INTO inv AS t USING bigdelta AS s ON t.id = s.id
+            WHEN MATCHED THEN UPDATE SET qty = s.qty
+            WHEN NOT MATCHED THEN INSERT (id, qty, status)
+                VALUES (s.id, s.qty, 'new')
+        """).to_pandas()
+        assert called.get("yes"), "big source did not route distributed"
+        assert res.ROWS_UPDATED[0] == 5
+        assert res.ROWS_INSERTED[0] == 4995
+        final = pq.read_table(str(workdir / "inv.parquet")).to_pandas()
+        assert len(final) == 5000
+        assert final[final.id == 3].qty.tolist() == [3]
+
+    def test_merge_dup_key_small_target_falls_back(self, workdir,
+                                                   monkeypatch):
+        """Duplicate-key SMALL target + big source: distributed path's
+        unique-key precondition fails -> documented driver fallback, same
+        result as the plain small path."""
+        import qwery_ray.cdc.merge_stmt as ms
+
+        dup_t = pd.DataFrame({"id": [1, 1, 2], "qty": [5, 6, 7],
+                              "status": ["a", "b", "c"]})
+        pq.write_table(pa.Table.from_pandas(dup_t, preserve_index=False),
+                       str(workdir / "dupt.parquet"))
+        monkeypatch.setattr(ms, "MERGE_DISTRIBUTED_BYTES",
+                            os.path.getsize(str(workdir / "dupt.parquet")) + 1)
+        eng = _engine(workdir)
+        res = eng.sql("""
+            MERGE INTO dupt AS t USING delta AS s ON t.id = s.id
+            WHEN MATCHED THEN UPDATE SET qty = s.qty
+        """).to_pandas()
+        assert res.ROWS_UPDATED[0] == 1  # id=2 row
+        final = pq.read_table(str(workdir / "dupt.parquet")).to_pandas()
+        assert sorted(final.qty.tolist()) == [5, 6, 99]
+
+    def test_upsert_prereduce_matches_direct(self, tmp_path, monkeypatch):
+        import ray.data as rd
+
+        import qwery_ray.cdc.upsert as up
+
+        tgt = pd.DataFrame({"k": [1, 2, 3], "v": [10, 20, 30]})
+        src = pd.DataFrame({
+            "k": [2, 4, 2, 5, 4, 2],
+            "v": [200, 400, 201, 500, 401, 202],
+        })
+        for name in ("direct", "reduced"):
+            pq.write_table(pa.Table.from_pandas(tgt, preserve_index=False),
+                           str(tmp_path / f"{name}.parquet"))
+
+        n = up.upsert_into_parquet(rd.from_pandas(src),
+                                   str(tmp_path / "direct.parquet"), ["k"])
+        monkeypatch.setattr(up, "SOURCE_PREREDUCE_BYTES", 0)
+        m = up.upsert_into_parquet(rd.from_pandas(src),
+                                   str(tmp_path / "reduced.parquet"), ["k"])
+        assert n == m == (2, 1)  # inserted keys 4,5; updated key 2
+        a = pq.read_table(str(tmp_path / "direct.parquet")).to_pandas()
+        b = pq.read_table(str(tmp_path / "reduced.parquet")).to_pandas()
+        pd.testing.assert_frame_equal(a, b)
+        # LAST stream occurrence won on the forced-distributed path
+        assert b[b.k == 2].v.tolist() == [202]
+        assert b[b.k == 4].v.tolist() == [401]
+
+    def test_prereduce_driver_sees_only_distinct_keys(self, ray_session,
+                                                      monkeypatch):
+        """The reduced stream the driver collects has exactly one row per
+        distinct key — driver memory scales with the OUTPUT, not the raw
+        source."""
+        import ray.data as rd
+
+        import qwery_ray.cdc.upsert as up
+
+        src = pd.DataFrame({
+            "k": [i % 37 for i in range(20000)],
+            "v": list(range(20000)),
+        })
+        out = up._last_per_key_distributed(
+            rd.from_pandas(src).materialize(), ["k"])
+        assert len(out) == 37
+        assert "__pos" not in out.columns
+        # per key, the max-position (last-stream) value won
+        got = out.sort_values("k").v.tolist()
+        want = [max(i for i in range(20000) if i % 37 == k)
+                for k in range(37)]
+        assert got == want
+
+    def test_update_keyed_prereduce_matches_direct(self, tmp_path,
+                                                   monkeypatch):
+        import qwery_ray.cdc.upsert as up
+
+        tgt = pd.DataFrame({"k": [1, 2, 3], "v": [10, 20, 30]})
+        src = pd.DataFrame({"k": [2, 2, 3], "nv": [7, 8, 9]})
+        for name in ("du", "ru"):
+            pq.write_table(pa.Table.from_pandas(tgt, preserve_index=False),
+                           str(tmp_path / f"{name}.parquet"))
+        pq.write_table(pa.Table.from_pandas(src, preserve_index=False),
+                       str(tmp_path / "chg.parquet"))
+        from qwery_ray import QweryEngine
+
+        eng = QweryEngine(table_root=str(tmp_path))
+        sql = ("UPDATE '{t}' SET v = nv * 2 "
+               "FROM (SELECT * FROM chg) KEYED ON k")
+        n1 = eng.sql(sql.format(t=str(tmp_path / "du.parquet"))) \
+            .to_pandas().ROWS_UPDATED[0]
+        monkeypatch.setattr(up, "SOURCE_PREREDUCE_BYTES", 0)
+        n2 = eng.sql(sql.format(t=str(tmp_path / "ru.parquet"))) \
+            .to_pandas().ROWS_UPDATED[0]
+        assert n1 == n2 == 2
+        a = pq.read_table(str(tmp_path / "du.parquet")).to_pandas()
+        b = pq.read_table(str(tmp_path / "ru.parquet")).to_pandas()
+        pd.testing.assert_frame_equal(a, b)
+        assert b.sort_values("k").v.tolist() == [10, 16, 18]
