@@ -861,6 +861,15 @@ _SQL_QUERIES: dict[str, tuple[str, str | None]] = {
         "COUNT(*) AS n FROM events WHERE json_valid(props) "
         "GROUP BY event_type ORDER BY event_type",
         None),
+    "exists_in_case": (
+        # r5: correlated [NOT] EXISTS nested inside CASE — in the SELECT
+        # list (count-subquery decorrelation into a grouped LEFT JOIN)
+        # and under a WHERE CASE. Same ANSI text runs on both engines.
+        "SELECT c_custkey AS c0, CASE WHEN EXISTS (SELECT 1 FROM orders "
+        "WHERE o_custkey = c_custkey AND o_totalprice > 200000) THEN 1 "
+        "WHEN c_acctbal < 0 THEN 2 ELSE 0 END AS c1 "
+        "FROM customer ORDER BY c0",
+        None),
 }
 
 
@@ -921,6 +930,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "corr_above_cust_avg", "quantified_all_any", "events_hourly_window",
     "tpch_q7_shape", "tpch_q8_shape", "tpch_q10_shape",
     "near_dup_components", "ann_topk", "corr_scalar_select",
+    # r5 NEW entry (below the boundary; gate_sim-covered)
+    "exists_in_case",
 ]
 
 

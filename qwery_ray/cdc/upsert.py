@@ -144,7 +144,11 @@ def upsert_into_parquet(ds: rd.Dataset, path: str, keys: list[str]) -> tuple[int
         survivors = existing[~mask]
     else:
         survivors = existing
-    merged = pd.concat([survivors, deduped], ignore_index=True)
+    # exclude empty frames before concat: pandas deprecated letting
+    # empty/all-NA entries participate in result-dtype inference
+    parts = [f for f in (survivors, deduped) if not f.empty]
+    merged = parts[0].reset_index(drop=True) if len(parts) == 1 \
+        else pd.concat(parts, ignore_index=True)
 
     tmp = path + ".tmp"
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)

@@ -2608,10 +2608,35 @@ class Compiler:
                 for c in rest:
                     where = c if where is None else A.And(where, c)
         if where is not None:
-            frame = Frame(
-                frame.ds.map_batches(FilterBatch(where, env),
-                                     batch_format="pyarrow"),
-                frame.columns, frame.aliases)
+            # EXISTS nested BELOW the top-level conjuncts (inside a CASE
+            # branch, an OR arm …) rewrites to a count scalar-subquery and
+            # decorrelates like a SELECT-list scalar; the filter then runs
+            # AFTER those joins, and the helper columns are dropped so
+            # SELECT * stays clean. Top-level conjunct EXISTS was already
+            # extracted into exists_nodes (the semi-join fast path).
+            where = _rewrite_nested_exists(where)
+            wsubs = self._collect_scalar_subqueries(where)
+            if wsubs:
+                orig_cols = list(frame.columns)
+                smap: dict = {}
+                for k, node in enumerate(wsubs):
+                    frame, repl = self._decorrelate_or_fold(
+                        frame, node, 1000 + k, env)
+                    smap[id(node)] = repl
+                where = transform_expr(where,
+                                       lambda n: smap.get(id(n), n))
+                helper = [c for c in frame.columns if c not in orig_cols]
+                filtered = frame.ds.map_batches(FilterBatch(where, env),
+                                                batch_format="pyarrow")
+                if helper:
+                    filtered = filtered.map_batches(
+                        DropColumns(helper), batch_format="pyarrow")
+                frame = Frame(filtered, orig_cols, frame.aliases)
+            else:
+                frame = Frame(
+                    frame.ds.map_batches(FilterBatch(where, env),
+                                         batch_format="pyarrow"),
+                    frame.columns, frame.aliases)
         for k, node in enumerate(semi_nodes):
             frame = self._apply_in_semijoin(frame, node, k, env)
         for k, node in enumerate(corr_nodes):
@@ -2624,19 +2649,21 @@ class Compiler:
         # LEFT JOIN against the grouped derived table; each aggregate call
         # is rebuilt outside the join so ANSI empty-group values survive
         # (COUNT ⇒ 0 via COALESCE, every other aggregate ⇒ NULL extension)
-        from .parser import _ScalarSubquery
+        # [NOT] EXISTS inside a SELECT item (CASE branches included)
+        # rewrites to a count scalar-subquery first, then rides the same
+        # decorrelation below
+        new_items = tuple(
+            it if isinstance(it, A.Star)
+            else A.SelectItem(_rewrite_nested_exists(it.expr), it.alias)
+            for it in sel.items)
+        if any(a is not b for a, b in zip(new_items, sel.items)):
+            sel = dc_replace(sel, items=new_items)
 
         sub_nodes: list = []
-
-        def _collect_subq(node):
-            if isinstance(node, _ScalarSubquery) and \
-                    not any(node is s for s in sub_nodes):
-                sub_nodes.append(node)
-            return node
-
         for it in sel.items:
             if isinstance(it, A.SelectItem):
-                transform_expr(it.expr, _collect_subq)
+                sub_nodes = self._collect_scalar_subqueries(
+                    it.expr, into=sub_nodes)
         if sub_nodes:
             if sel.group_by or sel.grouping_sets or any(
                     collect_agg_calls(it.expr) for it in sel.items
@@ -2646,7 +2673,7 @@ class Compiler:
                     "aggregate query is not supported")
             smap: dict = {}
             for k, node in enumerate(sub_nodes):
-                frame, repl = self._decorrelate_select_scalar(
+                frame, repl = self._decorrelate_or_fold(
                     frame, node, k, env)
                 smap[id(node)] = repl
             new_items = tuple(
@@ -3215,6 +3242,36 @@ class Compiler:
         out = out.map_batches(DropColumns([sv] + dkeys),
                               batch_format="pyarrow")
         return Frame(out, frame.columns, frame.aliases)
+
+    def _collect_scalar_subqueries(self, expr, into: list | None = None):
+        """All _ScalarSubquery nodes in an expression tree, by identity."""
+        from .parser import _ScalarSubquery
+
+        found: list = into if into is not None else []
+
+        def _collect(node):
+            if isinstance(node, _ScalarSubquery) and \
+                    not any(node is s for s in found):
+                found.append(node)
+            return node
+
+        transform_expr(expr, _collect)
+        return found
+
+    def _decorrelate_or_fold(self, frame: Frame, subnode, k: int, env):
+        """Decorrelate a scalar subquery into a grouped join, or — when it
+        has NO outer correlation (an uncorrelated EXISTS the nested-exists
+        rewrite just minted; the session only pre-folds subqueries it saw
+        at parse positions) — evaluate it once and fold to a literal."""
+        try:
+            return self._decorrelate_select_scalar(frame, subnode, k, env)
+        except ValueError as ex:
+            if "needs at least one equality" not in str(ex):
+                raise
+            sub = self.compile_query(self.session._prepare(subnode.query))
+            tbl = _materialize_small(sub.materialize())
+            val = tbl.column(0)[0].as_py() if len(tbl) else None
+            return frame, A.Literal(val)
 
     def _decorrelate_select_scalar(self, frame: Frame, subnode, k: int,
                                    env):
@@ -5273,6 +5330,34 @@ def _flatten_and(cond: A.Cond) -> list[A.Cond]:
     if isinstance(cond, A.And):
         return _flatten_and(cond.left) + _flatten_and(cond.right)
     return [cond]
+
+
+def _rewrite_nested_exists(expr):
+    """Rewrite [NOT] EXISTS nodes NESTED inside an expression tree (a CASE
+    branch, an OR arm, a SELECT item) into count-based scalar-subquery
+    comparisons — ``EXISTS(q) ⇒ (SELECT COUNT(*) FROM …) > 0`` — so the
+    existing scalar-subquery decorrelation machinery handles them. Only
+    simple subqueries rewrite (single SELECT, no joins / GROUP BY /
+    HAVING / DISTINCT / set ops / LIMIT); anything else is left for the
+    top-level-conjunct EXISTS path or its existing error."""
+    from .parser import _ScalarSubquery
+
+    def repl(node):
+        if isinstance(node, A.Exists):
+            sub = node.query
+            if (isinstance(sub, A.Select) and not sub.joins
+                    and not sub.group_by and sub.grouping_sets is None
+                    and sub.having is None and not sub.distinct
+                    and sub.limit is None and sub.offset is None
+                    and sub.qualify is None and sub.source is not None):
+                cnt = dc_replace(sub, items=(A.SelectItem(
+                    A.FuncCall("COUNT", (), is_star=True), "__cnt"),),
+                    order_by=())
+                op = "=" if node.negated else ">"
+                return A.Comparison(op, _ScalarSubquery(cnt), A.Literal(0))
+        return node
+
+    return transform_expr(expr, repl)
 
 
 def _tag_columns(ds: rd.Dataset, columns) -> rd.Dataset:

@@ -1830,10 +1830,15 @@ class Parser:
             else:
                 cond = self.parse_cond()
             self.expect("THEN")
-            branches.append((cond, self.parse_expr()))
+            # THEN/ELSE results may be boolean-valued (comparisons, AND/OR,
+            # nested predicates — `THEN c_acctbal > 0`): parse at condition
+            # level; parse_predicate falls through to the bare scalar when
+            # no predicate operator follows, so plain expressions still
+            # parse exactly as before
+            branches.append((cond, self.parse_cond()))
         else_expr = None
         if self.accept("ELSE"):
-            else_expr = self.parse_expr()
+            else_expr = self.parse_cond()
         self.expect("END")
         return A.CaseWhen(tuple(branches), else_expr)
 

@@ -329,6 +329,50 @@ def gen_exists_query(rng: random.Random):
     return q, q, True
 
 
+def gen_exists_in_case_query(rng: random.Random):
+    # r4 verdict item 5: correlated [NOT] EXISTS inside a CASE branch —
+    # in the SELECT list or inside WHERE
+    neg = rng.choice(["", "NOT "])
+    thresh = rng.randint(0, 200000)
+    inner = (f"{neg}EXISTS (SELECT 1 FROM orders "
+             f"WHERE o_custkey = c_custkey AND o_totalprice > {thresh})")
+    if rng.random() < 0.5:
+        # CASE in the SELECT list, optionally a second non-EXISTS branch
+        extra = ""
+        if rng.random() < 0.5:
+            extra = f"WHEN c_acctbal < {rng.randint(-500, 5000)} THEN 2 "
+        q = (f"SELECT c_custkey AS c0, CASE WHEN {inner} THEN 1 {extra}"
+             f"ELSE 0 END AS c1 FROM customer ORDER BY c0")
+    else:
+        # CASE with an EXISTS branch inside WHERE
+        q = (f"SELECT c_custkey AS c0, c_nationkey AS c1 FROM customer "
+             f"WHERE CASE WHEN {inner} THEN c_acctbal > "
+             f"{rng.randint(-500, 3000)} ELSE c_nationkey % 2 = 0 END "
+             f"ORDER BY c0")
+    return q, q, True
+
+
+def gen_setop_over_window_query(rng: random.Random):
+    # r4 verdict item 5: set ops whose arms are WINDOW outputs. ORDER BY
+    # the unique o_orderkey inside each window so ranks are deterministic
+    # on both engines.
+    part = rng.choice(["o_orderstatus", "o_orderpriority"])
+    fn = rng.choice(["row_number()", "rank()", "dense_rank()",
+                     "count(*)"])
+    arm = ("SELECT CAST(o_custkey AS BIGINT) AS a, CAST({fn} OVER "
+           "(PARTITION BY {part} ORDER BY o_orderkey) AS BIGINT) AS b "
+           "FROM orders WHERE o_totalprice > {th}")
+    w1 = arm.format(fn=fn, part=part, th=rng.randint(0, 150000))
+    w2 = arm.format(fn=fn, part=part, th=rng.randint(0, 150000))
+    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT",
+                     "INTERSECT ALL", "EXCEPT ALL"])
+    # dialect split: this engine's bare UNION is UNION ALL
+    mine_op = "UNION DISTINCT" if op == "UNION" else op
+    q_m = f"SELECT * FROM ({w1}) x {mine_op} SELECT * FROM ({w2}) y"
+    q_o = f"SELECT * FROM ({w1}) x {op} SELECT * FROM ({w2}) y"
+    return q_m, q_o, True
+
+
 def gen_qualify_query(rng: random.Random):
     table = rng.choice(list(TABLES))
     g = Gen(rng, table)
@@ -978,6 +1022,12 @@ def gen_query(rng: random.Random):
         if r2 < 5 / 6:
             return gen_multi_distinct_query(rng)
         return gen_string_agg_query(rng)
+    r = rng.random()
+    if r < 0.08:
+        r2 = rng.random()
+        if r2 < 0.5:
+            return gen_exists_in_case_query(rng)
+        return gen_setop_over_window_query(rng)
     r = rng.random()
     if r < 0.035:
         return gen_exists_query(rng)

@@ -71,5 +71,16 @@ def assert_frames_match(actual, expected, sort_by=None, check_dtype=False):
     sort_cols = sort_by or list(a.columns)
     a = a.sort_values(sort_cols, ignore_index=True)
     e = e.sort_values(sort_cols, ignore_index=True)
-    pd.testing.assert_frame_equal(a, e, check_dtype=check_dtype,
+
+    # normalize null-likes in object columns (None vs nan): future pandas
+    # equality-testing treats mismatched null-likes as NOT matching
+    def _norm(df):
+        df = df.copy()
+        for c in df.columns:
+            if df[c].dtype == object:
+                df[c] = df[c].where(df[c].notna(), None)
+        return df
+
+    pd.testing.assert_frame_equal(_norm(a), _norm(e),
+                                  check_dtype=check_dtype,
                                   check_exact=False, rtol=1e-9, atol=1e-12)

@@ -30,7 +30,11 @@ def _batch_reference(width, slide, ray_session):
 def _chunks_df(n):
     df = pq.read_table(EVENTS, columns=["event_id", "ts", "value"]) \
         .to_pandas().sort_values("event_id").reset_index(drop=True)
-    return np.array_split(df[["ts", "value"]], n)
+    # iloc-slice instead of np.array_split: the latter routes DataFrames
+    # through the deprecated DataFrame.swapaxes (removed in pandas 3)
+    sub = df[["ts", "value"]]
+    bounds = np.linspace(0, len(sub), n + 1).astype(int)
+    return [sub.iloc[lo:hi] for lo, hi in zip(bounds[:-1], bounds[1:])]
 
 
 class TestStreamEqualsBatch:
