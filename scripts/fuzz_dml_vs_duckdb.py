@@ -9,8 +9,12 @@ mutation path end-to-end (parse → compile → upsert/update/delete →
 atomic file rewrite), complementing scripts/fuzz_vs_duckdb.py (SELECT
 surface) and the lake-engine property tests (tests/test_cdc_replay.py).
 
-MERGE INTO is excluded here: the installed DuckDB has no MERGE, and
-tests/test_merge.py already fuzzes it against a naive reference.
+r5: randomized MERGE-arm statements joined the sequence (r4 verdict
+item 5). The installed DuckDB has no MERGE, so each MERGE is EMULATED on
+the oracle side as an equivalent statement sequence over a temp source
+table (matched-set snapshot first, then delete/update/NMBS/insert in
+first-match-wins order); tests/test_merge.py additionally fuzzes MERGE
+in isolation against a naive reference.
 
 Usage:
     python scripts/fuzz_dml_vs_duckdb.py [--steps 60] [--seed 7] [--runs 5]
@@ -86,6 +90,59 @@ def gen_assignments(rng: random.Random) -> str:
     return ", ".join(rng.choice(opts[c]) for c in cols)
 
 
+def gen_merge_step(rng: random.Random, path: str):
+    """One randomized MERGE (unique source keys, random arm subset) + its
+    DuckDB emulation: snapshot the matched key set FIRST, then apply the
+    arms in the engine's first-match-wins order as plain statements."""
+    ks = rng.sample(range(0, 80), rng.randint(1, 6))
+    rows = [(k, rng.randint(-50, 200), rng.choice("abcdef"),
+             round(rng.uniform(-10, 1000), 2)) for k in ks]
+    vals = ", ".join(row_sql(x) for x in rows)
+
+    c1 = f"v > {rng.randint(-20, 150)}"        # matched-delete cond (src)
+    c2 = f"v < {rng.randint(-20, 150)}"        # insert cond (src)
+    c3 = f"v < {rng.randint(-20, 150)}"        # NMBS cond (target)
+    has_del = rng.random() < 0.5
+    has_upd = rng.random() < 0.9 or not has_del
+    ins_cond = rng.random() < 0.4
+    has_nmbs = rng.random() < 0.4
+    upd_set_eng = rng.choice(["v = sr.v", "v = sr.v + tg.v",
+                              "s = sr.s, v = sr.v"])
+    upd_set_ora = upd_set_eng.replace("sr.", "msrc.").replace("tg.", "t.")
+
+    arms, emu = [], []
+    emu.append("CREATE OR REPLACE TEMP TABLE msrc "
+               "(k BIGINT, v BIGINT, s VARCHAR, t DOUBLE)")
+    emu.append(f"INSERT INTO msrc VALUES {vals}")
+    emu.append("CREATE OR REPLACE TEMP TABLE mmatched AS "
+               "SELECT DISTINCT m.k FROM msrc m JOIN t tt ON tt.k = m.k")
+    if has_del:
+        arms.append(f"WHEN MATCHED AND sr.{c1} THEN DELETE")
+        emu.append(f"DELETE FROM t WHERE k IN (SELECT k FROM msrc m "
+                   f"WHERE m.{c1}) AND k IN (SELECT k FROM mmatched)")
+    if has_upd:
+        arms.append(f"WHEN MATCHED THEN UPDATE SET {upd_set_eng}")
+        guard = f" AND NOT (msrc.{c1})" if has_del else ""
+        emu.append(f"UPDATE t SET {upd_set_ora} FROM msrc "
+                   f"WHERE t.k = msrc.k{guard}")
+    if has_nmbs:
+        arms.append(f"WHEN NOT MATCHED BY SOURCE AND tg.{c3} "
+                    f"THEN UPDATE SET v = tg.v + 1")
+        emu.append(f"UPDATE t SET v = v + 1 WHERE k NOT IN "
+                   f"(SELECT k FROM msrc) AND {c3}")
+    icond_eng = f" AND sr.{c2}" if ins_cond else ""
+    icond_ora = f" AND m.{c2}" if ins_cond else ""
+    arms.append("WHEN NOT MATCHED" + icond_eng +
+                " THEN INSERT (k, v, s, t) VALUES (sr.k, sr.v, sr.s, sr.t)")
+    emu.append(f"INSERT INTO t (k, v, s, t) SELECT m.k, m.v, m.s, m.t "
+               f"FROM msrc m WHERE m.k NOT IN (SELECT k FROM mmatched)"
+               f"{icond_ora}")
+    eng = (f"MERGE INTO '{path}' AS tg USING (SELECT * FROM "
+           f"(VALUES {vals}) v(k, v, s, t)) AS sr ON tg.k = sr.k "
+           + " ".join(arms))
+    return eng, "; ".join(emu)
+
+
 def gen_step(rng: random.Random, path: str, state: dict):
     """(engine_sql, duckdb_sql_or_callable) for one random statement."""
     r = rng.random()
@@ -117,10 +174,12 @@ def gen_step(rng: random.Random, path: str, state: dict):
         sets = gen_assignments(rng)
         return (f"UPDATE '{path}' SET {sets} WHERE {pred}",
                 f"UPDATE t SET {sets} WHERE {pred}")
-    if r < 0.75:
+    if r < 0.7:
         pred = gen_pred(rng) if rng.random() < 0.9 else None
         w = f" WHERE {pred}" if pred else ""
         return f"DELETE FROM '{path}'{w}", f"DELETE FROM t{w}"
+    if r < 0.85:
+        return gen_merge_step(rng, path)
     # UPSERT … KEYED ON k: engine replaces ALL target rows sharing an
     # incoming key with the statement's LAST row for that key
     rows = gen_rows(rng, rng.randint(1, 4), allow_null=False)
