@@ -313,8 +313,11 @@ def _apply_merge(target: pd.DataFrame, src: pd.DataFrame, stmt: A.Merge,
 def merge_into_parquet(session, stmt: A.Merge) -> pa.Table:
     from ..sqlc.compiler import _env as compiler_env
 
-    src_ds = session.compiler.compile_query(stmt.source)
     path = session.resolve_table_path(session.expand_vars(stmt.target))
+    if os.path.exists(os.path.join(path, "manifest.json")):
+        # exactly-once CDC lake target: actions become one LWW txn
+        return merge_into_lake(session, stmt, path)
+    src_ds = session.compiler.compile_query(stmt.source)
     if not os.path.exists(path):
         raise ValueError(f"MERGE target {stmt.target!r} does not exist")
     base = os.path.splitext(os.path.basename(stmt.target))[0]
@@ -373,71 +376,33 @@ def _path_bytes(path: str) -> int:
         return sum(os.path.getsize(os.path.join(r, f))
                    for r, _, fs in os.walk(path) for f in fs)
     return os.path.getsize(path)
-
-
-def _merge_distributed(stmt: A.Merge, path: str, src_ds, ta: str, sa: str,
-                       env: dict) -> pa.Table:
-    """Hash-bucketed distributed MERGE for large file targets.
-
-    Shape: widen target and source to ONE combined schema (target columns
-    + ``__s_``-prefixed source columns + int8 presence markers), union the
-    two streams, bucket by the polars value-stable hash of the COALESCEd
-    ON key, and run :func:`_apply_merge` per bucket — key equality makes
-    every MERGE decision (pairing, residual, cardinality, all arms)
-    bucket-local, so the per-bucket result is exactly the driver path's.
-    ONE all-to-all shuffle total (the groupby); no join operator. Final
-    rows stream back through ``iter_batches`` into the output file, so
-    driver memory stays O(batch), never O(target).
-
-    Requires unique non-null target ON keys (checked distributed): with
-    duplicate target keys, two physically distinct but value-identical
-    target rows in one bucket cannot be told apart without driver-side
-    row identity. Those targets use the small path / lake engine."""
-    import ray
-    import ray.data as rd
-
-    from ..ops.dedup import _drop_empty_blocks
-    from ..sqlc.compiler import AddBucketCol
-
-    if os.path.isdir(path):
-        raise ValueError(
-            "MERGE INTO a directory target is not supported — large "
-            "multi-file targets belong in the lake engine "
-            "(UPSERT ... WITH LAKE)")
-    tschema = pq.read_schema(path)
-    ds_t = rd.read_parquet(path)
-    src_mat = _drop_empty_blocks(src_ds.materialize())
-    s_base = src_mat.schema(fetch_if_missing=True)
-    sschema = s_base.base_schema if s_base is not None else pa.schema([])
-
+def _split_on_keys(stmt: A.Merge, ta: str, sa: str, tschema: pa.Schema,
+                   sschema: pa.Schema):
     tcols = {f.lower() for f in tschema.names}
     scols = {f.lower() for f in sschema.names}
     tmap = {f.lower(): f for f in tschema.names}
     smap = {f.lower(): f for f in sschema.names}
     keys, _ = _split_on(stmt, ta, sa, tcols, scols, tmap, smap)
-    tkeys = [k[0] for k in keys]
-    skeys = [k[1] for k in keys]
+    return [k[0] for k in keys], [k[1] for k in keys]
 
-    # ---- unique-key precondition (column-pruned, distributed) -----------
-    def key_rows(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
 
-        valid = pc.is_valid(t.column(tkeys[0]))
-        for k in tkeys[1:]:
-            valid = pc.and_(valid, pc.is_valid(t.column(k)))
-        return t.filter(valid)
+def _tagged_merge_core(stmt: A.Merge, ds_t, tschema: pa.Schema,
+                       sschema: pa.Schema, src_mat, ta: str, sa: str,
+                       env: dict, tkeys, skeys):
+    """The distributed MERGE core, target-agnostic: widen target and
+    source to ONE combined schema (target columns + ``__s_``-prefixed
+    source columns + int8 presence markers), union the two streams,
+    bucket by the polars value-stable hash of the COALESCEd ON key, and
+    run :func:`_apply_merge` per bucket — key equality makes every MERGE
+    decision (pairing, residual, cardinality, all arms) bucket-local, so
+    the per-bucket result is exactly the driver path's. ONE all-to-all
+    shuffle total (the groupby); no join operator. Returns the tagged
+    dataset (target schema + ``__mrg_action``)."""
+    import ray
 
-    kcounts = rd.read_parquet(path, columns=tkeys) \
-        .map_batches(key_rows, batch_format="pyarrow") \
-        .groupby(tkeys).count()
-    if (kcounts.max("count()") or 0) > 1:
-        raise ValueError(
-            "distributed MERGE requires unique target ON keys — this "
-            "target has duplicate non-null key rows; run it through the "
-            "lake engine (UPSERT ... WITH LAKE) or shrink the target "
-            "below MERGE_DISTRIBUTED_BYTES")
+    from ..ops.dedup import _drop_empty_blocks
+    from ..sqlc.compiler import AddBucketCol
 
-    # ---- widen both sides to the combined schema ------------------------
     tfields = [(f.name, f.type) for f in tschema]
     sfields = [(f.name, f.type) for f in sschema]
     order = [n for n, _ in tfields] + ["__t1"] \
@@ -497,9 +462,59 @@ def _merge_distributed(stmt: A.Merge, path: str, src_ds, ta: str, sa: str,
         return pa.Table.from_pandas(tagged, schema=out_schema,
                                     preserve_index=False)
 
-    tagged_ds = _drop_empty_blocks(
+    return _drop_empty_blocks(
         unioned.groupby("__mb").map_groups(
             merge_bucket, batch_format="pyarrow").materialize())
+
+
+def _merge_distributed(stmt: A.Merge, path: str, src_ds, ta: str, sa: str,
+                       env: dict) -> pa.Table:
+    """Hash-bucketed distributed MERGE for large FILE targets — see
+    :func:`_tagged_merge_core` for the shape. Final rows stream back
+    through ``iter_batches`` into the output file, so driver memory stays
+    O(batch), never O(target).
+
+    Requires unique non-null target ON keys (checked distributed): with
+    duplicate target keys, two physically distinct but value-identical
+    target rows in one bucket cannot be told apart without driver-side
+    row identity. Those targets use the small path / lake engine."""
+    import ray.data as rd
+
+    from ..ops.dedup import _drop_empty_blocks
+
+    if os.path.isdir(path):
+        raise ValueError(
+            "MERGE INTO a plain directory target is not supported — large "
+            "multi-file targets belong in the lake engine (UPSERT ... "
+            "WITH LAKE, or MERGE INTO a lake directory with manifest)")
+    tschema = pq.read_schema(path)
+    ds_t = rd.read_parquet(path)
+    src_mat = _drop_empty_blocks(src_ds.materialize())
+    s_base = src_mat.schema(fetch_if_missing=True)
+    sschema = s_base.base_schema if s_base is not None else pa.schema([])
+    tkeys, skeys = _split_on_keys(stmt, ta, sa, tschema, sschema)
+
+    # ---- unique-key precondition (column-pruned, distributed) -----------
+    def key_rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        valid = pc.is_valid(t.column(tkeys[0]))
+        for k in tkeys[1:]:
+            valid = pc.and_(valid, pc.is_valid(t.column(k)))
+        return t.filter(valid)
+
+    kcounts = rd.read_parquet(path, columns=tkeys) \
+        .map_batches(key_rows, batch_format="pyarrow") \
+        .groupby(tkeys).count()
+    if (kcounts.max("count()") or 0) > 1:
+        raise ValueError(
+            "distributed MERGE requires unique target ON keys — this "
+            "target has duplicate non-null key rows; run it through the "
+            "lake engine (UPSERT ... WITH LAKE) or shrink the target "
+            "below MERGE_DISTRIBUTED_BYTES")
+
+    tagged_ds = _tagged_merge_core(stmt, ds_t, tschema, sschema, src_mat,
+                                   ta, sa, env, tkeys, skeys)
 
     # stream the final rows to disk; counts fold batch-by-batch — driver
     # memory is O(batch) regardless of target size
@@ -526,3 +541,94 @@ def _merge_distributed(stmt: A.Merge, path: str, src_ds, ta: str, sa: str,
     os.replace(tmp, path)  # atomic visibility point
     return pa.table({"ROWS_INSERTED": [n_ins], "ROWS_UPDATED": [n_upd],
                      "ROWS_DELETED": [n_del], "ROWS_REJECTED": [0]})
+
+
+def merge_into_lake(session, stmt: A.Merge, path: str) -> pa.Table:
+    """ANSI MERGE INTO an exactly-once CDC LAKE target (r5 superset).
+
+    Semantics: the merge runs against the lake\'s CURRENT committed LWW
+    snapshot via the same distributed bucket core as the file path, then
+    the resulting actions become ONE transaction of LWW events — updates
+    and inserts as ``upsert`` rows, deletes as ``delete`` tombstones —
+    with fresh LSNs above the watermark, replayed through the lake
+    engine (OCC, deltas, time travel all apply). The ON keys must be
+    exactly the lake\'s key columns; unchanged keys produce no events.
+    Reference parity: ops/sql/Upsert.scala is the row-at-a-time
+    ancestor; the arms are the SQL:2003 superset."""
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from ..ops.dedup import _drop_empty_blocks
+    from ..sqlc.compiler import _env as compiler_env
+    from .engine import CDCLakeEngine
+
+    eng = CDCLakeEngine.open(path)
+    wm = int(eng.load_manifest()["watermark_lsn"])
+    ds_t = eng.dataset()
+    base = ds_t.schema(fetch_if_missing=True)
+    tschema = getattr(base, "base_schema", None) or pa.schema([])
+
+    tname = os.path.basename(os.path.normpath(stmt.target)) or "t"
+    ta = stmt.target_alias or tname
+    sa = stmt.source_alias or "src"
+    env = compiler_env(session)
+    src_ds = session.compiler.compile_query(stmt.source)
+    src_mat = _drop_empty_blocks(src_ds.materialize())
+    s_base = src_mat.schema(fetch_if_missing=True)
+    sschema = s_base.base_schema if s_base is not None else pa.schema([])
+    tkeys, skeys = _split_on_keys(stmt, ta, sa, tschema, sschema)
+    if {k.lower() for k in tkeys} != {k.lower() for k in eng.key_cols}:
+        raise ValueError(
+            f"MERGE INTO a lake target must join on exactly the lake key "
+            f"columns {eng.key_cols}, got {tkeys}")
+
+    tagged = _tagged_merge_core(stmt, ds_t, tschema, sschema, src_mat,
+                                ta, sa, env, tkeys, skeys)
+
+    def only_changes(t: pa.Table) -> pa.Table:
+        return t.filter(pc.not_equal(t.column(_ACTION), "k"))
+
+    changes = tagged.map_batches(only_changes,
+                                 batch_format="pyarrow").materialize()
+    counts = {"i": 0, "u": 0, "d": 0}
+    if changes.count():
+        for row in changes.groupby(_ACTION).count().take_all():
+            counts[row[_ACTION]] = int(row["count()"])
+        # fresh LSNs above the watermark via per-block offsets (narrow
+        # metadata math on the driver; rows never leave the object store)
+        blocks = list(changes._plan.execute().blocks)
+        cnts = [m.num_rows for _, m in blocks]
+        if any(c is None for c in cnts):
+            cnts = [len(b) for b in ray.get([r for r, _ in blocks])]
+        offs = np.cumsum([0] + cnts[:-1])
+
+        @ray.remote
+        def to_events(block, off: int, wm: int = wm) -> pa.Table:
+            if not isinstance(block, pa.Table):
+                block = pa.Table.from_pandas(block, preserve_index=False)
+            op = pc.if_else(pc.equal(block.column(_ACTION), "d"),
+                            pa.scalar("delete"), pa.scalar("upsert"))
+            drop = [_ACTION] + (["lsn"] if "lsn" in block.column_names
+                                else [])
+            block = block.drop_columns(drop)
+            lsns = np.arange(off, off + len(block), dtype=np.int64) + wm + 1
+            return block.append_column("lsn", pa.array(lsns)) \
+                .append_column("op", op)
+
+        ev = rd.from_arrow_refs(
+            [to_events.remote(r, int(o))
+             for (r, _), o in zip(blocks, offs)])
+        staging = tempfile.mkdtemp(prefix="qwery_merge_events_")
+        try:
+            ev.write_parquet(staging)
+            eng.replay(staging)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+    return pa.table({"ROWS_INSERTED": [counts["i"]],
+                     "ROWS_UPDATED": [counts["u"]],
+                     "ROWS_DELETED": [counts["d"]],
+                     "ROWS_REJECTED": [0]})

@@ -410,9 +410,11 @@ class QweryEngine:
             shutil.rmtree(staging, ignore_errors=True)
 
     def _exec_Merge(self, stmt: A.Merge):
-        """ANSI MERGE INTO — see cdc/merge_stmt.py for the semantics and
-        the dimension-table-scale contract (lake-scale merges go through
-        UPSERT ... WITH LAKE / the CDC engine)."""
+        """ANSI MERGE INTO — see cdc/merge_stmt.py for the semantics.
+        Targets: a parquet file (driver path below / distributed bucket
+        path above MERGE_DISTRIBUTED_BYTES, also forced by a big source)
+        or a CDC LAKE directory (r5: the arms run against the committed
+        LWW snapshot and commit as one exactly-once transaction)."""
         from ..cdc.merge_stmt import merge_into_parquet
 
         return merge_into_parquet(self, stmt)

@@ -26,6 +26,34 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import pandas as pd
 
 
+def apply_merge_step(rng: random.Random, sess, lake: str,
+                     oracle: dict) -> int:
+    """One randomized MERGE INTO the lake (r5: MERGE-arm sequences against
+    lake targets) + the oracle update over the VISIBLE state. Returns the
+    lake's new watermark so the caller can keep its LSN counter ahead."""
+    import json
+
+    ks = rng.sample(range(0, 30), rng.randint(1, 5))
+    rows = [(k, rng.randint(-100, 100),
+             rng.choice("abcdef") * rng.randint(1, 3)) for k in ks]
+    thresh = rng.randint(-60, 60)
+    vals = ", ".join(f"({k}, {v}, '{s}')" for k, v, s in rows)
+    sess.sql(
+        f"MERGE INTO '{lake}' AS tg USING (SELECT * FROM (VALUES {vals}) "
+        f"x(k, v, s)) AS sr ON tg.k = sr.k "
+        f"WHEN MATCHED AND sr.v < {thresh} THEN DELETE "
+        f"WHEN MATCHED THEN UPDATE SET v = sr.v, s = sr.s "
+        f"WHEN NOT MATCHED THEN INSERT (k, v, s) VALUES (sr.k, sr.v, sr.s)")
+    wm = json.load(open(os.path.join(lake, "manifest.json")))["watermark_lsn"]
+    for k, v, s in rows:
+        visible = k in oracle and oracle[k][1] is not None
+        if visible and v < thresh:
+            oracle[k] = (wm, None, None)       # matched-delete tombstone
+        else:
+            oracle[k] = (wm, v, s)             # matched-update / insert
+    return wm
+
+
 def run_sequence(run: int, seed: int, steps: int, sess) -> int:
     rng = random.Random(seed * 1000 + run)
     lake = os.path.join(tempfile.mkdtemp(prefix="lakefuzz_"), "lake")
@@ -33,20 +61,27 @@ def run_sequence(run: int, seed: int, steps: int, sess) -> int:
     lsn = 0
     bad = 0
     for i in range(steps):
-        rows = []
-        for _ in range(rng.randint(1, 6)):
-            lsn += 1
-            k = rng.randint(0, 30)
-            v = rng.randint(-100, 100)
-            s = rng.choice("abcdef") * rng.randint(1, 3)
-            op = "delete" if rng.random() < 0.15 else "upsert"
-            rows.append((lsn, k, v, s, op))
-        vals = ", ".join(f"({l}, {k}, {v}, '{s}', '{op}')"
-                         for l, k, v, s, op in rows)
-        with_lake = " WITH LAKE" if i == 0 else ""  # resume path after txn 1
-        sess.sql(
-            f"UPSERT INTO '{lake}'{with_lake} "
-            f"SELECT * FROM (VALUES {vals}) t(lsn, k, v, s, op) KEYED ON k")
+        if i > 0 and rng.random() < 0.35:
+            # MERGE assigns its own LSNs above the watermark — sync the
+            # counter so later UPSERT literals stay ahead of it
+            lsn = max(lsn, apply_merge_step(rng, sess, lake, oracle))
+            rows = []
+        else:
+            rows = []
+            for _ in range(rng.randint(1, 6)):
+                lsn += 1
+                k = rng.randint(0, 30)
+                v = rng.randint(-100, 100)
+                s = rng.choice("abcdef") * rng.randint(1, 3)
+                op = "delete" if rng.random() < 0.15 else "upsert"
+                rows.append((lsn, k, v, s, op))
+            vals = ", ".join(f"({l}, {k}, {v}, '{s}', '{op}')"
+                             for l, k, v, s, op in rows)
+            with_lake = " WITH LAKE" if i == 0 else ""  # resume after txn 1
+            sess.sql(
+                f"UPSERT INTO '{lake}'{with_lake} "
+                f"SELECT * FROM (VALUES {vals}) t(lsn, k, v, s, op) "
+                f"KEYED ON k")
         for l, k, v, s, op in rows:  # LWW oracle; tombstones stay in the
             # dict (a later lower-LSN upsert must not resurrect the key)
             if k not in oracle or oracle[k][0] < l:

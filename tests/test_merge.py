@@ -557,3 +557,87 @@ class TestBigSourceBounded:
         b = pq.read_table(str(tmp_path / "ru.parquet")).to_pandas()
         pd.testing.assert_frame_equal(a, b)
         assert b.sort_values("k").v.tolist() == [10, 16, 18]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMergeIntoLake:
+    """r5 superset: ANSI MERGE INTO an exactly-once CDC lake target — the
+    arms run against the committed LWW snapshot via the distributed
+    bucket core, and the actions commit as ONE transaction of LWW events
+    (deletes as tombstones, fresh LSNs above the watermark)."""
+
+    def _lake(self, tmp_path):
+        from qwery_ray import QweryEngine
+
+        eng = _engine(tmp_path)
+        lake = str(tmp_path / "lake")
+        eng.sql(f"UPSERT INTO '{lake}' WITH LAKE SELECT * FROM (VALUES "
+                f"(1, 'r1', 'a', 10), (2, 'r1', 'b', 20), "
+                f"(3, 'r2', 'a', 30)) t(lsn, repo, path, v) "
+                f"KEYED ON repo, path")
+        return eng, lake
+
+    def _state(self, eng, lake):
+        df = eng.sql(f"SELECT repo, path, v FROM '{lake}' WITH LAKE") \
+            .to_pandas().sort_values(["repo", "path"])
+        return list(df.itertuples(index=False, name=None))
+
+    def test_all_arms_one_txn(self, tmp_path):
+        eng, lake = self._lake(tmp_path)
+        res = eng.sql(f"""
+            MERGE INTO '{lake}' AS tg USING (SELECT * FROM (VALUES
+                ('r1', 'a', 111), ('r1', 'b', -1), ('r3', 'z', 99)
+            ) s(repo, path, nv)) AS sr
+            ON tg.repo = sr.repo AND tg.path = sr.path
+            WHEN MATCHED AND sr.nv < 0 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET v = sr.nv
+            WHEN NOT MATCHED THEN INSERT (repo, path, v)
+                VALUES (sr.repo, sr.path, sr.nv)
+            WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = tg.v + 1000
+        """).to_pandas()
+        assert (int(res.ROWS_UPDATED[0]), int(res.ROWS_DELETED[0]),
+                int(res.ROWS_INSERTED[0])) == (2, 1, 1)
+        assert self._state(eng, lake) == [
+            ("r1", "a", 111), ("r2", "a", 1030), ("r3", "z", 99)]
+
+    def test_sequential_merges_see_new_state(self, tmp_path):
+        eng, lake = self._lake(tmp_path)
+        for _ in range(3):
+            eng.sql(f"""
+                MERGE INTO '{lake}' AS tg USING (SELECT * FROM (VALUES
+                    ('r1', 'a', 5)) s(repo, path, nv)) AS sr
+                ON tg.repo = sr.repo AND tg.path = sr.path
+                WHEN MATCHED THEN UPDATE SET v = tg.v + sr.nv
+            """)
+        assert ("r1", "a", 25) in self._state(eng, lake)
+        # unchanged keys produced no events: watermark advanced by
+        # exactly one row per merge
+        import json
+        m = json.load(open(f"{lake}/manifest.json"))
+        assert m["watermark_lsn"] == 3 + 3  # 3 seed rows + 3 merge txns
+
+    def test_wrong_on_keys_rejected(self, tmp_path):
+        eng, lake = self._lake(tmp_path)
+        with pytest.raises(Exception, match="lake key columns"):
+            eng.sql(f"""
+                MERGE INTO '{lake}' AS tg USING (SELECT * FROM (VALUES
+                    ('r1', 1)) s(repo, nv)) AS sr ON tg.repo = sr.repo
+                WHEN MATCHED THEN UPDATE SET v = sr.nv
+            """)
+
+    def test_no_match_no_txn(self, tmp_path):
+        """A merge whose arms fire on nothing commits NO transaction."""
+        import json
+
+        eng, lake = self._lake(tmp_path)
+        before = json.load(open(f"{lake}/manifest.json"))["version"]
+        res = eng.sql(f"""
+            MERGE INTO '{lake}' AS tg USING (SELECT * FROM (VALUES
+                ('zz', 'zz', 1)) s(repo, path, nv)) AS sr
+            ON tg.repo = sr.repo AND tg.path = sr.path
+            WHEN MATCHED THEN UPDATE SET v = sr.nv
+        """).to_pandas()
+        assert int(res.ROWS_UPDATED[0]) == 0
+        assert int(res.ROWS_INSERTED[0]) == 0
+        after = json.load(open(f"{lake}/manifest.json"))["version"]
+        assert after == before
