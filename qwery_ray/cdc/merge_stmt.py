@@ -288,25 +288,12 @@ def _apply_merge(target: pd.DataFrame, src: pd.DataFrame, stmt: A.Merge,
     if inserts:
         for new in inserts:
             new[_ACTION] = "i"
-        # pandas deprecated empty/all-NA entries steering concat dtype
-        # inference — pre-type every all-NA insert column to the target's
-        # dtype (float64 when the dtype can't hold NA, the same promotion
-        # today's concat applies), and drop empty frames entirely
-        def _typed_na(n: int, dt):
-            try:
-                return pd.Series([pd.NA] * n, dtype=dt)
-            except (TypeError, ValueError):
-                return pd.Series([np.nan] * n, dtype="float64")
+        # column-union concat: an EMPTY target still contributes its
+        # schema, and all-NA insert columns are pre-typed (no deprecated
+        # empty/all-NA dtype inference) — see upsert.concat_union
+        from .upsert import concat_union
 
-        aligned = []
-        for f in [out] + inserts:
-            if f.empty:
-                continue
-            for col in f.columns:
-                if col != _ACTION and f[col].isna().all():
-                    f[col] = _typed_na(len(f), out[col].dtype)
-            aligned.append(f)
-        out = pd.concat(aligned, ignore_index=True) if aligned else out
+        out = concat_union([out] + inserts)
     return out
 
 

@@ -36,6 +36,46 @@ def _collect(ds: rd.Dataset) -> pd.DataFrame:
     return pd.concat(frames, ignore_index=True)
 
 
+def concat_union(frames: list[pd.DataFrame]) -> pd.DataFrame:
+    """Column-union concat with explicit NA typing.
+
+    Two pandas pitfalls handled at once: (a) EMPTY frames must still
+    contribute their COLUMNS — plain \"drop empty then concat\" silently
+    loses a side's schema (e.g. an UPSERT that replaces every surviving
+    row must keep the file's evolved columns); (b) all-NA columns are
+    pre-typed to the first frame's dtype (float64 when the dtype can't
+    hold NA — the promotion concat applies today) so deprecated
+    empty/all-NA dtype inference never fires (pandas FutureWarning,
+    removed in pandas 3)."""
+    order: list[str] = []
+    dtypes: dict = {}
+    for f in frames:
+        for c in f.columns:
+            if c not in order:
+                order.append(c)
+                dtypes[c] = f[c].dtype
+    live = [f for f in frames if not f.empty]
+    if not live:
+        return frames[0].reindex(columns=order)
+
+    def typed_na(n: int, dt):
+        try:
+            return pd.Series([pd.NA] * n, dtype=dt)
+        except (TypeError, ValueError):
+            return pd.Series([float("nan")] * n, dtype="float64")
+
+    aligned = []
+    for f in live:
+        f = f.copy()
+        for c in order:
+            if c not in f.columns or f[c].isna().all():
+                f[c] = typed_na(len(f), dtypes[c])
+        aligned.append(f[order])
+    if len(aligned) == 1:
+        return aligned[0].reset_index(drop=True)
+    return pd.concat(aligned, ignore_index=True)
+
+
 #: above this estimated source size, UPSERT/UPDATE pre-reduce the source
 #: per key DISTRIBUTED (last stream occurrence wins) before any driver
 #: collect — driver memory then scales with DISTINCT source keys (i.e.
@@ -144,11 +184,7 @@ def upsert_into_parquet(ds: rd.Dataset, path: str, keys: list[str]) -> tuple[int
         survivors = existing[~mask]
     else:
         survivors = existing
-    # exclude empty frames before concat: pandas deprecated letting
-    # empty/all-NA entries participate in result-dtype inference
-    parts = [f for f in (survivors, deduped) if not f.empty]
-    merged = parts[0].reset_index(drop=True) if len(parts) == 1 \
-        else pd.concat(parts, ignore_index=True)
+    merged = concat_union([survivors, deduped])
 
     tmp = path + ".tmp"
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)

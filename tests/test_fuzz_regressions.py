@@ -459,3 +459,45 @@ class TestNestedExistsAndBooleanCase:
         e = ora.sort_values(["a", "b"], ignore_index=True)
         assert a.a.tolist() == e.a.tolist()
         assert a.b.tolist() == e.b.tolist()
+
+
+class TestUpsertKeepsEvolvedColumns:
+    """r5 DML-fuzz find: an UPSERT whose incoming keys replace EVERY
+    surviving row must still keep the file's evolved columns (the
+    empty-survivor frame contributes schema, not rows)."""
+
+    def test_full_replacement_keeps_columns(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from qwery_ray import QweryEngine
+
+        p = str(tmp_path / "t.parquet")
+        pq.write_table(pa.table({"k": [1, 2], "v": [10, 20],
+                                 "x1": [7, 8]}), p)
+        eng = QweryEngine(table_root=str(tmp_path))
+        eng.sql(f"UPSERT INTO '{p}' (k, v) VALUES (1, 100) VALUES (2, 200) "
+                f"KEYED ON k")
+        back = pq.read_table(p).to_pandas().sort_values("k")
+        assert list(back.columns) == ["k", "v", "x1"]
+        assert back.v.tolist() == [100, 200]
+        assert back.x1.isna().all()  # replaced rows never had x1
+
+    def test_empty_target_merge_keeps_schema(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from qwery_ray import QweryEngine
+
+        p = str(tmp_path / "e.parquet")
+        pq.write_table(pa.table({"k": pa.array([], pa.int64()),
+                                 "v": pa.array([], pa.int64()),
+                                 "w": pa.array([], pa.string())}), p)
+        eng = QweryEngine(table_root=str(tmp_path))
+        eng.sql(f"MERGE INTO '{p}' AS tg USING (SELECT * FROM (VALUES "
+                f"(5, 50)) s(k, v)) AS sr ON tg.k = sr.k "
+                f"WHEN NOT MATCHED THEN INSERT (k, v) VALUES (sr.k, sr.v)")
+        back = pq.read_table(p).to_pandas()
+        assert list(back.columns) == ["k", "v", "w"]
+        assert back.k.tolist() == [5]
+        assert back.w.isna().all()
