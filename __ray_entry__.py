@@ -892,6 +892,11 @@ _DRIVER_WINDOW_PRIORITY = [
     # a post-fix record. Everything below the boundary was driver-green in
     # r4 (CORRECTNESS_r04.json) and stays covered by gate_sim locally.
     "embedding_kmeans", "semantic_dedup", "merge_apply",
+    # (a') r5 NEW surfaces, driver-rowed immediately: MERGE INTO lake and
+    # nested-EXISTS-in-CASE (the two lowest-risk twice-green tail entries,
+    # filter_project and using_sample, move below the boundary to make
+    # room — both stay gate_sim-covered; using_sample is rows-only anyway)
+    "lake_merge_apply", "exists_in_case",
     # (b) set-op rows over the hardened empty-block path
     "union_all_names", "distinct_status",
     # (c) the r3-verified tail, in r3 window order
@@ -902,15 +907,15 @@ _DRIVER_WINDOW_PRIORITY = [
     "repetition_quality", "decontaminate_docs", "stratified_sample",
     "gopher_filter", "asof_join_events", "bm25_scores",
     "covar_regression", "implicit_join_series", "lateral_unnest",
-    "using_sample", "pack_sequences", "lm_quality_score",
+    "pack_sequences", "lm_quality_score",
     "chunk_documents", "block_dedup_docs", "dup_span_docs", "vocab_topk",
     "dsir_weights", "bpe_tokens", "streaming_window",
     "tpch_q19_shape", "tpch_q21_shape", "tpch_q22_shape", "tpch_q11_shape",
     "tpch_q15_shape", "corr_max_per_nation",
     "pivot_events", "unpivot_events", "semi_anti_join", "window_exclude",
     "list_membership_counts", "list_string_ops", "unnest_embedding_stats",
-    "filter_project",
     # --- window boundary (50) ---
+    "filter_project", "using_sample",
     # r4-green entries (CORRECTNESS_r04.json rows all green), kept below
     # the window in r4 order; gate_sim still checks them locally
     "recursive_spine", "recursive_paths",
@@ -930,8 +935,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "corr_above_cust_avg", "quantified_all_any", "events_hourly_window",
     "tpch_q7_shape", "tpch_q8_shape", "tpch_q10_shape",
     "near_dup_components", "ann_topk", "corr_scalar_select",
-    # r5 NEW entry (below the boundary; gate_sim-covered)
-    "exists_in_case",
 ]
 
 
@@ -950,6 +953,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({
         "cdc_replay": dq.cdc_replay,
         "events_lake_lww": dq.events_lake_lww,
+        "lake_merge_apply": dq.lake_merge_apply,    # full SQL oracle (r5)
         "exact_dedup": dq.exact_dedup_docs,
         "token_count": dq.token_counts,
         "text_quality": dq.text_quality,          # full SQL oracle
@@ -1030,6 +1034,9 @@ SELECT x AS id, LEAST(x, MIN(y)) AS component
 FROM reach GROUP BY x ORDER BY id
 """
     out["cdc_replay"] = events_from_documents_sql()
+    from qwery_ray.pipelines.driver_queries import lake_merge_oracle_sql
+
+    out["lake_merge_apply"] = lake_merge_oracle_sql()
     out["events_lake_lww"] = """
 SELECT e.user_id, e.event_type, e.event_id AS lsn, e.value
 FROM events e

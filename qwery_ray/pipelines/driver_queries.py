@@ -83,6 +83,81 @@ def events_lake_lww(sf_dir: str):
         ["user_id", "event_type", "lsn", "value"])
 
 
+def lake_merge_apply(sf_dir: str):
+    """r5: ANSI MERGE INTO a CDC lake target — build the lake from the
+    events stream (LWW keyed on user_id, event_type), then one 3-arm
+    MERGE whose source mixes matched keys (grouped counts) with shifted
+    never-matched keys; the arms commit as ONE exactly-once transaction
+    of LWW events. FULL SQL ORACLE: LWW reconstruction + LEFT JOIN CASE
+    for the arms (same idiom as merge_apply's oracle). Integer counts
+    cast to DOUBLE keep values bit-exact on both engines."""
+    from ..cdc.engine import CDCLakeEngine
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    lake = f"/tmp/qwery_ray_driver/merge_lake_{tag}"
+    shutil.rmtree(lake, ignore_errors=True)
+    eng = engine_for(sf_dir)
+    eng.sql(
+        f"UPSERT INTO '{lake}' WITH LAKE "
+        f"SELECT event_id AS lsn, user_id, event_type, value FROM events "
+        f"KEYED ON user_id, event_type")
+    eng.sql(f"""
+        MERGE INTO '{lake}' AS tg USING (
+            SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events WHERE event_id % 3 = 0
+            GROUP BY user_id, event_type
+            UNION ALL
+            SELECT DISTINCT user_id + 1000000 AS user_id, event_type,
+                   CAST(5 AS BIGINT) AS n
+            FROM events WHERE user_id <= 5) AS sr
+        ON tg.user_id = sr.user_id AND tg.event_type = sr.event_type
+        WHEN MATCHED AND sr.n > 4 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET value = CAST(sr.n AS DOUBLE)
+        WHEN NOT MATCHED THEN INSERT (user_id, event_type, value)
+            VALUES (sr.user_id, sr.event_type, CAST(0 - sr.n AS DOUBLE))
+    """)
+    return CDCLakeEngine.open(lake).dataset().select_columns(
+        ["user_id", "event_type", "value"])
+
+
+def lake_merge_oracle_sql() -> str:
+    return """
+WITH lww AS (
+  SELECT e.user_id, e.event_type, e.value
+  FROM events e
+  JOIN (SELECT user_id, event_type, MAX(event_id) AS m
+        FROM events GROUP BY user_id, event_type) x
+    ON e.user_id = x.user_id AND e.event_type = x.event_type
+   AND e.event_id = x.m
+),
+src AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE event_id % 3 = 0 GROUP BY user_id, event_type
+  UNION ALL
+  SELECT DISTINCT user_id + 1000000 AS user_id, event_type,
+         CAST(5 AS BIGINT) AS n
+  FROM events WHERE user_id <= 5
+),
+merged AS (
+  SELECT t.user_id, t.event_type,
+         CASE WHEN s.user_id IS NULL THEN t.value
+              ELSE CAST(s.n AS DOUBLE) END AS value,
+         CASE WHEN s.user_id IS NOT NULL AND s.n > 4 THEN 1 ELSE 0 END AS del
+  FROM lww t LEFT JOIN src s
+    ON t.user_id = s.user_id AND t.event_type = s.event_type
+),
+ins AS (
+  SELECT s.user_id, s.event_type, CAST(0 - s.n AS DOUBLE) AS value
+  FROM src s LEFT JOIN lww t
+    ON t.user_id = s.user_id AND t.event_type = s.event_type
+  WHERE t.user_id IS NULL
+)
+SELECT user_id, event_type, value FROM merged WHERE del = 0
+UNION ALL
+SELECT user_id, event_type, value FROM ins
+"""
+
+
 # ------------------------------------------------------------- training ops
 def exact_dedup_docs(sf_dir: str):
     import ray.data as rd
