@@ -317,14 +317,17 @@ def merge_into_parquet(session, stmt: A.Merge) -> pa.Table:
     # the source on the driver (the distributed path streams the source
     # through the bucket shuffle; driver memory stays O(batch)).
     # Schema FIRST: materializing an all-empty source stores zero-column
-    # blocks, so the lazy plan is the only place the column names survive.
-    lazy_schema = src_ds.schema(fetch_if_missing=True)
+    # blocks; when even the lazy plan has no schema (a filtered-empty
+    # compiled query) the compiler's declared output columns survive on
+    # the dataset as _qwery_columns.
+    lazy_schema = _lazy_source_schema(src_ds)
     src_ds = src_ds.materialize()
     big_target = _path_bytes(path) > MERGE_DISTRIBUTED_BYTES
     big_source = (src_ds.size_bytes() or 0) > MERGE_DISTRIBUTED_BYTES
     if big_target or big_source:
         try:
-            return _merge_distributed(stmt, path, src_ds, ta, sa, env)
+            return _merge_distributed(stmt, path, src_ds, ta, sa, env,
+                                      sschema_hint=lazy_schema)
         except ValueError:
             if big_target:
                 raise
@@ -390,6 +393,28 @@ def _tagged_merge_core(stmt: A.Merge, ds_t, tschema: pa.Schema,
     from ..ops.dedup import _drop_empty_blocks
     from ..sqlc.compiler import AddBucketCol
 
+    if src_mat.count() == 0:
+        # EMPTY source: matched / not-matched arms can never fire — only
+        # NOT MATCHED BY SOURCE applies, to EVERY target row. That is a
+        # per-batch map (no pairing, no shuffle): run _apply_merge per
+        # target batch against an empty source frame. Also sidesteps the
+        # zero-column empty blocks a materialized empty source carries
+        # (Ray skips map UDFs on empty blocks, so widen_s could never
+        # repair them before the bucket groupby).
+        empty_src = pd.DataFrame(
+            {f.name: pd.Series([], dtype="object") for f in sschema})
+        nm_schema = pa.schema(list(tschema) + [pa.field(_ACTION,
+                                                        pa.string())])
+
+        def nmbs_batch(t: pa.Table) -> pa.Table:
+            tagged = _apply_merge(t.to_pandas(), empty_src, stmt, ta, sa,
+                                  env)
+            return pa.Table.from_pandas(tagged, schema=nm_schema,
+                                        preserve_index=False)
+
+        return ds_t.map_batches(nmbs_batch,
+                                batch_format="pyarrow").materialize()
+
     tfields = [(f.name, f.type) for f in tschema]
     sfields = [(f.name, f.type) for f in sschema]
     order = [n for n, _ in tfields] + ["__t1"] \
@@ -454,8 +479,34 @@ def _tagged_merge_core(stmt: A.Merge, ds_t, tschema: pa.Schema,
             merge_bucket, batch_format="pyarrow").materialize())
 
 
+def _lazy_source_schema(src_ds):
+    """Best pre-materialization schema for a compiled source: the lazy
+    plan's schema, else a null-typed schema from the compiler's declared
+    output columns (enough for the empty-source path, which only needs
+    NAMES)."""
+    sch = src_ds.schema(fetch_if_missing=True)
+    if sch is not None:
+        return sch
+    cols = getattr(src_ds, "_qwery_columns", None)
+    if cols:
+        return pa.schema([pa.field(c, pa.null()) for c in cols])
+    return None
+
+
+def _source_schema(src_mat, hint) -> pa.Schema:
+    """The source's Arrow schema, falling back to the PRE-materialization
+    hint: an all-empty materialized source stores zero-column blocks, so
+    the lazy plan is the only place the column names survive."""
+    s_base = src_mat.schema(fetch_if_missing=True)
+    sschema = getattr(s_base, "base_schema", s_base) \
+        if s_base is not None else pa.schema([])
+    if (sschema is None or not sschema.names) and hint is not None:
+        sschema = getattr(hint, "base_schema", hint)
+    return sschema if sschema is not None else pa.schema([])
+
+
 def _merge_distributed(stmt: A.Merge, path: str, src_ds, ta: str, sa: str,
-                       env: dict) -> pa.Table:
+                       env: dict, sschema_hint=None) -> pa.Table:
     """Hash-bucketed distributed MERGE for large FILE targets — see
     :func:`_tagged_merge_core` for the shape. Final rows stream back
     through ``iter_batches`` into the output file, so driver memory stays
@@ -477,8 +528,7 @@ def _merge_distributed(stmt: A.Merge, path: str, src_ds, ta: str, sa: str,
     tschema = pq.read_schema(path)
     ds_t = rd.read_parquet(path)
     src_mat = _drop_empty_blocks(src_ds.materialize())
-    s_base = src_mat.schema(fetch_if_missing=True)
-    sschema = s_base.base_schema if s_base is not None else pa.schema([])
+    sschema = _source_schema(src_mat, sschema_hint)
     tkeys, skeys = _split_on_keys(stmt, ta, sa, tschema, sschema)
 
     # ---- unique-key precondition (column-pruned, distributed) -----------
@@ -564,9 +614,9 @@ def merge_into_lake(session, stmt: A.Merge, path: str) -> pa.Table:
     sa = stmt.source_alias or "src"
     env = compiler_env(session)
     src_ds = session.compiler.compile_query(stmt.source)
+    lazy_schema = _lazy_source_schema(src_ds)
     src_mat = _drop_empty_blocks(src_ds.materialize())
-    s_base = src_mat.schema(fetch_if_missing=True)
-    sschema = s_base.base_schema if s_base is not None else pa.schema([])
+    sschema = _source_schema(src_mat, lazy_schema)
     tkeys, skeys = _split_on_keys(stmt, ta, sa, tschema, sschema)
     if {k.lower() for k in tkeys} != {k.lower() for k in eng.key_cols}:
         raise ValueError(

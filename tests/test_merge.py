@@ -641,3 +641,47 @@ class TestMergeIntoLake:
         assert int(res.ROWS_INSERTED[0]) == 0
         after = json.load(open(f"{lake}/manifest.json"))["version"]
         assert after == before
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEmptySourceDistributed:
+    """r5: big-target (forced-distributed) MERGE with an EMPTY source —
+    only NOT MATCHED BY SOURCE fires, via the shuffle-free per-batch
+    path; the source schema survives materialization via the lazy hint."""
+
+    def test_nmbs_only_empty_source(self, workdir, monkeypatch):
+        import qwery_ray.cdc.merge_stmt as ms
+
+        monkeypatch.setattr(ms, "MERGE_DISTRIBUTED_BYTES", 0)
+        eng = _engine(workdir)
+        res = eng.sql("""
+            MERGE INTO inv AS t
+            USING (SELECT * FROM delta WHERE qty > 99999) AS s
+            ON t.id = s.id
+            WHEN MATCHED THEN UPDATE SET qty = s.qty
+            WHEN NOT MATCHED THEN INSERT (id, qty, status)
+                VALUES (s.id, s.qty, 'new')
+            WHEN NOT MATCHED BY SOURCE AND t.qty >= 30
+                THEN UPDATE SET status = 'stale'
+        """).to_pandas()
+        assert int(res.ROWS_UPDATED[0]) == 3
+        assert int(res.ROWS_INSERTED[0]) == 0
+        final = pq.read_table(
+            str(workdir / "inv.parquet")).to_pandas().sort_values("id")
+        assert final.status.tolist() == \
+            ["old", "old", "stale", "stale", "stale"]
+
+    def test_empty_source_no_nmbs_keeps_all(self, workdir, monkeypatch):
+        import qwery_ray.cdc.merge_stmt as ms
+
+        monkeypatch.setattr(ms, "MERGE_DISTRIBUTED_BYTES", 0)
+        eng = _engine(workdir)
+        res = eng.sql("""
+            MERGE INTO inv AS t
+            USING (SELECT * FROM delta WHERE qty > 99999) AS s
+            ON t.id = s.id
+            WHEN MATCHED THEN UPDATE SET qty = s.qty
+        """).to_pandas()
+        assert int(res.ROWS_UPDATED[0]) == 0
+        final = pq.read_table(str(workdir / "inv.parquet")).to_pandas()
+        assert len(final) == 5
