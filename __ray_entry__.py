@@ -861,6 +861,15 @@ _SQL_QUERIES: dict[str, tuple[str, str | None]] = {
         "COUNT(*) AS n FROM events WHERE json_valid(props) "
         "GROUP BY event_type ORDER BY event_type",
         None),
+    "having_exists": (
+        # r5: [NOT] EXISTS in HAVING (deferred past the aggregate,
+        # decorrelated against the grouped frame). Standard-form
+        # correlation; same ANSI text runs on both engines.
+        "SELECT c_nationkey AS k, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM customer GROUP BY 1 HAVING EXISTS (SELECT 1 FROM nation "
+        "WHERE n_nationkey = c_nationkey AND n_regionkey <= 1) "
+        "ORDER BY k",
+        None),
     "exists_in_case": (
         # r5: correlated [NOT] EXISTS nested inside CASE — in the SELECT
         # list (count-subquery decorrelation into a grouped LEFT JOIN)
@@ -915,7 +924,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "pivot_events", "unpivot_events", "semi_anti_join", "window_exclude",
     "list_membership_counts", "list_string_ops", "unnest_embedding_stats",
     # --- window boundary (50) ---
-    "filter_project", "using_sample",
+    "filter_project", "using_sample", "having_exists",
     # r4-green entries (CORRECTNESS_r04.json rows all green), kept below
     # the window in r4 order; gate_sim still checks them locally
     "recursive_spine", "recursive_paths",

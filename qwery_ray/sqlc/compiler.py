@@ -1314,11 +1314,14 @@ class PostAgg:
     (AVG = Σsum/Σcnt, STDDEV from moments) and evaluates the SELECT items
     with aggregate calls replaced by their result columns."""
 
-    def __init__(self, items, out_names, env, having=None):
+    def __init__(self, items, out_names, env, having=None, keep_cols=()):
         self.items = items
         self.out_names = out_names
         self.env = env
         self.having = having
+        # raw pre-projection columns a DEFERRED (subquery-bearing) HAVING
+        # still needs downstream; dropped after that filter runs
+        self.keep_cols = list(keep_cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ev = make_evaluator(self.env)
@@ -1331,6 +1334,9 @@ class PostAgg:
             if not isinstance(val, (pa.Array, pa.ChunkedArray)):
                 val = pa.array([val] * n) if val is not None else pa.nulls(n)
             cols[name] = val
+        for c in self.keep_cols:
+            if c in batch.column_names and c not in cols:
+                cols[c] = batch.column(c)
         return pa.table(cols)
 
 
@@ -2614,29 +2620,7 @@ class Compiler:
             # AFTER those joins, and the helper columns are dropped so
             # SELECT * stays clean. Top-level conjunct EXISTS was already
             # extracted into exists_nodes (the semi-join fast path).
-            where = _rewrite_nested_exists(where)
-            wsubs = self._collect_scalar_subqueries(where)
-            if wsubs:
-                orig_cols = list(frame.columns)
-                smap: dict = {}
-                for k, node in enumerate(wsubs):
-                    frame, repl = self._decorrelate_or_fold(
-                        frame, node, 1000 + k, env)
-                    smap[id(node)] = repl
-                where = transform_expr(where,
-                                       lambda n: smap.get(id(n), n))
-                helper = [c for c in frame.columns if c not in orig_cols]
-                filtered = frame.ds.map_batches(FilterBatch(where, env),
-                                                batch_format="pyarrow")
-                if helper:
-                    filtered = filtered.map_batches(
-                        DropColumns(helper), batch_format="pyarrow")
-                frame = Frame(filtered, orig_cols, frame.aliases)
-            else:
-                frame = Frame(
-                    frame.ds.map_batches(FilterBatch(where, env),
-                                         batch_format="pyarrow"),
-                    frame.columns, frame.aliases)
+            frame = self._filter_with_subqueries(frame, where, env)
         for k, node in enumerate(semi_nodes):
             frame = self._apply_in_semijoin(frame, node, k, env)
         for k, node in enumerate(corr_nodes):
@@ -3242,6 +3226,71 @@ class Compiler:
         out = out.map_batches(DropColumns([sv] + dkeys),
                               batch_format="pyarrow")
         return Frame(out, frame.columns, frame.aliases)
+
+    def _rebind_subquery_outer_refs(self, cond, name_map: dict):
+        """Inside every [NOT] EXISTS / scalar subquery of a condition
+        tree, rewrite unqualified outer refs whose lower-cased name is in
+        ``name_map`` — and which the subquery's OWN source cannot resolve
+        — to the mapped (output-alias) name. Used for deferred HAVING,
+        where correlation conventionally names the group column's source
+        (… = c_nationkey) but the aggregated frame carries the alias."""
+        from .parser import _ScalarSubquery
+
+        def repl(node):
+            q = node.query if isinstance(node, (A.Exists,)) else (
+                node.query if isinstance(node, _ScalarSubquery) else None)
+            if not isinstance(q, A.Select) or q.where is None:
+                return node
+            try:
+                inner_cols = self.compile_source(q.source).columns
+            except Exception:
+                return node
+
+            def fix(r):
+                if isinstance(r, A.ColumnRef) and r.table_alias is None \
+                        and r.name.lower() in name_map \
+                        and not _try_resolve(r.name, inner_cols):
+                    return A.ColumnRef(name_map[r.name.lower()])
+                return r
+
+            new_where = transform_expr(q.where, fix)
+            if new_where is q.where:
+                return node
+            q2 = dc_replace(q, where=new_where)
+            if isinstance(node, A.Exists):
+                return A.Exists(q2, node.negated)
+            return _ScalarSubquery(q2)
+
+        return transform_expr(cond, repl)
+
+    def _filter_with_subqueries(self, frame: Frame, cond, env,
+                                base_k: int = 1000) -> Frame:
+        """Filter a frame by a condition that may contain nested [NOT]
+        EXISTS or correlated scalar subqueries (a CASE branch, an OR arm,
+        a HAVING clause over the aggregated frame): rewrite EXISTS to
+        count scalar-subqueries, decorrelate each into a grouped LEFT
+        JOIN against this frame, filter, then drop the helper columns."""
+        cond = _rewrite_nested_exists(cond)
+        subs = self._collect_scalar_subqueries(cond)
+        if not subs:
+            return Frame(
+                frame.ds.map_batches(FilterBatch(cond, env),
+                                     batch_format="pyarrow"),
+                frame.columns, frame.aliases)
+        orig_cols = list(frame.columns)
+        smap: dict = {}
+        for k, node in enumerate(subs):
+            frame, repl = self._decorrelate_or_fold(
+                frame, node, base_k + k, env)
+            smap[id(node)] = repl
+        cond = transform_expr(cond, lambda n: smap.get(id(n), n))
+        helper = [c for c in frame.columns if c not in orig_cols]
+        filtered = frame.ds.map_batches(FilterBatch(cond, env),
+                                        batch_format="pyarrow")
+        if helper:
+            filtered = filtered.map_batches(DropColumns(helper),
+                                            batch_format="pyarrow")
+        return Frame(filtered, orig_cols, frame.aliases)
 
     def _collect_scalar_subqueries(self, expr, into: list | None = None):
         """All _ScalarSubquery nodes in an expression tree, by identity."""
@@ -4658,9 +4707,56 @@ class Compiler:
                 out = rd.from_arrow(pa.table(cols))
             out = out.map_batches(CombinePartials(aggs), batch_format="pyarrow")
 
-        post = PostAgg(post_items, post_names, env, having=new_having)
+        # HAVING containing [NOT] EXISTS / correlated scalar subqueries
+        # (top-level or nested in CASE/OR) can't evaluate inside PostAgg —
+        # defer it: aggregate first, then decorrelate against the
+        # aggregated frame and filter (HAVING is just WHERE over groups)
+        post_having, deferred_having = new_having, None
+        if new_having is not None and self._collect_scalar_subqueries(
+                _rewrite_nested_exists(new_having)):
+            post_having, deferred_having = None, new_having
+            # standard-form correlation refers to the group column's
+            # SOURCE name (… = c_nationkey) while the aggregated frame
+            # only carries the output alias (k): rebind such refs inside
+            # the deferred subqueries to the alias column
+            gk_map = {it.expr.name.lower(): it.alias
+                      for it in sel.items
+                      if isinstance(it, A.SelectItem)
+                      and isinstance(it.expr, A.ColumnRef) and it.alias
+                      and it.alias.lower() != it.expr.name.lower()}
+            if gk_map:
+                deferred_having = self._rebind_subquery_outer_refs(
+                    deferred_having, gk_map)
+        # raw result-column refs (__r…) the deferred HAVING needs survive
+        # the projection and drop after its filter
+        keep_raw: list[str] = []
+        if deferred_having is not None:
+            low_out = {p.lower() for p in post_names}
+
+            def _collect_raw(nref):
+                if isinstance(nref, A.ColumnRef) and \
+                        nref.table_alias is None and \
+                        nref.name.lower() not in low_out and \
+                        nref.name not in keep_raw:
+                    keep_raw.append(nref.name)
+                return nref
+
+            transform_expr(deferred_having, _collect_raw)
+        post = PostAgg(post_items, post_names, env, having=post_having,
+                       keep_cols=keep_raw)
         ds_final = out.map_batches(post, batch_format="pyarrow")
         frame2 = Frame(ds_final, post_names)
+        if deferred_having is not None:
+            frame2 = self._filter_with_subqueries(
+                Frame(ds_final, post_names + keep_raw), deferred_having,
+                env, base_k=2000)
+            if keep_raw:
+                frame2 = Frame(
+                    frame2.ds.map_batches(DropColumns(keep_raw),
+                                          batch_format="pyarrow"),
+                    post_names, frame2.aliases)
+            else:
+                frame2 = Frame(frame2.ds, post_names, frame2.aliases)
         # keep agg/order helper columns available for ORDER BY on aggregates
         frame2._agg_mapping = order_mapping  # type: ignore[attr-defined]
         frame2._drop_cols = extra_names  # type: ignore[attr-defined]

@@ -501,3 +501,65 @@ class TestUpsertKeepsEvolvedColumns:
         assert list(back.columns) == ["k", "v", "w"]
         assert back.k.tolist() == [5]
         assert back.w.isna().all()
+
+
+class TestHavingExists:
+    """r5: [NOT] EXISTS / subquery-bearing CASE in HAVING — deferred past
+    PostAgg and decorrelated against the aggregated frame; standard-form
+    correlation (… = c_nationkey) rebinds to the output alias."""
+
+    def _both(self, sess, q):
+        con = duckdb.connect()
+        for t in ("customer", "nation"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{SF}/{t}.parquet')")
+        mine = _df(sess.sql(q)).reset_index(drop=True)
+        ora = con.execute(q).df().reset_index(drop=True)
+        ora.columns = [c.lower() for c in ora.columns]
+        assert list(mine.columns) == list(ora.columns)
+        for c in mine.columns:
+            assert mine[c].tolist() == ora[c].tolist(), c
+        return mine
+
+    def test_having_exists_std_correlation(self, sess):
+        out = self._both(sess, (
+            "SELECT c_nationkey AS k, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM customer GROUP BY 1 HAVING EXISTS (SELECT 1 FROM nation "
+            "WHERE n_nationkey = c_nationkey AND n_regionkey = 0) "
+            "ORDER BY k"))
+        assert len(out) > 0
+
+    def test_having_not_exists(self, sess):
+        self._both(sess, (
+            "SELECT c_nationkey AS k, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM customer GROUP BY 1 HAVING NOT EXISTS (SELECT 1 FROM "
+            "nation WHERE n_nationkey = c_nationkey AND n_regionkey <= 1) "
+            "ORDER BY k"))
+
+    def test_having_case_exists_with_agg(self, sess):
+        # CASE mixing an EXISTS branch with aggregate comparisons: the
+        # raw result columns survive the projection for the deferred
+        # filter, then drop (schema must stay clean)
+        out = self._both(sess, (
+            "SELECT c_nationkey AS k, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM customer GROUP BY 1 HAVING CASE WHEN EXISTS "
+            "(SELECT 1 FROM nation WHERE n_nationkey = c_nationkey AND "
+            "n_regionkey = 0) THEN COUNT(*) > 2 ELSE COUNT(*) > 5 END "
+            "ORDER BY k"))
+        assert list(out.columns) == ["k", "n"]
+
+    def test_having_exists_alias_correlation_superset(self, sess):
+        # correlation via the OUTPUT alias — a superset DuckDB rejects
+        # ("cannot reference alias in correlated subquery"); equals the
+        # standard form's result
+        a = _df(sess.sql(
+            "SELECT c_nationkey AS k, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM customer GROUP BY 1 HAVING EXISTS (SELECT 1 FROM nation "
+            "WHERE n_nationkey = k AND n_regionkey = 0) ORDER BY k"))
+        b = _df(sess.sql(
+            "SELECT c_nationkey AS k, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM customer GROUP BY 1 HAVING EXISTS (SELECT 1 FROM nation "
+            "WHERE n_nationkey = c_nationkey AND n_regionkey = 0) "
+            "ORDER BY k"))
+        assert a.k.tolist() == b.k.tolist()
+        assert a.n.tolist() == b.n.tolist()
