@@ -352,6 +352,29 @@ def gen_exists_in_case_query(rng: random.Random):
     return q, q, True
 
 
+def gen_having_exists_query(rng: random.Random):
+    # r5: [NOT] EXISTS in HAVING, standard-form correlation on the group
+    # column's source name (deferred past the aggregate in this engine)
+    neg = rng.choice(["", "NOT "])
+    reg = rng.randint(0, 4)
+    agg_guard = ""
+    if rng.random() < 0.4:
+        agg_guard = f" AND COUNT(*) > {rng.randint(0, 5)}"
+    if rng.random() < 0.3:
+        # subquery-bearing CASE mixing aggregate comparisons
+        having = (f"CASE WHEN {neg}EXISTS (SELECT 1 FROM nation "
+                  f"WHERE n_nationkey = c_nationkey AND n_regionkey = {reg}) "
+                  f"THEN COUNT(*) > {rng.randint(0, 4)} "
+                  f"ELSE COUNT(*) > {rng.randint(3, 8)} END")
+    else:
+        having = (f"{neg}EXISTS (SELECT 1 FROM nation "
+                  f"WHERE n_nationkey = c_nationkey AND "
+                  f"n_regionkey <= {reg}){agg_guard}")
+    q = (f"SELECT c_nationkey AS k, CAST(COUNT(*) AS BIGINT) AS n "
+         f"FROM customer GROUP BY 1 HAVING {having} ORDER BY k")
+    return q, q, True
+
+
 def gen_setop_over_window_query(rng: random.Random):
     # r4 verdict item 5: set ops whose arms are WINDOW outputs. ORDER BY
     # the unique o_orderkey inside each window so ranks are deterministic
@@ -1023,11 +1046,13 @@ def gen_query(rng: random.Random):
             return gen_multi_distinct_query(rng)
         return gen_string_agg_query(rng)
     r = rng.random()
-    if r < 0.08:
+    if r < 0.10:
         r2 = rng.random()
-        if r2 < 0.5:
+        if r2 < 0.36:
             return gen_exists_in_case_query(rng)
-        return gen_setop_over_window_query(rng)
+        if r2 < 0.72:
+            return gen_setop_over_window_query(rng)
+        return gen_having_exists_query(rng)
     r = rng.random()
     if r < 0.035:
         return gen_exists_query(rng)
