@@ -1267,8 +1267,22 @@ class CDCLakeEngine:
         parts = [info for info in manifest["partitions"].values()
                  if info["rows"] > 0]
         if not parts:
+            # visible snapshot is EMPTY (fresh lake or every key
+            # tombstoned): recover the REAL row schema from any committed
+            # partition file (0-row files keep their schema) so callers
+            # like MERGE still see the value columns; a truly file-less
+            # lake falls back to this lake's OWN key columns
+            for info in manifest["partitions"].values():
+                fp = os.path.join(self.lake_dir, info.get("file") or "")
+                if info.get("file") and os.path.exists(fp):
+                    sch = pq.read_schema(fp)
+                    drop = [c for c in ("op", "pkey") if c in sch.names]
+                    if drop:
+                        sch = pa.schema([f for f in sch
+                                         if f.name not in drop])
+                    return rd.from_arrow(sch.empty_table())
             return rd.from_arrow(pa.table({c: pa.array([], type=pa.string())
-                                           for c in KEY_COLS}))
+                                           for c in self.key_cols}))
         if not any(info.get("deltas") for info in parts):
             return rd.read_parquet(
                 [os.path.join(self.lake_dir, info["file"])

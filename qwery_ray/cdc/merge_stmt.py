@@ -328,8 +328,12 @@ def merge_into_parquet(session, stmt: A.Merge) -> pa.Table:
         try:
             return _merge_distributed(stmt, path, src_ds, ta, sa, env,
                                       sschema_hint=lazy_schema)
-        except ValueError:
-            if big_target:
+        except ValueError as ex:
+            # fall back ONLY on the unique-key precondition; any other
+            # error (cardinality violation, bad arms …) must fail fast —
+            # retrying on the driver path would collect the whole source
+            # just to hit the same error
+            if big_target or "unique target ON keys" not in str(ex):
                 raise
             # big source into a SMALL duplicate-key target: the
             # distributed path's unique-key precondition failed, and only
@@ -635,13 +639,12 @@ def merge_into_lake(session, stmt: A.Merge, path: str) -> pa.Table:
     if changes.count():
         for row in changes.groupby(_ACTION).count().take_all():
             counts[row[_ACTION]] = int(row["count()"])
-        # fresh LSNs above the watermark via per-block offsets (narrow
-        # metadata math on the driver; rows never leave the object store)
-        blocks = list(changes._plan.execute().blocks)
-        cnts = [m.num_rows for _, m in blocks]
-        if any(c is None for c in cnts):
-            cnts = [len(b) for b in ray.get([r for r, _ in blocks])]
-        offs = np.cumsum([0] + cnts[:-1])
+        # fresh LSNs above the watermark via per-block offsets (shared
+        # primitive with the UPSERT pre-reduce; unknown counts resolve by
+        # remote len() — rows never leave the object store)
+        from .upsert import block_offsets
+
+        pairs = block_offsets(changes)
 
         @ray.remote
         def to_events(block, off: int, wm: int = wm) -> pa.Table:
@@ -657,8 +660,7 @@ def merge_into_lake(session, stmt: A.Merge, path: str) -> pa.Table:
                 .append_column("op", op)
 
         ev = rd.from_arrow_refs(
-            [to_events.remote(r, int(o))
-             for (r, _), o in zip(blocks, offs)])
+            [to_events.remote(r, o) for r, o in pairs])
         staging = tempfile.mkdtemp(prefix="qwery_merge_events_")
         try:
             ev.write_parquet(staging)

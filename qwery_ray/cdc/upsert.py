@@ -84,6 +84,31 @@ def concat_union(frames: list[pd.DataFrame]) -> pd.DataFrame:
 SOURCE_PREREDUCE_BYTES = 128 << 20
 
 
+def block_offsets(mat: rd.Dataset) -> list:
+    """(block_ref, cumulative_row_offset) pairs for a MATERIALIZED
+    dataset — the shared primitive for making implicit stream position
+    explicit (UPSERT last-wins __pos tags, lake-MERGE fresh LSNs).
+    Unknown num_rows metadata is counted by a remote per-block len()
+    task; rows never move to the driver."""
+    import numpy as np
+    import ray
+
+    blocks = list(mat._plan.execute().blocks)
+    counts = [meta.num_rows for _, meta in blocks]
+    missing = [i for i, c in enumerate(counts) if c is None]
+    if missing:
+        @ray.remote
+        def _len(b) -> int:
+            return len(b)
+
+        for i, n in zip(missing,
+                        ray.get([_len.remote(blocks[i][0])
+                                 for i in missing])):
+            counts[i] = n
+    offsets = np.cumsum([0] + counts[:-1])
+    return [(ref, int(off)) for (ref, _), off in zip(blocks, offsets)]
+
+
 def _last_in_table(t: pa.Table, keys: list[str]) -> pa.Table:
     """Keep each key's max-__pos row of one Arrow table. Key/pos columns
     go through pandas (narrow); CONTENT moves by take() — zero type
@@ -106,14 +131,7 @@ def _last_per_key_distributed(mat: rd.Dataset, keys: list[str]) -> pd.DataFrame:
     pre-combines (PartialLww shape — shuffle volume is bounded by
     distinct-keys-per-batch), then ONE groupby shuffle keeps the global
     max-__pos row per key. Only the reduced stream reaches the driver."""
-    import numpy as np
     import ray
-
-    blocks = list(mat._plan.execute().blocks)
-    counts = [meta.num_rows for _, meta in blocks]
-    if any(c is None for c in counts):
-        counts = [len(b) for b in ray.get([ref for ref, _ in blocks])]
-    offsets = np.cumsum([0] + counts[:-1])
 
     @ray.remote
     def _tag(block, off: int) -> pa.Table:
@@ -126,8 +144,16 @@ def _last_per_key_distributed(mat: rd.Dataset, keys: list[str]) -> pd.DataFrame:
                                         dtype=np.int64)))
 
     tagged = rd.from_arrow_refs(
-        [_tag.remote(ref, int(off))
-         for (ref, _), off in zip(blocks, offsets)])
+        [_tag.remote(ref, off) for ref, off in block_offsets(mat)])
+
+    # NULL key values: Ray's sort-shuffle groupby hands a None to its
+    # boundary sampler and dies in searchsorted — group on null-safe
+    # (is-null flag, null-filled copy) encodings instead, exactly like
+    # the compiler's aggregate path; original key columns pass through
+    from ..sqlc.compiler import NullSafeSortKeys
+
+    enc_keys = [c for i in range(len(keys))
+                for c in (f"__nf{i}", f"__nk{i}")]
 
     def combine(batch: pa.Table) -> pa.Table:
         return _last_in_table(batch, keys) if len(batch) else batch
@@ -136,7 +162,11 @@ def _last_per_key_distributed(mat: rd.Dataset, keys: list[str]) -> pd.DataFrame:
         return _last_in_table(g, keys) if len(g) else g
 
     reduced = tagged.map_batches(combine, batch_format="pyarrow") \
-        .groupby(keys).map_groups(group_last, batch_format="pyarrow")
+        .map_batches(NullSafeSortKeys(keys), batch_format="pyarrow") \
+        .groupby(enc_keys).map_groups(group_last, batch_format="pyarrow") \
+        .map_batches(lambda t: t.drop_columns(
+            [c for c in enc_keys if c in t.column_names]),
+            batch_format="pyarrow")
     out = _collect(reduced)
     if out.empty:
         return out.drop(columns=["__pos"], errors="ignore")

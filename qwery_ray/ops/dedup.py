@@ -798,11 +798,25 @@ def _drop_empty_blocks(mat: rd.Dataset) -> rd.Dataset:
     any later Dataset.join chokes on the mixed schema ("No match or
     multiple matches for key field reference"). Dropping the empties fixes
     the schema and sheds dead blocks."""
+    # from_arrow_refs assumes Arrow blocks; a pandas-format dataset
+    # (base_schema is a PandasBlockSchema) must pass through untouched
+    try:
+        base = getattr(mat.schema(), "base_schema", None)
+    except Exception:
+        base = None
+    if base is not None and not isinstance(base, pa.Schema):
+        return mat
+    # num_rows is Optional in Ray BlockMetadata: None = UNKNOWN count —
+    # conservatively KEEP those blocks (only drop a provably-0 block)
     refs = [ref for bundle in mat.iter_internal_ref_bundles()
-            for ref, meta in bundle.blocks if meta.num_rows]
+            for ref, meta in bundle.blocks
+            if meta.num_rows is None or meta.num_rows]
     if not refs:
         return mat.limit(0)
-    return rd.from_arrow_refs(refs)
+    try:
+        return rd.from_arrow_refs(refs)
+    except Exception:
+        return mat
 
 
 def _cc_join_rounds(edges: rd.Dataset, labels: rd.Dataset,

@@ -195,8 +195,20 @@ def _write_single_parquet(ds: rd.Dataset, path: str, overwrite: bool) -> int:
                     pad = PadToSchema(schema)
                     writer.write_table(pad(written).cast(schema))
             writer.write_table(pad(batch).cast(schema))
+    except BaseException:
+        # a mid-write failure (unpromotable later-batch type, source
+        # error) must NEVER publish the partial .tmp over the committed
+        # file — close, discard, re-raise
+        if writer is not None:
+            writer.close()
+            writer = None
+        try:
+            os.remove(path + ".tmp")
+        except OSError:
+            pass
+        raise
     finally:
         if writer is not None:
             writer.close()
-            os.replace(path + ".tmp", path)
+            os.replace(path + ".tmp", path)  # atomic visibility point
     return count

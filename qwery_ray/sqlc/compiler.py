@@ -2636,12 +2636,20 @@ class Compiler:
         # [NOT] EXISTS inside a SELECT item (CASE branches included)
         # rewrites to a count scalar-subquery first, then rides the same
         # decorrelation below
-        new_items = tuple(
-            it if isinstance(it, A.Star)
-            else A.SelectItem(_rewrite_nested_exists(it.expr), it.alias)
-            for it in sel.items)
-        if any(a is not b for a, b in zip(new_items, sel.items)):
-            sel = dc_replace(sel, items=new_items)
+        new_items = []
+        items_changed = False
+        for it in sel.items:
+            if isinstance(it, A.Star):
+                new_items.append(it)
+                continue
+            ne = _rewrite_nested_exists(it.expr)
+            if ne is it.expr:  # transform_expr returns the same object
+                new_items.append(it)  # when nothing rewrote
+            else:
+                new_items.append(A.SelectItem(ne, it.alias))
+                items_changed = True
+        if items_changed:
+            sel = dc_replace(sel, items=tuple(new_items))
 
         sub_nodes: list = []
         for it in sel.items:
@@ -4742,6 +4750,14 @@ class Compiler:
                 return nref
 
             transform_expr(deferred_having, _collect_raw)
+            # correlation on a GROUP BY column absent from the output
+            # (SELECT COUNT(*) … GROUP BY c_nationkey HAVING EXISTS
+            # (… = c_nationkey)): keep the raw group-key columns visible
+            # for the decorrelation join, dropped after the filter
+            for kn in key_names:
+                if isinstance(kn, str) and kn.lower() not in low_out \
+                        and kn not in keep_raw:
+                    keep_raw.append(kn)
         post = PostAgg(post_items, post_names, env, having=post_having,
                        keep_cols=keep_raw)
         ds_final = out.map_batches(post, batch_format="pyarrow")

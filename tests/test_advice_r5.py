@@ -15,6 +15,7 @@ import os
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
+import pytest
 
 
 class TestLateColumnParquetWriter:
@@ -122,3 +123,99 @@ class TestDropEmptyBlocksMetadata:
         # never re-wrap through from_arrow_refs
         assert out is ds
         assert out.count() == 3
+
+
+class TestReviewFindingsR5:
+    """Pins for the round-5 self-review findings."""
+
+    def test_prereduce_null_keys(self, ray_session, monkeypatch):
+        """NULL key values must survive the forced-distributed last-wins
+        reduction (null-safe encoded groupby, not a raw Ray groupby)."""
+        import ray.data as rd
+
+        import qwery_ray.cdc.upsert as up
+
+        src = pd.DataFrame({
+            "k": ["a", None, "a", "b", None, "b"],
+            "v": [1, 2, 3, 4, 5, 6],
+        })
+        out = up._last_per_key_distributed(
+            rd.from_pandas(src).materialize(), ["k"])
+        got = {(-1 if pd.isna(k) else k): int(v)
+               for k, v in zip(out.k, out.v)}
+        assert got == {"a": 3, -1: 5, "b": 6}  # last per key, NULL group
+
+    def test_writer_failure_never_publishes_partial(self, ray_session,
+                                                    tmp_path):
+        """An unpromotable later-batch type must leave the committed file
+        untouched (no partial .tmp replace)."""
+        import ray.data as rd
+
+        from qwery_ray.sources.writers import _write_single_parquet
+
+        path = os.path.join(str(tmp_path), "t.parquet")
+        orig = pa.table({"k": [1, 2, 3]})
+        pq.write_table(orig, path)
+        n = 70000
+        t1 = pa.table({"k": pa.array(range(n), pa.int64())})
+        t2 = pa.table({"k": pa.array([f"s{i}" for i in range(n)])})
+        with pytest.raises(Exception):
+            _write_single_parquet(rd.from_arrow([t1, t2]), path,
+                                  overwrite=True)
+        assert pq.read_table(path).equals(orig)  # unchanged
+        assert not os.path.exists(path + ".tmp")
+
+    def test_merge_into_tombstoned_lake_reinserts(self, ray_session,
+                                                  tmp_path):
+        """A lake whose every key is tombstoned still exposes its value
+        schema, so MERGE NOT MATCHED can re-insert."""
+        from qwery_ray import QweryEngine
+
+        eng = QweryEngine(table_root=str(tmp_path))
+        lake = str(tmp_path / "lake")
+        eng.sql(f"UPSERT INTO '{lake}' WITH LAKE SELECT * FROM (VALUES "
+                f"(1, 'a', 10, 'upsert'), (2, 'b', 20, 'upsert'), "
+                f"(3, 'a', 0, 'delete'), (4, 'b', 0, 'delete')"
+                f") t(lsn, k, v, op) KEYED ON k")
+        empty = eng.sql(f"SELECT * FROM '{lake}' WITH LAKE").to_pandas()
+        assert len(empty) == 0
+        res = eng.sql(f"""
+            MERGE INTO '{lake}' AS tg USING (SELECT * FROM (VALUES
+                ('a', 77)) s(k, nv)) AS sr ON tg.k = sr.k
+            WHEN MATCHED THEN UPDATE SET v = sr.nv
+            WHEN NOT MATCHED THEN INSERT (k, v) VALUES (sr.k, sr.nv)
+        """).to_pandas()
+        assert int(res.ROWS_INSERTED[0]) == 1
+        back = eng.sql(f"SELECT k, v FROM '{lake}' WITH LAKE").to_pandas()
+        assert back.k.tolist() == ["a"]
+        assert back.v.tolist() == [77]
+
+    def test_big_source_cardinality_fails_fast(self, ray_session,
+                                               tmp_path, monkeypatch):
+        """A cardinality violation on the forced-distributed path must NOT
+        fall back to collecting the source on the driver."""
+        import qwery_ray.cdc.merge_stmt as ms
+
+        from qwery_ray import QweryEngine
+
+        tgt = pd.DataFrame({"id": [1, 2], "v": [10, 20]})
+        pq.write_table(pa.Table.from_pandas(tgt, preserve_index=False),
+                       str(tmp_path / "t.parquet"))
+        # big enough to trip the SOURCE-size gate, with a duplicate pair
+        dup = pd.DataFrame({"id": [2, 2] + list(range(10**6, 10**6 + 20000)),
+                            "w": list(range(20002))})
+        pq.write_table(pa.Table.from_pandas(dup, preserve_index=False),
+                       str(tmp_path / "s.parquet"))
+        monkeypatch.setattr(ms, "MERGE_DISTRIBUTED_BYTES",
+                            os.path.getsize(str(tmp_path / "t.parquet")) + 1)
+
+        def boom(*a, **k):
+            raise AssertionError("fell back to the driver collect")
+
+        monkeypatch.setattr(ms, "_collect", boom)
+        eng = QweryEngine(table_root=str(tmp_path))
+        with pytest.raises(Exception, match="cardinality"):
+            eng.sql("""
+                MERGE INTO t AS tg USING s AS sr ON tg.id = sr.id
+                WHEN MATCHED THEN UPDATE SET v = sr.w
+            """)
