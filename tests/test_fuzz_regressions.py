@@ -563,3 +563,13 @@ class TestHavingExists:
             "ORDER BY k"))
         assert a.k.tolist() == b.k.tolist()
         assert a.n.tolist() == b.n.tolist()
+
+    def test_having_exists_group_col_not_in_output(self, sess):
+        # GROUP BY column absent from the SELECT list: the raw key column
+        # rides PostAgg keep_cols for the decorrelation, then drops
+        out = self._both(sess, (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer "
+            "GROUP BY c_nationkey HAVING EXISTS (SELECT 1 FROM nation "
+            "WHERE n_nationkey = c_nationkey AND n_regionkey = 0) "
+            "ORDER BY n"))
+        assert list(out.columns) == ["n"]
