@@ -644,7 +644,8 @@ class CDCLakeEngine:
 
     # -------------------------------------------------------------- replay
     def replay(self, events_path: str, *, chunk_lsns: Optional[int] = None,
-               max_lsn: Optional[int] = None, pipelined: bool = True) -> dict:
+               max_lsn: Optional[int] = None, pipelined: bool = True,
+               expect_watermark: Optional[int] = None) -> dict:
         """Replays all events with lsn > watermark, committing one txn per
         LSN chunk (chunk = checkpoint granularity). Returns the final
         manifest. Safe to re-run / resume at any time.
@@ -652,12 +653,21 @@ class CDCLakeEngine:
         ``pipelined=True`` runs ONE map/shuffle pass covering all pending
         chunks (rows split by LSN span before combining, so each checkpoint's
         state is still exactly 'events ≤ hi_k'), then merges+commits the
-        transactions in order — the map side's fixed cost is paid once."""
+        transactions in order — the map side's fixed cost is paid once.
+
+        ``expect_watermark``: optimistic-concurrency guard — when set and
+        the manifest watermark differs, NOTHING is applied and the current
+        manifest returns unchanged. Callers that stamp event LSNs against
+        a snapshot (MERGE INTO lake) use this so a concurrent commit can
+        never cause a PARTIAL application of their events (all-or-nothing;
+        the caller detects the no-op via lineage and recomputes)."""
         lo_bound, hi_bound = self._events_lsn_range(events_path)
         if max_lsn is not None:
             hi_bound = min(hi_bound, max_lsn)
         manifest = self.load_manifest()
         start = manifest["watermark_lsn"]
+        if expect_watermark is not None and start != expect_watermark:
+            return manifest  # stale snapshot: apply nothing, caller retries
         if chunk_lsns is None:
             chunk_lsns = max(1, hi_bound - start)
         chunks = []
@@ -1268,19 +1278,26 @@ class CDCLakeEngine:
                  if info["rows"] > 0]
         if not parts:
             # visible snapshot is EMPTY (fresh lake or every key
-            # tombstoned): recover the REAL row schema from any committed
-            # partition file (0-row files keep their schema) so callers
-            # like MERGE still see the value columns; a truly file-less
-            # lake falls back to this lake's OWN key columns
+            # tombstoned): recover the REAL row schema from the committed
+            # partition files (0-row files keep their schema; UNIFIED
+            # across all of them so additive evolution's newest columns
+            # survive even if the first partition predates them); a truly
+            # file-less lake falls back to this lake's OWN key columns
+            schemas = []
             for info in manifest["partitions"].values():
                 fp = os.path.join(self.lake_dir, info.get("file") or "")
                 if info.get("file") and os.path.exists(fp):
-                    sch = pq.read_schema(fp)
-                    drop = [c for c in ("op", "pkey") if c in sch.names]
-                    if drop:
-                        sch = pa.schema([f for f in sch
-                                         if f.name not in drop])
-                    return rd.from_arrow(sch.empty_table())
+                    schemas.append(pq.read_schema(fp))
+            if schemas:
+                try:
+                    sch = pa.unify_schemas(schemas)
+                except pa.ArrowTypeError:
+                    sch = pa.unify_schemas(schemas,
+                                           promote_options="permissive")
+                drop = [c for c in ("op", "pkey") if c in sch.names]
+                if drop:
+                    sch = pa.schema([f for f in sch if f.name not in drop])
+                return rd.from_arrow(sch.empty_table())
             return rd.from_arrow(pa.table({c: pa.array([], type=pa.string())
                                            for c in self.key_cols}))
         if not any(info.get("deltas") for info in parts):

@@ -58,6 +58,11 @@ MERGE_DISTRIBUTED_BYTES = 256 << 20
 _ACTION = "__mrg_action"  # k=kept, u=updated, d=deleted, i=inserted
 
 
+class MergeUniqueKeyError(ValueError):
+    """Distributed MERGE's unique-target-ON-key precondition failed —
+    the ONLY error the big-source driver fallback may catch."""
+
+
 def _conjuncts(cond) -> list:
     if isinstance(cond, A.And):
         return _conjuncts(cond.left) + _conjuncts(cond.right)
@@ -328,12 +333,13 @@ def merge_into_parquet(session, stmt: A.Merge) -> pa.Table:
         try:
             return _merge_distributed(stmt, path, src_ds, ta, sa, env,
                                       sschema_hint=lazy_schema)
-        except ValueError as ex:
-            # fall back ONLY on the unique-key precondition; any other
-            # error (cardinality violation, bad arms …) must fail fast —
-            # retrying on the driver path would collect the whole source
-            # just to hit the same error
-            if big_target or "unique target ON keys" not in str(ex):
+        except MergeUniqueKeyError:
+            # fall back ONLY on the unique-key precondition (a dedicated
+            # type, not message matching); any other error (cardinality
+            # violation, bad arms …) must fail fast — retrying on the
+            # driver path would collect the whole source just to hit the
+            # same error
+            if big_target:
                 raise
             # big source into a SMALL duplicate-key target: the
             # distributed path's unique-key precondition failed, and only
@@ -411,8 +417,11 @@ def _tagged_merge_core(stmt: A.Merge, ds_t, tschema: pa.Schema,
                                                         pa.string())])
 
         def nmbs_batch(t: pa.Table) -> pa.Table:
-            tagged = _apply_merge(t.to_pandas(), empty_src, stmt, ta, sa,
-                                  env)
+            # ArrowDtype round-trip: plain to_pandas() flips
+            # int64-with-NULL to float64 and silently corrupts values
+            # >= 2^53 in the rewritten file
+            tagged = _apply_merge(t.to_pandas(types_mapper=pd.ArrowDtype),
+                                  empty_src, stmt, ta, sa, env)
             return pa.Table.from_pandas(tagged, schema=nm_schema,
                                         preserve_index=False)
 
@@ -470,10 +479,14 @@ def _tagged_merge_core(stmt: A.Merge, ds_t, tschema: pa.Schema,
 
         tmask = pc.is_valid(g.column("__t1"))
         smask = pc.is_valid(g.column("__s1"))
-        tpart = g.filter(tmask).select(t_names).to_pandas()
+        # ArrowDtype round-trip (same reason as the driver path's
+        # target read): null-bearing int64 columns must not launder
+        # through float64 on the way into _apply_merge
+        tpart = g.filter(tmask).select(t_names) \
+            .to_pandas(types_mapper=pd.ArrowDtype)
         spart = g.filter(smask) \
             .select([f"__s_{n}" for n in s_names]).rename_columns(s_names) \
-            .to_pandas()
+            .to_pandas(types_mapper=pd.ArrowDtype)
         tagged = _apply_merge(tpart, spart, stmt, ta, sa, env)
         return pa.Table.from_pandas(tagged, schema=out_schema,
                                     preserve_index=False)
@@ -548,7 +561,7 @@ def _merge_distributed(stmt: A.Merge, path: str, src_ds, ta: str, sa: str,
         .map_batches(key_rows, batch_format="pyarrow") \
         .groupby(tkeys).count()
     if (kcounts.max("count()") or 0) > 1:
-        raise ValueError(
+        raise MergeUniqueKeyError(
             "distributed MERGE requires unique target ON keys — this "
             "target has duplicate non-null key rows; run it through the "
             "lake engine (UPSERT ... WITH LAKE) or shrink the target "
@@ -608,11 +621,6 @@ def merge_into_lake(session, stmt: A.Merge, path: str) -> pa.Table:
     from .engine import CDCLakeEngine
 
     eng = CDCLakeEngine.open(path)
-    wm = int(eng.load_manifest()["watermark_lsn"])
-    ds_t = eng.dataset()
-    base = ds_t.schema(fetch_if_missing=True)
-    tschema = getattr(base, "base_schema", None) or pa.schema([])
-
     tname = os.path.basename(os.path.normpath(stmt.target)) or "t"
     ta = stmt.target_alias or tname
     sa = stmt.source_alias or "src"
@@ -620,25 +628,49 @@ def merge_into_lake(session, stmt: A.Merge, path: str) -> pa.Table:
     src_ds = session.compiler.compile_query(stmt.source)
     lazy_schema = _lazy_source_schema(src_ds)
     src_mat = _drop_empty_blocks(src_ds.materialize())
-    sschema = _source_schema(src_mat, lazy_schema)
-    tkeys, skeys = _split_on_keys(stmt, ta, sa, tschema, sschema)
-    if {k.lower() for k in tkeys} != {k.lower() for k in eng.key_cols}:
-        raise ValueError(
-            f"MERGE INTO a lake target must join on exactly the lake key "
-            f"columns {eng.key_cols}, got {tkeys}")
-
-    tagged = _tagged_merge_core(stmt, ds_t, tschema, sschema, src_mat,
-                                ta, sa, env, tkeys, skeys)
 
     def only_changes(t: pa.Table) -> pa.Table:
         return t.filter(pc.not_equal(t.column(_ACTION), "k"))
 
-    changes = tagged.map_batches(only_changes,
-                                 batch_format="pyarrow").materialize()
-    counts = {"i": 0, "u": 0, "d": 0}
-    if changes.count():
-        for row in changes.groupby(_ACTION).count().take_all():
-            counts[row[_ACTION]] = int(row["count()"])
+    def action_counts(t: pa.Table) -> pa.Table:
+        # per-block fold — counting must not cost an all-to-all shuffle
+        vc = pc.value_counts(t.column(_ACTION).combine_chunks())
+        return pa.table({"a": vc.field("values"), "n": vc.field("counts")})
+
+    # Optimistic concurrency: the merge computes against the snapshot at
+    # watermark ``wm`` and stamps its events wm+1…; if ANOTHER writer
+    # commits in between, replay would skip the stale-LSN events. The
+    # committed lineage is verified to contain exactly this merge's span;
+    # on a miss the whole merge recomputes against the new snapshot.
+    # (The residual window is between the pre-replay version check and
+    # replay's own manifest read — a concurrent commit landing exactly
+    # there is caught by the lineage check and retried.)
+    for _attempt in range(5):
+        m0 = eng.load_manifest()
+        wm, v0 = int(m0["watermark_lsn"]), int(m0["version"])
+        ds_t = eng.dataset()
+        base = ds_t.schema(fetch_if_missing=True)
+        tschema = getattr(base, "base_schema", None) or pa.schema([])
+        sschema = _source_schema(src_mat, lazy_schema)
+        tkeys, skeys = _split_on_keys(stmt, ta, sa, tschema, sschema)
+        if {k.lower() for k in tkeys} != {k.lower() for k in eng.key_cols}:
+            raise ValueError(
+                f"MERGE INTO a lake target must join on exactly the lake "
+                f"key columns {eng.key_cols}, got {tkeys}")
+
+        tagged = _tagged_merge_core(stmt, ds_t, tschema, sschema, src_mat,
+                                    ta, sa, env, tkeys, skeys)
+        changes = tagged.map_batches(only_changes,
+                                     batch_format="pyarrow").materialize()
+        counts = {"i": 0, "u": 0, "d": 0}
+        cdf = changes.map_batches(action_counts,
+                                  batch_format="pyarrow").to_pandas()
+        for a, n in zip(cdf.get("a", []), cdf.get("n", [])):
+            counts[a] = counts.get(a, 0) + int(n)
+        n_changed = sum(counts.values())
+        if n_changed == 0:
+            break  # no events → nothing to commit, race-free by nature
+
         # fresh LSNs above the watermark via per-block offsets (shared
         # primitive with the UPSERT pre-reduce; unknown counts resolve by
         # remote len() — rows never leave the object store)
@@ -664,9 +696,20 @@ def merge_into_lake(session, stmt: A.Merge, path: str) -> pa.Table:
         staging = tempfile.mkdtemp(prefix="qwery_merge_events_")
         try:
             ev.write_parquet(staging)
-            eng.replay(staging)
+            # all-or-nothing: replay aborts (applies NOTHING) if the
+            # watermark moved — a concurrent commit can never cause a
+            # partial application of this merge's events
+            m2 = eng.replay(staging, expect_watermark=wm)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
+        # lineage spans are (lo = previous watermark exclusive, hi]
+        if any(int(t["lo"]) == wm and int(t["hi"]) == wm + n_changed
+               for t in m2.get("lineage", [])):
+            break  # our transaction committed
+    else:
+        raise RuntimeError(
+            "MERGE INTO lake: lost the optimistic-concurrency race 5 "
+            "times — another writer keeps committing; retry the merge")
     return pa.table({"ROWS_INSERTED": [counts["i"]],
                      "ROWS_UPDATED": [counts["u"]],
                      "ROWS_DELETED": [counts["d"]],

@@ -53,6 +53,15 @@ def concat_union(frames: list[pd.DataFrame]) -> pd.DataFrame:
         for c in f.columns:
             if c not in order:
                 order.append(c)
+            # dtype authority: the first NON-EMPTY frame holding the
+            # column — an empty placeholder (e.g. the no-file UPSERT's
+            # object-dtype header frame) must not degrade a typed all-NA
+            # column to object/null
+            if c not in dtypes and not f.empty:
+                dtypes[c] = f[c].dtype
+    for f in frames:  # columns present ONLY in empty frames
+        for c in f.columns:
+            if c not in dtypes:
                 dtypes[c] = f[c].dtype
     live = [f for f in frames if not f.empty]
     if not live:

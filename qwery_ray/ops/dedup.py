@@ -815,7 +815,10 @@ def _drop_empty_blocks(mat: rd.Dataset) -> rd.Dataset:
         return mat.limit(0)
     try:
         return rd.from_arrow_refs(refs)
-    except Exception:
+    except (TypeError, ValueError):
+        # a non-Arrow block slipped past the base_schema probe — keep the
+        # dataset intact rather than mistype it; anything else (Ray API
+        # failure) must surface, not be masked as "unchanged"
         return mat
 
 

@@ -3235,14 +3235,19 @@ class Compiler:
                               batch_format="pyarrow")
         return Frame(out, frame.columns, frame.aliases)
 
-    def _rebind_subquery_outer_refs(self, cond, name_map: dict):
+    def _rebind_subquery_outer_refs(self, cond, name_map: dict,
+                                    outer_aliases: set | None = None):
         """Inside every [NOT] EXISTS / scalar subquery of a condition
-        tree, rewrite unqualified outer refs whose lower-cased name is in
-        ``name_map`` — and which the subquery's OWN source cannot resolve
-        — to the mapped (output-alias) name. Used for deferred HAVING,
-        where correlation conventionally names the group column's source
-        (… = c_nationkey) but the aggregated frame carries the alias."""
+        tree, rewrite outer refs to the aggregated frame's column names.
+        Two forms: unqualified refs whose lower-cased name is in
+        ``name_map`` and which the subquery's OWN source cannot resolve
+        (… = c_nationkey → the output alias); and refs QUALIFIED by the
+        outer table's name/alias (… = customer.c_nationkey — ANSI-valid,
+        but the aggregated frame has no such alias). Used for deferred
+        HAVING."""
         from .parser import _ScalarSubquery
+
+        outer_aliases = outer_aliases or set()
 
         def repl(node):
             q = node.query if isinstance(node, (A.Exists,)) else (
@@ -3250,13 +3255,22 @@ class Compiler:
             if not isinstance(q, A.Select) or q.where is None:
                 return node
             try:
-                inner_cols = self.compile_source(q.source).columns
+                inner_frame = self.compile_source(q.source)
+                inner_cols = inner_frame.columns
+                inner_aliases = {str(a).lower()
+                                 for a in inner_frame.aliases}
             except Exception:
                 return node
 
             def fix(r):
-                if isinstance(r, A.ColumnRef) and r.table_alias is None \
-                        and r.name.lower() in name_map \
+                if not isinstance(r, A.ColumnRef):
+                    return r
+                alias = (r.table_alias or "").lower()
+                if alias and alias in outer_aliases \
+                        and alias not in inner_aliases:
+                    return A.ColumnRef(
+                        name_map.get(r.name.lower(), r.name))
+                if not alias and r.name.lower() in name_map \
                         and not _try_resolve(r.name, inner_cols):
                     return A.ColumnRef(name_map[r.name.lower()])
                 return r
@@ -4732,9 +4746,13 @@ class Compiler:
                       if isinstance(it, A.SelectItem)
                       and isinstance(it.expr, A.ColumnRef) and it.alias
                       and it.alias.lower() != it.expr.name.lower()}
-            if gk_map:
-                deferred_having = self._rebind_subquery_outer_refs(
-                    deferred_having, gk_map)
+            outer_aliases = set()
+            for attr in ("name", "alias"):
+                v = getattr(sel.source, attr, None)
+                if v:
+                    outer_aliases.add(str(v).lower())
+            deferred_having = self._rebind_subquery_outer_refs(
+                deferred_having, gk_map, outer_aliases)
         # raw result-column refs (__r…) the deferred HAVING needs survive
         # the projection and drop after its filter
         keep_raw: list[str] = []

@@ -685,3 +685,49 @@ class TestEmptySourceDistributed:
         assert int(res.ROWS_UPDATED[0]) == 0
         final = pq.read_table(str(workdir / "inv.parquet")).to_pandas()
         assert len(final) == 5
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLakeMergeOcc:
+    """r5 review finding: a concurrent commit between the snapshot read
+    and replay must not silently drop the MERGE — the lineage check
+    detects the lost race and the merge recomputes against the NEW
+    snapshot."""
+
+    def test_interleaved_commit_retries(self, tmp_path, monkeypatch):
+        import qwery_ray.cdc.engine as ce
+
+        eng = _engine(tmp_path)
+        lake = str(tmp_path / "lake")
+        eng.sql(f"UPSERT INTO '{lake}' WITH LAKE SELECT * FROM (VALUES "
+                f"(1, 'a', 10), (2, 'b', 20)) t(lsn, k, v) KEYED ON k")
+
+        real_replay = ce.CDCLakeEngine.replay
+        state = {"interfered": False}
+
+        def racing_replay(self_eng, events_path, **kw):
+            if not state["interfered"] and "merge_events" in events_path:
+                state["interfered"] = True
+                # another writer lands a commit first: k='a' -> 99
+                wm = self_eng.load_manifest()["watermark_lsn"]
+                eng.sql(f"UPSERT INTO '{lake}' WITH LAKE SELECT * FROM "
+                        f"(VALUES ({wm + 1}, 'a', 99)) t(lsn, k, v) "
+                        f"KEYED ON k")
+            return real_replay(self_eng, events_path, **kw)
+
+        monkeypatch.setattr(ce.CDCLakeEngine, "replay", racing_replay)
+        res = eng.sql(f"""
+            MERGE INTO '{lake}' AS tg USING (SELECT * FROM (VALUES
+                ('a', 5), ('c', 7)) s(k, nv)) AS sr ON tg.k = sr.k
+            WHEN MATCHED THEN UPDATE SET v = tg.v + sr.nv
+            WHEN NOT MATCHED THEN INSERT (k, v) VALUES (sr.k, sr.nv)
+        """).to_pandas()
+        assert state["interfered"]
+        assert int(res.ROWS_UPDATED[0]) == 1
+        back = eng.sql(f"SELECT k, v FROM '{lake}' WITH LAKE") \
+            .to_pandas().sort_values("k")
+        # all-or-nothing: the stale first attempt applied NOTHING (no
+        # partial event leak); the retry recomputed against the
+        # interfering writer's state: a = 99 + 5, b untouched, c inserted
+        assert list(zip(back.k, back.v)) == [("a", 104), ("b", 20),
+                                             ("c", 7)]
