@@ -573,3 +573,12 @@ class TestHavingExists:
             "WHERE n_nationkey = c_nationkey AND n_regionkey = 0) "
             "ORDER BY n"))
         assert list(out.columns) == ["n"]
+
+    def test_having_exists_qualified_correlation(self, sess):
+        # ANSI-valid table-qualified outer ref inside the HAVING subquery
+        out = self._both(sess, (
+            "SELECT c_nationkey AS k, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM customer GROUP BY 1 HAVING EXISTS (SELECT 1 FROM nation "
+            "WHERE n_nationkey = customer.c_nationkey AND "
+            "n_regionkey = 0) ORDER BY k"))
+        assert len(out) > 0
