@@ -667,7 +667,11 @@ class CDCLakeEngine:
         manifest = self.load_manifest()
         start = manifest["watermark_lsn"]
         if expect_watermark is not None and start != expect_watermark:
-            return manifest  # stale snapshot: apply nothing, caller retries
+            stale = dict(manifest)
+            stale["__stale"] = True  # explicit applied/not-applied signal:
+            # a span match in someone ELSE's lineage must never read as
+            # "our transaction committed"
+            return stale
         if chunk_lsns is None:
             chunk_lsns = max(1, hi_bound - start)
         chunks = []

@@ -638,13 +638,62 @@ def merge_into_lake(session, stmt: A.Merge, path: str) -> pa.Table:
         return pa.table({"a": vc.field("values"), "n": vc.field("counts")})
 
     # Optimistic concurrency: the merge computes against the snapshot at
-    # watermark ``wm`` and stamps its events wm+1…; if ANOTHER writer
-    # commits in between, replay would skip the stale-LSN events. The
-    # committed lineage is verified to contain exactly this merge's span;
-    # on a miss the whole merge recomputes against the new snapshot.
-    # (The residual window is between the pre-replay version check and
-    # replay's own manifest read — a concurrent commit landing exactly
-    # there is caught by the lineage check and retried.)
+    # watermark ``wm`` and stamps its events wm+1…; replay applies
+    # ALL-OR-NOTHING via expect_watermark (its return carries an explicit
+    # __stale marker — a SPAN match in someone else's lineage must never
+    # read as "ours committed"), and a merge-exclusive advisory lock
+    # serializes concurrent lake MERGEs (two merges passing the
+    # expect-check in the same window would last-rename-wins clobber one
+    # manifest). Non-merge writers (UPSERT … WITH LAKE) are still free:
+    # their commits flip the watermark and this loop recomputes.
+    lock_path = os.path.join(path, "_merge.lock")
+
+    def _acquire_lock():
+        import time as _t
+
+        for _ in range(300):  # ≤60 s, then break a stale (crashed) lock
+            try:
+                fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return
+            except FileExistsError:
+                try:
+                    import time as _tt
+
+                    if _tt.time() - os.path.getmtime(lock_path) > 300:
+                        os.remove(lock_path)  # stale: holder crashed
+                        continue
+                except OSError:
+                    pass
+                _t.sleep(0.2)
+        raise RuntimeError(
+            f"MERGE INTO lake: could not acquire {lock_path} — another "
+            f"merge appears stuck; remove the lock file if its holder "
+            f"is gone")
+
+    _acquire_lock()
+    try:
+        return _run_lake_merge_attempts(
+            session, stmt, path, eng, ta, sa, env, src_mat, lazy_schema,
+            only_changes, action_counts)
+    finally:
+        try:
+            os.remove(lock_path)
+        except OSError:
+            pass
+
+
+def _run_lake_merge_attempts(session, stmt, path, eng, ta, sa, env,
+                             src_mat, lazy_schema, only_changes,
+                             action_counts) -> pa.Table:
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
     for _attempt in range(5):
         m0 = eng.load_manifest()
         wm, v0 = int(m0["watermark_lsn"]), int(m0["version"])
@@ -670,6 +719,22 @@ def merge_into_lake(session, stmt: A.Merge, path: str) -> pa.Table:
         n_changed = sum(counts.values())
         if n_changed == 0:
             break  # no events → nothing to commit, race-free by nature
+
+        if counts.get("i"):
+            # a keyed lake cannot hold duplicate keys: two NOT MATCHED
+            # inserts for the same key would silently LWW-collapse to one
+            # row while counts said two (the file path inserts both) —
+            # reject loudly instead. Narrow columns only; shuffles just
+            # the insert rows.
+            ins_keys = changes.map_batches(
+                lambda t: t.filter(pc.equal(t.column(_ACTION), "i"))
+                .select(eng.key_cols), batch_format="pyarrow")
+            if (ins_keys.groupby(eng.key_cols).count()
+                    .max("count()") or 0) > 1:
+                raise ValueError(
+                    "MERGE INTO lake: duplicate source keys on NOT "
+                    "MATCHED inserts — a keyed lake cannot hold "
+                    "duplicate keys; dedup the source first")
 
         # fresh LSNs above the watermark via per-block offsets (shared
         # primitive with the UPSERT pre-reduce; unknown counts resolve by
@@ -702,9 +767,11 @@ def merge_into_lake(session, stmt: A.Merge, path: str) -> pa.Table:
             m2 = eng.replay(staging, expect_watermark=wm)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
-        # lineage spans are (lo = previous watermark exclusive, hi]
-        if any(int(t["lo"]) == wm and int(t["hi"]) == wm + n_changed
-               for t in m2.get("lineage", [])):
+        # lineage spans are (lo = previous watermark exclusive, hi];
+        # __stale = replay explicitly applied nothing (stale snapshot)
+        if not m2.get("__stale") and any(
+                int(t["lo"]) == wm and int(t["hi"]) == wm + n_changed
+                for t in m2.get("lineage", [])):
             break  # our transaction committed
     else:
         raise RuntimeError(

@@ -75,13 +75,19 @@ def concat_union(frames: list[pd.DataFrame]) -> pd.DataFrame:
 
     aligned = []
     for f in live:
-        f = f.copy()
+        # dict-of-Series assembly: references the original columns (no
+        # deep copy — these frames can be the ENTIRE existing file on the
+        # UPSERT path, so duplicating payload here would double peak
+        # driver memory); only all-NA/missing columns materialize anew
+        cols = {}
         for c in order:
             if c not in f.columns or f[c].isna().all():
-                f[c] = typed_na(len(f), dtypes[c])
-        aligned.append(f[order])
+                cols[c] = typed_na(len(f), dtypes[c])
+            else:
+                cols[c] = f[c].reset_index(drop=True)
+        aligned.append(pd.DataFrame(cols))
     if len(aligned) == 1:
-        return aligned[0].reset_index(drop=True)
+        return aligned[0]
     return pd.concat(aligned, ignore_index=True)
 
 

@@ -797,7 +797,9 @@ def _drop_empty_blocks(mat: rd.Dataset) -> rd.Dataset:
     then SKIPS empty blocks, so per-block renames never normalize them and
     any later Dataset.join chokes on the mixed schema ("No match or
     multiple matches for key field reference"). Dropping the empties fixes
-    the schema and sheds dead blocks."""
+    the schema and sheds dead blocks. KEEP IN SYNC with the
+    lazy-tolerant twin, sqlc/compiler.py::_drop_empty_blocks (same three
+    hardenings: pandas probe, num_rows=None kept, guarded re-wrap)."""
     # from_arrow_refs assumes Arrow blocks; a pandas-format dataset
     # (base_schema is a PandasBlockSchema) must pass through untouched
     try:

@@ -2327,8 +2327,19 @@ def _drop_empty_blocks(ds: rd.Dataset) -> rd.Dataset:
         return ds
     try:
         return rd.from_arrow_refs(keep)
-    except Exception:
+    except (TypeError, ValueError):
+        # a non-Arrow block slipped past the base_schema probe — keep the
+        # dataset intact rather than mistype it; anything else (Ray API
+        # failure) must surface. KEEP IN SYNC with the materialized-
+        # dataset twin, ops/dedup.py::_drop_empty_blocks (same three
+        # hardenings: pandas probe, num_rows=None kept, guarded re-wrap).
         return ds
+
+
+class UncorrelatedSubqueryError(ValueError):
+    """A scalar subquery had NO equality correlation with the outer
+    frame — the ONLY condition _decorrelate_or_fold may fold to a
+    one-shot literal (typed dispatch, not message matching)."""
 
 
 class Compiler:
@@ -3194,7 +3205,7 @@ class Compiler:
                 "is not supported (only equality predicates decorrelate "
                 "to a grouped join)")
         if not corr_pairs:
-            raise ValueError(
+            raise UncorrelatedSubqueryError(
                 "correlated scalar subquery needs at least one equality "
                 "between an inner and an outer column")
         sv = f"__sv{k}"
@@ -3336,9 +3347,7 @@ class Compiler:
         at parse positions) — evaluate it once and fold to a literal."""
         try:
             return self._decorrelate_select_scalar(frame, subnode, k, env)
-        except ValueError as ex:
-            if "needs at least one equality" not in str(ex):
-                raise
+        except UncorrelatedSubqueryError:
             sub = self.compile_query(self.session._prepare(subnode.query))
             tbl = _materialize_small(sub.materialize())
             val = tbl.column(0)[0].as_py() if len(tbl) else None
@@ -3372,7 +3381,7 @@ class Compiler:
                 "is not supported (only equality predicates decorrelate "
                 "to a grouped join)")
         if not corr_pairs:
-            raise ValueError(
+            raise UncorrelatedSubqueryError(
                 "correlated scalar subquery needs at least one equality "
                 "between an inner and an outer column")
         uniq_aggs: list[A.FuncCall] = []

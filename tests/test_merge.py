@@ -731,3 +731,17 @@ class TestLakeMergeOcc:
         # interfering writer's state: a = 99 + 5, b untouched, c inserted
         assert list(zip(back.k, back.v)) == [("a", 104), ("b", 20),
                                              ("c", 7)]
+
+    def test_duplicate_insert_keys_rejected(self, tmp_path):
+        """Two NOT MATCHED inserts for the same key would LWW-collapse in
+        a keyed lake while counts said two — rejected loudly instead."""
+        eng = _engine(tmp_path)
+        lake = str(tmp_path / "lake")
+        eng.sql(f"UPSERT INTO '{lake}' WITH LAKE SELECT * FROM (VALUES "
+                f"(1, 'x', 1)) t(lsn, k, v) KEYED ON k")
+        with pytest.raises(Exception, match="duplicate source keys"):
+            eng.sql(f"""
+                MERGE INTO '{lake}' AS tg USING (SELECT * FROM (VALUES
+                    ('a', 1), ('a', 2)) s(k, nv)) AS sr ON tg.k = sr.k
+                WHEN NOT MATCHED THEN INSERT (k, v) VALUES (sr.k, sr.nv)
+            """)
