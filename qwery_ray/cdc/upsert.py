@@ -48,21 +48,34 @@ def concat_union(frames: list[pd.DataFrame]) -> pd.DataFrame:
     empty/all-NA dtype inference never fires (pandas FutureWarning,
     removed in pandas 3)."""
     order: list[str] = []
-    dtypes: dict = {}
     for f in frames:
         for c in f.columns:
             if c not in order:
                 order.append(c)
-            # dtype authority: the first NON-EMPTY frame holding the
-            # column — an empty placeholder (e.g. the no-file UPSERT's
-            # object-dtype header frame) must not degrade a typed all-NA
-            # column to object/null
-            if c not in dtypes and not f.empty:
+    # dtype authority per column, replicating what the old concat's
+    # deprecated exclude-empty/all-NA inference produced:
+    #   1. first NON-EMPTY frame with REAL values (not all-NA) —
+    #      an object column of placeholder Nones (e.g. a MERGE insert
+    #      frame's unmentioned target columns) must not win;
+    #   2. else first frame (empty allowed) with a TYPED (non-object)
+    #      dtype — a 0-row ArrowDtype target still knows its schema;
+    #   3. else the first frame's dtype.
+    dtypes: dict = {}
+    for c in order:
+        typed = None
+        first = None
+        for f in frames:
+            if c not in f.columns:
+                continue
+            if first is None:
+                first = f[c].dtype
+            if typed is None and f[c].dtype != object:
+                typed = f[c].dtype
+            if not f.empty and not f[c].isna().all():
                 dtypes[c] = f[c].dtype
-    for f in frames:  # columns present ONLY in empty frames
-        for c in f.columns:
-            if c not in dtypes:
-                dtypes[c] = f[c].dtype
+                break
+        if c not in dtypes:
+            dtypes[c] = typed if typed is not None else first
     live = [f for f in frames if not f.empty]
     if not live:
         return frames[0].reindex(columns=order)

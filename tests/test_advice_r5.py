@@ -219,3 +219,30 @@ class TestReviewFindingsR5:
                 MERGE INTO t AS tg USING s AS sr ON tg.id = sr.id
                 WHEN MATCHED THEN UPDATE SET v = sr.w
             """)
+
+    def test_merge_into_emptied_file_keeps_evolved_types(self, ray_session,
+                                                         tmp_path):
+        """DELETE-all then MERGE-insert: the empty (but typed) target is
+        the dtype authority over the insert frames' placeholder-None
+        columns — evolved int64 columns must not degrade to null type."""
+        from qwery_ray import QweryEngine
+
+        p = os.path.join(str(tmp_path), "t.parquet")
+        pq.write_table(pa.table({
+            "k": pa.array([1, 2], pa.int64()),
+            "v": pa.array([10, 20], pa.int64()),
+            "x1": pa.array([None, None], pa.int64()),
+        }), p)
+        eng = QweryEngine(table_root=str(tmp_path))
+        eng.sql(f"DELETE FROM '{p}'")
+        assert pq.read_table(p).num_rows == 0
+        eng.sql(f"MERGE INTO '{p}' AS tg USING (SELECT * FROM (VALUES "
+                f"(5, 50)) s(k, nv)) AS sr ON tg.k = sr.k "
+                f"WHEN NOT MATCHED THEN INSERT (k, v) VALUES (sr.k, sr.nv)")
+        sch = pq.read_schema(p)
+        assert sch.field("x1").type == pa.int64()  # was: null
+        assert sch.field("v").type == pa.int64()
+        back = pq.read_table(p)
+        assert back.column("k").to_pylist() == [5]
+        # and the file still sorts/round-trips cleanly downstream
+        assert back.to_pandas().sort_values(["k", "v"]).k.tolist() == [5]
